@@ -4,6 +4,21 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Session TZ is UTC, so TIMESTAMP -> TIMESTAMP_NTZ keeps the wall
+    * clock; writing NTZ makes the result parquet's timestamp columns
+    * naive (isAdjustedToUTC=false), exactly like the DuckDB oracle's
+    * output — removing tz-aware-vs-naive false mismatches.
+    */
+  def ntzNormalize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampType
+    val casts = df.schema.fields.map { f =>
+      if (f.dataType == TimestampType) col(f.name).cast("timestamp_ntz").as(f.name)
+      else col(f.name)
+    }
+    df.select(casts.toSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,8 +31,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try fn(spark, sfDir).transform(Verify.ntzNormalize).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

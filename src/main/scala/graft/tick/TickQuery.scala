@@ -1,0 +1,79 @@
+package graft.tick
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.jdk.CollectionConverters._
+
+/** The analytical-query IR, mirroring the reference's `Query` struct
+  * (reference `query.go:12-18`) and its JSON wire shape
+  * (reference README.md:32-44):
+  *
+  * {{{
+  * {"index": "index1",
+  *  "from": "2016-08-28T08:00:00Z", "to": "2016-08-31T18:00:59Z",
+  *  "group": "2minutes",
+  *  "fields": {"open": {"reducer": "avg"}}}
+  * }}}
+  *
+  * Fixed semantics vs the reference (SURVEY.md §2.A.2): `to` is honored
+  * as a half-open upper bound (the reference drops it, `db.go:110-125`),
+  * and `group` absent/empty means raw-level points.
+  */
+final case class TickQuery(
+    index: String,
+    from: Option[Instant],
+    to: Option[Instant],
+    group: Option[GroupSpec],
+    fields: Seq[(String, String)]) // (field name, reducer), insertion-ordered
+
+object TickQuery {
+  private val mapper = new ObjectMapper()
+
+  /** Lenient multi-layout time parsing, the role `timelib.ParseTime`
+    * plays in the reference (`database.go:79`, `query.go:75,82`).
+    * Accepts RFC3339 (with offset or Z, optional fractional seconds),
+    * "yyyy-MM-dd HH:mm:ss[.SSS]", bare dates, and integer unix
+    * nanoseconds. Zone-less layouts are UTC.
+    */
+  def parseTime(s: String): Instant = {
+    val t = s.trim
+    if (t.matches("^-?\\d{16,19}$")) {
+      val ns = t.toLong
+      Instant.ofEpochSecond(Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L))
+    } else {
+      val attempts: Seq[String => Instant] = Seq(
+        x => Instant.parse(x),
+        x => java.time.OffsetDateTime.parse(x).toInstant,
+        x => LocalDateTime.parse(x, DateTimeFormatter.ISO_LOCAL_DATE_TIME).toInstant(ZoneOffset.UTC),
+        x => LocalDateTime.parse(x.replace(' ', 'T'), DateTimeFormatter.ISO_LOCAL_DATE_TIME).toInstant(ZoneOffset.UTC),
+        x => LocalDate.parse(x).atStartOfDay.toInstant(ZoneOffset.UTC)
+      )
+      attempts.view.flatMap(f => scala.util.Try(f(t)).toOption).headOption.getOrElse(
+        throw new IllegalArgumentException(s"unparseable time: '$s'"))
+    }
+  }
+
+  /** Decode the reference's query JSON document. */
+  def fromJson(json: String): TickQuery = {
+    val root = mapper.readTree(json)
+    def strOpt(k: String): Option[String] =
+      Option(root.get(k)).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
+    val fields = Option(root.get("fields")).map { f =>
+      f.properties().asScala.toSeq.map { e =>
+        val red = Option(e.getValue.get("reducer")).map(_.asText).getOrElse("last")
+        e.getKey -> red
+      }
+    }.getOrElse(Seq.empty)
+    TickQuery(
+      index = strOpt("index").getOrElse(throw new IllegalArgumentException("query requires 'index'")),
+      from = strOpt("from").map(parseTime),
+      to = strOpt("to").map(parseTime),
+      group = strOpt("group").map(GroupSpec.parse),
+      fields = fields)
+  }
+
+  private def nodeToText(n: JsonNode): String = n.asText
+}
