@@ -1,0 +1,114 @@
+package graft.tick
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Verify-gate coverage for the storage layer (SURVEY §2.A rows A6/A7/
+  * A9): each entry builds a real [[TickStore]] under /tmp from the
+  * events table, runs actual write jobs (ingest, upsert, range delete),
+  * reads the store back, and is hash-compared against a DuckDB oracle
+  * computing the same end state directly from `events` — i.e. the
+  * whole ingest→store→query lifecycle is inside the correctness gate.
+  */
+object StoreQueries {
+
+  private def freshStore(spark: SparkSession, dir: String, tag: String): (TickStore, String) = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_store_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    (new TickStore(root), "db")
+  }
+
+  /** events rows (2 indexes) as a tick ingest batch:
+    * value = {"value": value, "k": props.k}, seq = event_id.
+    */
+  private def batch1(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "error"))
+      .select(
+        col("event_type").as("index"),
+        col("ts_ns"),
+        map(
+          lit("value"), col("value"),
+          lit("k"), get_json_object(col("props"), "$.k").cast("double")).as("value"),
+        col("event_id").as("seq"))
+
+  /** Second batch: every 7th event re-posted with a shifted value and
+    * WITHOUT the "k" field — exercises the reference's whole-map
+    * replacement upsert (`node.go:235-237`: equal timestamp replaces
+    * Value wholesale, not a field merge).
+    */
+  private def batch2(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "error") && col("event_id") % 7 === 0)
+      .select(
+        col("event_type").as("index"),
+        col("ts_ns"),
+        map(lit("value"), col("value") + lit(1000.0)).as("value"),
+        col("event_id").as("seq"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // A6 ingest + last-write-wins upsert, then read back through the store
+    "store_upsert_roundtrip" -> QueryDef(
+      """SELECT event_type AS idx, ts,
+        |  CASE WHEN event_id % 7 = 0 THEN "value" + 1000.0 ELSE "value" END AS v,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |       ELSE CAST(props->>'$.k' AS DOUBLE) END AS k
+        |FROM events
+        |WHERE event_type IN ('click', 'error')
+        |ORDER BY idx, ts""".stripMargin) { (spark, dir) =>
+      val (store, db) = freshStore(spark, dir, "upsert")
+      store.createDb(spark, db)
+      store.ingest(spark, db, batch1(spark, dir))
+      store.ingest(spark, db, batch2(spark, dir))
+      store.read(spark, db)
+        .select(
+          col("index").as("idx"),
+          col("ts"),
+          element_at(col("value"), "value").as("v"),
+          element_at(col("value"), "k").as("k"))
+        .orderBy("idx", "ts")
+    },
+
+    // A9 range delete: interior days dropped as directories, boundary
+    // days rewritten with the anti-filter; half-open [from, to)
+    "store_range_delete" -> QueryDef(
+      """SELECT ts, "value" AS v FROM events
+        |WHERE event_type = 'view'
+        |  AND NOT (ts >= TIMESTAMP '2024-01-10 06:30:00'
+        |           AND ts < TIMESTAMP '2024-01-19 18:45:00')
+        |ORDER BY ts""".stripMargin) { (spark, dir) =>
+      val (store, db) = freshStore(spark, dir, "delete")
+      store.createDb(spark, db)
+      store.ingest(spark, db,
+        Tables.events(spark, dir).where(col("event_type") === "view")
+          .select(col("event_type").as("index"), col("ts_ns"),
+            map(lit("value"), col("value")).as("value"),
+            col("event_id").as("seq")))
+      val fromNs = java.time.Instant.parse("2024-01-10T06:30:00Z")
+      val toNs = java.time.Instant.parse("2024-01-19T18:45:00Z")
+      def ns(i: java.time.Instant) = i.getEpochSecond * 1000000000L + i.getNano
+      store.deleteRange(spark, db, "view", ns(fromNs), ns(toNs))
+      store.read(spark, db)
+        .select(col("ts"), element_at(col("value"), "value").as("v"))
+        .orderBy("ts")
+    },
+
+    // A7 exact-key point lookup on the raw events table (the store-side
+    // ns-exact get() is unit-tested; DuckDB only sees µs, so the oracle
+    // keys on the µs timestamp)
+    "tick_point_lookup" -> QueryDef(
+      """SELECT ts, "value" FROM events
+        |WHERE event_type = 'click'
+        |  AND ts = (SELECT min(ts) FROM events WHERE event_type = 'click')""".stripMargin) { (spark, dir) =>
+      val ev = Tables.events(spark, dir).where(col("event_type") === "click")
+      val key = ev.agg(min("ts_ns").as("k"))
+      ev.join(broadcast(key), col("ts_ns") === col("k"))
+        .select(col("ts"), col("value"))
+    }
+  )
+}

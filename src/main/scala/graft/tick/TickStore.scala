@@ -1,0 +1,273 @@
+package graft.tick
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's storage layer: tick databases as partitioned Parquet.
+  *
+  * Replaces the reference's custom time-hierarchical file engine
+  * (`storage/db.go`, `node.go`, `chunk.go`) wholesale — layout policy
+  * lives here, execution stays in Spark (BASELINE.json
+  * spark_approach: "custom storage layer outside Spark").
+  *
+  * Layout: `<root>/<db>/points/index=<i>/day=<yyyy-MM-dd>/` parquet files
+  *
+  *  - `index` (series id) and `day` (UTC date of the point) are
+  *    partition columns, so every tick query pattern — one index, a
+  *    time range (`db.go:110-125`) — prunes to exactly the partitions
+  *    it touches. At 100 TB this is the load-bearing decision: queries
+  *    and upserts never list, read, or rewrite more than the affected
+  *    `(index, day)` slices.
+  *  - Data columns: `ts_ns LONG` (exact ns key, `point.go:9`),
+  *    `value MAP<STRING,DOUBLE>` (schemaless fields, `point.go:10`),
+  *    `ingest_seq LONG` (monotonic per affected partition; orders
+  *    last-write-wins upserts deterministically under parallelism —
+  *    the reference gets ordering for free from single-threaded array
+  *    order, `node.go:235-237`).
+  *
+  * Durability: every mutation is a Spark job with atomic job commit —
+  * structurally resolving the reference's never-called `DB.Flush`
+  * durability hole (`db.go:171-185`, SURVEY §4.4). Concurrent writers
+  * to the same db are out of scope (so were they in the reference,
+  * whose mutexes are never locked, `db.go:15-16`).
+  */
+final class TickStore(val root: String) {
+
+  import TickStore._
+
+  private def dbPath(db: String) = new Path(root, db)
+  private def tablePath(db: String) = new Path(dbPath(db), "points")
+
+  private def fs(spark: SparkSession) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- catalog ops (reference A2-A5, A10: handlers.go:23-55,115-124) ----
+
+  def createDb(spark: SparkSession, db: String): Unit = {
+    val f = fs(spark)
+    val p = dbPath(db)
+    if (f.exists(p)) throw new IllegalStateException(s"database exists: $db")
+    f.mkdirs(p)
+  }
+
+  def listDbs(spark: SparkSession): Seq[String] = {
+    val f = fs(spark)
+    val r = new Path(root)
+    if (!f.exists(r)) Seq.empty
+    else f.listStatus(r).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  def dropDb(spark: SparkSession, db: String): Unit =
+    fs(spark).delete(dbPath(db), true)
+
+  def listIndexes(spark: SparkSession, db: String): Seq[String] = {
+    val f = fs(spark)
+    val t = tablePath(db)
+    if (!f.exists(t)) Seq.empty
+    else f.listStatus(t).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("index=")).map(_.stripPrefix("index=")).toSeq.sorted
+  }
+
+  def dropIndex(spark: SparkSession, db: String, index: String): Unit =
+    fs(spark).delete(new Path(tablePath(db), s"index=${escape(index)}"), true)
+
+  // ---- read path ----
+
+  /** Full tick frame for a db: partition columns `index`, `day` plus
+    * `ts_ns`, `value`, `ingest_seq`, and derived µs `ts`. Empty-schema
+    * frame when nothing has been ingested.
+    */
+  def read(spark: SparkSession, db: String): DataFrame = {
+    val t = tablePath(db).toString
+    val hasData = {
+      val f = fs(spark)
+      f.exists(tablePath(db)) && f.listStatus(tablePath(db)).nonEmpty
+    }
+    val df =
+      if (hasData)
+        spark.read
+          .schema(dataSchema) // fixed schema: no inference job, stable map type
+          .option("basePath", t)
+          .parquet(t)
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+    df.withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  }
+
+  def readIndex(spark: SparkSession, db: String, index: String): DataFrame =
+    read(spark, db).where(col("index") === index)
+
+  /** Exact-ns point lookup (reference A7: `db.go:127-138` — equality on
+    * the int64 ns key). Prunes to one (index, day) partition, then
+    * row-group stats skip within it.
+    */
+  def get(spark: SparkSession, db: String, index: String, tsNs: Long): Option[Map[String, Double]] = {
+    val day = dayOfNs(tsNs)
+    val rows = read(spark, db)
+      .where(col("index") === index && col("day") === day && col("ts_ns") === tsNs)
+      .select("value").collect()
+    rows.headOption.map(_.getMap[String, Double](0).toMap)
+  }
+
+  /** Run an analytical tick query against this store (reference A8). */
+  def query(spark: SparkSession, db: String, q: TickQuery, exact: Boolean = false): DataFrame = {
+    val src = StoreSource(this, spark, db)
+    if (exact) TickQueryExec.runExact(src, q) else TickQueryExec.run(src, q)
+  }
+
+  // ---- ingest / upsert (reference A6) ----
+
+  /** Driver-side convenience ingest of wire records (reference
+    * `handlers.go:57-77`): array order is the upsert order, as in the
+    * reference's sequential loop.
+    */
+  def ingestRecords(spark: SparkSession, db: String, records: Seq[TickIngestRecord]): Unit = {
+    import spark.implicits._
+    // array position is the upsert order, as in the reference's
+    // sequential ingest loop (database.go:71-90)
+    val rows = records.zipWithIndex.map { case (r, i) =>
+      val p = r.toPoint
+      (p.index, p.tsNs, p.value, i.toLong)
+    }
+    ingest(spark, db, spark.createDataset(rows).toDF("index", "ts_ns", "value", "seq"))
+  }
+
+  /** Last-write-wins upsert of a batch (columns: index STRING,
+    * ts_ns LONG, value MAP<STRING,DOUBLE>; optional `seq` LONG for
+    * intra-batch ordering — later seq wins; absent, intra-batch
+    * duplicate keys resolve by an arbitrary-but-deterministic max).
+    *
+    * Strategy (the Spark analog of `node.put` upsert,
+    * `node.go:213-246`): only the `(index, day)` partitions present in
+    * the batch are read back, merged (max ingest_seq per key wins), and
+    * rewritten via dynamic partition overwrite. Unaffected partitions
+    * are untouched — at 100 TB an upsert costs O(touched days), not
+    * O(table).
+    */
+  def ingest(spark: SparkSession, db: String, batch: DataFrame): Unit = {
+    val t = tablePath(db).toString
+    val withSeqCol = if (batch.columns.contains("seq")) batch else batch.withColumn("seq", lit(0L))
+    val prepared = withSeqCol
+      .withColumn("day", dayCol("ts_ns"))
+      .select("index", "day", "ts_ns", "value", "seq")
+
+    val existing = read(spark, db)
+    // prune existing data to the partitions the batch touches
+    val touched = prepared.select("index", "day").distinct()
+    val existingTouched = existing
+      .join(broadcast(touched), Seq("index", "day"), "left_semi")
+      .select("index", "day", "ts_ns", "value", "ingest_seq")
+
+    val baseSeq = existingTouched.agg(coalesce(max("ingest_seq"), lit(0L))).head().getLong(0)
+    val newRows = prepared
+      .withColumn("ingest_seq", lit(baseSeq + 1L) + col("seq"))
+      .select("index", "day", "ts_ns", "value", "ingest_seq")
+
+    val merged = existingTouched.unionByName(newRows)
+      .groupBy("index", "day", "ts_ns")
+      .agg(
+        max_by(col("value"), col("ingest_seq")).as("value"),
+        max(col("ingest_seq")).as("ingest_seq"))
+      // break lineage: the write below overwrites partitions this plan reads
+      .localCheckpoint()
+
+    merged
+      .repartition(col("index"), col("day"))
+      .write
+      .partitionBy("index", "day")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(t)
+  }
+
+  // ---- range delete (reference A9: `node.go:320-521`) ----
+
+  /** Delete `[fromNs, toNs)` for one index. Whole days inside the range
+    * are dropped as directories (the analog of the reference pruning
+    * whole subtrees, `node.go:344-368`); the ≤2 boundary days are
+    * rewritten with the anti-filter (its boundary-node trim,
+    * `node.go:370-521`). Cost: O(boundary data), not O(index).
+    */
+  def deleteRange(spark: SparkSession, db: String, index: String, fromNs: Long, toNs: Long): Unit = {
+    require(fromNs <= toNs, "deleteRange requires fromNs <= toNs")
+    if (fromNs == toNs) return
+    val f = fs(spark)
+    val idxPath = new Path(tablePath(db), s"index=${escape(index)}")
+    if (!f.exists(idxPath)) return
+
+    val fromDay = dayOfNs(fromNs)
+    val lastDay = dayOfNs(toNs - 1)
+    val days = f.listStatus(idxPath).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("day="))
+      .map(_.stripPrefix("day=")).toSeq
+
+    val affected = days.filter(d => d >= fromDay && d <= lastDay)
+    val (boundary, interior) = affected.partition { d =>
+      // a day is boundary iff the range does not cover it entirely
+      dayStartNs(d) < fromNs || dayEndNs(d) > toNs
+    }
+
+    // boundary days: compute survivors before any deletion
+    val survivors =
+      if (boundary.isEmpty) None
+      else Some {
+        read(spark, db)
+          .where(col("index") === index && col("day").isin(boundary: _*))
+          .where(!(col("ts_ns") >= fromNs && col("ts_ns") < toNs))
+          .select("index", "day", "ts_ns", "value", "ingest_seq")
+          .localCheckpoint()
+      }
+
+    (interior ++ boundary).foreach { d =>
+      f.delete(new Path(idxPath, s"day=$d"), true)
+    }
+    survivors.foreach { s =>
+      if (!s.isEmpty)
+        s.repartition(col("index"), col("day"))
+          .write.partitionBy("index", "day")
+          .mode(SaveMode.Append).parquet(tablePath(db).toString)
+    }
+  }
+}
+
+object TickStore {
+  val dataSchema: StructType = StructType(Seq(
+    StructField("ts_ns", LongType),
+    StructField("value", MapType(StringType, DoubleType)),
+    StructField("ingest_seq", LongType),
+    StructField("index", StringType),
+    StructField("day", StringType)))
+
+  /** UTC day of an ns-epoch column (by name: integer DIV — fp division
+    * loses precision above 2^53 and can flip a midnight-adjacent point
+    * into the wrong partition). Post-1970 timestamps only.
+    */
+  private[tick] def dayCol(tsNsName: String): Column =
+    date_format(timestamp_micros(expr(s"$tsNsName DIV 1000")), "yyyy-MM-dd")
+
+  private[tick] def dayOfNs(ns: Long): String =
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(ns, 86400000000000L)).toString
+
+  private[tick] def dayStartNs(day: String): Long =
+    java.time.LocalDate.parse(day).toEpochDay * 86400000000000L
+
+  private[tick] def dayEndNs(day: String): Long = dayStartNs(day) + 86400000000000L
+
+  private[tick] def escape(index: String): String = index // hive-escapes non-trivial names lazily
+}
+
+/** A [[TickStore]] db viewed as a [[TickSource]] for the query path. */
+final case class StoreSource(store: TickStore, spark: SparkSession, db: String) extends TickSource {
+  override lazy val frame: DataFrame = store.read(spark, db)
+  override def ts: Column = frame("ts")
+  override def indexPredicate(index: String): Column = frame("index") === index
+  override def field(name: String): Column = element_at(frame("value"), name)
+
+  override def tableSql: String =
+    throw new UnsupportedOperationException("StoreSource has no static oracle table")
+  override def tsSql: String = "ts"
+  override def indexPredicateSql(index: String): String = s"index = '$index'"
+  override def fieldSql(name: String): String = s"value['$name']"
+}

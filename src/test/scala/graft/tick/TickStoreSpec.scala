@@ -1,0 +1,137 @@
+package graft.tick
+
+import graft.SparkSpec
+
+class TickStoreSpec extends SparkSpec {
+
+  private def freshStore(tag: String): TickStore = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_test_$tag"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    new TickStore(root)
+  }
+
+  private def rec(index: String, time: String, fields: (String, Double)*) =
+    TickIngestRecord(index, time, fields.toMap)
+
+  test("catalog: create/list/drop database, list/drop index (A2-A5, A10)") {
+    val s = freshStore("catalog")
+    s.createDb(spark, "db1")
+    s.createDb(spark, "db2")
+    assert(s.listDbs(spark) == Seq("db1", "db2"))
+    assertThrows[IllegalStateException](s.createDb(spark, "db1"))
+    s.ingestRecords(spark, "db1", Seq(
+      rec("ix1", "2024-03-01T00:00:00Z", "open" -> 1.0),
+      rec("ix2", "2024-03-01T00:00:00Z", "open" -> 2.0)))
+    assert(s.listIndexes(spark, "db1") == Seq("ix1", "ix2"))
+    s.dropIndex(spark, "db1", "ix1")
+    assert(s.listIndexes(spark, "db1") == Seq("ix2"))
+    s.dropDb(spark, "db2")
+    assert(s.listDbs(spark) == Seq("db1"))
+  }
+
+  test("ingest + exact-ns point lookup (A6, A7)") {
+    val s = freshStore("get")
+    s.createDb(spark, "db")
+    s.ingestRecords(spark, "db", Seq(
+      rec("ix", "2024-03-01T10:00:00.123456789Z", "open" -> 10.1, "close" -> 10.2),
+      rec("ix", "2024-03-01T10:00:01Z", "open" -> 11.0)))
+    val ns = java.time.Instant.parse("2024-03-01T10:00:00.123456789Z")
+    val key = ns.getEpochSecond * 1000000000L + ns.getNano
+    assert(s.get(spark, "db", "ix", key).contains(Map("open" -> 10.1, "close" -> 10.2)))
+    // exact ns equality required (db.go:132-137): off-by-one-ns misses
+    assert(s.get(spark, "db", "ix", key + 1).isEmpty)
+    assert(s.get(spark, "db", "other", key).isEmpty)
+  }
+
+  test("upsert is last-write-wins with whole-map replacement (node.go:235-237)") {
+    val s = freshStore("upsert")
+    s.createDb(spark, "db")
+    val t = "2024-03-01T10:00:00Z"
+    val key = java.time.Instant.parse(t).getEpochSecond * 1000000000L
+    // within one batch: later array position wins
+    s.ingestRecords(spark, "db", Seq(
+      rec("ix", t, "open" -> 1.0, "close" -> 2.0),
+      rec("ix", t, "open" -> 3.0)))
+    assert(s.get(spark, "db", "ix", key).contains(Map("open" -> 3.0)))
+    // across batches: later batch wins, map replaced wholesale (no field merge)
+    s.ingestRecords(spark, "db", Seq(rec("ix", t, "high" -> 9.0)))
+    assert(s.get(spark, "db", "ix", key).contains(Map("high" -> 9.0)))
+  }
+
+  test("upsert touches only affected day partitions") {
+    val s = freshStore("partitions")
+    s.createDb(spark, "db")
+    s.ingestRecords(spark, "db", Seq(
+      rec("ix", "2024-03-01T10:00:00Z", "v" -> 1.0),
+      rec("ix", "2024-03-02T10:00:00Z", "v" -> 2.0)))
+    val fs = new org.apache.hadoop.fs.Path(s.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(day: String) = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s.root, s"db/points/index=ix/day=$day")).getModificationTime
+    val day1Before = mtime("2024-03-01")
+    Thread.sleep(1100)
+    s.ingestRecords(spark, "db", Seq(rec("ix", "2024-03-02T11:00:00Z", "v" -> 3.0)))
+    assert(mtime("2024-03-01") == day1Before, "untouched day partition was rewritten")
+    assert(s.read(spark, "db").count() == 3)
+  }
+
+  test("range delete: half-open [from,to), boundary trim + interior drop (A9)") {
+    val s = freshStore("delete")
+    s.createDb(spark, "db")
+    // 10 days, 2 points each, plus another index that must be untouched
+    val recs = (1 to 10).flatMap { d =>
+      Seq(
+        rec("ix", f"2024-03-$d%02dT06:00:00Z", "v" -> d.toDouble),
+        rec("ix", f"2024-03-$d%02dT18:00:00Z", "v" -> (d.toDouble + 0.5)))
+    } :+ rec("other", "2024-03-05T12:00:00Z", "v" -> 99.0)
+    s.ingestRecords(spark, "db", recs)
+    def ns(t: String) = java.time.Instant.parse(t).getEpochSecond * 1000000000L
+    // delete [03-03 12:00, 03-08 06:00): trims day 3 (evening point),
+    // drops days 4-7 entirely, trims day 8 (morning point == from-side
+    // of half-open end... 06:00 is excluded as to-bound)
+    s.deleteRange(spark, "db", "ix", ns("2024-03-03T12:00:00Z"), ns("2024-03-08T06:00:00Z"))
+    val left = s.readIndex(spark, "db", "ix")
+      .select("ts_ns").collect().map(_.getLong(0)).sorted
+    val expected = (Seq(
+      "2024-03-01T06:00:00Z", "2024-03-01T18:00:00Z",
+      "2024-03-02T06:00:00Z", "2024-03-02T18:00:00Z",
+      "2024-03-03T06:00:00Z", // 18:00 deleted
+      "2024-03-08T06:00:00Z", // to-bound is exclusive: survives
+      "2024-03-08T18:00:00Z",
+      "2024-03-09T06:00:00Z", "2024-03-09T18:00:00Z",
+      "2024-03-10T06:00:00Z", "2024-03-10T18:00:00Z").map(ns)).sorted
+    assert(left.toSeq == expected.toSeq)
+    // interior day directories are gone (subtree prune, node.go:344-368)
+    val fs = new org.apache.hadoop.fs.Path(s.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (4 to 7).foreach { d =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s.root, f"db/points/index=ix/day=2024-03-$d%02d")), s"day $d dir should be dropped")
+    }
+    // other index untouched
+    assert(s.readIndex(spark, "db", "other").count() == 1)
+  }
+
+  test("store query path: groupBy window over map fields (A8 on the store)") {
+    val s = freshStore("query")
+    s.createDb(spark, "db")
+    s.ingestRecords(spark, "db", Seq(
+      rec("ix", "2024-03-01T10:00:10Z", "open" -> 1.0),
+      rec("ix", "2024-03-01T10:00:50Z", "open" -> 3.0),
+      rec("ix", "2024-03-01T10:01:10Z", "open" -> 5.0),
+      rec("ix", "2024-03-01T10:03:10Z", "open" -> 7.0)))
+    val q = TickQuery.fromJson(
+      """{"index":"ix","group":"2minutes","fields":{"open":{"reducer":"avg"}}}""")
+    val rows = s.query(spark, "db", q).collect()
+    assert(rows.map(r => (r.getTimestamp(0).toInstant.toString, r.getDouble(1))).toSeq == Seq(
+      ("2024-03-01T10:00:00Z", 3.0), // (1+3+5)/3
+      ("2024-03-01T10:02:00Z", 7.0)))
+    // missing field -> null-correct aggregates (0.0 only at the legacy
+    // compat layer, SURVEY 2.A.2 item 6)
+    val q2 = TickQuery.fromJson(
+      """{"index":"ix","group":"day","fields":{"nope":{"reducer":"sum"}}}""")
+    val r2 = s.query(spark, "db", q2).collect()
+    assert(r2.length == 1 && r2(0).isNullAt(1))
+  }
+}
