@@ -16,12 +16,15 @@ import graft.{QueryDef, Tables}
 object RelQueries {
 
   /** Order-independent double sum: exact decimal accumulation cast back
-    * to double (see Reducers.exactColumn for rationale).
+    * to double (see Reducers.exactColumn for scale rationale).
     */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(29,9)")).cast("double")
-  private def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(29,9))) AS DOUBLE)"
+  private def dsum(c: Column): Column = sum(c.cast("decimal(20,4)")).cast("double")
+  private def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(20,4))) AS DOUBLE)"
 
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] =
+    aggDefs ++ joinDefs ++ windowDefs ++ setDefs ++ scalarDefs
+
+  private lazy val aggDefs: Map[String, QueryDef] = Map(
 
     // ---- aggregation: hash agg, partial+final (TPC-H Q1 shape) ----
     "q1_agg" -> QueryDef(
@@ -45,6 +48,433 @@ object RelQueries {
           (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // distinct + exact count-distinct
+    "distinct_agg" -> QueryDef(
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")
+    },
+
+    "dropduplicates" -> QueryDef(
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // multi-dimensional aggregates: CUBE (null super-group rows; Spark
+    // sorts nulls first on ASC, DuckDB last -> explicit NULLS FIRST)
+    "cube_agg" -> QueryDef(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    "rollup_agg" -> QueryDef(
+      s"""SELECT r_name, n_name, ${dsumSql("c_acctbal")} AS balance
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(dsum(col("c_acctbal")).as("balance"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    // top-k: Spark plans TakeOrderedAndProject (no global sort at scale)
+    "topk_orders" -> QueryDef(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }
+  )
+
+  private lazy val joinDefs: Map[String, QueryDef] = Map(
+
+    // TPC-H Q3 shape: 3-way shuffle join, filtered, aggregated
+    "q3_join" -> QueryDef(
+      s"""SELECT l_orderkey, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey
+         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(20)
+    },
+
+    // TPC-H Q5 shape: 5-way join, small dims broadcast
+    "q5_join" -> QueryDef(
+      s"""SELECT n_name, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM region JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // broadcast hash join, explicitly hinted
+    "join_broadcast" -> QueryDef(
+      """SELECT n_name, COUNT(*) AS n_cust FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+        .orderBy("n_name")
+    },
+
+    // left outer join with null-producing side
+    "join_outer" -> QueryDef(
+      """SELECT c_custkey, o_orderkey FROM customer
+        |LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'P'
+        |WHERE c_custkey <= 100
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).where(col("c_custkey") <= 100)
+        .join(Tables.orders(s, d).where(col("o_orderstatus") === "P"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    },
+
+    // semi join (EXISTS)
+    "join_semi" -> QueryDef(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 400000),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // anti join (NOT EXISTS)
+    "join_anti" -> QueryDef(
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // as-of join (the natural TSDB extension, SURVEY §2.B): for each
+    // purchase, the most recent click of the same user at-or-before it.
+    // Spark-side: union + last(ignoreNulls) over (user, time) — ONE
+    // shuffle by user_id, no range explosion; the scalable plan shape
+    // for as-of at 100 TB.
+    "asof_join" -> QueryDef(
+      """SELECT p.event_id, p.ts, c."value" AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val tagged = ev.where(col("event_type").isin("purchase", "click"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"), col("ts_ns"),
+          col("event_type"),
+          when(col("event_type") === "click", col("value")).as("click_val"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        // clicks sort before purchases at equal ts: asof is inclusive
+        .orderBy(col("ts_ns").asc, when(col("event_type") === "click", 0).otherwise(1).asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("click_value", last(col("click_val"), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("click_value"))
+        .orderBy("event_id")
+    },
+
+    // range (interval) join: clicks within 10 minutes after each signup,
+    // same user. Spark-side: time-bucket equi-join (each probe row
+    // explodes to its 2 candidate buckets) + exact residual filter — the
+    // scalable alternative to a nested-loop inequality join. µs
+    // precision throughout (the oracle only sees µs timestamps).
+    "range_join" -> QueryDef(
+      """SELECT s.event_id, COUNT(c.event_id) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON s.user_id = c.user_id
+        | AND epoch_us(c.ts) >= epoch_us(s.ts)
+        | AND epoch_us(c.ts) < epoch_us(s.ts) + 600000000
+        |GROUP BY s.event_id ORDER BY s.event_id""".stripMargin) { (s, d) =>
+      val width = 600000000L // 10 min in µs
+      val ev = Tables.events(s, d)
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id"), unix_micros(col("ts")).as("s_us"))
+        .withColumn("bucket", explode(array(
+          expr(s"s_us DIV $width"), expr(s"s_us DIV $width + 1"))))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"), unix_micros(col("ts")).as("c_us"))
+        .withColumn("bucket", expr(s"c_us DIV $width"))
+      signups
+        .join(clicks, Seq("user_id", "bucket"), "left")
+        .withColumn("hit",
+          col("c_us").isNotNull && col("c_us") >= col("s_us") && col("c_us") < col("s_us") + width)
+        .groupBy(col("s_id").as("event_id"))
+        .agg(count(when(col("hit"), 1)).as("n_clicks"))
+        .orderBy("event_id")
+    }
+  )
+
+  private lazy val windowDefs: Map[String, QueryDef] = Map(
+
+    // ranking window: top-3 parts per brand
+    "window_rank" -> QueryDef(
+      """SELECT p_brand, p_partkey, rn FROM (
+        |  SELECT p_brand, p_partkey,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand
+        |                       ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) WHERE rn <= 3
+        |ORDER BY p_brand, rn""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      Tables.part(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("p_brand", "p_partkey", "rn")
+        .orderBy("p_brand", "rn")
+    },
+
+    // running (cumulative) aggregate per key — frame order is identical
+    // in both engines, so the fp accumulation order is too
+    "window_running" -> QueryDef(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey <= 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.orders(s, d).where(col("o_custkey") <= 200)
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(20,4)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // the real moving average the reference's dead "ma" alias never was
+    // (cursor.go:339-340): 7-row sliding mean per series. Ordered by the
+    // µs ts (unique per event_type) so both engines see the same frames.
+    "window_moving_avg" -> QueryDef(
+      """SELECT event_id,
+        |  CAST(SUM(CAST("value" AS DECIMAL(20,4)))
+        |    OVER (PARTITION BY event_type ORDER BY ts
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+        |                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("ts").asc)
+        .rowsBetween(-6, 0)
+      Tables.events(s, d)
+        .withColumn("ma7",
+          sum(col("value").cast("decimal(20,4)")).over(w).cast("double")
+            / count(lit(1)).over(w))
+        .select("event_id", "ma7")
+        .orderBy("event_id")
+    },
+
+    // lag/lead analytics: inter-event gap per user (µs precision — the
+    // oracle only sees µs timestamps)
+    "window_lag_lead" -> QueryDef(
+      """SELECT event_id,
+        |  epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us,
+        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS next_type
+        |FROM events WHERE user_id <= 20
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc)
+      Tables.events(s, d).where(col("user_id") <= 20)
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select("event_id", "gap_us", "next_type")
+        .orderBy("event_id")
+    }
+  )
+
+  private lazy val setDefs: Map[String, QueryDef] = Map(
+
+    "set_union_all" -> QueryDef(
+      """SELECT k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0)
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+        .unionAll(Tables.customer(s, d).where(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("k")))
+        .orderBy("k")
+    },
+
+    "set_intersect" -> QueryDef(
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+        .intersect(Tables.customer(s, d).where(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("k")))
+        .orderBy("k")
+    },
+
+    "set_except" -> QueryDef(
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).where(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k")
+    }
+  )
+
+  private lazy val scalarDefs: Map[String, QueryDef] = Map(
+
+    // string functions: case, substring, concat, length, trim, regexp
+    "scalar_strings" -> QueryDef(
+      """SELECT p_partkey,
+        |  UPPER(p_brand) AS b_upper,
+        |  SUBSTRING(p_name, 1, 8) AS name8,
+        |  LENGTH(p_type) AS type_len,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  REPLACE(p_brand, 'Brand#', 'B') AS b_short,
+        |  REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS b_num
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).where(col("p_partkey") <= 500)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("b_upper"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          length(col("p_type")).as("type_len"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_brand"), lit("Brand#"), lit("B")).as("b_short"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("b_num"))
+        .orderBy("p_partkey")
+    },
+
+    // date/time functions on the timestamp column
+    "scalar_dates" -> QueryDef(
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr,
+        |  o_orderdate + INTERVAL 30 DAY AS due
+        |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).where(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("quarter", col("o_orderdate")).as("qtr"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due"))
+        .orderBy("o_orderkey")
+    },
+
+    // math functions (IEEE-deterministic set: +-*/, sqrt, floor/ceil/abs
+    // are correctly-rounded per IEEE-754 and safe cross-engine;
+    // transcendentals (ln, pow) are NOT — engines differ in the last ulp)
+    "scalar_math" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_discount - 0.05) AS d_abs,
+        |  FLOOR(l_extendedprice) AS p_floor,
+        |  CEIL(l_quantity) AS q_ceil,
+        |  SQRT(l_extendedprice) AS p_sqrt,
+        |  l_discount * l_discount AS d_sq,
+        |  GREATEST(l_tax, l_discount) AS t_max,
+        |  SIGN(l_discount - l_tax) AS t_sign
+        |FROM lineitem WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).where(col("l_orderkey") <= 200)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("d_abs"),
+          floor(col("l_extendedprice")).as("p_floor"),
+          ceil(col("l_quantity")).as("q_ceil"),
+          sqrt(col("l_extendedprice")).as("p_sqrt"),
+          (col("l_discount") * col("l_discount")).as("d_sq"),
+          greatest(col("l_tax"), col("l_discount")).as("t_max"),
+          signum(col("l_discount") - col("l_tax")).as("t_sign"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // json extraction (the events props column, FIXTURES.md)
+    "scalar_json" -> QueryDef(
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events WHERE event_id <= 2000 ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).where(col("event_id") <= 2000)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .orderBy("event_id")
+    },
+
+    // conditional / case-when + coalesce + nullif
+    "scalar_case" -> QueryDef(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS size_class,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status2
+        |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).where(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("size_class"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status2"))
+        .orderBy("o_orderkey")
     }
   )
 }

