@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    tick.TickQueries.defs ++ tick.StoreQueries.defs ++ rel.RelQueries.defs
+    tick.TickQueries.defs ++ tick.StoreQueries.defs ++ rel.RelQueries.defs ++
+      text.TextQueries.defs ++ vec.VecQueries.defs ++ mm.MmQueries.defs ++
+      streaming.StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference README's own example query (README.md:32-44): avg

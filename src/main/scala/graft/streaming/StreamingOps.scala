@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.tick.TickStore
+
+/** Structured Streaming surface (SURVEY §2.B streaming row): the
+  * streaming analog of the tick ingest + windowed-aggregation paths.
+  * The reference's closest feature is HTTP push ingest (A6); here the
+  * same semantics run as micro-batched streams with event-time
+  * windows, watermarks, and exactly-once sinks.
+  */
+object StreamingOps {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** The events parquet schema as a stream source schema (`ts` read as
+    * LONG nanos — see graft.Tables.events).
+    */
+  val eventsStreamSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** One-shot streaming window aggregation over the events table:
+    * readStream → tumbling 1-hour window per event_type → complete-mode
+    * memory sink, drained synchronously with AvailableNow. Returns the
+    * final result — identical to the batch equivalent, which is what
+    * the oracle checks.
+    */
+  def windowAggOnce(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsStreamSchema)
+      // file stream sources take directories; select the one table file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+    val agg = src
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("total"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming ingest into a [[TickStore]]: each micro-batch runs the
+    * store's last-write-wins upsert (foreachBatch = the streaming
+    * analog of the reference's POST ingest loop, `handlers.go:57-77`).
+    * Source: a directory of JSON tick records
+    * `{"index": ..., "time": ..., "value": {...}}`. Drains available
+    * data and returns.
+    */
+  def ingestStreamOnce(
+      spark: SparkSession, jsonDir: String, store: TickStore, db: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("index", StringType),
+      StructField("time", StringType),
+      StructField("value", MapType(StringType, DoubleType))))
+    val src = spark.readStream.schema(schema).json(jsonDir)
+    val q = src.writeStream
+      .outputMode("append")
+      // checkpoint = exactly-once across restarts: a re-run drains only
+      // files not yet committed (the durability story the reference's
+      // never-called Flush lacked, SURVEY §4.4)
+      .option("checkpointLocation", s"${store.root}/_checkpoints/$db")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val pts = batch
+            .withColumn("ts_ns", unix_micros(to_timestamp(col("time"))) * 1000L)
+            .select(col("index"), col("ts_ns"), col("value"),
+              monotonically_increasing_id().as("seq"))
+          store.ingest(batch.sparkSession, db, pts)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked append-mode aggregation (for the unit suite): with a
+    * `delay` watermark, only windows older than max(event time) - delay
+    * are finalized and emitted — late rows beyond the watermark are
+    * dropped, the streaming-correctness behavior the batch path has no
+    * analog for.
+    */
+  def watermarkedCounts(
+      spark: SparkSession, dir: String, delay: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsStreamSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+    val agg = src
+      .withWatermark("ts_t", delay)
+      // group by the window expression itself (not window.start): the
+      // watermark is tracked on the TimeWindow, grouping on a projected
+      // field severs that link and append mode is rejected
+      .groupBy(window(col("ts_t"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("n"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,19 @@
+package graft.streaming
+
+import graft.QueryDef
+
+/** Verify-gate entry proving the Structured Streaming path end-to-end:
+  * the streamed windowed aggregate must equal the batch equivalent the
+  * oracle computes.
+  */
+object StreamingQueries {
+  val defs: Map[String, QueryDef] = Map(
+    "streaming_window_agg" -> QueryDef(
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      StreamingOps.windowAggOnce(s, d).orderBy("bucket", "event_type")
+    }
+  )
+}

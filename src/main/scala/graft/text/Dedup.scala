@@ -1,0 +1,166 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora (SURVEY §2.C), all
+  * expressed as shuffle-partitioned DataFrame plans — no cross joins,
+  * no driver-side loops — so each scales linearly with executors:
+  *
+  *  - exact: hash-groupBy on the text digest; O(N) with one shuffle.
+  *  - MinHash + LSH banding: shingle → k-permutation signature → band
+  *    buckets → equi-join inside buckets only → exact-Jaccard verify
+  *    of candidates. The candidate join is keyed by (band, bucket), so
+  *    at 100 TB the pair space never materializes — only colliding
+  *    bucket members join.
+  *  - SimHash: 64-bit sign-aggregated token-hash fingerprint; near-dup
+  *    iff Hamming distance ≤ r. Banded by bit-slices for the same
+  *    bucket-join trick.
+  *  - n-gram Jaccard: the exact verifier, usable standalone as a
+  *    brute-force tier on bounded subsets.
+  */
+object Dedup {
+
+  // ---- exact ----
+
+  /** One survivor (min idCol) per distinct text; `n_dups` counts the
+    * collapsed group. GroupBy on the 128-bit digest, not the text:
+    * shuffle keys stay 16 bytes however long the documents are.
+    */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text.cast("binary")).as("digest"))
+      .agg(min(id).as("survivor_id"), count(lit(1)).as("n_dups"))
+
+  // ---- MinHash / LSH ----
+
+  /** k minhash values per doc. Base hash is xxhash64 of the shingle
+    * folded into [0, 2^31); the k permutations are affine maps
+    * (a_i * h + b_i) mod p, p = 2^31 - 1, with constants derived from a
+    * splitmix-style scramble — deterministic, no RNG state, and every
+    * intermediate fits a 64-bit long (ANSI mode rejects overflow).
+    */
+  def minhashSignature(shingleSet: Column, k: Int): Column = {
+    val p = 2147483647L // 2^31 - 1 (Mersenne)
+    val perms = (0 until k).map { i =>
+      val a = math.floorMod(scramble(2 * i + 1), p - 1) + 1 // in [1, p)
+      val b = math.floorMod(scramble(2 * i + 2), p)         // in [0, p)
+      (a, b)
+    }
+    array(perms.map { case (a, b) =>
+      // min over shingles of the permuted hash; empty set -> p.
+      // a*h + b <= (p-1)^2 + p < 2^62: no overflow.
+      aggregate(
+        shingleSet,
+        lit(p),
+        (acc, s) => least(acc, pmod(pmod(xxhash64(s), lit(p)) * lit(a) + lit(b), lit(p))))
+    }: _*)
+  }
+
+  private def scramble(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** docs(id, sig) -> candidate pairs (a_id < b_id) colliding in ≥1 of
+    * `bands` LSH bands. Join is strictly within (band, bucket) keys.
+    */
+  def lshCandidatePairs(docs: DataFrame, id: String, sig: String, bands: Int): DataFrame = {
+    val rowsPerBand = expr(s"size(s) DIV $bands")
+    val banded = docs
+      .select(col(id).as("doc"), col(sig).as("s"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket", xxhash64(col("band"),
+        slice(col("s"), col("band") * rowsPerBand + lit(1), rowsPerBand)))
+      .select("doc", "band", "bucket")
+    val a = banded.toDF("a_id", "band", "bucket")
+    val b = banded.toDF("b_id", "band", "bucket")
+    a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  // ---- exact n-gram Jaccard (verifier / brute-force tier) ----
+
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union)
+  }
+
+  /** Verify candidate pairs against exact shingle-set Jaccard; keeps
+    * pairs with similarity ≥ threshold. `shingled` must carry (id,
+    * shingle-set) — it is joined twice, once per side.
+    */
+  def verifyPairs(
+      candidates: DataFrame, // a_id, b_id
+      shingled: DataFrame,   // id, shset
+      threshold: Double): DataFrame = {
+    val sa = shingled.toDF("a_id", "a_sh")
+    val sb = shingled.toDF("b_id", "b_sh")
+    candidates
+      .join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Full near-dup pipeline: docs minus every doc that has a verified
+    * near-duplicate with a smaller id. Returns surviving ids.
+    */
+  def nearDedupSurvivors(
+      df: DataFrame, text: Column, id: Column,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val shingled = df
+      .select(id.as("id"), array_distinct(TextFunctions.shingles(text, shingleN)).as("shset"))
+    val sigs = shingled.select(col("id"), minhashSignature(col("shset"), k).as("sig"))
+    val cands = lshCandidatePairs(sigs, "id", "sig", bands)
+    val dups = verifyPairs(cands, shingled, threshold)
+      .select(col("b_id").as("id")).distinct() // the larger id of each pair dies
+    df.select(id.as("id")).join(dups, Seq("id"), "left_anti")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over the token multiset: bit j of the output is 1
+    * iff the sum over tokens of ±1 (by bit j of xxhash64(token)) is
+    * positive. Computed columnar via a literal bit-mask array (the
+    * Scala shift functions take only literal shift amounts).
+    */
+  def simhash(tokens: Column): Column = {
+    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val bitSums = transform(sequence(lit(1), lit(64)), j =>
+      aggregate(tokens, lit(0L), (acc, t) =>
+        acc + when(xxhash64(t).bitwiseAND(element_at(masks, j.cast("int"))) =!= 0L, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(1), lit(64)), (s, j) =>
+        when(s > 0, element_at(masks, j.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs: Hamming ≤ r implies (by
+    * pigeonhole) equality on at least one of r+1 bit-slices — bucket on
+    * each 16-bit slice, join within buckets, verify exact distance.
+    */
+  def simhashPairs(docs: DataFrame, id: String, sh: String, maxHamming: Int): DataFrame = {
+    val slices = 4 // 16-bit slices of the 64-bit hash; catches r <= 3 exactly
+    val sliceKeys = array((0 until slices).map(sl =>
+      shiftright(col(sh), sl * 16).bitwiseAND(lit(0xffffL))): _*)
+    val banded = docs.select(col(id).as("doc"), col(sh).as("h"), posexplode(sliceKeys))
+      .withColumnRenamed("pos", "slice").withColumnRenamed("col", "key")
+    val a = banded.toDF("a_id", "a_h", "slice", "key")
+    val b = banded.toDF("b_id", "b_h", "slice", "key")
+    a.join(b, Seq("slice", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), hamming(col("a_h"), col("b_h")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxHamming)
+  }
+}

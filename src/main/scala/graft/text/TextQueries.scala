@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import TextFunctions._
+
+/** Verify-gate entries for the text-analysis + dedup surface
+  * (SURVEY §2.C). Oracle-checked wherever DuckDB can express the same
+  * semantics (tokenization, ratios, rolling-hash fingerprints, exact
+  * dedup, brute-force n-gram Jaccard); MinHash/SimHash pipelines are
+  * engine-hash-based and so rows-only here, with their quality
+  * properties (recall vs brute force) pinned in the unit suite.
+  */
+object TextQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // token + BPE-ish subword counting, char stats
+    "text_token_stats" -> QueryDef(
+      s"""SELECT doc_id,
+         |  ${tokenCountSql("text")} AS n_tokens,
+         |  ${bpeishTokenCountSql("text")} AS n_bpeish,
+         |  length(text) AS n_chars_m,
+         |  ${meanTokenLenSql("text")} AS mean_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeishTokenCount(col("text")).as("n_bpeish"),
+        length(col("text")).as("n_chars_m"),
+        meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // quality scoring: length/punct/stopword ratio composite
+    "text_quality" -> QueryDef(
+      s"""SELECT doc_id,
+         |  ${stopwordRatioSql("text")} AS stop_ratio,
+         |  ${punctRatioSql("text")} AS punct_ratio,
+         |  ${qualityScoreSql("text")} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        stopwordRatio(col("text")).as("stop_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // language id: marker-token heuristic, per-language doc counts
+    "text_langid" -> QueryDef(
+      s"""SELECT ${langIdSql("text")} AS pred_lang, COUNT(*) AS n
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(langId(col("text")).as("pred_lang"))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang")
+    },
+
+    // Karp-Rabin rolling-hash fingerprint (exact mod-arithmetic: same
+    // BIGINT result in any engine)
+    "text_fingerprint" -> QueryDef(
+      s"""SELECT doc_id, ${fingerprintSql("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // exact dedup: one survivor per distinct text, via 128-bit digest
+    "dedup_exact" -> QueryDef(
+      """SELECT md5(text) AS digest, MIN(doc_id) AS survivor_id,
+        |  COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("digest")
+    },
+
+    // brute-force 3-gram Jaccard near-dup pairs on a bounded subset —
+    // the exact verifier the LSH tier delegates to, oracle-checked
+    "dedup_ngram_jaccard" -> QueryDef(
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS shset
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+         |    (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.shset, b.shset)) * 10 >=
+         |      3 * (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)))
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("shset"))
+      val a = sh.toDF("a_id", "a_sh")
+      val b = sh.toDF("b_id", "b_sh")
+      a.crossJoin(b).where(col("a_id") < col("b_id"))
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+        // integer-compare the 0.3 threshold: no fp boundary ambiguity
+        .where(col("inter") * 10 >= col("uni") * 3)
+        .select(col("a_id"), col("b_id"),
+          (col("inter").cast("double") / col("uni")).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // MinHash+LSH near-dedup: engine-hash-based (xxhash64), so no SQL
+    // oracle — rows-only; recall properties pinned in DedupSpec
+    "dedup_minhash_survivors" -> QueryDef.rowsOnly { (s, d) =>
+      Dedup.nearDedupSurvivors(
+        Tables.documents(s, d), col("text"), col("doc_id"),
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+        .orderBy("id")
+    },
+
+    // SimHash fingerprint per document (near-pair search is bounded in
+    // the unit suite where the dup structure is controlled — on this
+    // shared-vocabulary corpus the pair set is degenerate)
+    "dedup_simhash" -> QueryDef.rowsOnly { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(tokens(col("text"))).as("sh"))
+        .orderBy("doc_id")
+    }
+  )
+}

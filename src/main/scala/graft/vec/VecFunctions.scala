@@ -1,0 +1,113 @@
+package graft.vec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`,
+  * SURVEY §2.C): exact cosine top-k as the baseline, LSH-bucketed ANN
+  * as the scale path. All dot products are `zip_with`+`aggregate`
+  * folds in double precision — codegen'd, left-to-right, so any engine
+  * folding the same order produces the identical double.
+  */
+object VecFunctions {
+
+  /** Σ aᵢ·bᵢ in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB mirror of [[cosine]] with the identical fold order. */
+  def cosineSql(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
+  }
+
+  /** Exact top-k neighbors for each query vector: broadcast the (small)
+    * query set against the corpus, rank per query. The corpus side
+    * streams — no shuffle of the big table, no pair materialization
+    * beyond the per-partition top-k AQE leaves after the window.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // q_id, q_vec
+      corpus: DataFrame,  // id, vec
+      k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .where(col("q_id") =!= col("id"))
+      .withColumn("sim", cosine(col("q_vec"), col("vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "id", "sim", "rank")
+  }
+
+  /** Random-hyperplane LSH bucket id (`nBits`-bit sign signature).
+    * Hyperplane components are deterministic pseudo-random values
+    * derived from (plane, dim) by integer hashing — no RNG state, so
+    * bucketing is reproducible across runs and engines.
+    */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val masks = (0 until nBits).map(b => lit(1L << b))
+    val planes = (0 until nBits).map { b =>
+      array((0 until dim).map { j =>
+        // hash (b, j) -> [-1, 1): splitmix-scrambled, scaled
+        lit(scrambleToUnit(b.toLong * 997L + j.toLong))
+      }: _*)
+    }
+    planes.zip(masks).map { case (plane, mask) =>
+      when(dot(vec, plane) > 0, mask).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  private def scrambleToUnit(x: Long): Double = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+  }
+
+  /** ANN top-k via multi-probe LSH: queries probe their own bucket plus
+    * every bucket within Hamming distance `probeHamming` of it, so the
+    * join touches a bounded fraction of the corpus per probe instead of
+    * all of it (probes/2^nBits). Recall is tested against
+    * [[bruteForceTopK]] in the unit suite — note synthetic uniform
+    * vectors are LSH's worst case (no angular clustering); real
+    * embedding corpora cluster and recall rises accordingly.
+    */
+  def annTopK(
+      queries: DataFrame, // q_id, q_vec
+      corpus: DataFrame,  // id, vec
+      dim: Int, nBits: Int, k: Int, probeHamming: Int = 2): DataFrame = {
+    // all XOR masks with popcount <= probeHamming
+    val probeMasks = (0L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    val masks = array(probeMasks.map(lit): _*)
+    val cb = corpus.withColumn("bucket", lshBucket(col("vec"), dim, nBits))
+    val qb = queries
+      .withColumn("home", lshBucket(col("q_vec"), dim, nBits))
+      .withColumn("bucket", explode(transform(
+        sequence(lit(1), lit(probeMasks.size)),
+        i => col("home").bitwiseXOR(element_at(masks, i.cast("int"))))))
+      .drop("home")
+    val scored = cb
+      .join(broadcast(qb), Seq("bucket"))
+      .where(col("q_id") =!= col("id"))
+      .withColumn("sim", cosine(col("q_vec"), col("vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "id", "sim", "rank")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.vec
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Verify-gate entries for similarity search (SURVEY §2.C) over the
+  * embeddings table (64-dim float vectors).
+  */
+object VecQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // exact cosine top-5 for 10 query vectors, oracle-checked: the
+    // DuckDB expression folds the dot product in the identical
+    // left-to-right double order, so even the fp bits match
+    "sim_bruteforce_topk" -> QueryDef(
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, c.vec_id AS id,
+         |    ${VecFunctions.cosineSql("q.q_vec", "c.embedding")} AS sim
+         |  FROM embeddings c, q WHERE q.q_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, id) AS rank
+         |  FROM scored)
+         |SELECT q_id, id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      VecFunctions.bruteForceTopK(queries, corpus, k = 5)
+        .orderBy("q_id", "rank")
+    },
+
+    // LSH-bucketed ANN top-5 (multi-probe, Hamming-1): engine-hash
+    // bucketing — rows-only here; recall vs brute force pinned in spec
+    "sim_ann_topk" -> QueryDef.rowsOnly { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      VecFunctions.annTopK(queries, corpus, dim = 64, nBits = 8, k = 5)
+        .orderBy("q_id", "rank")
+    },
+
+    // embedding-cosine near-duplicate pairs above a threshold, via the
+    // same bucket-join (no full pair space); oracle on a bounded subset
+    "dedup_embedding_cosine" -> QueryDef(
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${VecFunctions.cosineSql("a.embedding", "b.embedding")} AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 200 AND b.vec_id < 200
+         |  AND ${VecFunctions.cosineSql("a.embedding", "b.embedding")} > 0.5
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).where(col("vec_id") < 200)
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      a.crossJoin(b).where(col("a_id") < col("b_id"))
+        .withColumn("sim", VecFunctions.cosine(col("a_vec"), col("b_vec")))
+        .where(col("sim") > 0.5)
+        .select("a_id", "b_id", "sim")
+        .orderBy("a_id", "b_id")
+    }
+  )
+}

@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 8).trim
+
+  test("exact dedup collapses identical texts to the min-id survivor") {
+    val df = Seq(
+      (1L, "hello world"), (2L, "hello world"), (3L, "different text"),
+      (4L, "hello world"), (5L, "different text"), (6L, "unique")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, col("text"), col("doc_id"))
+      .orderBy("survivor_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L), (3L, 2L), (6L, 1L)))
+  }
+
+  test("minhash+LSH finds planted near-duplicates, spares distinct docs") {
+    // docA ~ docB (one token changed out of 80), docC unrelated
+    val docA = base
+    val docB = base.replace("w5 w6", "w5 xx")
+    val docC = (1 to 80).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docA)).toDF("doc_id", "text")
+
+    val shingled = df.select(col("doc_id").as("id"),
+      array_distinct(TextFunctions.shingles(col("text"), 3)).as("shset"))
+    val sigs = shingled.select(col("id"),
+      Dedup.minhashSignature(col("shset"), 64).as("sig"))
+    val cands = Dedup.lshCandidatePairs(sigs, "id", "sig", bands = 16)
+    val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candSet.contains((1L, 4L)), "exact dup must collide in every band")
+    assert(candSet.contains((1L, 2L)) || candSet.contains((2L, 4L)),
+      "near dup should collide in some band")
+    assert(!candSet.contains((1L, 3L)) && !candSet.contains((2L, 3L)),
+      "unrelated doc must not be a candidate")
+
+    val survivors = Dedup.nearDedupSurvivors(df, col("text"), col("doc_id"),
+      shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(1L) && survivors.contains(3L))
+    assert(!survivors.contains(4L), "exact dup of doc 1 must be dropped")
+    assert(!survivors.contains(2L), "near dup of doc 1 must be dropped at t=0.5")
+  }
+
+  test("minhash signature approximates jaccard (property)") {
+    val docB = base.replace("w5 w6", "w5 xx") // high overlap with base
+    val df = Seq((1L, base), (2L, docB)).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"), 3)).as("shset"))
+    val trueJ = sh.as("a").crossJoin(sh.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(Dedup.jaccard(col("a.shset"), col("b.shset"))).head().getDouble(0)
+    val sigs = sh.select(col("doc_id"), Dedup.minhashSignature(col("shset"), 128).as("sig"))
+    val est = sigs.as("a").crossJoin(sigs.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(size(filter(zip_with(col("a.sig"), col("b.sig"), _ === _), x => x))
+        .cast("double") / 128).head().getDouble(0)
+    assert(math.abs(est - trueJ) < 0.15, s"minhash est $est vs true $trueJ")
+  }
+
+  test("simhash: identical texts collide, near texts are close, distinct far") {
+    val docB = base.replace("w5", "xx")
+    val docC = (1 to 80).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, docB), (4L, docC)).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"),
+      Dedup.simhash(TextFunctions.tokens(col("text"))).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)),
+      "near dup must be closer than unrelated doc")
+    val pairs = Dedup.simhashPairs(
+      df.select(col("doc_id"), Dedup.simhash(TextFunctions.tokens(col("text"))).as("sh")),
+      "doc_id", "sh", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.vec
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Array(1f, 0f, 2f), Array(1f, 0f, 2f), 1.0),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f), 0.0),
+      (Array(1f, 1f, 0f), Array(-1f, -1f, 0f), -1.0)).toDF("a", "b", "want")
+    df.select(VecFunctions.cosine(col("a"), col("b")).as("got"), col("want"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      }
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0f, 1f)), (13L, Array(1f, 0f))).toDF("id", "vec")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("q_id", "q_vec")
+    val got = VecFunctions.bruteForceTopK(queries, corpus, k = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // 10 and 13 both have sim=1.0 -> id tie-break; 11 next
+    assert(got == Seq(10L, 13L, 11L))
+  }
+
+  test("ANN top-k achieves high recall vs brute force on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = VecFunctions.bruteForceTopK(queries, corpus, k = 5)
+      .select("q_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = VecFunctions.annTopK(queries, corpus, dim = 64, nBits = 8, k = 5, probeHamming = 3)
+      .select("q_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    // uniform random embeddings are LSH's worst case (no angular
+    // clustering); require a clear lift over the probed-fraction
+    // baseline (93/256 of the corpus ~ 0.36)
+    assert(recall >= 0.4, s"ANN recall $recall too low (multi-probe 8-bit LSH)")
+    // and the candidate set actually shrank vs brute force (it's approximate)
+    assert(ann.size <= exact.size + queries.count() * 5)
+  }
+}
