@@ -14,6 +14,27 @@ import graft.{QueryDef, Tables}
   */
 object StoreQueries {
 
+  /** Store + materialized rollups over the 'view' events of a sf dir;
+    * built once per dir and reused (content is deterministic).
+    */
+  private def rollupStore(spark: SparkSession, dir: String): TickStore = synchronized {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_store_rollup_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val store = new TickStore(root)
+    if (!Rollup.exists(spark, store, "db")) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      store.createDb(spark, "db")
+      store.ingest(spark, "db",
+        Tables.events(spark, dir).where(col("event_type") === "view")
+          .select(col("event_type").as("index"), col("ts_ns"),
+            map(lit("value"), col("value")).as("value"),
+            col("event_id").as("seq")))
+      Rollup.materialize(spark, store, "db")
+    }
+    store
+  }
+
   private def freshStore(spark: SparkSession, dir: String, tag: String): (TickStore, String) = {
     val root = s"${sys.props("java.io.tmpdir")}/graft_store_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -96,6 +117,31 @@ object StoreQueries {
       store.read(spark, db)
         .select(col("ts"), element_at(col("value"), "value").as("v"))
         .orderBy("ts")
+    },
+
+    // A8 through the rollup tier (the pyramid analog): hour-level query
+    // answered from materialized rollups must equal the oracle's direct
+    // aggregation over the raw events. The rollup store is built once
+    // per sf dir and reused (deterministic content), so bench laps time
+    // the routed read, not the build.
+    "rollup_query_hour" -> QueryDef(
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+        |  CAST(SUM(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) AS value_sum
+        |FROM events WHERE event_type = 'view'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val store = rollupStore(spark, dir)
+      store.query(spark, "db", TickQuery.fromJson(
+        """{"index":"view","group":"hour","fields":{"value":{"reducer":"sum"}}}"""))
+    },
+
+    "rollup_query_3day_avg" -> QueryDef(
+      """SELECT make_timestamp((epoch_us(ts) // 259200000000) * 259200000000) AS bucket,
+        |  CAST(SUM(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) / COUNT("value") AS value_avg
+        |FROM events WHERE event_type = 'view'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val store = rollupStore(spark, dir)
+      store.query(spark, "db", TickQuery.fromJson(
+        """{"index":"view","group":"3days","fields":{"value":{"reducer":"avg"}}}"""))
     },
 
     // A7 exact-key point lookup on the raw events table (the store-side

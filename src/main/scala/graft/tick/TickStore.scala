@@ -111,10 +111,21 @@ final class TickStore(val root: String) {
     rows.headOption.map(_.getMap[String, Double](0).toMap)
   }
 
-  /** Run an analytical tick query against this store (reference A8). */
-  def query(spark: SparkSession, db: String, q: TickQuery, exact: Boolean = false): DataFrame = {
-    val src = StoreSource(this, spark, db)
-    if (exact) TickQueryExec.runExact(src, q) else TickQueryExec.run(src, q)
+  /** Run an analytical tick query against this store (reference A8).
+    * When the rollup tier is materialized and the query is routable
+    * (grouped at minute-or-coarser on an aligned range), it is answered
+    * from the rollups — the reference's read-from-the-pyramid path
+    * (`cursor.go:269-352`); otherwise from the raw points.
+    */
+  def query(
+      spark: SparkSession, db: String, q: TickQuery,
+      exact: Boolean = false, useRollups: Boolean = true): DataFrame = {
+    if (useRollups && Rollup.routable(q).isDefined && Rollup.exists(spark, this, db))
+      Rollup.query(spark, this, db, q)
+    else {
+      val src = StoreSource(this, spark, db)
+      if (exact) TickQueryExec.runExact(src, q) else TickQueryExec.run(src, q)
+    }
   }
 
   // ---- ingest / upsert (reference A6) ----
