@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints formatted physical plans for representative
+  * queries and flags missing pushdown/broadcast — run after operator
+  * changes to keep the plans the ones we want at scale.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val interesting = Seq(
+      "tick_avg_2min",     // predicate pushdown into the events scan
+      "q1_agg",            // partial+final agg, scan pruning to 7 cols
+      "q5_join",           // broadcast dims vs shuffle join
+      "tick_point_lookup", // exact-key scan
+      "rollup_query_hour", // routed rollup read
+      "sim_bruteforce_topk") // broadcast NL join + window topk
+
+    interesting.foreach { name =>
+      println(s"\n======== $name ========")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(plan)
+      val warnings = Seq(
+        ("PushedFilters: []", "scan has NO pushed filters"),
+        ("CartesianProduct", "cartesian product in plan"))
+        .collect { case (needle, msg) if plan.contains(needle) => msg }
+      if (warnings.nonEmpty) println(s"!! ${warnings.mkString("; ")}")
+    }
+    spark.stop()
+  }
+}

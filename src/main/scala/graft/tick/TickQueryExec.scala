@@ -37,7 +37,9 @@ object TickQueryExec {
   def outName(field: String, reducer: String): String = s"${field}_${reducer}"
 
   private def build(src: TickSource, q: TickQuery, exact: Boolean): DataFrame = {
-    val filtered = applyRange(src.frame.where(src.indexPredicate(q.index)), src.ts, q)
+    val indexed = src.frame.where(src.indexPredicate(q.index))
+    val filtered = src.rangePredicate(q.from, q.to)
+      .map(indexed.where).getOrElse(indexed)
     q.group match {
       case Some(spec) =>
         val aggs = q.fields.map { case (f, red) =>
@@ -56,17 +58,6 @@ object TickQueryExec {
         filtered.select(cols: _*).orderBy("ts")
     }
   }
-
-  private def applyRange(df: DataFrame, ts: Column, q: TickQuery): DataFrame = {
-    val f = q.from.map(i => ts >= lit(toTimestampLit(i)))
-    val t = q.to.map(i => ts < lit(toTimestampLit(i)))
-    (f ++ t).reduceOption(_ && _).map(df.where).getOrElse(df)
-  }
-
-  // Spark TimestampType is microseconds; truncate the instant to µs so
-  // the literal round-trips identically in the oracle SQL.
-  private def toTimestampLit(i: Instant): java.sql.Timestamp =
-    java.sql.Timestamp.from(truncUs(i))
 
   private def truncUs(i: Instant): Instant =
     Instant.ofEpochSecond(i.getEpochSecond, (i.getNano / 1000L) * 1000L)

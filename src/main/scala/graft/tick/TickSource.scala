@@ -22,6 +22,20 @@ trait TickSource {
   /** Resolve a tick field name to a DoubleType column. */
   def field(name: String): Column
 
+  /** Half-open [from, to) predicate. Default filters the derived `ts`;
+    * sources whose physical time column differs MUST override so the
+    * range reaches the scan as a pushable filter (on a derived column
+    * Parquet can neither row-group-skip nor partition-prune).
+    */
+  def rangePredicate(from: Option[java.time.Instant], to: Option[java.time.Instant]): Option[Column] = {
+    val f = from.map(i => ts >= lit(java.sql.Timestamp.from(i)))
+    val t = to.map(i => ts < lit(java.sql.Timestamp.from(i)))
+    (f ++ t).reduceOption(_ && _)
+  }
+
+  protected final def epochNs(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000000L + i.getNano
+
   // ---- oracle-SQL mirrors (DuckDB dialect, same semantics) ----
   def tableSql: String
   def tsSql: String
@@ -42,6 +56,16 @@ final case class EventsSource(spark: SparkSession, dir: String) extends TickSour
   override def field(name: String): Column = name match {
     case "value" => frame("value")
     case other   => get_json_object(frame("props"), s"$$.$other").cast("double")
+  }
+
+  /** Range on the physical LONG nanos column: pushed into the parquet
+    * scan (row-group min/max skipping), unlike a predicate on the
+    * derived µs `ts`.
+    */
+  override def rangePredicate(from: Option[java.time.Instant], to: Option[java.time.Instant]): Option[Column] = {
+    val f = from.map(i => frame("ts_ns") >= lit(epochNs(i)))
+    val t = to.map(i => frame("ts_ns") < lit(epochNs(i)))
+    (f ++ t).reduceOption(_ && _)
   }
 
   override def tableSql: String = "events"

@@ -276,6 +276,22 @@ final case class StoreSource(store: TickStore, spark: SparkSession, db: String) 
   override def indexPredicate(index: String): Column = frame("index") === index
   override def field(name: String): Column = element_at(frame("value"), name)
 
+  /** Range on `ts_ns` (row-group skipping) AND the `day` partition
+    * column (directory-level pruning) — a bounded query on a 100 TB
+    * store lists and reads only its days.
+    */
+  override def rangePredicate(from: Option[java.time.Instant], to: Option[java.time.Instant]): Option[Column] = {
+    val f = from.map { i =>
+      frame("ts_ns") >= lit(epochNs(i)) &&
+        frame("day") >= lit(TickStore.dayOfNs(epochNs(i)))
+    }
+    val t = to.map { i =>
+      frame("ts_ns") < lit(epochNs(i)) &&
+        frame("day") <= lit(TickStore.dayOfNs(epochNs(i) - 1))
+    }
+    (f ++ t).reduceOption(_ && _)
+  }
+
   override def tableSql: String =
     throw new UnsupportedOperationException("StoreSource has no static oracle table")
   override def tsSql: String = "ts"
