@@ -1,0 +1,126 @@
+package graft.tick
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import scala.jdk.CollectionConverters._
+
+/** Wire-parity façade: the reference's full HTTP surface
+  * (reference `main.go:24-37` route table) as library calls over a
+  * [[TickStore]], speaking the same JSON documents in and out — a user
+  * of the reference can switch by replacing HTTP calls with these.
+  *
+  * Response shape matches the reference's actual marshaling: its
+  * `Point` struct tags are malformed (`point.go:9-10` — backtick tags
+  * without quoted values, which Go ignores), so points serialize with
+  * the exported field names `Timestamp`/`Value`; we reproduce that.
+  *
+  * Legacy semantics applied ONLY at this layer (SURVEY §2.A.2 item 6):
+  * a requested field absent from a bucket renders as 0.0, as the
+  * reference's reducer fallbacks do (`cursor.go:281-283`); the engine
+  * underneath stays NULL-correct.
+  */
+object TickApi {
+
+  private val mapper = new ObjectMapper()
+
+  /** GET / (reference `handlers.go:15-21`). */
+  def serverInfo: String =
+    """{"tickdbspark": "Welcome", "version": "0.1.0"}"""
+
+  /** PUT /{db} (A2). */
+  def createDb(spark: SparkSession, store: TickStore, db: String): Unit =
+    store.createDb(spark, db)
+
+  /** GET /_all_dbs (A4). */
+  def listDbs(spark: SparkSession, store: TickStore): String = {
+    val arr = mapper.createArrayNode()
+    store.listDbs(spark).foreach(arr.add)
+    mapper.writeValueAsString(arr)
+  }
+
+  /** DELETE /{db}/_all (A5). */
+  def dropDb(spark: SparkSession, store: TickStore, db: String): Unit =
+    store.dropDb(spark, db)
+
+  /** DELETE /{db}/{index}/_all (A10). */
+  def dropIndex(spark: SparkSession, store: TickStore, db: String, index: String): Unit =
+    store.dropIndex(spark, db, index)
+
+  /** POST /{db} — ingest a JSON array of
+    * `{"index": ..., "time": ..., "value": {...}}` (A6,
+    * `database.go:24-28`). Returns the number of records ingested.
+    */
+  def ingest(spark: SparkSession, store: TickStore, db: String, json: String): Int = {
+    val root = mapper.readTree(json)
+    require(root.isArray, "ingest body must be a JSON array")
+    val records = root.elements().asScala.map { n =>
+      val value = Option(n.get("value")).map { v =>
+        v.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+      }.getOrElse(Map.empty[String, Double])
+      TickIngestRecord(n.get("index").asText(), n.get("time").asText(), value)
+    }.toSeq
+    store.ingestRecords(spark, db, records)
+    records.size
+  }
+
+  /** POST /{db}/_query (A8) — returns the reference's `[]Point` JSON:
+    * `[{"Timestamp": <bucket ns>, "Value": {field: reduced}}]`.
+    */
+  def query(spark: SparkSession, store: TickStore, db: String, json: String): String = {
+    val q = TickQuery.fromJson(json)
+    val df = store.query(spark, db, q)
+    // column 0 is the bucket (grouped) or point ts (raw); requested
+    // fields follow in declaration order in both shapes
+    val arr = mapper.createArrayNode()
+    df.collect().foreach { row =>
+      val node = arr.addObject()
+      val inst = row.getTimestamp(0).toInstant
+      node.put("Timestamp", inst.getEpochSecond * 1000000000L + inst.getNano)
+      val vals = node.putObject("Value")
+      q.fields.zipWithIndex.foreach { case ((f, _), i) =>
+        val v = row.get(i + 1)
+        // legacy zero-fill for absent fields (cursor.go:281-283)
+        vals.put(f, if (v == null) 0.0 else toDouble(v))
+      }
+    }
+    mapper.writeValueAsString(arr)
+  }
+
+  /** GET /{db}/{index}/{time} (A7) — the point's value map, or None
+    * when no point sits at exactly that time.
+    */
+  def getPoint(
+      spark: SparkSession, store: TickStore, db: String,
+      index: String, time: String): Option[String] = {
+    val i = TickQuery.parseTime(time)
+    store.get(spark, db, index, i.getEpochSecond * 1000000000L + i.getNano).map { m =>
+      val node = mapper.createObjectNode()
+      m.foreach { case (k, v) => node.put(k, v) }
+      mapper.writeValueAsString(node)
+    }
+  }
+
+  /** DELETE /{db}/{index} with body `{"from": ..., "to": ...}` (A9). */
+  def deleteRange(
+      spark: SparkSession, store: TickStore, db: String,
+      index: String, json: String): Unit = {
+    val root = mapper.readTree(json)
+    def ns(k: String): Long = {
+      val i = TickQuery.parseTime(root.get(k).asText())
+      i.getEpochSecond * 1000000000L + i.getNano
+    }
+    store.deleteRange(spark, db, index, ns("from"), ns("to"))
+  }
+
+  private def toDouble(v: Any): Double = v match {
+    case d: java.lang.Double => d
+    case l: java.lang.Long   => l.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case b: java.math.BigDecimal => b.doubleValue()
+    case other => other.toString.toDouble
+  }
+}

@@ -1,0 +1,63 @@
+package graft.tick
+
+import graft.SparkSpec
+
+/** End-to-end wire parity: drive the reference's README examples
+  * (README.md:22-53) through the JSON façade.
+  */
+class TickApiSpec extends SparkSpec {
+
+  private lazy val store: TickStore = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_test_api"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    new TickStore(root)
+  }
+
+  test("the README lifecycle: create, ingest, query, get, delete") {
+    TickApi.createDb(spark, store, "db1")
+    assert(TickApi.listDbs(spark, store) == """["db1"]""")
+
+    // the README's own ingest document (README.md:22-26)
+    val n = TickApi.ingest(spark, store, "db1",
+      """[{"index": "index1", "time": "2016-08-28T21:24:00Z",
+        |  "value": {"open": 10.1, "close": 10.2}},
+        | {"index": "index1", "time": "2016-08-28T21:25:30Z",
+        |  "value": {"open": 10.3, "close": 10.4}},
+        | {"index": "index1", "time": "2016-08-28T21:26:00Z",
+        |  "value": {"open": 10.5}}]""".stripMargin)
+    assert(n == 3)
+
+    // the README's own query document (README.md:32-44): 2-minute avg
+    val res = TickApi.query(spark, store, "db1",
+      """{"index": "index1",
+        |"from": "2016-08-28T08:00:00Z", "to": "2016-08-31T18:00:59Z",
+        |"group": "2minutes",
+        |"fields": {"open": {"reducer": "avg"}}}""".stripMargin)
+    // buckets: 21:24 holds open 10.1 and 10.3 -> avg 10.2; 21:26 -> 10.5
+    assert(res ==
+      """[{"Timestamp":1472419440000000000,"Value":{"open":10.2}},""" +
+      """{"Timestamp":1472419560000000000,"Value":{"open":10.5}}]""")
+
+    // legacy zero-fill: a requested field missing from a bucket is 0.0
+    val zf = TickApi.query(spark, store, "db1",
+      """{"index": "index1", "group": "2minutes",
+        |"fields": {"close": {"reducer": "last"}}}""".stripMargin)
+    assert(zf.contains(""""close":0.0"""), s"zero-fill missing: $zf")
+
+    // exact point get (A7)
+    assert(TickApi.getPoint(spark, store, "db1", "index1", "2016-08-28T21:26:00Z")
+      .contains("""{"open":10.5}"""))
+    assert(TickApi.getPoint(spark, store, "db1", "index1", "2016-08-28T21:26:01Z").isEmpty)
+
+    // range delete (README.md:46-53), half-open
+    TickApi.deleteRange(spark, store, "db1", "index1",
+      """{"from": "2016-08-28T21:25:00Z", "to": "2016-08-28T21:26:00Z"}""")
+    assert(store.readIndex(spark, "db1", "index1").count() == 2)
+
+    TickApi.dropIndex(spark, store, "db1", "index1")
+    assert(store.listIndexes(spark, "db1").isEmpty)
+    TickApi.dropDb(spark, store, "db1")
+    assert(TickApi.listDbs(spark, store) == "[]")
+  }
+}
