@@ -24,13 +24,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // noop sink: forces evaluation of EVERY output column (a bare
+    // count() lets the optimizer prune projection-only work away and
+    // times a fiction)
+    def exec(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // warm-up lap: codegen + JIT + parquet footer cache
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try exec(fn) catch { case _: Throwable => }
     }
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the two hot loops the built-in
+  * higher-order functions (transform/aggregate/zip_with) execute as
+  * interpreted per-element lambdas with boxing. Both are semantically
+  * identical to their HOF formulations (same hash function and seed,
+  * same fold order) — they exist purely because a fused primitive loop
+  * is 1-2 orders of magnitude faster, which at 100 TB is the
+  * difference between a dedup pass finishing or not.
+  */
+object GraftExpressions {
+
+  /** k-permutation MinHash signature of an array<string> shingle set.
+    * Permutations are (a_i * h + b_i) mod 2^31-1 over
+    * h = xxhash64(shingle, seed 42) folded into [0, 2^31) — identical
+    * constants and arithmetic to Dedup.minhashSignature's HOF form.
+    */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    private val p = 2147483647L // 2^31 - 1
+    private lazy val (as, bs): (Array[Long], Array[Long]) = {
+      val a = new Array[Long](k); val b = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        a(i) = Math.floorMod(scramble(2 * i + 1), p - 1) + 1
+        b(i) = Math.floorMod(scramble(2 * i + 2), p)
+        i += 1
+      }
+      (a, b)
+    }
+
+    private def scramble(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = new Array[Long](k)
+      java.util.Arrays.fill(sig, p)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val h = Math.floorMod(XxHash64Function.hash(s, StringType, 42L), p)
+        var j = 0
+        while (j < k) {
+          val v = (h * as(j) + bs(j)) % p
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 64-bit SimHash of an array<string> token list: bit j set iff the
+    * ±1 sum over tokens of bit j of xxhash64(token) is positive —
+    * identical semantics to Dedup.simhash's HOF form, one fused pass.
+    */
+  case class SimHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sums = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (sums(j) > 0) out |= (1L << j); j += 1 }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Word n-gram shingles of a text column: lowercase, trim, split on
+    * whitespace, join each n consecutive tokens with a single space —
+    * identical output to the HOF form in TextFunctions.shingles (and
+    * its DuckDB oracle mirror), fused into one pass. The HOF form
+    * re-evaluates the tokenizing split() inside the transform lambda
+    * (three element_at calls per shingle), which is quadratic per row.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.trim.toLowerCase(java.util.Locale.ROOT)
+      val toks = text.split("\\s+")
+      if (toks.length < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new Array[Any](toks.length - n + 1)
+        var i = 0
+        while (i <= toks.length - n) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Dot product of two array<float> embeddings in double precision,
+    * left-to-right — bit-identical to the zip_with+aggregate fold (and
+    * the DuckDB oracle's list_reduce).
+    */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+
+    private def reader(t: DataType): (ArrayData, Int) => Double = {
+      val et = t.asInstanceOf[ArrayType].elementType
+      et match {
+        case FloatType  => (a, i) => a.getFloat(i).toDouble
+        case DoubleType => (a, i) => a.getDouble(i)
+        case LongType   => (a, i) => a.getLong(i).toDouble
+        case IntegerType => (a, i) => a.getInt(i).toDouble
+        case other => throw new IllegalArgumentException(s"vec_dot: unsupported element type $other")
+      }
+    }
+    @transient private lazy val readL = reader(left.dataType)
+    @transient private lazy val readR = reader(right.dataType)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += readL(x, i) * readR(y, i)
+        i += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  // ---- Column wrappers (classic-API bridge: Spark 4 moved
+  // Column<->Expression conversion to sql.classic.ExpressionUtils) ----
+
+  private def ex(c: Column) = org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+  private def co(e: Expression) = org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  def minhash_sig(c: Column, k: Int): Column = co(MinHashSig(ex(c), k))
+  def word_shingles(c: Column, n: Int): Column = co(WordShingles(ex(c), n))
+  def simhash64(c: Column): Column = co(SimHash(ex(c)))
+  def vec_dot(a: Column, b: Column): Column = co(VecDot(ex(a), ex(b)))
+}

@@ -99,6 +99,37 @@ object RelQueries {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     },
 
+    // sort-based aggregates: exact interpolated percentiles (both
+    // engines use the (n-1)*p rank interpolation on sorted doubles)
+    "agg_percentiles" -> QueryDef(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // GROUPING SETS with grouping_id disambiguation
+    "grouping_sets" -> QueryDef(
+      """SELECT o_orderstatus, o_orderpriority, GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // top-k: Spark plans TakeOrderedAndProject (no global sort at scale)
     "topk_orders" -> QueryDef(
       """SELECT o_orderkey, o_totalprice FROM orders

