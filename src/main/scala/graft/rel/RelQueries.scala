@@ -99,18 +99,54 @@ object RelQueries {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     },
 
-    // sort-based aggregates: exact interpolated percentiles (both
-    // engines use the (n-1)*p rank interpolation on sorted doubles)
+    // exact interpolated percentiles via distributed sort + rank pick:
+    // Spark's percentile() aggregate buffers a value->count map per
+    // group (slow and memory-bound at scale); a window-sort plus
+    // lower + frac*(upper-lower) interpolation — the identical formula
+    // both engines' exact quantiles use — is one shuffle-sort and
+    // streams. Ranks lo/hi depend only on the group count.
     "agg_percentiles" -> QueryDef(
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
         |  quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val wSort = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice").asc)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(wSort).cast("long") - 1L)
+        .withColumn("n", count(lit(1)).over(wAll))
+      def pct(p: Double, name: String): Seq[Column] = {
+        val r = (col("n") - 1L).cast("double") * p
+        val lo = floor(r).cast("long")
+        val hi = ceil(r).cast("long")
+        Seq(
+          max(when(col("rn") === lo, col("v"))).as(s"${name}_lo"),
+          max(when(col("rn") === hi, col("v"))).as(s"${name}_hi"),
+          max(when(col("rn") === lo, r - col("rn").cast("double"))).as(s"${name}_frac"))
+      }
+      val aggs = pct(0.5, "a") ++ pct(0.9, "b")
+      ranked
+        .groupBy(col("l_returnflag"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          col("l_returnflag"),
+          (col("a_lo") + col("a_frac") * (col("a_hi") - col("a_lo"))).as("p50"),
+          (col("b_lo") + col("b_frac") * (col("b_hi") - col("b_lo"))).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // sketch aggregates: HyperLogLog++ distinct estimate. Engine-side
+    // sketch, no cross-engine oracle (DuckDB's approx differs) —
+    // rows-only; the exact counterpart is oracle-checked in distinct_agg
+    "agg_approx_distinct" -> QueryDef.rowsOnly { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-          percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
         .orderBy("l_returnflag")
     },
 

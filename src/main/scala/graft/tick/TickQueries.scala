@@ -66,6 +66,29 @@ object TickQueries {
     "tick_props_field" -> tickDef(
       """{"index":"error","from":"2024-01-01T00:00:00Z","to":"2024-02-01T00:00:00Z",
          |"group":"day","fields":{"k":{"reducer":"avg"}}}""".stripMargin),
+    // the canonical TSDB candle: open/high/low/close/volume per day in
+    // one pass — the reference's per-pointer Value struct (node.go:39-46)
+    // as a single grouped aggregation
+    "tick_ohlc_daily" -> QueryDef(
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |  MIN_BY("value", ts) AS open, MAX("value") AS high,
+        |  MIN("value") AS low, MAX_BY("value", ts) AS close,
+        |  COUNT("value") AS volume
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val src = EventsSource(s, d)
+      src.frame.where(src.indexPredicate("purchase"))
+        .groupBy(date_trunc("day", src.ts).as("bucket"))
+        .agg(
+          min_by(src.field("value"), src.ts).as("open"),
+          max(src.field("value")).as("high"),
+          min(src.field("value")).as("low"),
+          max_by(src.field("value"), src.ts).as("close"),
+          count(src.field("value")).as("volume"))
+        .orderBy("bucket")
+    },
+
     // raw-level (no group): ordered point scan with projection
     "tick_raw_points" -> tickDef(
       """{"index":"signup","from":"2024-01-15T00:00:00Z","to":"2024-01-15T12:00:00Z",
