@@ -239,6 +239,22 @@ object RelQueries {
         .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
     },
 
+    // sort-merge join, explicitly hinted: the plan shape big-big joins
+    // take at scale when neither side fits a broadcast (dims here are
+    // small enough that Catalyst would otherwise broadcast)
+    "join_sort_merge" -> QueryDef(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_quantity > 45
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).hint("merge")
+        .join(Tables.lineitem(s, d).where(col("l_quantity") > 45).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // semi join (EXISTS)
     "join_semi" -> QueryDef(
       """SELECT c_custkey, c_name FROM customer
@@ -445,6 +461,28 @@ object RelQueries {
   )
 
   private lazy val scalarDefs: Map[String, QueryDef] = Map(
+
+    // csv sink + source round-trip: write a projection of orders as
+    // csv (header, explicit timestamp format), read it back with an
+    // explicit schema, and reproduce the original rows. Built once per
+    // sf dir (deterministic content).
+    "source_csv_roundtrip" -> QueryDef(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val path = s"${sys.props("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+        Tables.orders(s, d).where(col("o_orderkey") <= 5000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").option("header", "true").csv(path)
+      }
+      s.read
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("header", "true")
+        .csv(path)
+        .orderBy("o_orderkey")
+    },
 
     // string functions: case, substring, concat, length, trim, regexp
     "scalar_strings" -> QueryDef(
