@@ -73,6 +73,34 @@ object Rollup {
         max_by(col("last"), col("last_ts_ns")).as("last"),
         sum(col("count")).as("count"))
 
+  /** Fine levels (minute/hour/day) are additionally partitioned by the
+    * bucket's year-month, so incremental refresh rewrites only the
+    * touched (index, ym) slices; month/year tables are tiny and stay
+    * index-partitioned.
+    */
+  private def isFine(level: GroupUnit): Boolean =
+    level == GroupUnit.Minute || level == GroupUnit.Hour || level == GroupUnit.Day
+
+  private def ymOf(bucket: Column): Column = date_format(bucket, "yyyy-MM")
+
+  private def write(df: DataFrame, store: TickStore, db: String, level: GroupUnit,
+      mode: SaveMode): Unit = {
+    val out = levelPath(store, db, level).toString
+    if (isFine(level))
+      df.withColumn("ym", ymOf(col("bucket")))
+        .localCheckpoint() // cut lineage: may read what it overwrites
+        .repartition(col("index"))
+        .write.partitionBy("index", "ym")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(mode).parquet(out)
+    else
+      df.localCheckpoint()
+        .repartition(col("index"))
+        .write.partitionBy("index")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(mode).parquet(out)
+  }
+
   /** Build (or rebuild) every rollup level for a db. Raw points are
     * read once; each coarser level derives from the finer one.
     */
@@ -85,14 +113,92 @@ object Rollup {
       val rolled =
         if (current == null) rollFromPoints(longForm, level)
         else rollUp(current, level)
-      rolled.localCheckpoint() // cut lineage; each level reads the previous
-        .repartition(col("index"))
-        .write.partitionBy("index")
-        .mode(SaveMode.Overwrite)
-        .parquet(levelPath(store, db, level).toString)
+      write(rolled, store, db, level, SaveMode.Overwrite)
       current = read(spark, store, db, level)
     }
   }
+
+  /** Incrementally refresh the rollups after a mutation that touched
+    * the given (index, day) point partitions — the analog of the
+    * reference's insert-time pyramid reduce along the dirty branch
+    * (`node.go:523-579`), at partition granularity:
+    *
+    *  - minute/hour/day buckets of the touched days are recomputed from
+    *    the touched points only, and merged into their (index, ym)
+    *    rollup partitions (other rows of those partitions survive via
+    *    anti-join; untouched partitions are not rewritten);
+    *  - month/year buckets covering the touched days are re-derived
+    *    from the freshly refreshed day level — reading tiny rollup
+    *    rows, never raw points.
+    *
+    * Cost: O(points of touched days + rollup rows of touched months).
+    */
+  def refresh(spark: SparkSession, store: TickStore, db: String,
+      touched: Seq[(String, String)]): Unit = {
+    if (touched.isEmpty || !exists(spark, store, db)) return
+    import spark.implicits._
+    val touchedDf = touched.toDF("index", "day")
+    val touchedYmDf = touched.map { case (i, d) => (i, d.substring(0, 7)) }
+      .distinct.toDF("index", "ym")
+
+    val pts = store.read(spark, db)
+      .join(broadcast(touchedDf), Seq("index", "day"), "left_semi")
+      .select(col("index"), col("ts"), col("ts_ns"),
+        explode(col("value")).as(Seq("field", "v")))
+
+    // fine levels: recompute touched-day buckets from points
+    Seq(GroupUnit.Minute, GroupUnit.Hour, GroupUnit.Day).foreach { level =>
+      val recomputed = rollFromPoints(pts, level)
+      val survivors = read(spark, store, db, level)
+        .join(broadcast(touchedYmDf), Seq("index", "ym"), "left_semi")
+        .withColumn("day", date_format(col("bucket"), "yyyy-MM-dd"))
+        .join(broadcast(touchedDf), Seq("index", "day"), "left_anti")
+        .select("index", "bucket", "field", "sum", "max", "min",
+          "first_ts_ns", "first", "last_ts_ns", "last", "count")
+      val newContent = survivors.unionByName(recomputed).localCheckpoint()
+      // a touched ym partition with no rows in the new content would be
+      // skipped by dynamic overwrite and keep stale files: compute the
+      // survivor partition set BEFORE writing, drop the emptied dirs after
+      val t = touchedYmDf.toDF("t_index", "t_ym")
+      val keptYms = newContent
+        .join(broadcast(t),
+          col("index") === col("t_index") && ymOf(col("bucket")) === col("t_ym"), "left_semi")
+        .select(col("index"), ymOf(col("bucket")).as("ym"))
+        .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+      write(newContent, store, db, level, SaveMode.Overwrite)
+      val fs = levelPath(store, db, level)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touchedYmDf.collect().foreach { r =>
+        val (i, ym) = (r.getString(0), r.getString(1))
+        if (!keptYms.contains((i, ym))) {
+          val p = new Path(levelPath(store, db, level), s"index=${TickStore.escape(i)}/ym=$ym")
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      }
+    }
+
+    // calendar levels: cascade from the refreshed finer level
+    Seq(GroupUnit.Month -> GroupUnit.Day, GroupUnit.Year -> GroupUnit.Month).foreach {
+      case (level, finerLevel) =>
+        val bucketTrunc = GroupSpec(1, level)
+        val finer = read(spark, store, db, finerLevel)
+        val affectedBuckets = touchedYmDf
+          .withColumn("bucket", bucketTrunc.bucket(to_timestamp(concat(col("ym"), lit("-01")))))
+          .select("index", "bucket").distinct()
+        val recomputed = rollUp(
+          finer.withColumn("qb", bucketTrunc.bucket(col("bucket")))
+            .join(broadcast(affectedBuckets.withColumnRenamed("bucket", "qb")),
+              Seq("index", "qb"), "left_semi")
+            .drop("qb"),
+          level)
+        val survivors = read(spark, store, db, level)
+          .join(broadcast(affectedBuckets), Seq("index", "bucket"), "left_anti")
+          .select("index", "bucket", "field", "sum", "max", "min",
+            "first_ts_ns", "first", "last_ts_ns", "last", "count")
+        write(survivors.unionByName(recomputed), store, db, level, SaveMode.Overwrite)
+    }
+  }
+
 
   def read(spark: SparkSession, store: TickStore, db: String, level: GroupUnit): DataFrame =
     spark.read

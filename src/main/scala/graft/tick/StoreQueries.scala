@@ -18,7 +18,7 @@ object StoreQueries {
     * built once per dir and reused (content is deterministic).
     */
   private def rollupStore(spark: SparkSession, dir: String): TickStore = synchronized {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_store_rollup_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = s"${sys.props("java.io.tmpdir")}/graft_store_rollup_v2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val store = new TickStore(root)
     if (!Rollup.exists(spark, store, "db")) {
       val fs = new org.apache.hadoop.fs.Path(root)

@@ -191,6 +191,11 @@ final class TickStore(val root: String) {
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .parquet(t)
+
+    // pyramid maintenance at insert time (node.go:523-579), partition-
+    // granular: refresh rollups for exactly the touched (index, day)s
+    val touchedPairs = touched.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    Rollup.refresh(spark, this, db, touchedPairs)
   }
 
   // ---- range delete (reference A9: `node.go:320-521`) ----
@@ -240,6 +245,7 @@ final class TickStore(val root: String) {
           .write.partitionBy("index", "day")
           .mode(SaveMode.Append).parquet(tablePath(db).toString)
     }
+    Rollup.refresh(spark, this, db, affected.map(index -> _))
   }
 }
 

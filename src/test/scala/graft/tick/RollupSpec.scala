@@ -72,6 +72,44 @@ class RollupSpec extends SparkSpec {
       "raw-level query has no rollup")
   }
 
+  test("incremental refresh: upserts and range deletes keep rollups == direct") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_test_rollup_incr"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val s = new TickStore(root)
+    s.createDb(spark, "db")
+    def rec(t: String, v: Double) = TickIngestRecord("ix", t, Map("v" -> v))
+    s.ingestRecords(spark, "db", Seq(
+      rec("2024-03-01T10:00:00Z", 1.0), rec("2024-03-02T11:00:00Z", 2.0),
+      rec("2024-04-05T09:30:00Z", 3.0)))
+    Rollup.materialize(spark, s, "db")
+
+    // upsert: new day + overwrite of an existing point, NO re-materialize
+    s.ingestRecords(spark, "db", Seq(
+      rec("2024-03-01T10:00:00Z", 10.0), // last-wins replacement
+      rec("2024-03-03T08:00:00Z", 4.0),  // new day, same month
+      rec("2024-05-01T00:00:00Z", 5.0))) // new month
+    // delete a whole day and a partial range, NO re-materialize
+    def ns(t: String) = java.time.Instant.parse(t).getEpochSecond * 1000000000L
+    s.deleteRange(spark, "db", "ix", ns("2024-03-02T00:00:00Z"), ns("2024-03-02T23:59:59Z"))
+
+    for (level <- Seq("minute", "hour", "day", "month", "year");
+         reducer <- Seq("sum", "min", "max", "first", "last", "count", "avg")) {
+      val query = q(
+        s"""{"index":"ix","group":"$level","fields":{"v":{"reducer":"$reducer"}}}""")
+      val rolled = s.query(spark, "db", query)
+        .collect().map(r => (r.getTimestamp(0), r.get(1))).toSeq
+      val direct = s.query(spark, "db", query, exact = true, useRollups = false)
+        .collect().map(r => (r.getTimestamp(0), r.get(1))).toSeq
+      assert(rolled == direct, s"incremental mismatch at level=$level reducer=$reducer")
+    }
+    // the replaced point's new value flowed through (10.0, not 1.0)
+    val march = s.query(spark, "db", q(
+      """{"index":"ix","group":"month","fields":{"v":{"reducer":"sum"}}}"""))
+      .collect().map(r => (r.getTimestamp(0).toInstant.toString, r.getDouble(1))).toMap
+    assert(march("2024-03-01T00:00:00Z") == 14.0) // 10 + 4 (day 2 deleted)
+  }
+
   test("sparse fields: a field absent from a bucket stays null through rollups") {
     val query = q("""{"index":"click","group":"day","fields":{"k":{"reducer":"sum"}}}""")
     val rolled = store.query(spark, "db", query).collect()
