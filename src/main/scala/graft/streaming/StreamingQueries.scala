@@ -8,6 +8,13 @@ import graft.QueryDef
   */
 object StreamingQueries {
   val defs: Map[String, QueryDef] = Map(
+    // gap-based sessionization (30 min), batch twin of the stateful
+    // streaming operator — oracle-checked
+    "sessionize_batch" -> QueryDef(Sessionize.batchOracleSql(1800000000L)) { (s, d) =>
+      Sessionize.batch(graft.Tables.events(s, d), 1800000000L)
+        .orderBy("user_id", "session_start")
+    },
+
     "streaming_window_agg" -> QueryDef(
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
         |  COUNT(*) AS n,
