@@ -43,6 +43,10 @@ object TickQuery {
     if (t.matches("^-?\\d{16,19}$")) {
       val ns = t.toLong
       Instant.ofEpochSecond(Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L))
+    } else if (t.matches("^\\d{13}$")) {
+      Instant.ofEpochMilli(t.toLong) // unix millis
+    } else if (t.matches("^\\d{10}$")) {
+      Instant.ofEpochSecond(t.toLong) // unix seconds
     } else {
       val attempts: Seq[String => Instant] = Seq(
         x => Instant.parse(x),

@@ -1,0 +1,58 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on a skewed key distribution") {
+    // 90% of the big side sits on one key — the classic straggler shape
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i.toDouble))
+      .toDF("k", "v")
+    val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum("v")).head()
+    val salted = Scale.saltedJoin(big, small, Seq("k"), salts = 8)
+      .agg(count(lit(1)), sum("v")).head()
+    assert(plain == salted)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val df = (1 to 5000).map(i => (i.toLong % 3, i.toDouble)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sum"), count("v").as("count"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val salted = Scale.saltedSumCount(df, "k", col("v"), salts = 16)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(direct.map(t => (t._1, t._3)).toSeq == salted.map(t => (t._1, t._3)).toSeq)
+    direct.zip(salted).foreach { case (d, s) =>
+      assert(math.abs(d._2 - s._2) < 1e-6) // fp sums: order differs by design
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a static conf, set in SparkSpecBase; also clear
+    // stale table locations a previous JVM's in-memory catalog left
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val wh = new org.apache.hadoop.fs.Path(s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+    val whFs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      whFs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
+    graft.Tables.orders(spark, sf0001)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.Tables.lineitem(spark, sf0001)
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val joined = spark.table("b_orders").hint("merge")
+      .join(spark.table("b_lineitem").hint("merge"), Seq("o_orderkey"))
+      .select("o_orderkey", "o_totalprice", "l_quantity")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed co-located join must not shuffle:\n$plan")
+    assert(joined.count() == graft.Tables.lineitem(spark, sf0001).count())
+  }
+}

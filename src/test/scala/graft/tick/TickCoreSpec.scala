@@ -43,6 +43,8 @@ class TickCoreSpec extends AnyFunSuite {
     assert(parseTime("2024-01-02 03:04:05") == want)
     assert(parseTime("2024-01-02") == java.time.Instant.parse("2024-01-02T00:00:00Z"))
     assert(parseTime("1704164645000000000") == want)
+    assert(parseTime("1704164645000") == want) // unix millis
+    assert(parseTime("1704164645") == want)    // unix seconds
     assertThrows[IllegalArgumentException](parseTime("not-a-time"))
   }
 
