@@ -42,6 +42,18 @@ object TickApi {
     mapper.writeValueAsString(arr)
   }
 
+  /** GET /{db} (A3, reference `handlers.go:34-41` — name + path; we add
+    * the index list, which the reference lacks any API for).
+    */
+  def dbInfo(spark: SparkSession, store: TickStore, db: String): String = {
+    val node = mapper.createObjectNode()
+    node.put("db_name", db)
+    node.put("db_path", s"${store.root}/$db")
+    val arr = node.putArray("indexes")
+    store.listIndexes(spark, db).foreach(arr.add)
+    mapper.writeValueAsString(node)
+  }
+
   /** DELETE /{db}/_all (A5). */
   def dropDb(spark: SparkSession, store: TickStore, db: String): Unit =
     store.dropDb(spark, db)

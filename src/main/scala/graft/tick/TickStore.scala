@@ -198,6 +198,41 @@ final class TickStore(val root: String) {
     Rollup.refresh(spark, this, db, touchedPairs)
   }
 
+  /** Compact a db's point files: rewrite each (index, day) partition
+    * that has more than `maxFilesPerPartition` files into one file.
+    * The reference's copy-on-write log grows forever with no
+    * reclamation (SURVEY §4.2 — dead chunks are never collected);
+    * here repeated small upserts leave small files instead, and this
+    * is the hygiene pass that folds them. Only over-fragmented
+    * partitions are listed, read, and rewritten.
+    */
+  def compact(spark: SparkSession, db: String, maxFilesPerPartition: Int = 4): Unit = {
+    val f = fs(spark)
+    val t = tablePath(db)
+    if (!f.exists(t)) return
+    val fragmented = for {
+      idx <- f.listStatus(t).toSeq if idx.isDirectory
+      day <- f.listStatus(idx.getPath).toSeq if day.isDirectory
+      files = f.listStatus(day.getPath).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      if files > maxFilesPerPartition
+    } yield (
+      idx.getPath.getName.stripPrefix("index="),
+      day.getPath.getName.stripPrefix("day="))
+    if (fragmented.isEmpty) return
+    import spark.implicits._
+    val targets = fragmented.toDF("index", "day")
+    read(spark, db)
+      .join(broadcast(targets), Seq("index", "day"), "left_semi")
+      .select("index", "day", "ts_ns", "value", "ingest_seq")
+      .localCheckpoint()
+      .repartition(col("index"), col("day"))
+      .sortWithinPartitions(col("ts_ns")) // time-ordered row groups: better range skipping
+      .write.partitionBy("index", "day")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(t.toString)
+  }
+
   // ---- range delete (reference A9: `node.go:320-521`) ----
 
   /** Delete `[fromNs, toNs)` for one index. Whole days inside the range
