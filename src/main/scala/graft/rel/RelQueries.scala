@@ -111,7 +111,7 @@ object RelQueries {
         |  quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val wSort = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice").asc)
+        .partitionBy(col("l_returnflag")).orderBy(col("v").asc)
       val wAll = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_returnflag"))
       val ranked = Tables.lineitem(s, d)
