@@ -164,38 +164,67 @@ final class TickStore(val root: String) {
       .withColumn("day", dayCol("ts_ns"))
       .select("index", "day", "ts_ns", "value", "seq")
 
-    val existing = read(spark, db)
-    // prune existing data to the partitions the batch touches
-    val touched = prepared.select("index", "day").distinct()
-    val existingTouched = existing
-      .join(broadcast(touched), Seq("index", "day"), "left_semi")
-      .select("index", "day", "ts_ns", "value", "ingest_seq")
+    // the touched (index, day) set, once, driver-side: drives partition
+    // pruning of the read-back, the empty-fast-path decision, and the
+    // rollup refresh
+    val touchedPairs = prepared.select("index", "day").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val f = fs(spark)
+    val collide = touchedPairs.filter { case (i, d) =>
+      f.exists(new Path(tablePath(db), s"index=${escape(i)}/day=$d"))
+    }
 
-    val baseSeq = existingTouched.agg(coalesce(max("ingest_seq"), lit(0L))).head().getLong(0)
-    val newRows = prepared
-      .withColumn("ingest_seq", lit(baseSeq + 1L) + col("seq"))
-      .select("index", "day", "ts_ns", "value", "ingest_seq")
-
-    val merged = existingTouched.unionByName(newRows)
-      .groupBy("index", "day", "ts_ns")
-      .agg(
-        max_by(col("value"), col("ingest_seq")).as("value"),
-        max(col("ingest_seq")).as("ingest_seq"))
-      // break lineage: the write below overwrites partitions this plan reads
-      .localCheckpoint()
-
-    merged
+    // one shuffle total: repartition(index, day) satisfies the window's
+    // (index, day, ts_ns) clustering (subset of the keys), so the
+    // last-wins dedup is a sort within the write partitioning — and the
+    // sort leaves rows time-ordered inside each written file (better
+    // row-group range skipping on read)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("index", "day", "ts_ns").orderBy(col("ingest_seq").desc)
+    def dedup(rows: DataFrame): DataFrame = rows
       .repartition(col("index"), col("day"))
-      .write
-      .partitionBy("index", "day")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .parquet(t)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+
+    if (collide.isEmpty) {
+      // pure append (the common TSDB ingest: only new days) — no
+      // read-back, no merge, no lineage break; a single write job
+      dedup(prepared
+        .withColumn("ingest_seq", lit(1L) + col("seq"))
+        .select("index", "day", "ts_ns", "value", "ingest_seq"))
+        .write
+        .partitionBy("index", "day")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .parquet(t)
+    } else {
+      // upsert: read back ONLY the colliding partitions (static
+      // predicate → guaranteed directory-level pruning), merge, rewrite
+      val collidePred = collide.groupBy(_._1).map { case (i, pairs) =>
+        col("index") === i && col("day").isin(pairs.map(_._2): _*)
+      }.reduce(_ || _)
+      val existingTouched = read(spark, db).where(collidePred)
+        .select("index", "day", "ts_ns", "value", "ingest_seq")
+
+      val baseSeq = existingTouched.agg(coalesce(max("ingest_seq"), lit(0L))).head().getLong(0)
+      val newRows = prepared
+        .withColumn("ingest_seq", lit(baseSeq + 1L) + col("seq"))
+        .select("index", "day", "ts_ns", "value", "ingest_seq")
+
+      dedup(existingTouched.unionByName(newRows))
+        // break lineage: the write below overwrites partitions this plan reads
+        .localCheckpoint()
+        .write
+        .partitionBy("index", "day")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .parquet(t)
+    }
 
     // pyramid maintenance at insert time (node.go:523-579), partition-
     // granular: refresh rollups for exactly the touched (index, day)s
-    val touchedPairs = touched.collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    Rollup.refresh(spark, this, db, touchedPairs)
+    if (Rollup.exists(spark, this, db))
+      Rollup.refresh(spark, this, db, touchedPairs)
   }
 
   /** Compact a db's point files: rewrite each (index, day) partition
