@@ -99,25 +99,45 @@ object RelQueries {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     },
 
-    // exact interpolated percentiles via distributed sort + rank pick:
-    // Spark's percentile() aggregate buffers a value->count map per
-    // group (slow and memory-bound at scale); a window-sort plus
-    // lower + frac*(upper-lower) interpolation — the identical formula
-    // both engines' exact quantiles use — is one shuffle-sort and
-    // streams. Ranks lo/hi depend only on the group count.
+    // exact interpolated percentiles, fully distributed. Spark's
+    // percentile() aggregate buffers a value->count map per group
+    // (memory-bound at scale); a per-group window sort serializes each
+    // group onto one task. Instead: range-partition by (group, value)
+    // so the global sort parallelizes across all slices; per-slice
+    // (count, min-rowid) — a tiny aggregate — converts per-slice row
+    // positions into exact global ranks; the lo/hi rank rows
+    // interpolate with the same lower + frac*(upper-lower) formula
+    // DuckDB's quantile_cont uses. Per-group work never concentrates
+    // on one task, so the plan survives a 100x scale-up.
     "agg_percentiles" -> QueryDef(
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
         |  quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val wSort = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag")).orderBy(col("v").asc)
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag"))
-      val ranked = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .withColumn("rn", row_number().over(wSort).cast("long") - 1L)
-        .withColumn("n", count(lit(1)).over(wAll))
+      import org.apache.spark.sql.expressions.Window
+      val slices = s.sparkContext.defaultParallelism * 4
+      // monotonically_increasing_id = (pid << 33) + consecutive row
+      // position, and rows of one group are contiguous inside a sorted
+      // slice, so (mid - min(mid) over (g, pid)) is the in-slice rank.
+      // localCheckpoint pins the sampled range boundaries: the slice
+      // stats and the rank pick below must see identical slicing.
+      val sliced = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+        .repartitionByRange(slices, col("g"), col("v"))
+        .sortWithinPartitions(col("g"), col("v"))
+        .select(col("g"), col("v"),
+          spark_partition_id().as("pid"),
+          monotonically_increasing_id().as("mid"))
+        .localCheckpoint()
+      val wOff = Window.partitionBy("g").orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val segs = sliced.groupBy("g", "pid")
+        .agg(count(lit(1)).as("c"), min("mid").as("base"))
+        .withColumn("off", sum("c").over(wOff) - col("c"))
+        .withColumn("n", sum("c").over(Window.partitionBy("g")))
+      val ranked = sliced
+        .join(broadcast(segs), Seq("g", "pid"))
+        .withColumn("rn", col("off") + (col("mid") - col("base")))
       def pct(p: Double, name: String): Seq[Column] = {
         val r = (col("n") - 1L).cast("double") * p
         val lo = floor(r).cast("long")
@@ -125,14 +145,14 @@ object RelQueries {
         Seq(
           max(when(col("rn") === lo, col("v"))).as(s"${name}_lo"),
           max(when(col("rn") === hi, col("v"))).as(s"${name}_hi"),
-          max(when(col("rn") === lo, r - col("rn").cast("double"))).as(s"${name}_frac"))
+          max(when(col("rn") === lo, r - lo.cast("double"))).as(s"${name}_frac"))
       }
       val aggs = pct(0.5, "a") ++ pct(0.9, "b")
       ranked
-        .groupBy(col("l_returnflag"))
+        .groupBy(col("g"))
         .agg(aggs.head, aggs.tail: _*)
         .select(
-          col("l_returnflag"),
+          col("g").as("l_returnflag"),
           (col("a_lo") + col("a_frac") * (col("a_hi") - col("a_lo"))).as("p50"),
           (col("b_lo") + col("b_frac") * (col("b_hi") - col("b_lo"))).as("p90"))
         .orderBy("l_returnflag")
