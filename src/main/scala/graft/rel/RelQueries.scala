@@ -22,7 +22,7 @@ object RelQueries {
   private def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(20,4))) AS DOUBLE)"
 
   val defs: Map[String, QueryDef] =
-    aggDefs ++ joinDefs ++ windowDefs ++ setDefs ++ scalarDefs
+    aggDefs ++ joinDefs ++ windowDefs ++ setDefs ++ scalarDefs ++ reshapeDefs
 
   private lazy val aggDefs: Map[String, QueryDef] = Map(
 
@@ -600,6 +600,89 @@ object RelQueries {
             .otherwise("small").as("size_class"),
           coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status2"))
         .orderBy("o_orderkey")
+    }
+  )
+
+  private lazy val reshapeDefs: Map[String, QueryDef] = Map(
+
+    // pivot: wide conditional aggregation. The value list is declared
+    // explicitly so the plan is a single pass (no extra distinct job to
+    // discover pivot values — at 100 TB that discovery scan would cost
+    // as much as the aggregation itself).
+    "pivot_agg" -> QueryDef(
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(20,4)) END) AS DOUBLE) AS A,
+        |  CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(20,4)) END) AS DOUBLE) AS N,
+        |  CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(20,4)) END) AS DOUBLE) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_linestatus")
+    },
+
+    // unpivot (melt): long-form metrics from wide columns, then a
+    // re-aggregation — the shape used to normalize feature tables
+    "unpivot_agg" -> QueryDef(
+      """SELECT metric,
+        |  CAST(SUM(CAST(val AS DECIMAL(20,4))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice' AS metric, l_extendedprice AS val FROM lineitem)
+        |GROUP BY metric ORDER BY metric""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice")),
+          "metric", "val")
+        .groupBy(col("metric"))
+        .agg(dsum(col("val")).as("total"), count(lit(1)).as("n"))
+        .orderBy("metric")
+    },
+
+    // event-time RANGE frame: trailing 7-day sum per priority class.
+    // Spark's rangeBetween needs a numeric sort key, so the frame runs
+    // on epoch seconds; [-7d, now] on epoch seconds is the identical
+    // closed interval to DuckDB's INTERVAL RANGE frame. Decimal
+    // accumulation makes the result independent of the engines'
+    // different sliding-frame algorithms (recompute vs segment tree).
+    "window_range_frame" -> QueryDef(
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS win7d
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        // NTZ has no direct long cast; via TIMESTAMP under the UTC
+        // session the wall clock is preserved, so the epoch-second sort
+        // key orders identically to DuckDB's timestamp ORDER BY
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7L * 86400, 0)
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).over(w).cast("double").as("win7d"))
+        .orderBy("o_orderkey")
+    },
+
+    // deterministic Bernoulli sampling: hash the row key, keep a fixed
+    // digest prefix (1/16). Unlike TABLESAMPLE/rand this is stable
+    // across runs, engines, and repartitioning — the reproducibility a
+    // training-data pipeline needs for holdout splits at 100 TB.
+    "sample_hash" -> QueryDef(
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) LIKE '0%'""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(md5(concat(
+          col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))).startsWith("0"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
     }
   )
 }

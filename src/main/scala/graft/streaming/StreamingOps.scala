@@ -128,4 +128,33 @@ object StreamingOps {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Streaming deduplication: emit each (user_id, event_type) key once,
+    * drained with AvailableNow, then count survivors per type in batch.
+    * `dropDuplicates` keys state exactly like the batch distinct the
+    * oracle runs; on an unbounded production stream the same plan takes
+    * `withWatermark` + `dropDuplicatesWithinWatermark` so the key state
+    * ages out instead of growing forever.
+    */
+  def streamDedupOnce(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsStreamSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val dd = src.select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = dd.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("event_type")
+  }
 }

@@ -21,6 +21,14 @@ object StreamingQueries {
         |  CAST(SUM(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       StreamingOps.windowAggOnce(s, d).orderBy("bucket", "event_type")
+    },
+
+    // streaming dedup == batch distinct (exactly-once key emission)
+    "streaming_dedup" -> QueryDef(
+      """SELECT event_type, COUNT(*) AS n_keys
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      StreamingOps.streamDedupOnce(s, d)
     }
   )
 }

@@ -120,6 +120,42 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), Dedup.simhash(tokens(col("text"))).as("sh"))
         .orderBy("doc_id")
+    },
+
+    // TF-IDF vocabulary statistics: explode tokens → per-doc term
+    // frequency → document frequency + idf, top-25 terms. Two shuffles
+    // (doc-term, then term), both partial-aggregated map-side; the
+    // corpus size joins in as a broadcast scalar. Outputs are integers
+    // plus one ln() on integer-derived doubles — bit-exact across
+    // engines with no decimal scaffolding.
+    "text_tfidf" -> QueryDef(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE length(term) >= 3 GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT term, df, total_tf, round(ln((n + 1.0) / (df + 1.0)), 9) AS idf
+        |FROM df, n ORDER BY df DESC, term LIMIT 25""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .where(length(col("term")) >= 3)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+      // idf rounded to 9 dp on both sides: ln() is not IEEE
+      // correctly-rounded, so JVM and DuckDB libm can differ in the
+      // last ulp (sqrt, by contrast, is exact everywhere)
+      df.crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .select(col("term"), col("df"), col("total_tf"),
+          round(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 9).as("idf"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(25)
     }
   )
 }

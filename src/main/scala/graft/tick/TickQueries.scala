@@ -92,6 +92,74 @@ object TickQueries {
     // raw-level (no group): ordered point scan with projection
     "tick_raw_points" -> tickDef(
       """{"index":"signup","from":"2024-01-15T00:00:00Z","to":"2024-01-15T12:00:00Z",
-         |"fields":{"value":{"reducer":"last"}}}""".stripMargin)
+         |"fields":{"value":{"reducer":"last"}}}""".stripMargin),
+
+    // gap-filled resample: a dense hourly bucket axis (sequence +
+    // explode), left-joined to the sparse hourly aggregate, forward-
+    // filled with last-non-null. The bucket axis is tiny relative to
+    // the data (one row per hour), so it broadcasts; the only ordered
+    // pass is the ffill window over the axis itself, never the points.
+    "tick_gap_fill" -> QueryDef(
+      """WITH buckets AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+        |                                TIMESTAMP '2024-01-06 23:00:00',
+        |                                INTERVAL 1 HOUR)) AS bucket
+        |), agg AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS b,
+        |    CAST(SUM(CAST("value" AS DECIMAL(20,4))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'error' GROUP BY 1
+        |)
+        |SELECT bucket,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        |FROM buckets LEFT JOIN agg ON b = bucket
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val agg = graft.Tables.events(s, d)
+        .where(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("b"))
+        .agg((sum(col("value").cast("decimal(20,4)")).cast("double")
+          / count(lit(1)).cast("double")).as("v"))
+      val buckets = s.range(1).select(explode(sequence(
+        lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+        lit(java.sql.Timestamp.valueOf("2024-01-06 23:00:00")),
+        expr("interval 1 hour"))).as("bucket"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      buckets.join(broadcast(agg), col("b") === col("bucket"), "left")
+        .select(col("bucket"),
+          last(col("v"), ignoreNulls = true).over(w).as("value_ffill"))
+        .orderBy("bucket")
+    },
+
+    // discrete derivative: per-series hourly close, then delta and
+    // per-second rate vs the previous bucket (PromQL delta/rate shape).
+    // One shuffle for the hourly agg; the lag runs per series on the
+    // already-tiny bucket rows.
+    "tick_delta_rate" -> QueryDef(
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+        |    MAX_BY("value", ts) AS v
+        |  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1, 2
+        |)
+        |SELECT event_type, bucket, v,
+        |  v - LAG(v) OVER (PARTITION BY event_type ORDER BY bucket) AS delta,
+        |  (v - LAG(v) OVER (PARTITION BY event_type ORDER BY bucket)) / 3600.0 AS rate_per_sec
+        |FROM hourly ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val hourly = graft.Tables.events(s, d)
+        .where(col("event_type").isin("click", "error"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(max_by(col("value"), col("ts_ns")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+      hourly.select(
+        col("event_type"), col("bucket"), col("v"),
+        (col("v") - lag("v", 1).over(w)).as("delta"),
+        ((col("v") - lag("v", 1).over(w)) / lit(3600.0)).as("rate_per_sec"))
+        .orderBy("event_type", "bucket")
+    }
   )
 }

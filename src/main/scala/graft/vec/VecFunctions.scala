@@ -112,4 +112,67 @@ object VecFunctions {
       .where(col("rank") <= k)
       .select("q_id", "id", "sim", "rank")
   }
+
+  /** IVF (inverted-file) index build: deterministic seeds (the
+    * `nLists` lowest-id vectors), one Lloyd refinement step (assign →
+    * per-list elementwise mean), then the final corpus→list assignment.
+    * Everything is DataFrame ops: assignment is a broadcast of the tiny
+    * centroid set against the corpus, the mean is a posexplode +
+    * groupBy (one shuffle of dim-sized rows). At 100 TB the corpus is
+    * scanned twice (refine, assign) and shuffled once on `list` —
+    * there is no pairwise stage anywhere.
+    */
+  def ivfBuild(corpus: DataFrame, nLists: Int): (DataFrame, DataFrame) = {
+    val seeds = corpus.orderBy("id").limit(nLists)
+      .select(col("id").as("list"), col("vec").as("centroid"))
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = corpus.crossJoin(broadcast(cents))
+        .withColumn("d", dot(col("vec"), col("centroid")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("d").desc, col("list").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("vec"), col("list"))
+    }
+    val refined = assign(seeds)
+      .select(col("list"), posexplode(col("vec")))
+      .groupBy("list", "pos").agg(avg(col("col")).as("m"))
+      .groupBy("list")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+      .select(col("list"),
+        expr("transform(pairs, p -> CAST(p.m AS FLOAT))").as("centroid"))
+    (assign(refined), refined)
+  }
+
+  /** ANN top-k over an IVF index: each query probes its `nProbe`
+    * nearest lists and brute-forces only those lists' members —
+    * corpus fraction touched ≈ nProbe/nLists. Recall vs
+    * [[bruteForceTopK]] is pinned in the unit suite.
+    */
+  def ivfTopK(
+      queries: DataFrame, // q_id, q_vec
+      corpus: DataFrame,  // id, vec
+      nLists: Int, nProbe: Int, k: Int): DataFrame = {
+    val (assigned, centroids) = ivfBuild(corpus, nLists)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cd").desc, col("list").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cd", dot(col("q_vec"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("list"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("list"))
+      .where(col("q_id") =!= col("id"))
+      .withColumn("sim", cosine(col("q_vec"), col("vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "id", "sim", "rank")
+  }
 }

@@ -63,6 +63,36 @@ object VecQueries {
         .where(col("sim") > 0.5)
         .select("a_id", "b_id", "sim")
         .orderBy("a_id", "b_id")
+    },
+
+    // IVF-bucketed ANN top-5 (the scale path the LSH variant's sibling):
+    // engine-built centroids, so rows-only; recall vs brute force
+    // pinned in VecSpec
+    "sim_ivf_topk" -> QueryDef.rowsOnly { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      VecFunctions.ivfTopK(queries, corpus, nLists = 16, nProbe = 4, k = 5)
+        .orderBy("q_id", "rank")
+    },
+
+    // array higher-order functions over the embedding column: squared-
+    // l2 fold (transform+aggregate, left-to-right — identical fp bits
+    // to DuckDB's list fold) and a lambda filter count
+    "vec_array_norm" -> QueryDef(
+      """SELECT vec_id,
+        |  sqrt(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)).as("l2"),
+          size(filter(col("embedding"), x => x > lit(0f))).cast("long").as("n_pos"))
+        .orderBy("vec_id")
     }
   )
 }
