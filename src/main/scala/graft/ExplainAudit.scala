@@ -24,7 +24,13 @@ object ExplainAudit {
       "q5_join",           // broadcast dims vs shuffle join
       "tick_point_lookup", // exact-key scan
       "rollup_query_hour", // routed rollup read
-      "sim_bruteforce_topk") // broadcast NL join + window topk
+      "sim_bruteforce_topk", // broadcast NL join + window topk
+      "agg_percentiles",   // range-slice global ranks (no per-group sort)
+      "tick_gap_fill",     // broadcast axis join, window only on the axis
+      "text_tfidf",        // two-stage partial agg + broadcast scalar
+      "pivot_agg",         // single-pass conditional agg (no values scan)
+      "sample_hash",       // digest filter evaluated at the scan
+      "window_range_frame") // range-frame window, one shuffle
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

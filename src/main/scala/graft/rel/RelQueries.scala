@@ -683,6 +683,20 @@ object RelQueries {
           col("l_orderkey").cast("string"), lit("-"),
           col("l_linenumber").cast("string"))).startsWith("0"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    },
+
+    // approximate percentiles: the constant-memory sketch that replaces
+    // agg_percentiles' exact global sort at 100 TB when rank tolerance
+    // is acceptable. Sketch internals are engine-specific (Spark
+    // KLL-ish vs DuckDB t-digest), so rows-only here; the rank-error
+    // bound vs the exact answer is pinned in ScaleSpec.
+    "agg_approx_percentile" -> QueryDef.rowsOnly { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90"))
+        .orderBy("l_returnflag")
     }
   )
 }

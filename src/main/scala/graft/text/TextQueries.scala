@@ -156,6 +156,38 @@ object TextQueries {
           round(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 9).as("idf"))
         .orderBy(col("df").desc, col("term").asc)
         .limit(25)
+    },
+
+    // context-window packing: split each document into fixed 50-token
+    // chunks (the pre-tokenization shard step of a training pipeline).
+    // Per-row work only — tokenize, explode the chunk index range,
+    // slice — so it scales embarrassingly; chunk content is verified by
+    // digest, not by shipping the text.
+    "text_chunk" -> QueryDef(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, CAST(floor((len(toks)-1)/50) AS BIGINT))) AS chunk_id
+        |  FROM t
+        |)
+        |SELECT doc_id, chunk_id,
+        |  len(list_slice(toks, chunk_id*50+1, chunk_id*50+50)) AS chunk_len,
+        |  md5(array_to_string(list_slice(toks, chunk_id*50+1, chunk_id*50+50), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      val k = 50
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      def chunk = slice(col("toks"), (col("chunk_id") * k + 1).cast("int"), lit(k))
+      toks
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            floor((size(col("toks")) - 1) / k).cast("long"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(chunk).cast("long").as("chunk_len"),
+          md5(concat_ws(" ", chunk)).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
     }
   )
 }

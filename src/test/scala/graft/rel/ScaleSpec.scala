@@ -55,4 +55,23 @@ class ScaleSpec extends SparkSpec {
       s"bucketed co-located join must not shuffle:\n$plan")
     assert(joined.count() == graft.Tables.lineitem(spark, sf0001).count())
   }
+
+  test("approx percentiles land within 1% rank error of exact") {
+    val exact = RelQueries.defs("agg_percentiles").build(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = RelQueries.defs("agg_approx_percentile").build(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val li = graft.Tables.lineitem(spark, sf001)
+    exact.foreach { case (flag, (p50, p90)) =>
+      val (a50, a90) = approx(flag)
+      val vals = li.where(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      def rankOf(v: Double): Double =
+        vals.count(_ <= v).toDouble / vals.length
+      // accuracy=10000 bounds rank error at 1/10000; allow 1% slack for
+      // the interpolation-vs-pick difference between the two definitions
+      assert(math.abs(rankOf(a50) - rankOf(p50)) <= 0.01, s"$flag p50: $a50 vs $p50")
+      assert(math.abs(rankOf(a90) - rankOf(p90)) <= 0.01, s"$flag p90: $a90 vs $p90")
+    }
+  }
 }
