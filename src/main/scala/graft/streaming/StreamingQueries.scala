@@ -29,6 +29,20 @@ object StreamingQueries {
         |FROM (SELECT DISTINCT user_id, event_type FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       StreamingOps.streamDedupOnce(s, d)
+    },
+
+    // stream-stream interval join == batch interval join (watermark set
+    // beyond the data's span, so no rows are late-dropped)
+    "streaming_join" -> QueryDef(
+      """SELECT c.user_id, COUNT(*) AS n_pairs
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.user_id < 500
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin) { (s, d) =>
+      StreamingOps.streamIntervalJoinOnce(s, d)
     }
   )
 }
