@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape invariants: the properties that make the operators hold
+  * at 100 TB, asserted on the actual optimized physical plans so a
+  * regression (lost pushdown, un-broadcast dim, accidental cartesian)
+  * fails the suite — not just an ExplainAudit warning.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("tick range query pushes index + time predicates into the scan") {
+    val p = plan("tick_avg_2min")
+    // the filters must reach the parquet reader (row-group skipping),
+    // on the physical columns (event_type, raw ns longs)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+    assert(p.contains("event_type"), p)
+  }
+
+  test("point lookup is a pruned scan, not a full-table pass") {
+    val p = plan("tick_point_lookup")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
+  }
+
+  test("q5 star join broadcasts every dimension") {
+    val p = plan("q5_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("brute-force top-k broadcasts the query side, never the corpus") {
+    val p = plan("sim_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("exact percentiles sort via range partitioning, not per-group windows") {
+    val p = plan("agg_percentiles")
+    // the global sort of the big relation is a range exchange: work
+    // spreads over all slices instead of one task per group
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("minhash dedup never materializes a pair space") {
+    val p = plan("dedup_minhash_survivors")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("scan prunes columns to the projection") {
+    val df = SparkEntry.queries("topk_orders")(spark, sf0001)
+    val p = df.queryExecution.explainString(FormattedMode)
+    // lineitem/orders are wide; the read schema must not include
+    // columns the query never touches
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty, p)
+    assert(reads.forall(s => s.split(",").length <= 4), s"unpruned scan: $reads")
+  }
+}
