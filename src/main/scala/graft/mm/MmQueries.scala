@@ -45,6 +45,24 @@ object MmQueries {
         .orderBy("doc_id")
     },
 
+    // decode -> pool ("resize") chain: 16-bin features pooled to 8
+    "mm_resize_pool" -> QueryDef.rowsOnly { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.withFakeMedia(Tables.documents(s, d))
+        .select(
+          col("doc_id"),
+          lit("image").as("kind"),
+          col("media.payload").as("payload"),
+          col("media.meta").as("meta"))
+        .as[Multimodal.MediaRecord]
+      val feats = Multimodal
+        .extractFeatures(media, Multimodal.StubDecoder, batchSize = 64)
+        .toDF()
+      Multimodal.poolFeatures(feats, factor = 2)
+        .select(col("doc_id"), col("features"))
+        .orderBy("doc_id")
+    },
+
     // frame sampling: one row per 4-byte frame, stride 2
     "mm_frame_sample" -> QueryDef(
       """SELECT doc_id, f AS frame_idx FROM documents,

@@ -85,6 +85,20 @@ object Multimodal {
     }
   }
 
+  /** "Resize" for decoded features: average-pool the feature vector by
+    * `factor` (the post-decode analog of image downscaling — a real
+    * codec pipeline resizes pixels, this pipeline pools the feature
+    * map; same shape contract either way). Columnar HOF — stays in
+    * codegen, no UDF.
+    */
+  def poolFeatures(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("features",
+      transform(
+        sequence(lit(0), (size(col("features")) / factor - 1).cast("int")),
+        i => aggregate(
+          slice(col("features"), i * factor + 1, lit(factor)),
+          lit(0.0f), (acc, x) => acc + x) / factor))
+
   /** Frame sampling for sequential media: split the payload into
     * fixed-size frames and emit one row per sampled frame (every
     * `stride`-th). Pure columnar (no decoder needed for the split).

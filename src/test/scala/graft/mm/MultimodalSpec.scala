@@ -43,4 +43,11 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getInt(0)).toSeq == Seq(0, 2))
     assert(frames.forall(_.getInt(1) == 4))
   }
+
+  test("feature pooling halves the vector and preserves the mean") {
+    val df = Seq((1L, Array(1f, 3f, 5f, 7f))).toDF("doc_id", "features")
+    val pooled = Multimodal.poolFeatures(df, factor = 2)
+      .select(col("features")).head().getSeq[Float](0)
+    assert(pooled == Seq(2f, 6f))
+  }
 }
