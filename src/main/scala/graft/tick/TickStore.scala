@@ -40,6 +40,11 @@ final class TickStore(val root: String) {
   private def dbPath(db: String) = new Path(root, db)
   private def tablePath(db: String) = new Path(dbPath(db), "points")
 
+  /** Location of a db's points table (for SQL-side registration, e.g.
+    * [[graft.plans.RollupRewrite]]).
+    */
+  def pointsLocation(db: String): String = tablePath(db).toString
+
   private def fs(spark: SparkSession) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
