@@ -423,6 +423,29 @@ object RelQueries {
         .orderBy("event_id")
     },
 
+    // distribution ranking: ntile buckets + relative ranks. Ties are
+    // broken by o_orderkey in the sort so both engines see identical
+    // orderings; percent_rank/cume_dist are single exact divisions.
+    "window_ntile" -> QueryDef(
+      """SELECT o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 9) AS pr,
+        |  round(cume_dist() OVER w, 9) AS cd
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d).where(col("o_custkey") <= 100)
+        .select(
+          col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 9).as("pr"),
+          round(cume_dist().over(w), 9).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
     // lag/lead analytics: inter-event gap per user (µs precision — the
     // oracle only sees µs timestamps)
     "window_lag_lead" -> QueryDef(
@@ -683,6 +706,28 @@ object RelQueries {
           col("l_orderkey").cast("string"), lit("-"),
           col("l_linenumber").cast("string"))).startsWith("0"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    },
+
+    // correlated EXISTS through the SQL front door (TPC-H Q4 shape):
+    // the one entry that goes in as SQL text, proving the parser +
+    // subquery-decorrelation path; Catalyst rewrites the EXISTS to the
+    // same left-semi join the DataFrame entries build directly.
+    "sql_exists_subquery" -> QueryDef(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n
+          |FROM v_orders
+          |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM v_lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
     // approximate percentiles: the constant-memory sketch that replaces
