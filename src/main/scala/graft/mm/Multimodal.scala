@@ -88,16 +88,22 @@ object Multimodal {
   /** "Resize" for decoded features: average-pool the feature vector by
     * `factor` (the post-decode analog of image downscaling — a real
     * codec pipeline resizes pixels, this pipeline pools the feature
-    * map; same shape contract either way). Columnar HOF — stays in
-    * codegen, no UDF.
+    * map; same shape contract either way). Truncating semantics: the
+    * output has floor(n/factor) full windows; a trailing remainder (and
+    * any vector shorter than `factor`) is dropped, so every emitted
+    * value is the mean of exactly `factor` inputs. Columnar HOF —
+    * stays in codegen, no UDF.
     */
-  def poolFeatures(df: DataFrame, factor: Int): DataFrame =
+  def poolFeatures(df: DataFrame, factor: Int): DataFrame = {
+    val nChunks = floor(size(col("features")) / factor).cast("int")
     df.withColumn("features",
-      transform(
-        sequence(lit(0), (size(col("features")) / factor - 1).cast("int")),
-        i => aggregate(
-          slice(col("features"), i * factor + 1, lit(factor)),
-          lit(0.0f), (acc, x) => acc + x) / factor))
+      when(nChunks <= 0, array().cast("array<float>"))
+        .otherwise(transform(
+          sequence(lit(0), nChunks - 1),
+          i => aggregate(
+            slice(col("features"), i * factor + 1, lit(factor)),
+            lit(0.0f), (acc, x) => acc + x) / factor)))
+  }
 
   /** Frame sampling for sequential media: split the payload into
     * fixed-size frames and emit one row per sampled frame (every

@@ -41,6 +41,11 @@ import graft.tick.{GroupUnit, Rollup, TickStore}
   * nondeterminism envelope of the double sum the un-rewritten plan
   * would produce, and equal to what the engine's own oracle-checked
   * paths return.
+  *
+  * Bucket-existence invariant: a bucket appears in the rollups iff some
+  * point in it carries >= 1 field — guaranteed because
+  * [[TickStore.ingest]] drops field-less points (they contribute to no
+  * reducer), so routed and raw plans agree on the group set.
   */
 object RollupRewrite {
 
@@ -135,16 +140,20 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         spark.sparkContext.hadoopConfiguration)
         .exists(new Path(s"$rollupBase/${unit.name}"))) return None
 
-    // ---- filters: at most `index = <lit>` (+ its null guard) ----
-    var indexVal: Option[String] = None
+    // ---- filters: at most ONE `index = <lit>` (+ its null guard);
+    // conflicting equalities (`index='a' AND index='b'`) are left to
+    // the raw path, which correctly returns nothing ----
+    val indexVals = scala.collection.mutable.Set.empty[String]
     filters.map(resolve).foreach {
       case IsNotNull(a: AttributeReference) if a.name == "index" => ()
       case EqualTo(a: AttributeReference, Literal(v: UTF8String, _)) if a.name == "index" =>
-        indexVal = Some(v.toString)
+        indexVals += v.toString
       case EqualTo(Literal(v: UTF8String, _), a: AttributeReference) if a.name == "index" =>
-        indexVal = Some(v.toString)
+        indexVals += v.toString
       case _ => return None
     }
+    if (indexVals.size > 1) return None
+    val indexVal: Option[String] = indexVals.headOption
 
     // ---- outputs: the bucket, plus supported aggs over value['f'] ----
     val groupResolved = resolve(agg.groupingExpressions.head)
@@ -172,6 +181,9 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case StatOut(s, _) => Seq(s)
       case AvgOut(_)     => Seq("sum", "count")
     }.flatten.distinct
+    // grouping-only shapes (SELECT DISTINCT bucket) have nothing to
+    // answer from the stats — leave them to the raw path
+    if (!outs.exists(_ != BucketOut)) return None
     val aggCols = outs.zipWithIndex.collect {
       case (StatOut("sum", f), i) =>
         sum(when(col("field") === f, col("sum"))).cast("double").as(s"__a$i")

@@ -166,6 +166,11 @@ final class TickStore(val root: String) {
     val t = tablePath(db).toString
     val withSeqCol = if (batch.columns.contains("seq")) batch else batch.withColumn("seq", lit(0L))
     val prepared = withSeqCol
+      // a point with no fields contributes to no reducer and cannot be
+      // represented in the long-form rollups — dropping it here keeps
+      // the store invariant every read path (incl. RollupRewrite's
+      // bucket existence) relies on: every stored point has >= 1 field
+      .where(size(col("value")) > 0)
       .withColumn("day", dayCol("ts_ns"))
       .select("index", "day", "ts_ns", "value", "seq")
 

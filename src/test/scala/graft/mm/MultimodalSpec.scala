@@ -50,4 +50,18 @@ class MultimodalSpec extends SparkSpec {
       .select(col("features")).head().getSeq[Float](0)
     assert(pooled == Seq(2f, 6f))
   }
+
+  test("feature pooling drops the remainder and handles short/empty vectors") {
+    val df = Seq(
+      (1L, Array(1f, 3f, 5f)),  // remainder 5f dropped
+      (2L, Array(3f)),          // shorter than factor -> empty
+      (3L, Array.empty[Float])) // empty -> empty
+      .toDF("doc_id", "features")
+    val pooled = Multimodal.poolFeatures(df, factor = 2)
+      .orderBy("doc_id").select(col("features"))
+      .collect().map(_.getSeq[Float](0))
+    assert(pooled(0) == Seq(2f))
+    assert(pooled(1).isEmpty)
+    assert(pooled(2).isEmpty)
+  }
 }

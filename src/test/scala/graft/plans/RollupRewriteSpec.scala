@@ -87,5 +87,18 @@ class RollupRewriteSpec extends SparkSpec {
         |FROM pts GROUP BY 1""".stripMargin)
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
     assert(p2.contains("points") && !p2.contains("rollup"), p2)
+    // grouping-only (no aggregates to answer) -> untouched, no crash
+    val p3 = spark.sql("SELECT DISTINCT date_trunc('hour', ts) FROM pts")
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(p3.contains("points") && !p3.contains("rollup"), p3)
+    // contradictory index equalities -> not routed to a (wrong,
+    // non-empty) rollup read; partition pruning collapses the raw scan
+    // to an empty local relation and the result is correctly empty
+    val df4 = spark.sql(
+      """SELECT date_trunc('hour', ts) AS b, sum(value['value']) AS s
+        |FROM pts WHERE index = 'click' AND index = 'error' GROUP BY 1""".stripMargin)
+    val p4 = df4.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!p4.contains("rollup"), p4)
+    assert(df4.count() == 0)
   }
 }
