@@ -158,6 +158,33 @@ object TextQueries {
         .limit(25)
     },
 
+    // bigram extraction: adjacent-token pairs via an index-sequence HOF
+    // (no self-join), global top-20 — the n-gram stage of phrase/
+    // collocation mining. Guarded on >= 2 tokens (Spark's sequence()
+    // DESCENDS when stop < start — an unguarded size-1 doc would emit
+    // ghost pairs, not zero).
+    "text_bigrams" -> QueryDef(
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        |), b AS (
+        |  SELECT unnest(list_transform(list_zip(toks, toks[2:]),
+        |    p -> CASE WHEN p[2] IS NULL THEN NULL ELSE p[1] || ' ' || p[2] END)) AS bg
+        |  FROM t
+        |)
+        |SELECT bg, COUNT(*) AS n FROM b WHERE bg IS NOT NULL
+        |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg").asc)
+        .limit(20)
+    },
+
     // context-window packing: split each document into fixed 50-token
     // chunks (the pre-tokenization shard step of a training pipeline).
     // Per-row work only — tokenize, explode the chunk index range,

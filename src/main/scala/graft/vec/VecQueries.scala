@@ -77,6 +77,27 @@ object VecQueries {
         .orderBy("q_id", "rank")
     },
 
+    // int8 scalar quantization of unit-normalized embeddings (the
+    // compression step before a memory-resident ANN index at scale:
+    // 4x smaller vectors, reconstruction bounded by 1/254) + the exact
+    // per-vector max reconstruction error. round() is half-away-from-
+    // zero in both engines; abs/max/division are exact.
+    "vec_quantize_int8" -> QueryDef(
+      """SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0) AS BIGINT)) AS q8,
+        |  round(list_aggregate(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * 127.0) / 127.0)), 'max'), 9) AS max_err
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 127.0, 0).cast("long")).as("q8"),
+          round(array_max(transform(col("embedding"),
+            x => abs(x.cast("double") - round(x.cast("double") * 127.0, 0) / 127.0))), 9)
+            .as("max_err"))
+        .orderBy("vec_id")
+    },
+
     // array higher-order functions over the embedding column: squared-
     // l2 fold (transform+aggregate, left-to-right — identical fp bits
     // to DuckDB's list fold) and a lambda filter count
