@@ -56,7 +56,9 @@ final case class GroupSpec(count: Int, unit: GroupUnit) {
       val m = (year(ts) - lit(1970)) * lit(12) + month(ts) - lit(1)
       val b = floor(m / lit(count)).cast("long") * lit(count)
       make_timestamp(
-        (b / lit(12)).cast("int") + lit(1970),
+        // floor, not the cast's truncate-toward-zero: b = -6 (Jul 1969)
+        // must map to year 1969, not 1970
+        floor(b / lit(12)).cast("int") + lit(1970),
         pmod(b, lit(12)).cast("int") + lit(1),
         lit(1), lit(0), lit(0), lit(0))
     case GroupUnit.Year =>
@@ -64,7 +66,10 @@ final case class GroupSpec(count: Int, unit: GroupUnit) {
       make_timestamp(y.cast("int") + lit(1970), lit(1), lit(1), lit(0), lit(0), lit(0))
     case u =>
       val widthUs = lit(u.fixedSeconds * count * 1000000L)
-      timestamp_micros((unix_micros(ts) / widthUs).cast("long") * widthUs)
+      // a - pmod(a, w): exact integer floor-to-multiple. Double
+      // division would truncate toward zero (wrong pre-1970) and lose
+      // precision for epochs beyond 2^53 µs.
+      timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), widthUs))
   }
 
   /** DuckDB SQL expression computing the identical bucket for column
@@ -78,7 +83,8 @@ final case class GroupSpec(count: Int, unit: GroupUnit) {
     case GroupUnit.Month =>
       val m = s"((year($tsExpr) - 1970) * 12 + month($tsExpr) - 1)"
       val b = s"(CAST(floor($m / $count) AS BIGINT) * $count)"
-      s"make_timestamp(CAST($b // 12 AS BIGINT) + 1970, ($b % 12) + 1, 1, 0, 0, 0)"
+      // (+12)%12: positive mod, mirroring Spark's pmod for pre-1970 b<0
+      s"make_timestamp(CAST($b // 12 AS BIGINT) + 1970, (($b % 12 + 12) % 12) + 1, 1, 0, 0, 0)"
     case GroupUnit.Year =>
       val y = s"(CAST(floor((year($tsExpr) - 1970) / $count) AS BIGINT) * $count)"
       s"make_timestamp($y + 1970, 1, 1, 0, 0, 0)"

@@ -105,6 +105,7 @@ object Rollup {
     * read once; each coarser level derives from the finer one.
     */
   def materialize(spark: SparkSession, store: TickStore, db: String): Unit = {
+    if (store.read(spark, db).isEmpty) return // nothing to roll up
     val longForm = store.read(spark, db)
       .select(col("index"), col("ts"), col("ts_ns"),
         explode(col("value")).as(Seq("field", "v")))
@@ -200,10 +201,41 @@ object Rollup {
   }
 
 
-  def read(spark: SparkSession, store: TickStore, db: String, level: GroupUnit): DataFrame =
-    spark.read
-      .option("basePath", levelPath(store, db, level).toString)
-      .parquet(levelPath(store, db, level).toString)
+  /** Stat-row schema as read back (sum widened to the max precision any
+    * level's cascaded decimal sums can reach) — used only to keep an
+    * EMPTY level directory readable; non-empty reads take the files'
+    * own schema.
+    */
+  private def emptyFrame(spark: SparkSession, level: GroupUnit): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = Seq(
+      StructField("index", StringType), StructField("bucket", TimestampType),
+      StructField("field", StringType), StructField("sum", DecimalType(38, 4)),
+      StructField("max", DoubleType), StructField("min", DoubleType),
+      StructField("first_ts_ns", LongType), StructField("first", DoubleType),
+      StructField("last_ts_ns", LongType), StructField("last", DoubleType),
+      StructField("count", LongType)) ++
+      (if (isFine(level)) Seq(StructField("ym", StringType)) else Nil)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+  }
+
+  def read(spark: SparkSession, store: TickStore, db: String, level: GroupUnit): DataFrame = {
+    val p = levelPath(store, db, level)
+    val hasFiles = {
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a level dir holding only _SUCCESS (empty db materialize, or a
+      // delete that emptied the level) must read as empty, not throw
+      // schema-inference errors that brick every later ingest/query
+      f.exists(p) && f.listStatus(p).exists(s =>
+        s.isDirectory || !s.getPath.getName.startsWith("_"))
+    }
+    if (hasFiles)
+      spark.read
+        .option("basePath", p.toString)
+        .parquet(p.toString)
+    else emptyFrame(spark, level)
+  }
 
   def exists(spark: SparkSession, store: TickStore, db: String): Boolean = {
     val p = levelPath(store, db, levels.head)
@@ -245,6 +277,8 @@ object Rollup {
     * re-merges multiplier buckets.
     */
   def query(spark: SparkSession, store: TickStore, db: String, q: TickQuery): DataFrame = {
+    require(q.fields.nonEmpty,
+      "tick query must request at least one field (empty \"fields\" document)")
     val unit = routable(q).getOrElse(
       throw new IllegalArgumentException(s"query not routable through rollups: $q"))
     val spec = q.group.get
@@ -277,7 +311,9 @@ object Rollup {
         case "min"        => pick("min")
         case "first"      => pick("first")
         case "last"       => pick("last")
-        case "count"      => pick("count")
+        // coalesce: count of a field absent from the bucket is 0 on the
+        // raw path (count over all-null) and must stay 0 when routed
+        case "count"      => coalesce(pick("count"), lit(0L))
         case "avg" | "ma" => pick("sum").cast("double") / pick("count")
         case other => throw new IllegalArgumentException(s"unknown reducer: '$other'")
       }

@@ -88,10 +88,18 @@ object TickApi {
     // column 0 is the bucket (grouped) or point ts (raw); requested
     // fields follow in declaration order in both shapes
     val arr = mapper.createArrayNode()
+    // raw queries append the exact ns key as a trailing ts_ns column —
+    // use it, or two ns-distinct points would render the same µs key
+    val tsNsIdx = df.columns.indexOf("ts_ns")
     df.collect().foreach { row =>
       val node = arr.addObject()
-      val inst = row.getTimestamp(0).toInstant
-      node.put("Timestamp", inst.getEpochSecond * 1000000000L + inst.getNano)
+      val ns =
+        if (tsNsIdx >= 0) row.getLong(tsNsIdx)
+        else {
+          val inst = row.getTimestamp(0).toInstant
+          inst.getEpochSecond * 1000000000L + inst.getNano
+        }
+      node.put("Timestamp", ns)
       val vals = node.putObject("Value")
       q.fields.zipWithIndex.foreach { case ((f, _), i) =>
         val v = row.get(i + 1)

@@ -37,6 +37,8 @@ object TickQueryExec {
   def outName(field: String, reducer: String): String = s"${field}_${reducer}"
 
   private def build(src: TickSource, q: TickQuery, exact: Boolean): DataFrame = {
+    require(q.fields.nonEmpty,
+      "tick query must request at least one field (empty \"fields\" document)")
     val indexed = src.frame.where(src.indexPredicate(q.index))
     val filtered = src.rangePredicate(q.from, q.to)
       .map(indexed.where).getOrElse(indexed)
@@ -53,9 +55,17 @@ object TickQueryExec {
           .agg(aggs.head, aggs.tail: _*)
           .orderBy("bucket")
       case None =>
-        // raw level: one row per point, requested fields only
-        val cols = src.ts.as("ts") +: q.fields.map { case (f, _) => src.field(f).as(f) }
-        filtered.select(cols: _*).orderBy("ts")
+        // raw level: one row per point, requested fields only. When the
+        // source has an exact ns key it rides along (LAST column, so
+        // field positions stay stable) — the µs `ts` alone would
+        // collapse ns-distinct points (reference keys are int64 ns,
+        // point.go:8-11)
+        val cols = (src.ts.as("ts") +: q.fields.map { case (f, _) => src.field(f).as(f) }) ++
+          src.tsNs.map(_.as("ts_ns")).toSeq
+        src.tsNs match {
+          case Some(_) => filtered.select(cols: _*).orderBy("ts_ns")
+          case None    => filtered.select(cols: _*).orderBy("ts")
+        }
     }
   }
 
@@ -83,8 +93,10 @@ object TickQueryExec {
           s"WHERE $where GROUP BY 1 ORDER BY 1"
       case None =>
         val cols = q.fields.map { case (f, _) => s"${src.fieldSql(f)} AS ${quoteIdent(f)}" }
-        val sel = (s"${src.tsSql} AS ts" +: cols).mkString(", ")
-        s"SELECT $sel FROM ${src.tableSql} WHERE $where ORDER BY ts"
+        val nsCol = src.tsNsSql.map(e => s"$e AS ts_ns").toSeq
+        val sel = ((s"${src.tsSql} AS ts" +: cols) ++ nsCol).mkString(", ")
+        val ord = if (src.tsNsSql.isDefined) "ts_ns" else "ts"
+        s"SELECT $sel FROM ${src.tableSql} WHERE $where ORDER BY $ord"
     }
   }
 

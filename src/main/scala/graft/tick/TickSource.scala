@@ -21,6 +21,12 @@ trait TickSource {
   def indexPredicate(index: String): Column
   /** Resolve a tick field name to a DoubleType column. */
   def field(name: String): Column
+  /** Exact ns-epoch key (LONG), when the source carries one — raw
+    * queries surface it so ns-distinct points stay distinct.
+    */
+  def tsNs: Option[Column] = None
+  /** DuckDB mirror of [[tsNs]]. */
+  def tsNsSql: Option[String] = None
 
   /** Half-open [from, to) predicate. Default filters the derived `ts`;
     * sources whose physical time column differs MUST override so the
@@ -67,6 +73,12 @@ final case class EventsSource(spark: SparkSession, dir: String) extends TickSour
     val t = to.map(i => frame("ts_ns") < lit(epochNs(i)))
     (f ++ t).reduceOption(_ && _)
   }
+
+  // NOTE: no tsNs override — DuckDB's parquet reader surfaces the
+  // events TIMESTAMP(NANOS) column at µs precision, so an exact-ns
+  // oracle mirror is impossible here; the ns-exact raw path is
+  // exercised (and spec-pinned) on StoreSource, where reference parity
+  // actually matters.
 
   override def tableSql: String = "events"
   override def tsSql: String = "ts"

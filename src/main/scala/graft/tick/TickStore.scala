@@ -72,11 +72,23 @@ final class TickStore(val root: String) {
     val t = tablePath(db)
     if (!f.exists(t)) Seq.empty
     else f.listStatus(t).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("index=")).map(_.stripPrefix("index=")).toSeq.sorted
+      .filter(_.startsWith("index="))
+      .map(n => TickStore.unescape(n.stripPrefix("index="))).toSeq.sorted
   }
 
-  def dropIndex(spark: SparkSession, db: String, index: String): Unit =
-    fs(spark).delete(new Path(tablePath(db), s"index=${escape(index)}"), true)
+  /** Drop one series: its point partitions AND its rollup partitions —
+    * rollups routed queries read must never outlive the data (dynamic
+    * partition overwrite would otherwise preserve the stale rollup
+    * slices even across a full re-materialize).
+    */
+  def dropIndex(spark: SparkSession, db: String, index: String): Unit = {
+    val f = fs(spark)
+    f.delete(new Path(tablePath(db), s"index=${TickStore.escape(index)}"), true)
+    Rollup.levels.foreach { level =>
+      f.delete(new Path(dbPath(db),
+        s"rollup/${level.name}/index=${TickStore.escape(index)}"), true)
+    }
+  }
 
   // ---- read path ----
 
@@ -255,7 +267,7 @@ final class TickStore(val root: String) {
       files = f.listStatus(day.getPath).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
       if files > maxFilesPerPartition
     } yield (
-      idx.getPath.getName.stripPrefix("index="),
+      TickStore.unescape(idx.getPath.getName.stripPrefix("index=")),
       day.getPath.getName.stripPrefix("day="))
     if (fragmented.isEmpty) return
     import spark.implicits._
@@ -265,7 +277,11 @@ final class TickStore(val root: String) {
       .select("index", "day", "ts_ns", "value", "ingest_seq")
       .localCheckpoint()
       .repartition(col("index"), col("day"))
-      .sortWithinPartitions(col("ts_ns")) // time-ordered row groups: better range skipping
+      // the partitioned-write planner requires output sorted by the
+      // partition columns and DISCARDS any ordering that lacks that
+      // prefix — sorting (index, day, ts_ns) is kept, a bare ts_ns
+      // sort would be silently replaced
+      .sortWithinPartitions(col("index"), col("day"), col("ts_ns"))
       .write.partitionBy("index", "day")
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
@@ -346,7 +362,17 @@ object TickStore {
 
   private[tick] def dayEndNs(day: String): Long = dayStartNs(day) + 86400000000000L
 
-  private[tick] def escape(index: String): String = index // hive-escapes non-trivial names lazily
+  /** Spark hive-escapes partition values on write (`:` -> `%3A` etc.);
+    * every path this store constructs by hand must apply the identical
+    * escaping or existence checks / deletes silently miss the real
+    * directory — which under dynamic partition overwrite turns an
+    * append into data loss.
+    */
+  private[tick] def escape(index: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(index)
+
+  private[tick] def unescape(dirValue: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(dirValue)
 }
 
 /** A [[TickStore]] db viewed as a [[TickSource]] for the query path. */
@@ -371,6 +397,8 @@ final case class StoreSource(store: TickStore, spark: SparkSession, db: String) 
     }
     (f ++ t).reduceOption(_ && _)
   }
+
+  override def tsNs: Option[Column] = Some(frame("ts_ns"))
 
   override def tableSql: String =
     throw new UnsupportedOperationException("StoreSource has no static oracle table")

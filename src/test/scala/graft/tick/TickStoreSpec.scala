@@ -163,4 +163,81 @@ class TickStoreSpec extends SparkSpec {
     val r2 = s.query(spark, "db", q2).collect()
     assert(r2.length == 1 && r2(0).isNullAt(1))
   }
+
+  test("special-character index names survive the hive-escaped partition layout") {
+    val s = freshStore("escape")
+    s.createDb(spark, "db")
+    val idx = "host:cpu 0%"
+    s.ingestRecords(spark, "db", Seq(rec(idx, "2024-03-01T00:00:10Z", "v" -> 1.0)))
+    // second ingest to the same (index, day): the collision check must
+    // find the escaped directory, merge, and keep BOTH points
+    s.ingestRecords(spark, "db", Seq(rec(idx, "2024-03-01T00:00:20Z", "v" -> 2.0)))
+    assert(s.listIndexes(spark, "db") == Seq(idx))
+    assert(s.readIndex(spark, "db", idx).count() == 2)
+    s.dropIndex(spark, "db", idx)
+    assert(s.readIndex(spark, "db", idx).count() == 0)
+  }
+
+  test("dropIndex invalidates the rollup tier too") {
+    val s = freshStore("droproll")
+    s.createDb(spark, "db")
+    s.ingestRecords(spark, "db", Seq(
+      rec("a", "2024-03-01T00:00:10Z", "v" -> 1.0),
+      rec("b", "2024-03-01T00:00:10Z", "v" -> 2.0)))
+    Rollup.materialize(spark, s, "db")
+    s.dropIndex(spark, "db", "a")
+    val q = TickQuery.fromJson(
+      """{"index":"a","group":"hour","fields":{"v":{"reducer":"sum"}}}""")
+    // routed and raw must agree: no rows for the dropped series
+    assert(s.query(spark, "db", q).count() == 0)
+    // the surviving series still routes
+    val qb = TickQuery.fromJson(
+      """{"index":"b","group":"hour","fields":{"v":{"reducer":"sum"}}}""")
+    assert(s.query(spark, "db", qb).collect().map(_.getDouble(1)).toSeq == Seq(2.0))
+  }
+
+  test("materialize on an empty db is a no-op; reads stay usable") {
+    val s = freshStore("emptyroll")
+    s.createDb(spark, "db")
+    Rollup.materialize(spark, s, "db") // must not write schema-less dirs
+    s.ingestRecords(spark, "db", Seq(rec("ix", "2024-03-01T00:00:10Z", "v" -> 1.0)))
+    val q = TickQuery.fromJson(
+      """{"index":"ix","group":"hour","fields":{"v":{"reducer":"sum"}}}""")
+    assert(s.query(spark, "db", q).collect().map(_.getDouble(1)).toSeq == Seq(1.0))
+  }
+
+  test("routed count of an absent field is 0, matching the raw path") {
+    val s = freshStore("countzero")
+    s.createDb(spark, "db")
+    s.ingestRecords(spark, "db", Seq(rec("ix", "2024-03-01T00:00:10Z", "a" -> 1.0)))
+    val q = TickQuery.fromJson(
+      """{"index":"ix","group":"hour","fields":{"nope":{"reducer":"count"}}}""")
+    val raw = s.query(spark, "db", q).collect()
+    Rollup.materialize(spark, s, "db")
+    val routed = Rollup.query(spark, s, "db", q).collect()
+    assert(raw.map(_.getLong(1)).toSeq == Seq(0L))
+    assert(routed.map(_.getLong(1)).toSeq == Seq(0L))
+  }
+
+  test("raw queries carry the exact ns key: ns-distinct points stay distinct") {
+    val s = freshStore("nskey")
+    s.createDb(spark, "db")
+    // two points 998 ns apart inside the same microsecond
+    s.ingest(spark, "db",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row("ix", 1709287200000000001L, Map("v" -> 1.0), 0L),
+          org.apache.spark.sql.Row("ix", 1709287200000000999L, Map("v" -> 2.0), 1L))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("index", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ts_ns", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.DoubleType)),
+          org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))))
+    val json = TickApi.query(spark, s, "db",
+      """{"index":"ix","fields":{"v":{"reducer":"last"}}}""")
+    assert(json.contains("1709287200000000001") && json.contains("1709287200000000999"),
+      s"expected both exact ns keys in: $json")
+  }
 }
