@@ -114,9 +114,17 @@ object GraftExpressions {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
     override def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-        .toString.trim.toLowerCase(java.util.Locale.ROOT)
-      val toks = text.split("\\s+")
+      val raw = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      // mirror SQL trim exactly: strip ASCII SPACE only (Java's trim
+      // also strips \n/\t, which would diverge from tokens()/the
+      // DuckDB mirror on whitespace-bracketed text)
+      var st = 0
+      var en = raw.length
+      while (st < en && raw.charAt(st) == ' ') st += 1
+      while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+      val text = raw.substring(st, en).toLowerCase(java.util.Locale.ROOT)
+      // limit -1: keep trailing empty tokens, like Spark's split()
+      val toks = text.split("\\s+", -1)
       if (toks.length < n) new GenericArrayData(Array.empty[Any])
       else {
         val out = new Array[Any](toks.length - n + 1)

@@ -78,7 +78,11 @@ object Sessionize {
           sorted.foreach { e =>
             open match {
               case Some(o) if e.us - o.lastUs <= gapUs =>
-                open = Some(OpenSession(o.start, e.us, o.n + 1, o.total + e.value))
+                // late cross-batch events must not regress the session
+                // frontier (a shrunken lastUs would wrongly close the
+                // session on the next in-gap event) nor inflate start
+                open = Some(OpenSession(math.min(o.start, e.us),
+                  math.max(o.lastUs, e.us), o.n + 1, o.total + e.value))
               case Some(o) =>
                 closed += Session(user, o.start, o.n, o.total)
                 open = Some(OpenSession(e.us, e.us, 1, e.value))

@@ -46,6 +46,11 @@ object Dedup {
     * `bands` LSH bands. Join is strictly within (band, bucket) keys.
     */
   def lshCandidatePairs(docs: DataFrame, id: String, sig: String, bands: Int): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    // precondition (enforced by nearDedupSurvivors): bands divides the
+    // signature length — bands > k would make every band slice empty
+    // and collapse all docs into one bucket (the O(N^2) blowup this
+    // pipeline exists to avoid)
     val rowsPerBand = expr(s"size(s) DIV $bands")
     val banded = docs
       .select(col(id).as("doc"), col(sig).as("s"))
@@ -66,7 +71,9 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     val union = size(a) + size(b) - inter
-    when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union)
+    // two empty sets share NOTHING, not everything: 1.0 here would mark
+    // every too-short-to-shingle document a duplicate of all the others
+    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
   }
 
   /** Verify candidate pairs against exact shingle-set Jaccard; keeps
@@ -93,8 +100,17 @@ object Dedup {
       df: DataFrame, text: Column, id: Column,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    require(bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
     val shingled = df
       .select(id.as("id"), array_distinct(TextFunctions.shingles(text, shingleN)).as("shset"))
+      // shingle-less docs (< shingleN tokens) have no n-gram identity:
+      // they can't be near-dups, and their all-equal signatures would
+      // otherwise collide pairwise in every band
+      .where(size(col("shset")) > 0)
+      // reused three times below (signatures + both verify sides):
+      // materialize once instead of re-shingling the corpus per consumer
+      .localCheckpoint()
     val sigs = shingled.select(col("id"), minhashSignature(col("shset"), k).as("sig"))
     val cands = lshCandidatePairs(sigs, "id", "sig", bands)
     val dups = verifyPairs(cands, shingled, threshold)
@@ -120,6 +136,9 @@ object Dedup {
     * each 16-bit slice, join within buckets, verify exact distance.
     */
   def simhashPairs(docs: DataFrame, id: String, sh: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming ($maxHamming) > 3 breaks the 4-slice pigeonhole guarantee: " +
+        "pairs beyond distance 3 would be silently dropped")
     val slices = 4 // 16-bit slices of the 64-bit hash; catches r <= 3 exactly
     val sliceKeys = array((0 until slices).map(sl =>
       shiftright(col(sh), sl * 16).bitwiseAND(lit(0xffffL))): _*)

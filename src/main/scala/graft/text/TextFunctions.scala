@@ -59,11 +59,13 @@ object TextFunctions {
   }
 
   /** Fraction of non-alphanumeric, non-space characters. */
+  // greatest(len, 1): empty text is 0 punctuation, not a 0/0 (which
+  // throws under ANSI mode and NaN-mismatches the oracle otherwise)
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(lower(text), "[a-z0-9\\s]", ""))).cast("double") /
-      length(text)
+      greatest(length(text), lit(1))
   def punctRatioSql(text: String): String =
-    s"CAST(length($text) - length(regexp_replace(lower($text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length($text)"
+    s"CAST(length($text) - length(regexp_replace(lower($text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length($text), 1)"
 
   /** Mean token length — a crude fluency signal. */
   def meanTokenLen(text: Column): Column = {

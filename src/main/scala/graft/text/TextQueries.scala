@@ -89,6 +89,7 @@ object TextQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.shset, b.shset)) * 10 >=
          |      3 * (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)))
+         |  AND len(a.shset) + len(b.shset) > 0
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       val sh = Tables.documents(s, d).where(col("doc_id") < 100)
         .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("shset"))
@@ -97,8 +98,9 @@ object TextQueries {
       a.crossJoin(b).where(col("a_id") < col("b_id"))
         .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
         .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
-        // integer-compare the 0.3 threshold: no fp boundary ambiguity
-        .where(col("inter") * 10 >= col("uni") * 3)
+        // integer-compare the 0.3 threshold: no fp boundary ambiguity;
+        // uni > 0 excludes empty-vs-empty (0 >= 0 would pass, then 0/0)
+        .where(col("inter") * 10 >= col("uni") * 3 && col("uni") > 0)
         .select(col("a_id"), col("b_id"),
           (col("inter").cast("double") / col("uni")).as("jaccard"))
         .orderBy("a_id", "b_id")

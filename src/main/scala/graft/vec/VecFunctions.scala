@@ -20,13 +20,20 @@ object VecFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-vector guard: similarity to a zero vector is 0, not a
+    * divide-by-zero (ANSI throw) / NaN (oracle mismatch).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 
   /** DuckDB mirror of [[cosine]] with the identical fold order. */
   def cosineSql(a: String, b: String): String = {
     def d(x: String, y: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
-    s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
+    val denom = s"(sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+    s"(CASE WHEN $denom = 0.0 THEN 0.0 ELSE ${d(a, b)} / $denom END)"
   }
 
   /** Exact top-k neighbors for each query vector: broadcast the (small)
@@ -126,8 +133,12 @@ object VecFunctions {
     val seeds = corpus.orderBy("id").limit(nLists)
       .select(col("id").as("list"), col("vec").as("centroid"))
     def assign(cents: DataFrame): DataFrame = {
+      // cosine, not raw dot: refined (mean) centroids have unequal
+      // norms, and the final ranking metric is cosine — assigning by
+      // dot would route vectors to large-norm lists the query never
+      // probes, costing recall beyond the intended approximation
       val scored = corpus.crossJoin(broadcast(cents))
-        .withColumn("d", dot(col("vec"), col("centroid")))
+        .withColumn("d", cosine(col("vec"), col("centroid")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id"))
         .orderBy(col("d").desc, col("list").asc)
@@ -159,7 +170,7 @@ object VecFunctions {
       .partitionBy(col("q_id"))
       .orderBy(col("cd").desc, col("list").asc)
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("cd", dot(col("q_vec"), col("centroid")))
+      .withColumn("cd", cosine(col("q_vec"), col("centroid")))
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("list"))
