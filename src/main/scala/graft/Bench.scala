@@ -33,15 +33,22 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try exec(fn) catch { case _: Throwable => }
     }
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exec(fn) catch { case _: Throwable => }
+      try exec(fn) catch { case e: Throwable =>
+        // a partial time for a throwing query would read as a phantom
+        // speedup — record the failure visibly instead of hiding it
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

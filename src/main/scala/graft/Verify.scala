@@ -35,6 +35,14 @@ object Verify {
         .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // outDir is commonly reused across runs; a stale result parquet
+        // from a previous (passing) run would make the oracle compare
+        // false-pass a query that no longer executes.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -100,9 +100,9 @@ object Multimodal {
       when(nChunks <= 0, array().cast("array<float>"))
         .otherwise(transform(
           sequence(lit(0), nChunks - 1),
-          i => aggregate(
+          i => (aggregate(
             slice(col("features"), i * factor + 1, lit(factor)),
-            lit(0.0f), (acc, x) => acc + x) / factor)))
+            lit(0.0f), (acc, x) => acc + x) / factor).cast("float"))))
   }
 
   /** Frame sampling for sequential media: split the payload into

@@ -15,11 +15,14 @@ import graft.{QueryDef, Tables}
   */
 object RelQueries {
 
-  /** Order-independent double sum: exact decimal accumulation cast back
-    * to double (see Reducers.exactColumn for scale rationale).
+  /** Order-independent double sum — thin aliases over the single
+    * decimal-accumulation idiom in [[graft.tick.Reducers]] (scale
+    * rationale lives there; keeping one copy means a precision fix
+    * can't silently diverge between the rel queries and the tick
+    * reducers).
     */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(20,4)")).cast("double")
-  private def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(20,4))) AS DOUBLE)"
+  private def dsum(c: Column): Column = graft.tick.Reducers.exactColumn("sum", c, c)
+  private def dsumSql(e: String): String = graft.tick.Reducers.exactSql("sum", e, e)
 
   val defs: Map[String, QueryDef] =
     aggDefs ++ joinDefs ++ windowDefs ++ setDefs ++ scalarDefs ++ reshapeDefs
@@ -318,8 +321,14 @@ object RelQueries {
           when(col("event_type") === "click", col("value")).as("click_val"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
-        // clicks sort before purchases at equal ts: asof is inclusive
-        .orderBy(col("ts_ns").asc, when(col("event_type") === "click", 0).otherwise(1).asc)
+        // order at µs precision — the oracle's ASOF compares µs
+        // timestamps, so a click whose ts_ns exceeds a purchase's but
+        // truncates to the same µs must still sort BEFORE it (asof is
+        // inclusive; clicks-first breaks the µs tie). ts_ns last keeps
+        // "most recent click" deterministic within an equal-µs run.
+        .orderBy(unix_micros(col("ts")).asc,
+          when(col("event_type") === "click", 0).otherwise(1).asc,
+          col("ts_ns").asc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       tagged
         .withColumn("click_value", last(col("click_val"), ignoreNulls = true).over(w))

@@ -11,17 +11,39 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Row-position salt: monotonically_increasing_id is dense within a
+    * partition, so pmod spreads rows round-robin across `salts` even
+    * when the rows are byte-identical (a whole-row hash would send a
+    * hot key's duplicate rows to one salt — the exact straggler the
+    * salt exists to break up) and works for any column types
+    * (hash expressions reject MapType). Distribution-only; never
+    * affects results.
+    */
+  private def rowSalt(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int")
+
+  /** Join types where replicating the small side per salt is sound:
+    * each big row carries one salt, so any join that is driven per
+    * big-side row works; right/full outer would emit the small side's
+    * unmatched replicas `salts` times.
+    */
+  private val saltableJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+
   /** Salted equi-join for a skew-heavy probe side: the big side's rows
-    * scatter across `salts` sub-keys (deterministic hash of the whole
-    * row — distribution-only, never affects results), the small side
-    * replicates once per salt. A hot key thus spreads over `salts`
-    * tasks instead of one straggler.
+    * scatter across `salts` sub-keys, the small side replicates once
+    * per salt. A hot key thus spreads over `salts` tasks instead of
+    * one straggler. Restricted to big-side-driven join types — see
+    * [[saltableJoinTypes]].
     */
   def saltedJoin(
       big: DataFrame, small: DataFrame, keys: Seq[String],
       salts: Int, joinType: String = "inner"): DataFrame = {
-    val bigS = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int"))
+    require(saltableJoinTypes(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports ${saltableJoinTypes.mkString("/")}, not '$joinType': " +
+        "right/full outer would duplicate unmatched small-side rows per salt")
+    val bigS = big.withColumn("__salt", rowSalt(salts))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
@@ -33,8 +55,7 @@ object Scale {
     */
   def saltedSumCount(
       df: DataFrame, key: String, valueCol: Column, salts: Int): DataFrame = {
-    df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)))
+    df.withColumn("__salt", rowSalt(salts))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__psum"), count(valueCol).as("__pcnt"))
       .groupBy(col(key))

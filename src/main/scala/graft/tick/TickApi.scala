@@ -64,7 +64,11 @@ object TickApi {
 
   /** POST /{db} — ingest a JSON array of
     * `{"index": ..., "time": ..., "value": {...}}` (A6,
-    * `database.go:24-28`). Returns the number of records ingested.
+    * `database.go:24-28`). Returns the number of points actually
+    * stored: records with an empty/absent value map are dropped by the
+    * store (nothing to reduce or return), so they don't count. Records
+    * missing `index` or `time` fail with a validation error rather
+    * than an NPE.
     */
   def ingest(spark: SparkSession, store: TickStore, db: String, json: String): Int = {
     val root = mapper.readTree(json)
@@ -73,10 +77,14 @@ object TickApi {
       val value = Option(n.get("value")).map { v =>
         v.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
       }.getOrElse(Map.empty[String, Double])
-      TickIngestRecord(n.get("index").asText(), n.get("time").asText(), value)
+      def str(k: String): String = Option(n.get(k)).filterNot(_.isNull)
+        .map(_.asText)
+        .getOrElse(throw new IllegalArgumentException(
+          s"ingest record missing '$k': ${n.toString.take(200)}"))
+      TickIngestRecord(str("index"), str("time"), value)
     }.toSeq
     store.ingestRecords(spark, db, records)
-    records.size
+    records.count(_.value.nonEmpty)
   }
 
   /** POST /{db}/_query (A8) — returns the reference's `[]Point` JSON:
@@ -95,10 +103,7 @@ object TickApi {
       val node = arr.addObject()
       val ns =
         if (tsNsIdx >= 0) row.getLong(tsNsIdx)
-        else {
-          val inst = row.getTimestamp(0).toInstant
-          inst.getEpochSecond * 1000000000L + inst.getNano
-        }
+        else TickQuery.instantNs(row.getTimestamp(0).toInstant)
       node.put("Timestamp", ns)
       val vals = node.putObject("Value")
       q.fields.zipWithIndex.foreach { case ((f, _), i) =>
@@ -116,8 +121,7 @@ object TickApi {
   def getPoint(
       spark: SparkSession, store: TickStore, db: String,
       index: String, time: String): Option[String] = {
-    val i = TickQuery.parseTime(time)
-    store.get(spark, db, index, i.getEpochSecond * 1000000000L + i.getNano).map { m =>
+    store.get(spark, db, index, TickQuery.parseTimeNs(time)).map { m =>
       val node = mapper.createObjectNode()
       m.foreach { case (k, v) => node.put(k, v) }
       mapper.writeValueAsString(node)
@@ -129,10 +133,7 @@ object TickApi {
       spark: SparkSession, store: TickStore, db: String,
       index: String, json: String): Unit = {
     val root = mapper.readTree(json)
-    def ns(k: String): Long = {
-      val i = TickQuery.parseTime(root.get(k).asText())
-      i.getEpochSecond * 1000000000L + i.getNano
-    }
+    def ns(k: String): Long = TickQuery.parseTimeNs(root.get(k).asText())
     store.deleteRange(spark, db, index, ns("from"), ns("to"))
   }
 

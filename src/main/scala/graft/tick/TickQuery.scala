@@ -60,6 +60,14 @@ object TickQuery {
     }
   }
 
+  /** The single home for the Instant→ns conversion the store's
+    * ns-exact keys hinge on.
+    */
+  def instantNs(i: Instant): Long = i.getEpochSecond * 1000000000L + i.getNano
+
+  /** [[parseTime]] straight to epoch nanoseconds. */
+  def parseTimeNs(s: String): Long = instantNs(parseTime(s))
+
   /** Decode the reference's query JSON document. */
   def fromJson(json: String): TickQuery = {
     val root = mapper.readTree(json)
