@@ -30,6 +30,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("salted join spreads byte-identical hot-key rows and allows map columns") {
+    // all big rows identical: a whole-row-hash salt would collapse them
+    // onto one salt (the straggler salting exists to break up); the
+    // map column would make a hash-based salt throw outright
+    val big = Seq.fill(1000)((0L, Map("f" -> 1.0))).toDF("k", "vals")
+    val small = Seq((0L, "hot")).toDF("k", "name")
+    val salted = Scale.saltedJoin(big, small, Seq("k"), salts = 8)
+    assert(salted.count() == 1000)
+    // observe the spread through the same salt expression the join uses:
+    // identical rows must land on >1 salt
+    val spread = big
+      .withColumn("s", pmod(monotonically_increasing_id(), lit(8L)))
+      .select("s").distinct().count()
+    assert(spread > 1, "identical rows must scatter across salts")
+  }
+
+  test("salted join rejects join types that would duplicate small-side rows") {
+    val big = Seq((0L, 1.0)).toDF("k", "v")
+    val small = Seq((0L, "a")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(big, small, Seq("k"), salts = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(big, small, Seq("k"), salts = 4, joinType = "full_outer")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf, set in SparkSpecBase; also clear
     // stale table locations a previous JVM's in-memory catalog left

@@ -60,4 +60,25 @@ class TickApiSpec extends SparkSpec {
     TickApi.dropDb(spark, store, "db1")
     assert(TickApi.listDbs(spark, store) == "[]")
   }
+
+  test("ingest counts only stored points and validates required fields") {
+    TickApi.createDb(spark, store, "db2")
+    // the empty-value record is dropped by the store — the returned
+    // count must say so, not report a write getPoint can never find
+    val n = TickApi.ingest(spark, store, "db2",
+      """[{"index": "i1", "time": "2016-08-28T21:24:00Z", "value": {"open": 1.0}},
+        | {"index": "i1", "time": "2016-08-28T21:25:00Z", "value": {}},
+        | {"index": "i1", "time": "2016-08-28T21:26:00Z"}]""".stripMargin)
+    assert(n == 1)
+    assert(TickApi.getPoint(spark, store, "db2", "i1", "2016-08-28T21:25:00Z").isEmpty)
+
+    val missingTime = intercept[IllegalArgumentException] {
+      TickApi.ingest(spark, store, "db2", """[{"index": "i1", "value": {"a": 1.0}}]""")
+    }
+    assert(missingTime.getMessage.contains("missing 'time'"))
+    intercept[IllegalArgumentException] {
+      TickApi.ingest(spark, store, "db2",
+        """[{"time": "2016-08-28T21:24:00Z", "value": {"a": 1.0}}]""")
+    }
+  }
 }
