@@ -48,7 +48,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stop FIRST so the JSON is this process's final stdout line (a
+    // launcher that reads the tail shouldn't trip over shutdown noise),
+    // and drop a file copy as a parse-proof fallback
     spark.stop()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
   }
 }

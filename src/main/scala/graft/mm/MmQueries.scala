@@ -39,9 +39,15 @@ object MmQueries {
           col("media.payload").as("payload"),
           col("media.meta").as("meta"))
         .as[Multimodal.MediaRecord]
+      // features is ARRAY<FLOAT>, which the driver's pandas compare
+      // can't sort — project harness-safe scalars: length + a rounded
+      // checksum of the vector (deterministic: left-to-right fold)
       Multimodal.extractFeatures(media, Multimodal.StubDecoder, batchSize = 64)
         .toDF()
-        .select(col("doc_id"), col("n_bytes"), col("features"))
+        .select(col("doc_id"), col("n_bytes"),
+          size(col("features")).cast("long").as("n_feat"),
+          round(aggregate(transform(col("features"), _.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 6).as("feat_sum"))
         .orderBy("doc_id")
     },
 
@@ -58,8 +64,13 @@ object MmQueries {
       val feats = Multimodal
         .extractFeatures(media, Multimodal.StubDecoder, batchSize = 64)
         .toDF()
+      // same harness-safety projection as mm_decode_features: the
+      // pooled vector goes out as length + rounded checksum scalars
       Multimodal.poolFeatures(feats, factor = 2)
-        .select(col("doc_id"), col("features"))
+        .select(col("doc_id"),
+          size(col("features")).cast("long").as("n_feat"),
+          round(aggregate(transform(col("features"), _.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 6).as("feat_sum"))
         .orderBy("doc_id")
     },
 

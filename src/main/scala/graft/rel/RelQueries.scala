@@ -584,20 +584,20 @@ object RelQueries {
     "scalar_math" -> QueryDef(
       """SELECT l_orderkey, l_linenumber,
         |  ABS(l_discount - 0.05) AS d_abs,
-        |  FLOOR(l_extendedprice) AS p_floor,
-        |  CEIL(l_quantity) AS q_ceil,
+        |  CAST(FLOOR(l_extendedprice) AS DOUBLE) AS p_floor,
+        |  CAST(CEIL(l_quantity) AS DOUBLE) AS q_ceil,
         |  SQRT(l_extendedprice) AS p_sqrt,
         |  l_discount * l_discount AS d_sq,
         |  GREATEST(l_tax, l_discount) AS t_max,
-        |  SIGN(l_discount - l_tax) AS t_sign
+        |  CAST(SIGN(l_discount - l_tax) AS DOUBLE) AS t_sign
         |FROM lineitem WHERE l_orderkey <= 200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).where(col("l_orderkey") <= 200)
         .select(
           col("l_orderkey"), col("l_linenumber"),
           abs(col("l_discount") - 0.05).as("d_abs"),
-          floor(col("l_extendedprice")).as("p_floor"),
-          ceil(col("l_quantity")).as("q_ceil"),
+          floor(col("l_extendedprice")).cast("double").as("p_floor"),
+          ceil(col("l_quantity")).cast("double").as("q_ceil"),
           sqrt(col("l_extendedprice")).as("p_sqrt"),
           (col("l_discount") * col("l_discount")).as("d_sq"),
           greatest(col("l_tax"), col("l_discount")).as("t_max"),

@@ -35,6 +35,40 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
   def tokenCountSql(text: String): String = s"len(${tokensSql(text)})"
 
+  // ---- variants over a pre-materialized token array --------------------
+  // Project `tokens(text)` ONCE (its own select — CollapseProject keeps
+  // a non-cheap alias referenced more than once in its own projection)
+  // and derive the stats from the array: whole-stage codegen does not
+  // reliably CSE repeated tokenizations across expression trees, and
+  // the regex split is the expensive part. Semantics are identical to
+  // the text-input forms (same oracle SQL applies).
+
+  def tokenCountOf(toks: Column): Column = size(toks)
+
+  def meanTokenLenOf(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(toks)
+
+  def stopwordRatioOf(toks: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    size(filter(toks, x => x.isInCollection(stopwords))).cast("double") / size(toks)
+
+  def langIdOf(toks: Column): Column = {
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, x => x.isInCollection(markers)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language reaching the max score wins; und when max == 0
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  def qualityScoreOf(text: Column, toks: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * lit(4.0), lit(0.0))
+    val stopScore = least(stopwordRatioOf(toks) * lit(5.0), lit(1.0))
+    (lenScore * lit(0.4) + punctScore * lit(0.4) + stopScore * lit(0.2))
+  }
+
   /** BPE-ish subword count: letter runs, single digits, single
     * punctuation marks — the pre-tokenizer shape GPT-style BPE applies
     * before merges.
@@ -48,10 +82,8 @@ object TextFunctions {
     "the", "a", "an", "of", "in", "on", "to", "and", "or", "is", "are", "was", "be")
 
   /** Fraction of tokens that are stopwords. */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    val t = tokens(text)
-    size(filter(t, x => x.isInCollection(stopwords))).cast("double") / size(t)
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    stopwordRatioOf(tokens(text), stopwords)
   def stopwordRatioSql(text: String, stopwords: Seq[String] = defaultStopwords): String = {
     val list = stopwords.map(s => s"'$s'").mkString(", ")
     val t = tokensSql(text)
@@ -68,10 +100,7 @@ object TextFunctions {
     s"CAST(length($text) - length(regexp_replace(lower($text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(length($text), 1)"
 
   /** Mean token length — a crude fluency signal. */
-  def meanTokenLen(text: Column): Column = {
-    val t = tokens(text)
-    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
-  }
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
   def meanTokenLenSql(text: String): String = {
     val t = tokensSql(text)
     s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($t, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len($t)"
@@ -81,12 +110,7 @@ object TextFunctions {
     * noise, stopword presence. Deterministic arithmetic only (no
     * transcendentals — cross-engine ulp drift, see RelQueries).
     */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
-    val punctScore = greatest(lit(1.0) - punctRatio(text) * lit(4.0), lit(0.0))
-    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
-    (lenScore * lit(0.4) + punctScore * lit(0.4) + stopScore * lit(0.2))
-  }
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
   def qualityScoreSql(text: String): String = {
     val lenScore = s"least(CAST(length($text) AS DOUBLE) / 200.0, 1.0)"
     val punctScore = s"greatest(1.0 - ${punctRatioSql(text)} * 4.0, 0.0)"
@@ -105,17 +129,7 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "et"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"))
 
-  def langId(text: Column): Column = {
-    val t = tokens(text)
-    val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(t, x => x.isInCollection(markers)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // first language reaching the max score wins; und when max == 0
-    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lang).otherwise(acc)
-    }
-  }
+  def langId(text: Column): Column = langIdOf(tokens(text))
   def langIdSql(text: String): String = {
     val t = tokensSql(text)
     val scoreExprs = langMarkers.map { case (lang, markers) =>

@@ -24,12 +24,17 @@ object TextQueries {
          |  length(text) AS n_chars_m,
          |  ${meanTokenLenSql("text")} AS mean_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        bpeishTokenCount(col("text")).as("n_bpeish"),
-        length(col("text")).as("n_chars_m"),
-        meanTokenLen(col("text")).as("mean_tok_len"))
+      // tokenize ONCE: the materialized `toks` projection survives
+      // CollapseProject (non-cheap alias, multiple consumers), so the
+      // regex split runs once per row instead of once per stat
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          tokenCountOf(col("toks")).as("n_tokens"),
+          bpeishTokenCount(col("text")).as("n_bpeish"),
+          length(col("text")).as("n_chars_m"),
+          meanTokenLenOf(col("toks")).as("mean_tok_len"))
         .orderBy("doc_id")
     },
 
@@ -40,11 +45,14 @@ object TextQueries {
          |  ${punctRatioSql("text")} AS punct_ratio,
          |  ${qualityScoreSql("text")} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        stopwordRatio(col("text")).as("stop_ratio"),
-        punctRatio(col("text")).as("punct_ratio"),
-        qualityScore(col("text")).as("quality"))
+      // same tokenize-once shape as text_token_stats
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          stopwordRatioOf(col("toks")).as("stop_ratio"),
+          punctRatio(col("text")).as("punct_ratio"),
+          qualityScoreOf(col("text"), col("toks")).as("quality"))
         .orderBy("doc_id")
     },
 
@@ -53,7 +61,8 @@ object TextQueries {
       s"""SELECT ${langIdSql("text")} AS pred_lang, COUNT(*) AS n
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .select(langId(col("text")).as("pred_lang"))
+        .select(tokens(col("text")).as("toks"))
+        .select(langIdOf(col("toks")).as("pred_lang"))
         .groupBy("pred_lang").agg(count(lit(1)).as("n"))
         .orderBy("pred_lang")
     },

@@ -191,9 +191,16 @@ final class TickStore(val root: String) {
     // rollup refresh
     val touchedPairs = prepared.select("index", "day").distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // one listStatus per touched index, not one exists() RPC per
+    // (index, day): a backfill touching 10k days would serialize on
+    // per-partition driver round-trips otherwise
     val f = fs(spark)
-    val collide = touchedPairs.filter { case (i, d) =>
-      f.exists(new Path(tablePath(db), s"index=${escape(i)}/day=$d"))
+    val collide = touchedPairs.groupBy(_._1).toSeq.flatMap { case (i, pairs) =>
+      val idxPath = new Path(tablePath(db), s"index=${escape(i)}")
+      val existingDays =
+        try f.listStatus(idxPath).map(_.getPath.getName).toSet
+        catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+      pairs.filter { case (_, d) => existingDays.contains(s"day=${escape(d)}") }
     }
 
     // one shuffle total: repartition(index, day) satisfies the window's

@@ -120,52 +120,99 @@ object VecFunctions {
       .select("q_id", "id", "sim", "rank")
   }
 
+  /** Map-side nearest-centroid assignment: the centroid set is tiny
+    * (nLists entries), so it is inlined as literal arrays and the
+    * argmax is a single projection — a left-to-right fold over
+    * per-centroid `struct(d, list)` scores keeping the running best
+    * (ties → lowest list). No crossJoin, no window, NO SHUFFLE: the
+    * corpus partition layout passes straight through, which is what
+    * survives a 100 TB corpus (the old crossJoin+window form shuffled
+    * corpus×nLists rows just to pick each row's max). Centroid norms
+    * inside [[cosine]] are constant subtrees Catalyst folds away.
+    */
+  def assignByCentroids(
+      corpus: DataFrame, // id, vec
+      cents: Seq[(Long, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty, "assignByCentroids: empty centroid set")
+    // cosine, not raw dot: refined (mean) centroids have unequal
+    // norms, and the final ranking metric is cosine — assigning by
+    // dot would route vectors to large-norm lists the query never
+    // probes, costing recall beyond the intended approximation.
+    // argmax via array_max over struct(d, -list): struct ordering is
+    // lexicographic, so max d wins and ties take the LOWEST list
+    // (max of -list), matching the old (d desc, list asc) window
+    // ordering — and the expression stays LINEAR in nLists (a
+    // when/otherwise fold would embed the running best twice per step
+    // and blow up exponentially)
+    val scored = array(cents.sortBy(_._1).map { case (listId, cv) =>
+      val cvec = array(cv.map(x => lit(x)): _*)
+      struct(cosine(col("vec"), cvec).as("d"), lit(-listId).as("nl"))
+    }: _*)
+    val best = array_max(scored)
+    corpus.select(col("id"), col("vec"), (-best.getField("nl")).as("list"))
+  }
+
   /** IVF (inverted-file) index build: deterministic seeds (the
     * `nLists` lowest-id vectors), one Lloyd refinement step (assign →
     * per-list elementwise mean), then the final corpus→list assignment.
-    * Everything is DataFrame ops: assignment is a broadcast of the tiny
-    * centroid set against the corpus, the mean is a posexplode +
-    * groupBy (one shuffle of dim-sized rows). At 100 TB the corpus is
-    * scanned twice (refine, assign) and shuffled once on `list` —
-    * there is no pairwise stage anywhere.
+    * Both assignment passes are map-side ([[assignByCentroids]]); the
+    * only shuffle is the per-list mean (a groupBy of dim-sized rows).
+    * At 100 TB the corpus is scanned twice (refine, assign) and never
+    * shuffled — there is no pairwise stage anywhere.
     */
   def ivfBuild(corpus: DataFrame, nLists: Int): (DataFrame, DataFrame) = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
     val seeds = corpus.orderBy("id").limit(nLists)
-      .select(col("id").as("list"), col("vec").as("centroid"))
-    def assign(cents: DataFrame): DataFrame = {
-      // cosine, not raw dot: refined (mean) centroids have unequal
-      // norms, and the final ranking metric is cosine — assigning by
-      // dot would route vectors to large-norm lists the query never
-      // probes, costing recall beyond the intended approximation
-      val scored = corpus.crossJoin(broadcast(cents))
-        .withColumn("d", cosine(col("vec"), col("centroid")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id"))
-        .orderBy(col("d").desc, col("list").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("id"), col("vec"), col("list"))
-    }
-    val refined = assign(seeds)
+      .select(col("id").cast("long"), col("vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val refined = assignByCentroids(corpus, seeds)
       .select(col("list"), posexplode(col("vec")))
       .groupBy("list", "pos").agg(avg(col("col")).as("m"))
       .groupBy("list")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
       .select(col("list"),
         expr("transform(pairs, p -> CAST(p.m AS FLOAT))").as("centroid"))
-    (assign(refined), refined)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val centroids = refined.map { case (l, c) => (l, c.toSeq) }
+      .toDF("list", "centroid")
+    (assignByCentroids(corpus, refined), centroids)
   }
+
+  /** Materialized IVF index cache: at scale the index is built ONCE
+    * per corpus and reused across queries (mirroring the rollup-store
+    * pattern) — rebuilding it inside every top-k call would rescan the
+    * corpus per query. The assigned table is persisted and the build
+    * is forced eagerly on first use.
+    */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  def ivfIndex(corpus: DataFrame, nLists: Int, cacheKey: String): (DataFrame, DataFrame) =
+    ivfCache.getOrElseUpdate(s"$cacheKey#$nLists", {
+      val (assigned, centroids) = ivfBuild(corpus, nLists)
+      val persisted = assigned
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted.count() // force the build exactly once
+      (persisted, centroids)
+    })
 
   /** ANN top-k over an IVF index: each query probes its `nProbe`
     * nearest lists and brute-forces only those lists' members —
     * corpus fraction touched ≈ nProbe/nLists. Recall vs
-    * [[bruteForceTopK]] is pinned in the unit suite.
+    * [[bruteForceTopK]] is pinned in the unit suite. Pass `cacheKey`
+    * to reuse a materialized index across calls ([[ivfIndex]]) —
+    * production callers should always do so.
     */
   def ivfTopK(
       queries: DataFrame, // q_id, q_vec
       corpus: DataFrame,  // id, vec
-      nLists: Int, nProbe: Int, k: Int): DataFrame = {
-    val (assigned, centroids) = ivfBuild(corpus, nLists)
+      nLists: Int, nProbe: Int, k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val (assigned, centroids) = cacheKey match {
+      case Some(key) => ivfIndex(corpus, nLists, key)
+      case None      => ivfBuild(corpus, nLists)
+    }
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cd").desc, col("list").asc)

@@ -73,7 +73,8 @@ object VecQueries {
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      VecFunctions.ivfTopK(queries, corpus, nLists = 16, nProbe = 4, k = 5)
+      VecFunctions.ivfTopK(queries, corpus, nLists = 16, nProbe = 4, k = 5,
+          cacheKey = Some(s"emb:$d"))
         .orderBy("q_id", "rank")
     },
 
@@ -84,14 +85,20 @@ object VecQueries {
     // zero in both engines; abs/max/division are exact.
     "vec_quantize_int8" -> QueryDef(
       """SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0) AS BIGINT)) AS q8,
+        |  md5(array_to_string(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 127.0) AS BIGINT)), ',')) AS q8_digest,
         |  round(list_aggregate(list_transform(embedding,
         |    x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * 127.0) / 127.0)), 'max'), 9) AS max_err
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // the quantized vector itself is array-typed, which the driver's
+      // pandas compare can't sort — project an md5 digest of the joined
+      // int8 codes instead (bit-exact both sides: round-half-away +
+      // BIGINT rendering are identical in Spark and DuckDB)
       Tables.embeddings(s, d)
         .select(col("vec_id"),
-          transform(col("embedding"),
-            x => round(x.cast("double") * 127.0, 0).cast("long")).as("q8"),
+          md5(concat_ws(",", transform(col("embedding"),
+            x => round(x.cast("double") * 127.0, 0).cast("long").cast("string"))))
+            .as("q8_digest"),
           round(array_max(transform(col("embedding"),
             x => abs(x.cast("double") - round(x.cast("double") * 127.0, 0) / 127.0))), 9)
             .as("max_err"))

@@ -63,6 +63,40 @@ class VecSpec extends SparkSpec {
     assert(recall >= 0.35, s"IVF recall $recall too low (16 lists, 4 probes)")
   }
 
+  test("IVF assignment is map-side: no shuffle in the physical plan") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Seq(
+      (0L, Array.fill(64)(0.1f)),
+      (1L, Array.tabulate(64)(i => if (i % 2 == 0) 0.2f else -0.2f)))
+    val assigned = VecFunctions.assignByCentroids(corpus, cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment plan shuffles:\n$plan")
+    // and it still assigns every vector to exactly one of the lists
+    assert(assigned.count() == corpus.count())
+    assert(assigned.where(!col("list").isin(0L, 1L)).count() == 0)
+  }
+
+  test("IVF assignment ties break to the lowest list") {
+    import spark.implicits._
+    val corpus = Seq((7L, Array(1f, 1f))).toDF("id", "vec")
+    // two identical centroids -> identical cosine -> lower list wins
+    val cents = Seq((3L, Array(1f, 0f)), (5L, Array(1f, 0f)))
+    val got = VecFunctions.assignByCentroids(corpus, cents)
+      .select("list").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L))
+  }
+
+  test("ivfIndex caches: second call returns the same materialized index") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (a1, c1) = VecFunctions.ivfIndex(corpus, nLists = 8, cacheKey = "spec-cache")
+    val (a2, c2) = VecFunctions.ivfIndex(corpus, nLists = 8, cacheKey = "spec-cache")
+    assert(a1 eq a2)
+    assert(c1 eq c2)
+    assert(a1.storageLevel.useMemory || a1.storageLevel.useDisk)
+  }
+
   test("IVF build: every corpus vector lands in exactly one list") {
     val emb = graft.Tables.embeddings(spark, sf001)
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
