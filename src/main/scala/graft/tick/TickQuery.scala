@@ -33,10 +33,19 @@ object TickQuery {
   private val mapper = new ObjectMapper()
 
   /** Lenient multi-layout time parsing, the role `timelib.ParseTime`
-    * plays in the reference (`database.go:79`, `query.go:75,82`).
-    * Accepts RFC3339 (with offset or Z, optional fractional seconds),
-    * "yyyy-MM-dd HH:mm:ss[.SSS]", bare dates, and integer unix
-    * nanoseconds. Zone-less layouts are UTC.
+    * (dustin/seriesly) plays in the reference (`database.go:79`,
+    * `query.go:75,82`). Accepted layouts — zone-less ones are UTC:
+    *
+    *  | layout | example |
+    *  |---|---|
+    *  | RFC3339, offset or Z, optional fraction | `2016-08-28T21:24:00.5Z` |
+    *  | `yyyy-MM-dd'T'HH:mm[:ss[.fff]]`         | `2016-08-28T21:24` |
+    *  | `yyyy-MM-dd HH:mm[:ss[.fff]]`           | `2016-08-28 21:24:00` |
+    *  | `yyyy/MM/dd[ HH:mm[:ss]]`               | `2016/08/28 21:24` |
+    *  | `MM/dd/yyyy[ HH:mm[:ss]]`               | `08/28/2016 21:24:00` |
+    *  | `MM/dd/yy`                              | `08/28/16` |
+    *  | bare date `yyyy-MM-dd`                  | `2016-08-28` |
+    *  | unix seconds / millis / nanos           | 10 / 13 / 16-19 digits |
     */
   def parseTime(s: String): Instant = {
     val t = s.trim
@@ -48,12 +57,23 @@ object TickQuery {
     } else if (t.matches("^\\d{10}$")) {
       Instant.ofEpochSecond(t.toLong) // unix seconds
     } else {
+      def ldt(p: String): String => Instant =
+        x => LocalDateTime.parse(x, DateTimeFormatter.ofPattern(p)).toInstant(ZoneOffset.UTC)
+      def ld(p: String): String => Instant =
+        x => LocalDate.parse(x, DateTimeFormatter.ofPattern(p)).atStartOfDay.toInstant(ZoneOffset.UTC)
       val attempts: Seq[String => Instant] = Seq(
         x => Instant.parse(x),
         x => java.time.OffsetDateTime.parse(x).toInstant,
+        // ISO_LOCAL_TIME makes seconds/fraction optional, so these two
+        // also cover the minute-precision wall-time layouts
         x => LocalDateTime.parse(x, DateTimeFormatter.ISO_LOCAL_DATE_TIME).toInstant(ZoneOffset.UTC),
         x => LocalDateTime.parse(x.replace(' ', 'T'), DateTimeFormatter.ISO_LOCAL_DATE_TIME).toInstant(ZoneOffset.UTC),
-        x => LocalDate.parse(x).atStartOfDay.toInstant(ZoneOffset.UTC)
+        x => LocalDate.parse(x).atStartOfDay.toInstant(ZoneOffset.UTC),
+        // slash layouts, year-first before US-order (timelib tries in
+        // this order too, so `2006/01/02` is y/M/d, never M/d/y)
+        ldt("yyyy/MM/dd HH:mm:ss"), ldt("yyyy/MM/dd HH:mm"), ld("yyyy/MM/dd"),
+        ldt("MM/dd/yyyy HH:mm:ss"), ldt("MM/dd/yyyy HH:mm"), ld("MM/dd/yyyy"),
+        ld("MM/dd/yy")
       )
       attempts.view.flatMap(f => scala.util.Try(f(t)).toOption).headOption.getOrElse(
         throw new IllegalArgumentException(s"unparseable time: '$s'"))

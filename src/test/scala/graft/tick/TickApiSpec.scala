@@ -61,6 +61,27 @@ class TickApiSpec extends SparkSpec {
     assert(TickApi.listDbs(spark, store) == "[]")
   }
 
+  test("parseTime accepts the timelib layout family") {
+    import TickQuery.parseTimeNs
+    val base = parseTimeNs("2016-08-28T21:24:00Z")
+    // minute-precision wall times
+    assert(parseTimeNs("2016-08-28T21:24") == base)
+    assert(parseTimeNs("2016-08-28 21:24") == base)
+    // slash layouts, year-first and US-order
+    assert(parseTimeNs("2016/08/28 21:24") == base)
+    assert(parseTimeNs("2016/08/28 21:24:00") == base)
+    assert(parseTimeNs("08/28/2016 21:24") == base)
+    assert(parseTimeNs("08/28/2016 21:24:00") == base)
+    val day = parseTimeNs("2016-08-28")
+    assert(parseTimeNs("2016/08/28") == day)
+    assert(parseTimeNs("08/28/2016") == day)
+    assert(parseTimeNs("08/28/16") == day)
+    // fractional seconds and explicit offsets still parse
+    assert(parseTimeNs("2016-08-28T21:24:00.25Z") == base + 250000000L)
+    assert(parseTimeNs("2016-08-28T23:24:00+02:00") == base)
+    intercept[IllegalArgumentException](parseTimeNs("not-a-time"))
+  }
+
   test("ingest counts only stored points and validates required fields") {
     TickApi.createDb(spark, store, "db2")
     // the empty-value record is dropped by the store — the returned
