@@ -152,6 +152,41 @@ object VecFunctions {
     corpus.select(col("id"), col("vec"), (-best.getField("nl")).as("list"))
   }
 
+  /** Embedding near-duplicate PAIRS at scale — the unbounded sibling
+    * of the bounded brute-force verifier in VecQueries: LSH-bucket the
+    * corpus, explode one side into its Hamming-`probeHamming` probe
+    * buckets, equi-join on bucket, and exact-cosine-verify only the
+    * candidates. The full pair space never materializes; the join
+    * touches ≈ probes/2^nBits of the corpus per row, exactly like
+    * [[annTopK]]. Each qualifying pair surfaces once: only the a-side
+    * probes, the b-side stays home, and `a_id < b_id` fixes the
+    * orientation — so the (unique) mask home(a)⊕home(b) is the single
+    * route to a match. Recall vs brute force is pinned in VecSpec on a
+    * planted-duplicate corpus.
+    */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, // id, vec
+      dim: Int, nBits: Int, threshold: Double,
+      probeHamming: Int = 1): DataFrame = {
+    val probeMasks = (0L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    val masks = array(probeMasks.map(lit): _*)
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("vec"), dim, nBits))
+    val probing = bucketed
+      .select(col("id").as("a_id"), col("vec").as("a_vec"), col("bucket").as("home"))
+      .withColumn("bucket", explode(transform(
+        sequence(lit(1), lit(probeMasks.size)),
+        i => col("home").bitwiseXOR(element_at(masks, i.cast("int"))))))
+      .drop("home")
+    val home = bucketed
+      .select(col("id").as("b_id"), col("vec").as("b_vec"), col("bucket"))
+    probing.join(home, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .where(col("sim") > threshold)
+      .select("a_id", "b_id", "sim")
+  }
+
   /** IVF (inverted-file) index build: deterministic seeds (the
     * `nLists` lowest-id vectors), one Lloyd refinement step (assign →
     * per-list elementwise mean), then the final corpus→list assignment.

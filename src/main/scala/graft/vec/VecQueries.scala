@@ -65,6 +65,25 @@ object VecQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // the UNBOUNDED scale tier of embedding dedup: LSH-bucketed pair
+    // search (no vec_id cap, no pair space — candidates come from the
+    // bucket join). Engine-hash bucketing → rows-only; recall vs the
+    // planted-duplicate ground truth pinned in VecSpec. The entry
+    // plants deterministic near-copies (id+1e6, ≈0.9996 cosine) so the
+    // pair structure is non-trivial at any SF.
+    "dedup_embedding_lsh" -> QueryDef.rowsOnly { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val planted = emb.where(col("vec_id") < 250)
+        .select((col("vec_id") + 1000000L).as("id"),
+          transform(col("embedding"), (x, i) =>
+            x + (pmod(i, lit(5)) - lit(2)).cast("float") * lit(0.003f)).as("vec"))
+      VecFunctions.embeddingNearDupPairs(
+          corpus.unionByName(planted), dim = 64, nBits = 8,
+          threshold = 0.98, probeHamming = 1)
+        .orderBy("a_id", "b_id")
+    },
+
     // IVF-bucketed ANN top-5 (the scale path the LSH variant's sibling):
     // engine-built centroids, so rows-only; recall vs brute force
     // pinned in VecSpec

@@ -97,6 +97,31 @@ class VecSpec extends SparkSpec {
     assert(a1.storageLevel.useMemory || a1.storageLevel.useDisk)
   }
 
+  test("embedding LSH dedup finds planted near-dup pairs without a pair space") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val corpus = emb.where(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = emb.where(col("vec_id") < 300)
+      .select((col("vec_id") + 1000L).as("id"),
+        transform(col("embedding"), (x, i) =>
+          x + (pmod(i, lit(5)) - lit(2)).cast("float") * lit(0.003f)).as("vec"))
+    val all = corpus.unionByName(planted)
+    val found = VecFunctions.embeddingNearDupPairs(
+        all, dim = 64, nBits = 8, threshold = 0.98, probeHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 300L).map(i => (i, i + 1000L)).toSet
+    val recall = (found intersect expected).size.toDouble / expected.size
+    assert(recall >= 0.8, s"embedding LSH dedup recall $recall too low")
+    // nothing beyond the planted structure passes a 0.98 bar on
+    // independent random vectors
+    assert((found diff expected).isEmpty, s"phantom pairs: ${found diff expected}")
+    // and the plan is a bucket equi-join, never a pair-space product
+    val plan = VecFunctions.embeddingNearDupPairs(all, 64, 8, 0.98)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair space materialized:\n$plan")
+  }
+
   test("IVF build: every corpus vector lands in exactly one list") {
     val emb = graft.Tables.embeddings(spark, sf001)
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
