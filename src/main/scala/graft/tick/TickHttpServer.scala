@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
   *  - a bad time in GET /{db}/{index}/{time} is 400 `Bad time format`
   *    (`handlers.go:102-104`); a missing from/to on range delete is the
   *    reference's odd 500 `Time 'to' Error` (`handlers.go:163`).
+  *  - unmarshal errors are IGNORED like the reference's bare
+  *    `json.Unmarshal` calls: a malformed ingest body no-ops to 200
+  *    `"success"` (`handlers.go:68-74`), and a malformed range-delete
+  *    body falls into the missing-from/to branch, 500 `Time 'to'
+  *    Error` (`handlers.go:141-164`); unparseable from/to times render
+  *    500 `Time 'from' Error` / `Time 'to' Error` (`handlers.go:146,153`).
   */
 final class TickHttpServer(spark: SparkSession, store: TickStore, port: Int = 0) {
 
@@ -55,7 +61,14 @@ final class TickHttpServer(spark: SparkSession, store: TickStore, port: Int = 0)
     Route("POST", s"^/$db/_query$$".r, (p, ex) =>
       respond(ex, 200, TickApi.query(spark, store, p(0), body(ex)))),
     Route("POST", s"^/$db/?$$".r, (p, ex) => {
-      TickApi.ingest(spark, store, p(0), body(ex))
+      // the reference ignores json.Unmarshal errors (handlers.go:68):
+      // a malformed / non-array body leaves the data slice nil,
+      // dbstore no-ops over it (database.go:71-90), and the client
+      // still sees 200 "success" — mimic that by skipping the store
+      // call entirely when the body isn't a JSON array
+      val b = body(ex)
+      if (scala.util.Try(mapper.readTree(b)).toOption.exists(_.isArray))
+        TickApi.ingest(spark, store, p(0), b)
       respond(ex, 200, "\"success\"")
     }),
     Route("GET", s"^/$db/([^/]+)/([^/]+)$$".r, (p, ex) => {
@@ -78,16 +91,31 @@ final class TickHttpServer(spark: SparkSession, store: TickStore, port: Int = 0)
     }),
     Route("DELETE", s"^/$db/([^/]+)$$".r, (p, ex) => {
       val b = body(ex)
-      if (b.trim.isEmpty) respond(ex, 201, "")
+      // the reference checks the raw byte length (handlers.go:135) —
+      // a whitespace-only body falls through to the unmarshal, which
+      // fails silently into the missing-from/to branch
+      if (b.isEmpty) respond(ex, 201, "")
       else {
-        val root = mapper.readTree(b)
-        def str(k: String) =
-          Option(root.get(k)).filterNot(_.isNull).map(_.asText).getOrElse("")
-        if (str("from").isEmpty || str("to").isEmpty)
+        // unmarshal errors are ignored (handlers.go:141): a malformed
+        // body leaves the query map nil, so it lands in the
+        // missing-from/to branch -> 500 "Time 'to' Error"
+        val root = scala.util.Try(mapper.readTree(b)).toOption
+        def str(k: String) = root.flatMap(r => Option(r.get(k)))
+          .filterNot(_.isNull).map(_.asText).getOrElse("")
+        val (from, to) = (str("from"), str("to"))
+        if (from.isEmpty || to.isEmpty)
           error(ex, 500, "Time 'to' Error", "'from' and 'to' time required")
-        else {
-          TickApi.deleteRange(spark, store, p(0), p(1), b)
-          respond(ex, 201, "")
+        else scala.util.Try(TickQuery.parseTimeNs(from)) match {
+          case scala.util.Failure(e) =>
+            error(ex, 500, "Time 'from' Error", String.valueOf(e.getMessage))
+          case scala.util.Success(fromNs) =>
+            scala.util.Try(TickQuery.parseTimeNs(to)) match {
+              case scala.util.Failure(e) =>
+                error(ex, 500, "Time 'to' Error", String.valueOf(e.getMessage))
+              case scala.util.Success(toNs) =>
+                store.deleteRange(spark, p(0), p(1), fromNs, toNs)
+                respond(ex, 201, "")
+            }
         }
       }
     })

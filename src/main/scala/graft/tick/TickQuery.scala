@@ -32,6 +32,18 @@ final case class TickQuery(
 object TickQuery {
   private val mapper = new ObjectMapper()
 
+  /** `MM/dd/yy` with Go's two-digit-year cutoff: Go's `time` package
+    * (which timelib layouts resolve through) maps `yy >= 69` to 19xx
+    * and `yy < 69` to 20xx, i.e. the window [1969, 2068] — whereas
+    * Java's plain `yy` bases at 2000. `appendValueReduced` with base
+    * 1969 reproduces the Go window exactly.
+    */
+  private val yyFormatter: DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("MM/dd/")
+      .appendValueReduced(java.time.temporal.ChronoField.YEAR, 2, 2, 1969)
+      .toFormatter
+
   /** Lenient multi-layout time parsing, the role `timelib.ParseTime`
     * (dustin/seriesly) plays in the reference (`database.go:79`,
     * `query.go:75,82`). Accepted layouts — zone-less ones are UTC:
@@ -73,7 +85,7 @@ object TickQuery {
         // this order too, so `2006/01/02` is y/M/d, never M/d/y)
         ldt("yyyy/MM/dd HH:mm:ss"), ldt("yyyy/MM/dd HH:mm"), ld("yyyy/MM/dd"),
         ldt("MM/dd/yyyy HH:mm:ss"), ldt("MM/dd/yyyy HH:mm"), ld("MM/dd/yyyy"),
-        ld("MM/dd/yy")
+        x => LocalDate.parse(x, yyFormatter).atStartOfDay.toInstant(ZoneOffset.UTC)
       )
       attempts.view.flatMap(f => scala.util.Try(f(t)).toOption).headOption.getOrElse(
         throw new IllegalArgumentException(s"unparseable time: '$s'"))

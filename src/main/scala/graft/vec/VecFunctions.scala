@@ -219,18 +219,45 @@ object VecFunctions {
     * pattern) — rebuilding it inside every top-k call would rescan the
     * corpus per query. The assigned table is persisted and the build
     * is forced eagerly on first use.
+    *
+    * The cache key folds in the corpus's analyzed-plan `semanticHash`,
+    * so the same user key over a *different* corpus (other path, other
+    * filter, regenerated pipeline) builds fresh instead of silently
+    * serving the stale index. An in-place rewrite of the same files is
+    * the one change a plan hash cannot see — callers doing that must
+    * [[ivfCacheClear]] first.
     */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
 
-  def ivfIndex(corpus: DataFrame, nLists: Int, cacheKey: String): (DataFrame, DataFrame) =
-    ivfCache.getOrElseUpdate(s"$cacheKey#$nLists", {
-      val (assigned, centroids) = ivfBuild(corpus, nLists)
-      val persisted = assigned
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted.count() // force the build exactly once
-      (persisted, centroids)
-    })
+  def ivfIndex(corpus: DataFrame, nLists: Int, cacheKey: String): (DataFrame, DataFrame) = {
+    val fp = corpus.queryExecution.analyzed.semanticHash()
+    val key = s"$cacheKey#$nLists#$fp"
+    ivfCache.get(key) match {
+      case Some(hit) => hit
+      case None =>
+        val (assigned, centroids) = ivfBuild(corpus, nLists)
+        val persisted = assigned
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted.count() // force the build before publishing
+        // putIfAbsent (not getOrElseUpdate): a concurrent loser's
+        // persisted copy is unpersisted instead of leaking forever
+        ivfCache.putIfAbsent(key, (persisted, centroids)) match {
+          case Some(winner) =>
+            persisted.unpersist(blocking = false)
+            winner
+          case None => (persisted, centroids)
+        }
+    }
+  }
+
+  /** Evict every cached IVF index, unpersisting the assigned tables —
+    * the hook for corpora mutated in place under an unchanged plan.
+    */
+  def ivfCacheClear(): Unit =
+    ivfCache.keySet.foreach { k =>
+      ivfCache.remove(k).foreach { case (df, _) => df.unpersist(blocking = false) }
+    }
 
   /** ANN top-k over an IVF index: each query probes its `nProbe`
     * nearest lists and brute-forces only those lists' members —

@@ -9,6 +9,14 @@ import graft.{QueryDef, Tables}
   */
 object VecQueries {
 
+  /** High-bit id space for planted near-duplicates in
+    * `dedup_embedding_lsh`: real `vec_id`s are dense from 0, so
+    * 2^40 keeps the planted range disjoint at any realistic SF
+    * (collision would need a trillion-row corpus); `a_id < b_id`
+    * orientation then always puts the real id on the a side.
+    */
+  val PlantedIdOffset: Long = 1L << 40
+
   val defs: Map[String, QueryDef] = Map(
 
     // exact cosine top-5 for 10 query vectors, oracle-checked: the
@@ -69,13 +77,16 @@ object VecQueries {
     // search (no vec_id cap, no pair space — candidates come from the
     // bucket join). Engine-hash bucketing → rows-only; recall vs the
     // planted-duplicate ground truth pinned in VecSpec. The entry
-    // plants deterministic near-copies (id+1e6, ≈0.9996 cosine) so the
-    // pair structure is non-trivial at any SF.
+    // plants deterministic near-copies (id | 2^40, ≈0.9996 cosine) so
+    // the pair structure is non-trivial at any SF — a high-bit id
+    // space, not a fixed additive offset, so planted ids stay disjoint
+    // from real ones up to a 10^12-row corpus (VecSpec pins the
+    // disjointness against the test parquet).
     "dedup_embedding_lsh" -> QueryDef.rowsOnly { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val planted = emb.where(col("vec_id") < 250)
-        .select((col("vec_id") + 1000000L).as("id"),
+        .select((col("vec_id") + VecQueries.PlantedIdOffset).as("id"),
           transform(col("embedding"), (x, i) =>
             x + (pmod(i, lit(5)) - lit(2)).cast("float") * lit(0.003f)).as("vec"))
       VecFunctions.embeddingNearDupPairs(

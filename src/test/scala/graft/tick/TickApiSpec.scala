@@ -82,6 +82,16 @@ class TickApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](parseTimeNs("not-a-time"))
   }
 
+  test("MM/dd/yy resolves two-digit years on Go's 1969/2068 window") {
+    import TickQuery.parseTimeNs
+    // Go's time package (behind timelib's layouts) maps yy >= 69 to
+    // 19xx and yy < 69 to 20xx; Java's plain `yy` would base at 2000
+    assert(parseTimeNs("01/01/69") == parseTimeNs("1969-01-01"))
+    assert(parseTimeNs("12/31/68") == parseTimeNs("2068-12-31"))
+    assert(parseTimeNs("12/31/99") == parseTimeNs("1999-12-31"))
+    assert(parseTimeNs("08/28/16") == parseTimeNs("2016-08-28"))
+  }
+
   test("ingest counts only stored points and validates required fields") {
     TickApi.createDb(spark, store, "db2")
     // the empty-value record is dropped by the store — the returned

@@ -95,4 +95,38 @@ class TickHttpSpec extends SparkSpec {
     val (nhStatus, nhBody) = http("POST", "/a/b/c/d")
     assert(nhStatus == 400 && nhBody.contains("no_handler"))
   }
+
+  test("malformed bodies follow the reference's ignore-unmarshal-errors paths") {
+    assert(http("PUT", "/paritydb")._1 == 201)
+
+    // malformed ingest JSON: the reference's bare json.Unmarshal leaves
+    // the data slice nil, dbstore no-ops -> 200 "success" (handlers.go:68-74)
+    assert(http("POST", "/paritydb", Some("{not json at all")) == (200, "\"success\""))
+    // valid JSON but not an array behaves the same (Unmarshal into a
+    // slice errors, data stays nil)
+    assert(http("POST", "/paritydb", Some("""{"index":"i1"}""")) == (200, "\"success\""))
+    // and neither no-op created an index
+    assert(store.listIndexes(spark, "paritydb").isEmpty)
+
+    // seed one real point so delete paths have an index to hit
+    assert(http("POST", "/paritydb", Some(
+      """[{"index":"i1", "time":"2016-08-28T21:24:00Z", "value":{"v": 1.0}}]"""))._1 == 200)
+
+    // malformed delete body: nil map -> missing-from/to branch ->
+    // 500 "Time 'to' Error" (handlers.go:141-164)
+    val (mdStatus, mdBody) = http("DELETE", "/paritydb/i1", Some("{not json"))
+    assert(mdStatus == 500 && mdBody.contains("Time 'to' Error"))
+    // unparseable 'from' -> 500 "Time 'from' Error" (handlers.go:146)
+    val (fStatus, fBody) = http("DELETE", "/paritydb/i1",
+      Some("""{"from":"garbage", "to":"2016-08-28T21:25:00Z"}"""))
+    assert(fStatus == 500 && fBody.contains("Time 'from' Error"))
+    // unparseable 'to' -> 500 "Time 'to' Error" (handlers.go:153)
+    val (tStatus, tBody) = http("DELETE", "/paritydb/i1",
+      Some("""{"from":"2016-08-28T21:24:00Z", "to":"garbage"}"""))
+    assert(tStatus == 500 && tBody.contains("Time 'to' Error"))
+    // none of the failed deletes touched the point
+    assert(store.readIndex(spark, "paritydb", "i1").count() == 1)
+
+    assert(http("DELETE", "/paritydb/_all")._1 == 201)
+  }
 }

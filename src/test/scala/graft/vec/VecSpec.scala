@@ -97,6 +97,52 @@ class VecSpec extends SparkSpec {
     assert(a1.storageLevel.useMemory || a1.storageLevel.useDisk)
   }
 
+  test("ivfIndex keyed by corpus identity: same cacheKey, changed corpus -> fresh index") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val corpusA = emb.where(col("vec_id") < 200)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // same user key, different corpus (disjoint id range) — a stale
+    // hit would surface corpusA's ids from the persisted assignment
+    val corpusB = emb.where(col("vec_id") >= 200 && col("vec_id") < 400)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (a1, _) = VecFunctions.ivfIndex(corpusA, nLists = 4, cacheKey = "spec-stale")
+    val (a2, _) = VecFunctions.ivfIndex(corpusB, nLists = 4, cacheKey = "spec-stale")
+    assert(!(a1 eq a2), "changed corpus under the same cacheKey returned the stale index")
+    val idsB = a2.select("id").collect().map(_.getLong(0)).toSet
+    assert(idsB.forall(id => id >= 200L && id < 400L),
+      s"stale assignment leaked foreign ids: ${idsB.filterNot(id => id >= 200L && id < 400L).take(5)}")
+    // and the unchanged corpus still hits the cache
+    val (a1again, _) = VecFunctions.ivfIndex(corpusA, nLists = 4, cacheKey = "spec-stale")
+    assert(a1 eq a1again)
+  }
+
+  test("ivfCacheClear unpersists and evicts: next call rebuilds") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val corpus = emb.where(col("vec_id") < 100)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (a1, _) = VecFunctions.ivfIndex(corpus, nLists = 4, cacheKey = "spec-clear")
+    VecFunctions.ivfCacheClear()
+    assert(a1.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "clear hook left the assigned table persisted")
+    val (a2, _) = VecFunctions.ivfIndex(corpus, nLists = 4, cacheKey = "spec-clear")
+    assert(!(a1 eq a2), "evicted entry was served again")
+  }
+
+  test("planted dedup id space is disjoint from real vec_ids") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val maxId = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    assert(maxId < VecQueries.PlantedIdOffset,
+      s"real vec_id $maxId collides with planted id space (offset ${VecQueries.PlantedIdOffset})")
+    // the entry itself: every pair pairs a real a-side with a planted
+    // b-side (a_id < b_id fixes the orientation given the high bit)
+    val pairs = VecQueries.defs("dedup_embedding_lsh").build(spark, sf001)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) =>
+      a < VecQueries.PlantedIdOffset && b >= VecQueries.PlantedIdOffset
+    }, "pair orientation broke: expected real a_id, planted b_id")
+  }
+
   test("embedding LSH dedup finds planted near-dup pairs without a pair space") {
     val emb = graft.Tables.embeddings(spark, sf001)
     val corpus = emb.where(col("vec_id") < 300)
