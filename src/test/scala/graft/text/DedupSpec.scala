@@ -62,6 +62,38 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(est - trueJ) < 0.15, s"minhash est $est vs true $trueJ")
   }
 
+  test("simhash pair search on real sf0.01 documents finds planted duplicates") {
+    // the synthetic-corpus cases above pin semantics; this pins the
+    // shipped behavior against the real documents parquet so a future
+    // refactor can't silently degrade it. All values deterministic
+    // (fixed parquet, hash-derived fingerprints).
+    val docs = graft.Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val plantedExact = docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val plantedNear = docs.where(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zq zq")).as("text"))
+    val all = docs.unionByName(plantedExact).unionByName(plantedNear)
+    val sh = all.select(col("doc_id"),
+      Dedup.simhash(TextFunctions.tokens(col("text"))).as("sh"))
+    val pairsDf = Dedup.simhashPairs(sh, "doc_id", "sh", maxHamming = 3)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies are Hamming 0 — the pigeonhole banding must find
+    // every single one
+    val exactHits = (100L until 200L).count(i => pairs.contains((i, i + 2000000L)))
+    assert(exactHits == 100, s"exact-duplicate recall $exactHits/100")
+    // a two-token append keeps most short docs within Hamming 3;
+    // observed 32/100 on this corpus — pin a floor
+    val nearHits = (0L until 100L).count(i => pairs.contains((i, i + 1000000L)))
+    assert(nearHits >= 25, s"near-duplicate hits $nearHits (observed 32)")
+    // and the candidate space stayed bucketed: no pair explosion
+    // (observed 161 total pairs) and no cartesian in the plan
+    assert(pairs.size <= 1000, s"${pairs.size} pairs — bucketing degraded")
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair space materialized:\n$plan")
+  }
+
   test("simhash: identical texts collide, near texts are close, distinct far") {
     val docB = base.replace("w5", "xx")
     val docC = (1 to 80).map(i => s"z$i").mkString(" ")
