@@ -30,7 +30,9 @@ object ExplainAudit {
       "text_tfidf",        // two-stage partial agg + broadcast scalar
       "pivot_agg",         // single-pass conditional agg (no values scan)
       "sample_hash",       // digest filter evaluated at the scan
-      "window_range_frame") // range-frame window, one shuffle
+      "window_range_frame", // range-frame window, one shuffle
+      "decontaminate_ngram", // broadcast benchmark shingles, streaming train side
+      "text_repetition")   // one (doc, bigram) shuffle, partial agg
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

@@ -196,6 +196,151 @@ object TextQueries {
         .limit(20)
     },
 
+    // text normalization: lowercase, strip non-alphanumeric to spaces,
+    // collapse runs, trim — the canonicalization step before exact
+    // dedup / fingerprinting in a training pipeline. The corpus text is
+    // already clean, so dirt (markup, case, punctuation) is planted
+    // deterministically on every 7th doc to make the op non-trivial;
+    // digest-verified. Per-row regex work only — scales with the scan.
+    "text_normalize" -> QueryDef(
+      """WITH aug AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN '  <<DOC #' || CAST(doc_id AS VARCHAR) || '>>  ' || upper(text) || '!!  '
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g'))) AS norm_digest,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g'))) AS n_norm,
+        |  length(text) AS n_raw
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dirty = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit("  <<DOC #"), col("doc_id").cast("string"), lit(">>  "),
+          upper(col("text")), lit("!!  "))).otherwise(col("text"))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "  +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dirty.as("text"))
+        .select(col("doc_id"), md5(norm).as("norm_digest"),
+          length(norm).as("n_norm"), length(col("text")).as("n_raw"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing: count + redact emails and phone numbers (planted
+    // on every 10th doc — the corpus itself is synthetic-clean), the
+    // compliance pass of a web-scale pipeline. Redaction verified by
+    // digest; per-row regex only.
+    "text_pii_scrub" -> QueryDef(
+      """WITH aug AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+        |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS scrub_digest
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+      val aug = when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-123-4567"))).otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("text"))
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("text"),
+            emailRe, "<EMAIL>"), phoneRe, "<PHONE>")).as("scrub_digest"))
+        .orderBy("doc_id")
+    },
+
+    // repetition scoring (Gopher-style quality signal): distinct-token
+    // ratio and the corpus-share of the most frequent bigram per doc.
+    // One shuffle (doc_id, bigram) with map-side partial agg; the final
+    // per-doc fractions are single exact divisions — fp-parity safe.
+    "text_repetition" -> QueryDef(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        |), eligible AS (
+        |  SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+        |), b AS (
+        |  SELECT doc_id, unnest(list_transform(list_zip(toks, toks[2:]),
+        |    p -> CASE WHEN p[2] IS NULL THEN NULL ELSE p[1] || ' ' || p[2] END)) AS bg
+        |  FROM eligible
+        |), c AS (
+        |  SELECT doc_id, bg, COUNT(*) AS n FROM b WHERE bg IS NOT NULL GROUP BY 1, 2
+        |), rep AS (
+        |  SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac FROM c GROUP BY 1
+        |)
+        |SELECT e.doc_id AS doc_id,
+        |  CAST(len(list_distinct(e.toks)) AS DOUBLE) / len(e.toks) AS uniq_token_ratio,
+        |  rep.top_bigram_frac AS top_bigram_frac
+        |FROM eligible e JOIN rep ON e.doc_id = rep.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val eligible = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val rep = eligible
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg((max(col("n")).cast("double") / sum(col("n"))).as("top_bigram_frac"))
+      eligible
+        .select(col("doc_id"),
+          (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+            .as("uniq_token_ratio"))
+        .join(rep, "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // benchmark decontamination: the GPT-3-style 13-gram collision scan
+    // between a (small) benchmark set and the training corpus. The
+    // benchmark's distinct shingle set is BROADCAST (benchmarks are
+    // tiny vs a 100 TB corpus); the train side streams through an
+    // equi-join — no shuffle of the corpus, no pair space. Docs 20-39
+    // are planted with a 20-token benchmark snippet so the collision
+    // structure is non-trivial at any SF; any natural near-dups of
+    // benchmark docs surface too (at sf0.01, doc 245 genuinely shares
+    // 71 shingles with a benchmark doc).
+    "decontaminate_ngram" -> QueryDef(
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+         |train AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN b.doc_id IS NOT NULL
+         |      THEN d.text || ' ' || array_to_string(list_slice(${tokensSql("b.text")}, 1, 20), ' ')
+         |      ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN bench b ON b.doc_id = d.doc_id - 20
+         |  WHERE d.doc_id >= 20),
+         |bsh AS (SELECT DISTINCT unnest(${shinglesSql("text", 13)}) AS sh FROM bench),
+         |tsh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("text", 13)})) AS sh FROM train)
+         |SELECT t.doc_id AS doc_id, COUNT(*) AS n_hits
+         |FROM tsh t JOIN bsh USING (sh)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bench = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      val train = docs.where(col("doc_id") >= 20)
+        .join(broadcast(bench), col("b_id") === col("doc_id") - 20, "left")
+        .select(col("doc_id"),
+          when(col("b_id").isNotNull,
+            concat(col("text"), lit(" "),
+              concat_ws(" ", slice(tokens(col("b_text")), 1, 20))))
+            .otherwise(col("text")).as("text"))
+      val bsh = bench
+        .select(explode(shingles(col("b_text"), 13)).as("sh")).distinct()
+      train
+        .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 13))).as("sh"))
+        .join(broadcast(bsh), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
     // context-window packing: split each document into fixed 50-token
     // chunks (the pre-tokenization shard step of a training pipeline).
     // Per-row work only — tokenize, explode the chunk index range,
