@@ -94,6 +94,88 @@ object TickQueries {
       """{"index":"signup","from":"2024-01-15T00:00:00Z","to":"2024-01-15T12:00:00Z",
          |"fields":{"value":{"reducer":"last"}}}""".stripMargin),
 
+    // linearly-interpolated resample: the gap-fill sibling where
+    // missing buckets take prev + (next - prev) * elapsed-fraction
+    // instead of a flat ffill (edge gaps fall back to the one known
+    // neighbor). Same scale shape as tick_gap_fill: dense per-series
+    // axis broadcast against the hourly aggregate, ordered windows
+    // only over axis rows, never points. Every interpolation input is
+    // IEEE-exact (+,-,*,/ on identically-ordered doubles), so the
+    // oracle matches bit for bit.
+    "tick_interp" -> QueryDef(
+      """WITH buckets AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+        |                                TIMESTAMP '2024-01-06 23:00:00',
+        |                                INTERVAL 1 HOUR)) AS bucket
+        |), types AS (
+        |  SELECT DISTINCT event_type FROM events WHERE event_type IN ('click', 'error')
+        |), axis AS (
+        |  SELECT event_type, bucket FROM types CROSS JOIN buckets
+        |), agg AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS b,
+        |    CAST(SUM(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1, 2
+        |), j AS (
+        |  SELECT a.event_type, a.bucket, agg.v
+        |  FROM axis a LEFT JOIN agg ON agg.event_type = a.event_type AND agg.b = a.bucket
+        |), f AS (
+        |  SELECT event_type, bucket, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pt,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS nt
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_type, bucket,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (CAST(epoch_us(bucket) - epoch_us(pt) AS DOUBLE)
+        |                              / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+        |  END AS v_interp,
+        |  (v IS NULL) AS was_gap
+        |FROM f ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val agg = graft.Tables.events(s, d)
+        .where(col("event_type").isin("click", "error"))
+        .groupBy(col("event_type").as("a_type"), date_trunc("hour", col("ts")).as("b"))
+        .agg((sum(col("value").cast("decimal(20,4)")).cast("double")
+          / count(lit(1)).cast("double")).as("v"))
+      val buckets = s.range(1).select(explode(sequence(
+        lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+        lit(java.sql.Timestamp.valueOf("2024-01-06 23:00:00")),
+        expr("interval 1 hour"))).as("bucket"))
+      val axis = graft.Tables.events(s, d)
+        .where(col("event_type").isin("click", "error"))
+        .select("event_type").distinct()
+        .crossJoin(buckets)
+      val wp = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val f = axis
+        .join(broadcast(agg),
+          col("a_type") === col("event_type") && col("b") === col("bucket"), "left")
+        .select(col("event_type"), col("bucket"), col("v"))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("pt", last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+        .withColumn("nt", first(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wf))
+      f.select(col("event_type"), col("bucket"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((unix_micros(col("bucket")) - unix_micros(col("pt"))).cast("double")
+                / (unix_micros(col("nt")) - unix_micros(col("pt"))).cast("double")))
+            .as("v_interp"),
+          col("v").isNull.as("was_gap"))
+        .orderBy("event_type", "bucket")
+    },
+
     // gap-filled resample: a dense hourly bucket axis (sequence +
     // explode), left-joined to the sparse hourly aggregate, forward-
     // filled with last-non-null. The bucket axis is tiny relative to
