@@ -13,8 +13,8 @@ object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
     tick.TickQueries.defs ++ tick.StoreQueries.defs ++ rel.RelQueries.defs ++
-      text.TextQueries.defs ++ vec.VecQueries.defs ++ mm.MmQueries.defs ++
-      streaming.StreamingQueries.defs
+      rel.EventQueries.defs ++ text.TextQueries.defs ++ vec.VecQueries.defs ++
+      mm.MmQueries.defs ++ streaming.StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference README's own example query (README.md:32-44): avg
