@@ -145,7 +145,7 @@ object VecFunctions {
     // when/otherwise fold would embed the running best twice per step
     // and blow up exponentially)
     val scored = array(cents.sortBy(_._1).map { case (listId, cv) =>
-      val cvec = array(cv.map(x => lit(x)): _*)
+      val cvec = array(cv.toIndexedSeq.map(x => lit(x)): _*)
       struct(cosine(col("vec"), cvec).as("d"), lit(-listId).as("nl"))
     }: _*)
     val best = array_max(scored)
