@@ -19,6 +19,34 @@ import graft.QueryDef
   */
 object EventQueries {
 
+  /** Generic ordered funnel over (user_id, event_type, t) rows: a user
+    * reaches stage k when a `stages(k-1)` event exists STRICTLY after
+    * the time they reached stage k-1 (stage 1 = their first
+    * `stages(0)` event). Returns (user_id, stage) with the deepest
+    * stage reached; users who never hit stage 1 are absent.
+    *
+    * Each stage is one type-pruned pass over the events joined to the
+    * (shrinking) survivor set of the previous stage — user_id-keyed
+    * equi-joins with a time residual, no windows over raw events.
+    */
+  def funnelStages(events: org.apache.spark.sql.DataFrame, stages: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var prev = events.where(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("t")).as("rt"))
+    val reached = scala.collection.mutable.ArrayBuffer(
+      prev.select(col("user_id"), lit(1L).as("stage")))
+    stages.tail.zipWithIndex.foreach { case (st, i) =>
+      prev = events.where(col("event_type") === st).as("e")
+        .join(prev.as("p"),
+          col("e.user_id") === col("p.user_id") && col("e.t") > col("p.rt"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.t")).as("rt"))
+      reached += prev.select(col("user_id"), lit(i + 2L).as("stage"))
+    }
+    reached.reduce(_ unionByName _)
+      .groupBy("user_id").agg(max(col("stage")).as("stage"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ordered 3-stage funnel (signup -> first view after it -> first
@@ -43,21 +71,7 @@ object EventQueries {
       val w = graft.Tables.events(sp, d)
         .where(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
         .select(col("user_id"), col("event_type"), col("ts").as("t"))
-      val s = w.where(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("t")).as("t1"))
-      val v = w.where(col("event_type") === "view").as("w")
-        .join(s.as("s"), col("w.user_id") === col("s.user_id") && col("w.t") > col("s.t1"))
-        .groupBy(col("w.user_id").as("user_id")).agg(min(col("w.t")).as("t2"))
-      val p = w.where(col("event_type") === "purchase").as("w")
-        .join(v.as("v"), col("w.user_id") === col("v.user_id") && col("w.t") > col("v.t2"))
-        .groupBy(col("w.user_id").as("user_id")).agg(min(col("w.t")).as("t3"))
-      s.select(col("user_id"), col("t1"))
-        .join(v.select(col("user_id"), lit(1).as("hit_v")), Seq("user_id"), "left")
-        .join(p.select(col("user_id"), lit(1).as("hit_p")), Seq("user_id"), "left")
-        .select(col("user_id"),
-          (lit(1) + when(col("hit_v").isNull, 0).otherwise(1)
-            + when(col("hit_p").isNull, 0).otherwise(1)).cast("long").as("stage"))
-        .orderBy("user_id")
+      funnelStages(w, Seq("signup", "view", "purchase")).orderBy("user_id")
     },
 
     // cohort retention: users bucketed by first-signup day, counted
