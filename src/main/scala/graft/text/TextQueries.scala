@@ -341,6 +341,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // deterministic stratified train/val/test assignment: the doc_id
+    // digest prefix is a uniform [0,256) bucket compared against
+    // per-language thresholds (en is over-represented, so it gets
+    // tighter holdout rates). Pure per-row hashing — reproducible
+    // across runs/engines/cluster sizes, no shuffle, and the split
+    // survives corpus growth (a doc's assignment never changes).
+    "sample_stratified_split" -> QueryDef(
+      """WITH h AS (
+        |  SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hb
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN hb < (CASE WHEN lang = 'en' THEN '0d' ELSE '1a' END) THEN 'val'
+        |       WHEN hb < (CASE WHEN lang = 'en' THEN '1a' ELSE '33' END) THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val hb = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(hb < when(col("lang") === "en", "0d").otherwise("1a"), "val")
+            .when(hb < when(col("lang") === "en", "1a").otherwise("33"), "test")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id")
+    },
+
     // context-window packing: split each document into fixed 50-token
     // chunks (the pre-tokenization shard step of a training pipeline).
     // Per-row work only — tokenize, explode the chunk index range,
