@@ -60,15 +60,16 @@ object VecFunctions {
 
   /** Random-hyperplane LSH bucket id (`nBits`-bit sign signature).
     * Hyperplane components are deterministic pseudo-random values
-    * derived from (plane, dim) by integer hashing — no RNG state, so
-    * bucketing is reproducible across runs and engines.
+    * derived from (seed, plane, dim) by integer hashing — no RNG
+    * state, so bucketing is reproducible across runs and engines.
+    * Distinct `seed`s give independent hash tables (multi-table LSH).
     */
-  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+  def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 0L): Column = {
     val masks = (0 until nBits).map(b => lit(1L << b))
     val planes = (0 until nBits).map { b =>
       array((0 until dim).map { j =>
-        // hash (b, j) -> [-1, 1): splitmix-scrambled, scaled
-        lit(scrambleToUnit(b.toLong * 997L + j.toLong))
+        // hash (seed, b, j) -> [-1, 1): splitmix-scrambled, scaled
+        lit(scrambleToUnit(seed * 1000003L + b.toLong * 997L + j.toLong))
       }: _*)
     }
     planes.zip(masks).map { case (plane, mask) =>
@@ -84,37 +85,53 @@ object VecFunctions {
     (z >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
   }
 
-  /** ANN top-k via multi-probe LSH: queries probe their own bucket plus
-    * every bucket within Hamming distance `probeHamming` of it, so the
-    * join touches a bounded fraction of the corpus per probe instead of
-    * all of it (probes/2^nBits). Recall is tested against
-    * [[bruteForceTopK]] in the unit suite — note synthetic uniform
-    * vectors are LSH's worst case (no angular clustering); real
-    * embedding corpora cluster and recall rises accordingly.
+  /** ANN top-k via multi-probe, multi-table LSH: queries probe their
+    * own bucket plus every bucket within Hamming distance
+    * `probeHamming` of it, in each of `nTables` INDEPENDENT hash
+    * tables (distinct plane seeds). A neighbor missed by one table's
+    * split survives if any table co-buckets it, so misses compound
+    * multiplicatively (≈ miss^L) at linearly growing probe cost —
+    * the standard E2LSH recall lever. The join touches a bounded
+    * fraction of the corpus per probe (tables · probes / 2^nBits).
+    * Recall is tested against [[bruteForceTopK]] in the unit suite —
+    * note synthetic uniform vectors are LSH's worst case (no angular
+    * clustering); real embedding corpora cluster and recall rises
+    * accordingly.
     */
   def annTopK(
       queries: DataFrame, // q_id, q_vec
       corpus: DataFrame,  // id, vec
-      dim: Int, nBits: Int, k: Int, probeHamming: Int = 2): DataFrame = {
+      dim: Int, nBits: Int, k: Int, probeHamming: Int = 2,
+      nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
     // all XOR masks with popcount <= probeHamming
     val probeMasks = (0L until (1L << nBits))
       .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
     val masks = array(probeMasks.map(lit): _*)
-    val cb = corpus.withColumn("bucket", lshBucket(col("vec"), dim, nBits))
-    val qb = queries
-      .withColumn("home", lshBucket(col("q_vec"), dim, nBits))
-      .withColumn("bucket", explode(transform(
-        sequence(lit(1), lit(probeMasks.size)),
-        i => col("home").bitwiseXOR(element_at(masks, i.cast("int"))))))
-      .drop("home")
-    val scored = cb
-      .join(broadcast(qb), Seq("bucket"))
-      .where(col("q_id") =!= col("id"))
-      .withColumn("sim", cosine(col("q_vec"), col("vec")))
+    val perTable = (0 until nTables).map { t =>
+      val cb = corpus
+        .withColumn("bucket", lshBucket(col("vec"), dim, nBits, seed = t.toLong))
+      val qb = queries
+        .withColumn("home", lshBucket(col("q_vec"), dim, nBits, seed = t.toLong))
+        .withColumn("bucket", explode(transform(
+          sequence(lit(1), lit(probeMasks.size)),
+          i => col("home").bitwiseXOR(element_at(masks, i.cast("int"))))))
+        .drop("home")
+      cb.join(broadcast(qb), Seq("bucket"))
+        .where(col("q_id") =!= col("id"))
+        .withColumn("sim", cosine(col("q_vec"), col("vec")))
+        .select("q_id", "id", "sim")
+    }
+    // tables overlap on easy neighbors: collapse duplicates before
+    // ranking (sim is identical wherever the pair appears)
+    val candidates =
+      if (nTables == 1) perTable.head
+      else perTable.reduce(_ unionByName _)
+        .groupBy("q_id", "id").agg(max(col("sim")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("id").asc)
-    scored
+    candidates
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("q_id", "id", "sim", "rank")

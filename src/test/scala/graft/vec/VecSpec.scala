@@ -47,21 +47,23 @@ class VecSpec extends SparkSpec {
     assert(ann.size <= exact.size + queries.count() * 5)
   }
 
-  test("ANN entry config (nBits=8, Hamming<=2) holds recall and bucket spread at sf0.01") {
+  test("ANN entry config (nBits=10, Hamming<=2, 4 tables) holds recall and bucket spread at sf0.01") {
     val emb = graft.Tables.embeddings(spark, sf001)
     val queries = emb.where(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    // the driver entry sim_ann_topk ships probeHamming=2 — pin recall
-    // at that exact configuration (everything here is deterministic:
-    // fixed parquet + hash-derived hyperplanes). Observed 0.22 vs the
-    // 37/256 ~ 0.145 probed-fraction baseline on uniform vectors.
+    // the driver entry sim_ann_topk ships nBits=10/probeHamming=2/
+    // nTables=4 — pin recall at that exact configuration (everything
+    // here is deterministic: fixed parquet + hash-derived hyperplanes).
+    // Observed 0.54 vs the 4*56/1024 ~ 0.22 probed-fraction baseline
+    // on uniform vectors (single-table was 0.22).
     val exact = VecFunctions.bruteForceTopK(queries, corpus, k = 5)
       .select("q_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = VecFunctions.annTopK(queries, corpus, dim = 64, nBits = 8, k = 5, probeHamming = 2)
+    val ann = VecFunctions.annTopK(queries, corpus, dim = 64, nBits = 10, k = 5,
+        probeHamming = 2, nTables = 4)
       .select("q_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect ann).size.toDouble / exact.size
-    assert(recall >= 0.2, s"entry-config ANN recall $recall degraded (observed 0.22)")
+    assert(recall >= 0.5, s"entry-config ANN recall $recall degraded (observed 0.54)")
     // bucket spread: a refactor that collapses the bucketing is the
     // O(N^2) failure mode — pin loose bounds around the observed
     // 210 distinct buckets / max load 6 over 500 vectors
