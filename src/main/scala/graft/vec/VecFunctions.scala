@@ -174,34 +174,46 @@ object VecFunctions {
     * corpus, explode one side into its Hamming-`probeHamming` probe
     * buckets, equi-join on bucket, and exact-cosine-verify only the
     * candidates. The full pair space never materializes; the join
-    * touches ≈ probes/2^nBits of the corpus per row, exactly like
-    * [[annTopK]]. Each qualifying pair surfaces once: only the a-side
-    * probes, the b-side stays home, and `a_id < b_id` fixes the
-    * orientation — so the (unique) mask home(a)⊕home(b) is the single
-    * route to a match. Recall vs brute force is pinned in VecSpec on a
-    * planted-duplicate corpus.
+    * touches ≈ tables·probes/2^nBits of the corpus per row, exactly
+    * like [[annTopK]]. Within a table each qualifying pair surfaces
+    * once: only the a-side probes, the b-side stays home, and
+    * `a_id < b_id` fixes the orientation — so the (unique) mask
+    * home(a)⊕home(b) is the single route to a match. With `nTables`
+    * independent plane sets, a pair split apart by one table survives
+    * if any table co-buckets it (misses compound multiplicatively);
+    * cross-table duplicates collapse before the output — and never
+    * create false positives, since every candidate still passes the
+    * exact-cosine threshold. Recall vs brute force is pinned in
+    * VecSpec on a planted-duplicate corpus.
     */
   def embeddingNearDupPairs(
       corpus: DataFrame, // id, vec
       dim: Int, nBits: Int, threshold: Double,
-      probeHamming: Int = 1): DataFrame = {
+      probeHamming: Int = 1, nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
     val probeMasks = (0L until (1L << nBits))
       .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
     val masks = array(probeMasks.map(lit): _*)
-    val bucketed = corpus.withColumn("bucket", lshBucket(col("vec"), dim, nBits))
-    val probing = bucketed
-      .select(col("id").as("a_id"), col("vec").as("a_vec"), col("bucket").as("home"))
-      .withColumn("bucket", explode(transform(
-        sequence(lit(1), lit(probeMasks.size)),
-        i => col("home").bitwiseXOR(element_at(masks, i.cast("int"))))))
-      .drop("home")
-    val home = bucketed
-      .select(col("id").as("b_id"), col("vec").as("b_vec"), col("bucket"))
-    probing.join(home, Seq("bucket"))
-      .where(col("a_id") < col("b_id"))
-      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
-      .where(col("sim") > threshold)
-      .select("a_id", "b_id", "sim")
+    val perTable = (0 until nTables).map { t =>
+      val bucketed = corpus
+        .withColumn("bucket", lshBucket(col("vec"), dim, nBits, seed = t.toLong))
+      val probing = bucketed
+        .select(col("id").as("a_id"), col("vec").as("a_vec"), col("bucket").as("home"))
+        .withColumn("bucket", explode(transform(
+          sequence(lit(1), lit(probeMasks.size)),
+          i => col("home").bitwiseXOR(element_at(masks, i.cast("int"))))))
+        .drop("home")
+      val home = bucketed
+        .select(col("id").as("b_id"), col("vec").as("b_vec"), col("bucket"))
+      probing.join(home, Seq("bucket"))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+        .where(col("sim") > threshold)
+        .select("a_id", "b_id", "sim")
+    }
+    if (nTables == 1) perTable.head
+    else perTable.reduce(_ unionByName _)
+      .groupBy("a_id", "b_id").agg(max(col("sim")).as("sim"))
   }
 
   /** IVF (inverted-file) index build: deterministic seeds (the

@@ -96,7 +96,7 @@ object VecQueries {
             x + (pmod(i, lit(5)) - lit(2)).cast("float") * lit(0.003f)).as("vec"))
       VecFunctions.embeddingNearDupPairs(
           corpus.unionByName(planted), dim = 64, nBits = 8,
-          threshold = 0.98, probeHamming = 1)
+          threshold = 0.98, probeHamming = 1, nTables = 2)
         .orderBy("a_id", "b_id")
     },
 

@@ -180,17 +180,26 @@ class VecSpec extends SparkSpec {
         transform(col("embedding"), (x, i) =>
           x + (pmod(i, lit(5)) - lit(2)).cast("float") * lit(0.003f)).as("vec"))
     val all = corpus.unionByName(planted)
-    val found = VecFunctions.embeddingNearDupPairs(
-        all, dim = 64, nBits = 8, threshold = 0.98, probeHamming = 1)
+    def run(tables: Int) = VecFunctions.embeddingNearDupPairs(
+        all, dim = 64, nBits = 8, threshold = 0.98, probeHamming = 1, nTables = tables)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = run(1)
     val expected = (0L until 300L).map(i => (i, i + 1000L)).toSet
     val recall = (found intersect expected).size.toDouble / expected.size
     assert(recall >= 0.8, s"embedding LSH dedup recall $recall too low")
     // nothing beyond the planted structure passes a 0.98 bar on
     // independent random vectors
     assert((found diff expected).isEmpty, s"phantom pairs: ${found diff expected}")
+    // a second independent table (the entry's config) can only widen
+    // the candidate set: recall dominates single-table, still no
+    // phantoms (candidates pass the same exact-cosine threshold)
+    val found2 = run(2)
+    assert(found subsetOf found2, "multi-table lost pairs the single table found")
+    assert((found2 diff expected).isEmpty, s"phantom pairs (2 tables): ${found2 diff expected}")
+    val recall2 = (found2 intersect expected).size.toDouble / expected.size
+    assert(recall2 >= recall, s"2-table recall $recall2 below single-table $recall")
     // and the plan is a bucket equi-join, never a pair-space product
-    val plan = VecFunctions.embeddingNearDupPairs(all, 64, 8, 0.98)
+    val plan = VecFunctions.embeddingNearDupPairs(all, 64, 8, 0.98, nTables = 2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"pair space materialized:\n$plan")
