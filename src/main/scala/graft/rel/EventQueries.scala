@@ -74,6 +74,35 @@ object EventQueries {
       funnelStages(w, Seq("signup", "view", "purchase")).orderBy("user_id")
     },
 
+    // Z-order layout key: bit-interleave (user_id, event-hour) into a
+    // single locality-preserving sort key — the lakehouse clustering
+    // step (Delta/Iceberg Z-ORDER) that bounds min/max spans on BOTH
+    // dimensions at once when the table is written sorted by z, so
+    // row-group pruning works for predicates on either one (ScaleSpec
+    // pins the span property against single-dimension sorts). Pure
+    // per-row integer math (deterministic, oracle-exact); at 100 TB
+    // this keys a repartitionByRange + sortWithinPartitions rewrite.
+    "layout_zorder" -> QueryDef(
+      """WITH src AS (
+        |  SELECT event_id, user_id & 1023 AS a,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) & 1023 AS b
+        |  FROM events)
+        |SELECT event_id,
+        |  list_sum(list_transform(range(10),
+        |    i -> ((a >> i) & 1) * (1::BIGINT << (2*i)) + ((b >> i) & 1) * (1::BIGINT << (2*i+1)))) AS z
+        |FROM src ORDER BY z, event_id""".stripMargin) { (sp, d) =>
+      graft.Tables.events(sp, d)
+        .select(col("event_id"),
+          col("user_id").bitwiseAND(1023).as("a"),
+          expr("(unix_micros(ts) div 3600000000) & 1023").as("b"))
+        .withColumn("z", expr(
+          """aggregate(sequence(0, 9), 0L, (acc, i) ->
+            |  acc + ((a >> i) & 1) * shiftleft(1L, 2*i)
+            |      + ((b >> i) & 1) * shiftleft(1L, 2*i+1))""".stripMargin))
+        .select("event_id", "z")
+        .orderBy("z", "event_id")
+    },
+
     // cohort retention: users bucketed by first-signup day, counted
     // per day-offset of any later activity (0..7). Two user-keyed
     // shuffles (first-day agg, distinct activity) + one count-distinct.

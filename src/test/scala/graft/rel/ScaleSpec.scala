@@ -83,6 +83,45 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == graft.Tables.lineitem(spark, sf0001).count())
   }
 
+  test("z-order bounds BOTH dimension spans; single-dim sorts leave one unbounded") {
+    // the pruning claim behind layout_zorder: split the table into 64
+    // equal chunks under each layout and measure each chunk's
+    // normalized (a, b) min/max spans — the chunk-level stand-in for a
+    // file's row-group stats. A z-sorted layout keeps both spans
+    // bounded (measured ~0.50 + ~0.08), so predicates on EITHER
+    // dimension skip most chunks; sorting by one dimension leaves the
+    // other near 1.0 (no skipping). All inputs deterministic.
+    val z = EventQueries.defs("layout_zorder").build(spark, sf001)
+    val dims = graft.Tables.events(spark, sf001)
+      .select(col("event_id"),
+        col("user_id").bitwiseAND(1023).as("a"),
+        expr("(unix_micros(ts) div 3600000000) & 1023").as("b"))
+    // global extents (b is an hour ring offset that doesn't start at 0)
+    val (aMax, bMax) = {
+      val r = dims.agg(max(col("a")) - min(col("a")) + 1,
+        max(col("b")) - min(col("b")) + 1).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def spanSums(ordered: org.apache.spark.sql.DataFrame, by: String): (Double, Double) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(by))
+      val r = ordered.withColumn("chunk", ntile(64).over(w))
+        .groupBy("chunk")
+        .agg((max(col("a")) - min(col("a")) + 1).as("sa"),
+          (max(col("b")) - min(col("b")) + 1).as("sb"))
+        .agg(avg(col("sa")), avg(col("sb"))).head()
+      (r.getDouble(0) / aMax, r.getDouble(1) / bMax)
+    }
+    val (za, zb) = spanSums(z.join(dims, "event_id"), "z")
+    val (na, nb) = spanSums(dims, "event_id") // arrival ~ time order
+    val (ua, ub) = spanSums(dims, "a")        // user-sorted
+    assert(za < 0.7 && zb < 0.2, s"z-order spans too wide: a=$za b=$zb (measured 0.50/0.08)")
+    assert(na > 0.9, s"arrival order unexpectedly localized users: $na")
+    assert(ub > 0.9, s"user sort unexpectedly localized time: $ub")
+    // z beats both single-dim layouts on the combined span
+    assert(za + zb < math.min(na + nb, ua + ub),
+      s"z-order combined span ${za + zb} not below single-dim layouts (${na + nb}, ${ua + ub})")
+  }
+
   test("approx percentiles land within 1% rank error of exact") {
     val exact = RelQueries.defs("agg_percentiles").build(spark, sf001)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
