@@ -395,6 +395,78 @@ object TextQueries {
           size(chunk).cast("long").as("chunk_len"),
           md5(concat_ws(" ", chunk)).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // duplicate-cluster grouping: LSH candidates → exact-Jaccard verify
+    // (≥ 0.9, integer-compared) → connected components, reported as one
+    // row per multi-member cluster. The pair relation is not transitive
+    // — the corpus genuinely contains an a~b~c triple (docs 45/267/413)
+    // that only clustering collapses to one survivor group. Spark side
+    // runs the scale path (banded bucket-join, no pair space); the
+    // oracle brute-forces the same edge set and closes it with a
+    // recursive CTE. All-integer output — hash-exact.
+    "dedup_clusters" -> QueryDef(
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, sset AS shset FROM (
+         |    SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS sset
+         |    FROM documents)
+         |  WHERE len(sset) > 0),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.shset, b.shset)) * 10 >=
+         |            9 * (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)))
+         |        AND len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)) > 0),
+         |e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
+         |assign AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id, COUNT(*) AS n_members, MAX(id) AS max_doc
+         |FROM assign GROUP BY 1 HAVING COUNT(*) >= 2
+         |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val shingled = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          array_distinct(shingles(col("text"), 3)).as("shset"))
+        .where(size(col("shset")) > 0)
+        .localCheckpoint() // consumed by sigs + both verify sides
+      val sigs = shingled.select(col("id"),
+        Dedup.minhashSignature(col("shset"), 64).as("sig"))
+      val cands = Dedup.lshCandidatePairs(sigs, "id", "sig", 16)
+      // exact verify at >= 0.9: integer-compare (inter*10 >= uni*9), no
+      // fp boundary — the corpus has a pair at exactly 9/10
+      val sa = shingled.toDF("a_id", "a_sh")
+      val sb = shingled.toDF("b_id", "b_sh")
+      val edges = cands
+        .join(sa, "a_id").join(sb, "b_id")
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+        .where(col("inter") * 10 >= col("uni") * 9 && col("uni") > 0)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      val assign = Cluster.connectedComponents(shingled.select(col("id")), edges)
+      Cluster.clusterSummary(assign)
+    },
+
+    // inverted index: term → document frequency + postings summary
+    // (min/max/sum of posting doc ids). The posting lists themselves
+    // stay distributed — only per-term integer aggregates come back.
+    // One explode + one partial-aggregated shuffle on the term key;
+    // at 100 TB this is the standard index-build shape (term-sharded).
+    "text_inverted_index" -> QueryDef(
+      s"""SELECT term, COUNT(*) AS df,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+         |FROM (
+         |  SELECT doc_id, unnest(list_distinct(${tokensSql("text")})) AS term
+         |  FROM documents)
+         |GROUP BY term ORDER BY term""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"), sum("doc_id").as("sum_doc"))
+        .orderBy("term")
     }
   )
 }

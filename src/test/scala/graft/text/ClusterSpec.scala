@@ -1,0 +1,44 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkEntry}
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chain, triangle, singleton") {
+    // graph: 1-2-3-4 chain, 10-11-12 triangle, 20 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val assign = Cluster.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L))
+  }
+
+  test("connected components: a long chain still converges") {
+    // worst-case diameter for min-label propagation: one 40-node path
+    val n = 40
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val assign = Cluster.connectedComponents(nodes, edges, maxIter = 50)
+    assert(assign.where(col("cluster_id") =!= 0L).count() == 0,
+      "every path node must collapse to the min label 0")
+  }
+
+  test("dedup_clusters on sf0.01 finds the planted pair/triple structure") {
+    val out = SparkEntry.queries("dedup_clusters")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the corpus plants 25 verified near-dup pairs at jaccard >= 0.9,
+    // one of which is the 45~267~413 triple — clustering must merge the
+    // triple's two pairs (45,267) and (45,413) plus edge (267,413) into
+    // ONE cluster of 3, leaving 22 two-member clusters: 23 total
+    assert(out.length == 23, s"expected 23 multi-member clusters, got ${out.length}")
+    assert(out.contains((45L, 3L, 413L)), "triple 45/267/413 must be one cluster")
+    assert(out.count(_._2 == 2L) == 22, "remaining clusters are all pairs")
+  }
+}
