@@ -212,6 +212,59 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** Bloom-filter membership probe over a LONG key against a
+    * pre-built, broadcast-as-literal bit array (see [[graft.rel.Bloom]]
+    * for the builder and the deterministic double-hashing scheme —
+    * probe and build MUST share it bit for bit).
+    *
+    * Generates real Java (doGenCode): the probe sits directly on the
+    * fact-table scan as a pre-join prune, the hottest row path there
+    * is — a codegen fallback would break the scan's whole-stage span.
+    * One-sided error: may pass a non-member (the exact join behind it
+    * removes those), never drops a member.
+    */
+  case class BloomMightContain(child: Expression, words: Array[Long], mBits: Int, k: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = BooleanType
+
+    override def nullSafeEval(input: Any): Any = {
+      val key = input.asInstanceOf[Long]
+      java.lang.Boolean.valueOf(graft.rel.Bloom.mightContain(words, mBits, k, key))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+      nullSafeCodeGen(ctx, ev, key => {
+        val h1 = ctx.freshName("h1")
+        val h2 = ctx.freshName("h2")
+        val pos = ctx.freshName("pos")
+        val hit = ctx.freshName("hit")
+        val i = ctx.freshName("i")
+        // inline splitmix64 twice; h2 forced odd so the k probe strides
+        // cover the bit space (matches Bloom.scramble exactly)
+        s"""
+           |long $h1 = $key + 0x9e3779b97f4a7c15L;
+           |$h1 = ($h1 ^ ($h1 >>> 30)) * 0xbf58476d1ce4e5b9L;
+           |$h1 = ($h1 ^ ($h1 >>> 27)) * 0x94d049bb133111ebL;
+           |$h1 = $h1 ^ ($h1 >>> 31);
+           |long $h2 = ($key ^ 0x5851f42d4c957f2dL) + 0x9e3779b97f4a7c15L;
+           |$h2 = ($h2 ^ ($h2 >>> 30)) * 0xbf58476d1ce4e5b9L;
+           |$h2 = ($h2 ^ ($h2 >>> 27)) * 0x94d049bb133111ebL;
+           |$h2 = ($h2 ^ ($h2 >>> 31)) | 1L;
+           |boolean $hit = true;
+           |for (int $i = 0; $i < $k && $hit; $i++) {
+           |  int $pos = (int) java.lang.Long.remainderUnsigned($h1 + (long) $i * $h2, (long) $mBits);
+           |  $hit = ($ref[$pos >>> 6] & (1L << ($pos & 63))) != 0L;
+           |}
+           |${ev.value} = $hit;
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column wrappers (classic-API bridge: Spark 4 moved
   // Column<->Expression conversion to sql.classic.ExpressionUtils) ----
 
@@ -222,4 +275,6 @@ object GraftExpressions {
   def word_shingles(c: Column, n: Int): Column = co(WordShingles(ex(c), n))
   def simhash64(c: Column): Column = co(SimHash(ex(c)))
   def vec_dot(a: Column, b: Column): Column = co(VecDot(ex(a), ex(b)))
+  def bloom_might_contain(key: Column, words: Array[Long], mBits: Int, k: Int): Column =
+    co(BloomMightContain(ex(key), words, mBits, k))
 }

@@ -74,6 +74,28 @@ object RelQueries {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    // equi-width histogram with pinned bounds: one pass, one tiny
+    // shuffle (20 bin keys). Bounds are constants so the op stays
+    // single-pass at any scale (a min/max pre-pass would be a second
+    // full scan — callers that need data-driven bounds run that pass
+    // once and pin the result, exactly like this). The bin arithmetic
+    // is IEEE-exact-deterministic (-, /, floor), clamped to [0, 19] on
+    // both sides so out-of-range values at other SFs land in edge bins.
+    "agg_histogram" -> QueryDef(
+      s"""SELECT CAST(greatest(least(floor((l_extendedprice - 900.0) / 5205.0), 19.0), 0.0) AS INT) AS bin,
+         |  COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+         |  ${dsumSql("l_extendedprice")} AS total
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val bin = greatest(least(
+        floor((col("l_extendedprice") - lit(900.0)) / lit(5205.0)), lit(19.0)), lit(0.0))
+        .cast("int")
+      Tables.lineitem(s, d)
+        .groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n"), min("l_extendedprice").as("lo"),
+          max("l_extendedprice").as("hi"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("bin")
+    },
+
     // multi-dimensional aggregates: CUBE (null super-group rows; Spark
     // sorts nulls first on ASC, DuckDB last -> explicit NULLS FIRST)
     "cube_agg" -> QueryDef(
@@ -216,6 +238,35 @@ object RelQueries {
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(20)
+    },
+
+    // bloom-filter join pruning: the urgent-June-1998 orders' keys are
+    // built into a bloom filter (driver-built here — see Bloom's doc
+    // for the treeAggregate swap at dim sizes beyond collect) and
+    // probed ON THE LINEITEM SCAN, so non-matching fact rows die before
+    // the shuffle. False positives survive the probe but not the exact
+    // join behind it — the result is identical to the plain join the
+    // oracle runs; only the shuffle volume differs. BloomSpec pins the
+    // no-false-negative contract and the FP rate.
+    "join_bloom_prune" -> QueryDef(
+      s"""SELECT o_orderkey, o_orderdate, COUNT(*) AS n_items,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val dim = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00")))
+      val pruned = Bloom.pruneByKeys(
+        Tables.lineitem(s, d), col("l_orderkey"), dim.select("o_orderkey"))
+      pruned
+        .join(broadcast(dim.select("o_orderkey", "o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderkey")
     },
 
     // TPC-H Q5 shape: 5-way join, small dims broadcast
@@ -534,6 +585,24 @@ object RelQueries {
         .option("header", "true")
         .csv(path)
         .orderBy("o_orderkey")
+    },
+
+    // ORC sink + source round-trip: the columnar sibling of the csv
+    // round-trip. ORC embeds its schema (no re-declare on read) and
+    // keeps predicate-pushdown/pruning on the read side, so the same
+    // scan-shape guarantees as parquet hold. Built once per sf dir.
+    "source_orc_roundtrip" -> QueryDef(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val path = s"${sys.props("java.io.tmpdir")}/graft_orc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+        Tables.orders(s, d).where(col("o_orderkey") <= 5000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").orc(path)
+      }
+      s.read.orc(path).orderBy("o_orderkey")
     },
 
     // string functions: case, substring, concat, length, trim, regexp

@@ -242,6 +242,98 @@ object TickQueries {
         (col("v") - lag("v", 1).over(w)).as("delta"),
         ((col("v") - lag("v", 1).over(w)) / lit(3600.0)).as("rate_per_sec"))
         .orderBy("event_type", "bucket")
+    },
+
+    // exponentially-weighted moving average over the minute-resampled
+    // series (half-life smoothing, the TSDB trend line). Decay is
+    // pinned at 1/2 so every weight is a power of two: weight apply and
+    // normalizer are then IEEE-EXACT (scaling by 2^-k and division are
+    // correctly rounded), and the weighted sum is a left fold over the
+    // window list in bucket order on BOTH engines (aggregate() here,
+    // list_reduce there) — bit-identical with no rounding scaffolding.
+    // Scale shape: one shuffle for the minute agg, then an ordered
+    // window per series over the already-aggregated buckets.
+    "tick_ewma" -> QueryDef(
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
+        |    CAST(SUM(CAST("value" AS DECIMAL(20,4))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), l AS (
+        |  SELECT bucket, v, list(v) OVER (
+        |    ORDER BY bucket ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM m
+        |)
+        |SELECT bucket, v,
+        |  list_reduce(list_transform(xs,
+        |      (x, i) -> x / CAST(1 << (len(xs) - i) AS DOUBLE)), (a, c) -> a + c)
+        |    / (2.0 - 1.0 / CAST(1 << (len(xs) - 1) AS DOUBLE)) AS ewma
+        |FROM l ORDER BY bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val minute = graft.Tables.events(s, d)
+        .where(col("event_type") === "click")
+        .groupBy(date_trunc("minute", col("ts")).as("bucket"))
+        .agg((sum(col("value").cast("decimal(20,4)")).cast("double")
+          / count(lit(1)).cast("double")).as("v"))
+      // single filtered series -> one ordered partition here; a
+      // multi-series caller partitions by the series key instead
+      val w = Window.orderBy("bucket").rowsBetween(-19, 0)
+      // weight for the i-th of n window values (1-based, oldest first)
+      // is 2^-(n-i): newest 1, halving backwards — mirrors the DuckDB
+      // lambda above index-for-index. SQL-expression shiftleft: the
+      // Scala functions.shiftleft only takes a constant shift amount.
+      val num = expr(
+        """aggregate(
+          |  zip_with(xs, sequence(1, size(xs)),
+          |    (x, i) -> x / CAST(shiftleft(1L, size(xs) - i) AS DOUBLE)),
+          |  0D, (acc, c) -> acc + c)""".stripMargin)
+      val den = expr("2.0D - 1.0D / CAST(shiftleft(1L, size(xs) - 1) AS DOUBLE)")
+      minute
+        .withColumn("xs", collect_list(col("v")).over(w))
+        .select(col("bucket"), col("v"), (num / den).as("ewma"))
+        .orderBy("bucket")
+    },
+
+    // volume-anomaly detection: per-day event counts z-scored against
+    // the series' own mean/stddev. Counts are integers, so the moment
+    // sums (Σn, Σn²) are exact BIGINT arithmetic; mean/variance then
+    // derive in double via the same formula on both engines — fully
+    // deterministic, no fp-order dependence anywhere. Two tiny
+    // aggregates (days, then series), broadcast back over the days.
+    "tick_zscore_day" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type,
+        |    CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+        |    sqrt((CAST(SUM(n * n) AS DOUBLE)
+        |          - CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE) / COUNT(*))
+        |         / (COUNT(*) - 1)) AS sd
+        |  FROM day GROUP BY 1
+        |)
+        |SELECT day.event_type AS event_type, bucket, n,
+        |  (n - mu) / sd AS z,
+        |  (abs(n - mu) > 2 * sd) AS is_anomaly
+        |FROM day JOIN st ON day.event_type = st.event_type
+        |ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val st = day.groupBy(col("event_type").as("s_type"))
+        .agg(
+          (sum("n").cast("double") / count(lit(1))).as("mu"),
+          sqrt((sum(col("n") * col("n")).cast("double")
+            - sum("n").cast("double") * sum("n").cast("double") / count(lit(1)))
+            / (count(lit(1)) - 1)).as("sd"))
+      day.join(broadcast(st), col("event_type") === col("s_type"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          ((col("n") - col("mu")) / col("sd")).as("z"),
+          (abs(col("n") - col("mu")) > lit(2) * col("sd")).as("is_anomaly"))
+        .orderBy("event_type", "bucket")
     }
   )
 }
