@@ -103,6 +103,38 @@ object EventQueries {
         .orderBy("z", "event_id")
     },
 
+    // event-path transition matrix: per-user time-ordered event pairs
+    // aggregated into (from, to) counts + row-normalized probabilities
+    // (the Markov view of user journeys). One window pass partitioned
+    // by user (per-user sequences are short and hash-spread — no skew),
+    // one tiny (5x5-key) aggregate; ties in ts break on event_id so
+    // both engines order identically. Probability = one double division
+    // of exact integer sums — deterministic.
+    "events_transitions" -> QueryDef(
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin) { (sp, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val counts = graft.Tables.events(sp, d)
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(wSeq).as("to_type"))
+        .where(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      counts
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") /
+            sum("n").over(Window.partitionBy("from_type"))).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+
     // cohort retention: users bucketed by first-signup day, counted
     // per day-offset of any later activity (0..7). Two user-keyed
     // shuffles (first-day agg, distinct activity) + one count-distinct.

@@ -74,6 +74,35 @@ object RelQueries {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    // per-group top-k: rank inside each group and keep the first 3 —
+    // the "top N per key" shape (row_number over a per-group order)
+    // that TakeOrderedAndProject can't express. The rank window runs
+    // over the already-aggregated (flag, part) rows, not raw lineitem;
+    // revenue is decimal-exact so the DESC order and its partkey
+    // tie-break are deterministic on both engines.
+    "topk_per_group" -> QueryDef(
+      s"""WITH s AS (
+         |  SELECT l_returnflag, l_partkey,
+         |    ${dsumSql("l_extendedprice")} AS rev
+         |  FROM lineitem GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY l_returnflag ORDER BY rev DESC, l_partkey) AS rk
+         |  FROM s)
+         |SELECT l_returnflag, l_partkey, rev, rk FROM r WHERE rk <= 3
+         |ORDER BY l_returnflag, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byPart = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(dsum(col("l_extendedprice")).as("rev"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("rev").desc, col("l_partkey").asc)
+      byPart
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .orderBy("l_returnflag", "rk")
+    },
+
     // equi-width histogram with pinned bounds: one pass, one tiny
     // shuffle (20 bin keys). Bounds are constants so the op stays
     // single-pass at any scale (a min/max pre-pass would be a second
