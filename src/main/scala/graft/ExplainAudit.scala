@@ -32,7 +32,11 @@ object ExplainAudit {
       "sample_hash",       // digest filter evaluated at the scan
       "window_range_frame", // range-frame window, one shuffle
       "decontaminate_ngram", // broadcast benchmark shingles, streaming train side
-      "text_repetition")   // one (doc, bigram) shuffle, partial agg
+      "text_repetition",   // one (doc, bigram) shuffle, partial agg
+      "join_bloom_prune",  // bloom probe ON the fact scan, pre-shuffle
+      "topk_per_group",    // rank window over pre-aggregated rows only
+      "events_transitions", // one user-partitioned window, tiny agg
+      "text_inverted_index") // explode + single partial-agg term shuffle
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

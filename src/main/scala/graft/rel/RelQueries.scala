@@ -125,6 +125,45 @@ object RelQueries {
         .orderBy("bin")
     },
 
+    // statistical aggregate: per-group Pearson correlation from EXACT
+    // integer moments — quantity is integral and price has 2 decimals,
+    // so (qty, price-in-cents) are exact BIGINTs; Σx, Σy, Σxy, Σx², Σy²
+    // accumulate exactly (the wide ones in DECIMAL(30,0) to dodge both
+    // engines' int64 sum overflow at scale), then ONE double formula of
+    // correctly-rounded ops — bit-identical across engines, unlike the
+    // engines' own corr() whose streaming accumulation is fp-order-
+    // dependent. Correlation is scale-invariant, so cents don't bias r.
+    "agg_corr" -> QueryDef(
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100.0) AS BIGINT) AS DECIMAL(30,0))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(round(l_extendedprice * 100.0) AS BIGINT) * CAST(round(l_extendedprice * 100.0) AS BIGINT) AS DECIMAL(30,0))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val ix = col("l_quantity").cast("long")
+      val iy = round(col("l_extendedprice") * 100.0).cast("long")
+      val m = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(ix).cast("double").as("sx"),
+          sum(iy).cast("double").as("sy"),
+          sum((ix * iy).cast("decimal(30,0)")).cast("double").as("sxy"),
+          sum(ix * ix).cast("double").as("sxx"),
+          sum((iy * iy).cast("decimal(30,0)")).cast("double").as("syy"))
+      m.select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     // multi-dimensional aggregates: CUBE (null super-group rows; Spark
     // sorts nulls first on ASC, DuckDB last -> explicit NULLS FIRST)
     "cube_agg" -> QueryDef(

@@ -115,6 +115,35 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // asymmetric containment pairs: |A∩B| / |A| ≥ 0.8 flags doc A as a
+    // near-SUBSET of B (quote/excerpt detection — Jaccard misses these
+    // when B is much longer). Directional, so both orientations can
+    // fire for true near-dups. Bounded brute-force verifier twin (like
+    // dedup_ngram_jaccard); the scale tier feeds LSH candidates through
+    // the same integer-compared predicate.
+    "text_containment" -> QueryDef(
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS shset
+         |  FROM documents WHERE doc_id < 300)
+         |SELECT a.doc_id AS sub_id, b.doc_id AS super_id,
+         |  CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) / len(a.shset) AS containment
+         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |WHERE len(a.shset) > 0
+         |  AND len(list_intersect(a.shset, b.shset)) * 10 >= 8 * len(a.shset)
+         |ORDER BY sub_id, super_id""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d).where(col("doc_id") < 300)
+        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("shset"))
+      val a = sh.toDF("sub_id", "a_sh")
+      val b = sh.toDF("super_id", "b_sh")
+      a.crossJoin(b).where(col("sub_id") =!= col("super_id"))
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .where(size(col("a_sh")) > 0 &&
+          col("inter") * 10 >= size(col("a_sh")) * 8)
+        .select(col("sub_id"), col("super_id"),
+          (col("inter").cast("double") / size(col("a_sh"))).as("containment"))
+        .orderBy("sub_id", "super_id")
+    },
+
     // MinHash+LSH near-dedup: engine-hash-based (xxhash64), so no SQL
     // oracle — rows-only; recall properties pinned in DedupSpec
     "dedup_minhash_survivors" -> QueryDef.rowsOnly { (s, d) =>
