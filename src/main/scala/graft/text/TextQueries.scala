@@ -426,6 +426,37 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // composed quality gate: every doc gets a keep/drop verdict with
+    // the FIRST failing rule as its reason code — the auditable filter
+    // pipeline of a training-data build (a bare boolean filter can't
+    // answer "why did we drop 12% of src7"). All rules integer-compare
+    // exact counts (no fp thresholds), so the verdict is deterministic
+    // and the op stays one pass over the scan.
+    "text_filter_audit" -> QueryDef(
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, ${tokensSql("text")} AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens,
+         |  CASE WHEN len(toks) < 30 THEN 'too_short'
+         |       WHEN len(list_distinct(toks)) * 100 < len(toks) * 35 THEN 'high_repetition'
+         |       WHEN lang NOT IN ('en', 'de', 'fr') THEN 'lang_out_of_scope'
+         |       ELSE 'ok' END AS reason,
+         |  (len(toks) >= 30 AND len(list_distinct(toks)) * 100 >= len(toks) * 35
+         |   AND lang IN ('en', 'de', 'fr')) AS keep
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      val nToks = size(col("toks"))
+      val nUniq = size(array_distinct(col("toks")))
+      val langOk = col("lang").isin("en", "de", "fr")
+      t.select(col("doc_id"), nToks.cast("long").as("n_tokens"),
+          when(nToks < 30, "too_short")
+            .when(nUniq * 100 < nToks * 35, "high_repetition")
+            .when(!langOk, "lang_out_of_scope")
+            .otherwise("ok").as("reason"),
+          (nToks >= 30 && nUniq * 100 >= nToks * 35 && langOk).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // duplicate-cluster grouping: LSH candidates → exact-Jaccard verify
     // (≥ 0.9, integer-compared) → connected components, reported as one
     // row per multi-member cluster. The pair relation is not transitive
