@@ -426,6 +426,41 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // BPE merge-candidate counting — the inner loop of tokenizer
+    // training: count adjacent-character pairs across the corpus,
+    // weighted by word frequency. The trick that makes this scale is
+    // aggregating words FIRST (the corpus collapses to its vocabulary,
+    // orders of magnitude smaller) and only then exploding each
+    // distinct word's character pairs once, weighted by its count —
+    // the naive per-occurrence explode would shuffle every character
+    // of 100 TB. Top pair = the first BPE merge; iterating re-runs
+    // this on the merged vocab. All-integer counts, oracle-exact.
+    "text_bpe_pairs" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT unnest(${tokensSql("text")}) AS word FROM documents),
+         |v AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+         |p AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(list_transform(
+         |      range(1, length(word)),
+         |      i -> word[i] || ' ' || word[i+1])) AS pair
+         |    FROM v WHERE length(word) >= 2)
+         |  GROUP BY 1)
+         |SELECT pair, n FROM p ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .where(length(col("word")) >= 2)
+      vocab
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => concat(col("word").substr(i, lit(1)), lit(" "),
+            col("word").substr(i + 1, lit(1))))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
+    },
+
     // composed quality gate: every doc gets a keep/drop verdict with
     // the FIRST failing rule as its reason code — the auditable filter
     // pipeline of a training-data build (a bare boolean filter can't
