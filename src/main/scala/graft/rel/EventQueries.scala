@@ -103,6 +103,42 @@ object EventQueries {
         .orderBy("z", "event_id")
     },
 
+    // last-touch attribution: each purchase is credited to the user's
+    // most recent click strictly earlier in their (ts, event_id) order,
+    // flagged attributed iff within 24h. One window pass over the two
+    // relevant event types only (type predicate reaches the scan); the
+    // running max(click ts) needs no self-join or per-purchase probe.
+    // Timestamps compare as exact epoch-µs integers on both engines.
+    "events_attribution" -> QueryDef(
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_t
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id AS purchase_id, user_id, t, last_click_t,
+        |  (last_click_t IS NOT NULL AND
+        |   epoch_us(t) - epoch_us(last_click_t) <= 86400000000) AS attributed
+        |FROM s WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin) { (sp, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      graft.Tables.events(sp, d)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("t"),
+          max(when(col("event_type") === "click", col("ts"))).over(w)
+            .as("last_click_t"))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("t"),
+          col("last_click_t"),
+          (col("last_click_t").isNotNull &&
+            unix_micros(col("t")) - unix_micros(col("last_click_t")) <= 86400000000L)
+            .as("attributed"))
+        .orderBy("purchase_id")
+    },
+
     // event-path transition matrix: per-user time-ordered event pairs
     // aggregated into (from, to) counts + row-normalized probabilities
     // (the Markov view of user journeys). One window pass partitioned
@@ -113,7 +149,8 @@ object EventQueries {
     "events_transitions" -> QueryDef(
       """WITH seq AS (
         |  SELECT event_type AS from_type,
-        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |    LEAD(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
         |  FROM events),
         |c AS (
         |  SELECT from_type, to_type, COUNT(*) AS n FROM seq
