@@ -53,8 +53,9 @@ object Cluster {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      // convergence probe: any label strictly decreased this round?
-      // A sum-of-changes aggregate, not a collect — one tiny job.
+      // convergence probe: did ANY label strictly decrease this round?
+      // limit(1) short-circuits the existence check — one tiny job,
+      // no full count and no collect.
       val changed = next.select(col("id"), col("cluster_id").as("new_c"))
         .join(labels.select(col("id"), col("cluster_id").as("old_c")), "id")
         .where(col("new_c") < col("old_c"))
