@@ -394,6 +394,44 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // weighted systematic sampling: select ~50 docs with probability
+    // proportional to an integer weight (n_chars here — in a real
+    // pipeline, a quality score) by walking the cumulative-weight line
+    // and keeping each doc whose span crosses a stride boundary. ALL
+    // integer arithmetic (prefix sums, scaled floor divisions), so the
+    // sample is reproducible across engines/runs/cluster sizes — no
+    // RNG, no fp. The ordered prefix sum here is a single window; at
+    // 100 TB it becomes the same range-slice global-rank trick
+    // agg_percentiles uses (per-slice subtotals + offsets), which
+    // preserves the identical cumulative values.
+    "sample_weighted" -> QueryDef(
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
+        |c AS (
+        |  SELECT doc_id, wt,
+        |    SUM(wt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(wt) OVER () AS total
+        |  FROM w)
+        |SELECT doc_id, wt FROM c
+        |WHERE (cumw * 50) // total > ((cumw - wt) * 50) // total
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("wt"))
+      // total as a broadcast scalar (an OVER () window would drag every
+      // row through one partition; the oracle's OVER () is numerically
+      // identical)
+      val total = w.agg(sum("wt").as("total"))
+      val cum = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      w.withColumn("cumw", sum("wt").over(cum))
+        .crossJoin(broadcast(total))
+        .where(expr("(cumw * 50) div total > ((cumw - wt) * 50) div total"))
+        .select("doc_id", "wt")
+        .orderBy("doc_id")
+    },
+
     // context-window packing: split each document into fixed 50-token
     // chunks (the pre-tokenization shard step of a training pipeline).
     // Per-row work only — tokenize, explode the chunk index range,
