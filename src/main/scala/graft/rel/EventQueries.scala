@@ -103,6 +103,40 @@ object EventQueries {
         .orderBy("z", "event_id")
     },
 
+    // DAU / trailing-28d MAU / stickiness: the engagement dashboard
+    // triple. The corpus collapses to the distinct (day, user) table
+    // FIRST — the standard 100 TB pre-aggregation — and the trailing
+    // window is a day-axis join against that small table (28x |du|
+    // worst case, never 28x the raw events). Exact integer distincts;
+    // stickiness is one double division.
+    "events_dau_mau" -> QueryDef(
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+        |mau AS (
+        |  SELECT d.day, COUNT(DISTINCT u.user_id) AS mau28
+        |  FROM days d JOIN du u ON u.day BETWEEN d.day - 27 AND d.day
+        |  GROUP BY 1)
+        |SELECT dau.day AS day, dau, mau28,
+        |  CAST(dau AS DOUBLE) / mau28 AS stickiness
+        |FROM dau JOIN mau ON dau.day = mau.day
+        |ORDER BY day""".stripMargin) { (sp, d) =>
+      val du = graft.Tables.events(sp, d)
+        .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+      val days = du.select("day").distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = days.as("d")
+        .join(du.as("u"),
+          col("u.day").between(date_sub(col("d.day"), 27), col("d.day")))
+        .groupBy(col("d.day").as("mday"))
+        .agg(countDistinct(col("u.user_id")).as("mau28"))
+      dau.join(mau, col("day") === col("mday"))
+        .select(col("day"), col("dau"), col("mau28"),
+          (col("dau").cast("double") / col("mau28")).as("stickiness"))
+        .orderBy("day")
+    },
+
     // last-touch attribution: each purchase is credited to the user's
     // most recent click strictly earlier in their (ts, event_id) order,
     // flagged attributed iff within 24h. One window pass over the two

@@ -394,6 +394,48 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // unigram-LM surprisal scoring — the CCNet/perplexity-filter shape:
+    // corpus unigram probabilities (exact integer freq / total), then
+    // each doc's mean negative log-likelihood. The only non-IEEE-exact
+    // step, ln(p), rounds to 9 dp BEFORE the per-doc fold (JVM and
+    // DuckDB libm can differ in the last ulp); the fold itself is a
+    // left fold over the doc's token array on both engines, so sums
+    // accumulate in identical order. Model side is a broadcast join
+    // (the vocabulary is tiny vs the corpus).
+    "text_lm_surprisal" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+         |v AS (SELECT term, COUNT(*) AS freq FROM w GROUP BY 1),
+         |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM v),
+         |ll AS (
+         |  SELECT w.doc_id, round(-ln(CAST(v.freq AS DOUBLE) / t.total), 9) AS nll
+         |  FROM w JOIN v USING (term), t),
+         |d AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CAST(round(nll * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sum_nll
+         |  FROM ll GROUP BY 1)
+         |SELECT doc_id, n_tokens, sum_nll, sum_nll / n_tokens AS mean_surprisal
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+      val total = vocab.agg(sum("freq").as("total"))
+      // 9-dp-rounded nll, then EXACT integer accumulation of the fixed-
+      // point values: per-group sum order no longer matters at all
+      toks
+        .join(broadcast(vocab), "term")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(-log(col("freq").cast("double") / col("total")), 9).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(round(col("nll") * 1000000000L).cast("long")).cast("double")
+            / 1000000000.0).as("sum_nll"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_nll"),
+          (col("sum_nll") / col("n_tokens")).as("mean_surprisal"))
+        .orderBy("doc_id")
+    },
+
     // weighted systematic sampling: select ~50 docs with probability
     // proportional to an integer weight (n_chars here — in a real
     // pipeline, a quality score) by walking the cumulative-weight line
