@@ -394,6 +394,69 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // corpus profiling — the dataset-card summary row: doc count, token
+    // volume, vocabulary size, length extremes. Three independent
+    // aggregates (docs, tokens, vocab) broadcast-joined into one row;
+    // every stat is an exact integer.
+    "corpus_summary" -> QueryDef(
+      s"""WITH t AS (
+         |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS term FROM t)
+         |SELECT
+         |  (SELECT COUNT(*) FROM t) AS n_docs,
+         |  (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM t) AS total_tokens,
+         |  (SELECT COUNT(DISTINCT term) FROM u) AS vocab_size,
+         |  (SELECT CAST(MIN(len(toks)) AS BIGINT) FROM t) AS min_len,
+         |  (SELECT CAST(MAX(len(toks)) AS BIGINT) FROM t) AS max_len""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val docStats = t.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).as("total_tokens"),
+        min(size(col("toks"))).cast("long").as("min_len"),
+        max(size(col("toks"))).cast("long").as("max_len"))
+      val vocab = t.select(explode(col("toks")).as("term"))
+        .agg(countDistinct(col("term")).as("vocab_size"))
+      docStats.crossJoin(broadcast(vocab))
+        .select("n_docs", "total_tokens", "vocab_size", "min_len", "max_len")
+    },
+
+    // URL extraction over planted links (the corpus is synthetic-
+    // clean): host and tracking-param pulled by identical regexes on
+    // both engines, aggregated per host — the domain-level filter/
+    // attribution step of a web-crawl pipeline. Per-row regex only.
+    "text_url_extract" -> QueryDef(
+      """WITH aug AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
+        |         || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |         || '?ref=r' || CAST(doc_id % 4 AS VARCHAR)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    regexp_extract(text, 'https://([a-z0-9.-]+)/', 1) AS host,
+        |    regexp_extract(text, '[?&]ref=([a-z0-9]+)', 1) AS ref
+        |  FROM aug)
+        |SELECT host, COUNT(*) AS n_docs, COUNT(DISTINCT ref) AS n_refs
+        |FROM x WHERE host <> ''
+        |GROUP BY host ORDER BY host""".stripMargin) { (s, d) =>
+      val aug = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" see https://sub"),
+          pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.com/p/"),
+          col("doc_id").cast("string"), lit("?ref=r"),
+          pmod(col("doc_id"), lit(4)).cast("string"))).otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("text"))
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "https://([a-z0-9.-]+)/", 1).as("host"),
+          regexp_extract(col("text"), "[?&]ref=([a-z0-9]+)", 1).as("ref"))
+        .where(col("host") =!= "")
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("ref")).as("n_refs"))
+        .orderBy("host")
+    },
+
     // unigram-LM surprisal scoring — the CCNet/perplexity-filter shape:
     // corpus unigram probabilities (exact integer freq / total), then
     // each doc's mean negative log-likelihood. The only non-IEEE-exact
