@@ -74,6 +74,23 @@ object RelQueries {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    // string aggregation (listagg/group_concat): values sort inside the
+    // aggregate so the concatenation is deterministic under any
+    // partitioning (collect_set order is not).
+    "agg_string_agg" -> QueryDef(
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders WHERE o_orderkey < 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).where(col("o_orderkey") < 1000)
+        .groupBy("o_orderpriority")
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // per-group top-k: rank inside each group and keep the first 3 —
     // the "top N per key" shape (row_number over a per-group order)
     // that TakeOrderedAndProject can't express. The rank window runs
@@ -335,6 +352,28 @@ object RelQueries {
         .groupBy("o_orderkey", "o_orderdate")
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderkey")
+    },
+
+    // null-safe equi-join (<=> / IS NOT DISTINCT FROM): plain equality
+    // drops NULL keys on the floor; the null-safe form matches them.
+    // Nulls are planted (status 'P' -> NULL) since the testdata has
+    // none; the NULL probe row must come back with the P-order count.
+    "join_null_safe" -> QueryDef(
+      """WITH a AS (
+        |  SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+        |  FROM orders WHERE o_orderkey < 2000),
+        |b AS (SELECT 'O' AS pst UNION ALL SELECT 'F' UNION ALL SELECT NULL)
+        |SELECT b.pst AS probe_status, COUNT(a.o_orderkey) AS n
+        |FROM b JOIN a ON a.st IS NOT DISTINCT FROM b.pst
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val a = Tables.orders(s, d).where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("st"))
+      val b = Seq(Some("O"), Some("F"), None).toDF("pst")
+      b.join(a, col("st") <=> col("pst"))
+        .groupBy(col("pst").as("probe_status"))
+        .agg(count(col("o_orderkey")).as("n"))
+        .orderBy(col("probe_status").asc_nulls_first)
     },
 
     // TPC-H Q5 shape: 5-way join, small dims broadcast
@@ -693,6 +732,25 @@ object RelQueries {
           regexp_replace(col("p_brand"), lit("Brand#"), lit("B")).as("b_short"),
           regexp_extract(col("p_brand"), "([0-9]+)", 1).as("b_num"))
         .orderBy("p_partkey")
+    },
+
+    // bitwise scalars: AND/OR/XOR, shifts, popcount — the hash/layout
+    // toolbox (bucket masks, z-order interleave, bloom probes) surfaced
+    // as a query. All exact integer ops.
+    "scalar_bitwise" -> QueryDef(
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS lo_byte,
+        |  (o_orderkey >> 4) | 3 AS shifted,
+        |  xor(o_orderkey, 123456789) AS mixed,
+        |  CAST(bit_count(o_orderkey) AS INT) AS pops
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).where(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(255).as("lo_byte"),
+          shiftright(col("o_orderkey"), 4).bitwiseOR(3).as("shifted"),
+          col("o_orderkey").bitwiseXOR(123456789).as("mixed"),
+          bit_count(col("o_orderkey")).as("pops"))
+        .orderBy("o_orderkey")
     },
 
     // date/time functions on the timestamp column
