@@ -218,11 +218,16 @@ object RelQueries {
     // positions into exact global ranks; the lo/hi rank rows
     // interpolate with the same lower + frac*(upper-lower) formula
     // DuckDB's quantile_cont uses. Per-group work never concentrates
-    // on one task, so the plan survives a 100x scale-up.
+    // on one task, so the plan survives a 100x scale-up. Both sides
+    // round to 6 dp: quantile_cont's internal interpolation can place
+    // its multiply-add one ulp away from ours at some (n, p) pairs
+    // (seen at sf0.001; identical at sf0.01), and 1e-6 absolute is far
+    // below any real percentile tolerance while being far above ulp
+    // noise on 1e5-scale prices.
     "agg_percentiles" -> QueryDef(
       """SELECT l_returnflag,
-        |  quantile_cont(l_extendedprice, 0.5) AS p50,
-        |  quantile_cont(l_extendedprice, 0.9) AS p90
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val slices = s.sparkContext.defaultParallelism * 4
@@ -263,8 +268,8 @@ object RelQueries {
         .agg(aggs.head, aggs.tail: _*)
         .select(
           col("g").as("l_returnflag"),
-          (col("a_lo") + col("a_frac") * (col("a_hi") - col("a_lo"))).as("p50"),
-          (col("b_lo") + col("b_frac") * (col("b_hi") - col("b_lo"))).as("p90"))
+          round(col("a_lo") + col("a_frac") * (col("a_hi") - col("a_lo")), 6).as("p50"),
+          round(col("b_lo") + col("b_frac") * (col("b_hi") - col("b_lo")), 6).as("p90"))
         .orderBy("l_returnflag")
     },
 
