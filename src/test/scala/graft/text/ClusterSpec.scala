@@ -30,6 +30,38 @@ class ClusterSpec extends SparkSpec {
       "every path node must collapse to the min label 0")
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    // property check against an independent sequential implementation:
+    // the distributed min-label propagation must produce exactly the
+    // same partition of nodes as path-compressed union-find
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genGraph = for {
+      n <- Gen.chooseNum(1, 24)
+      nEdges <- Gen.chooseNum(0, 30)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    val prop = Prop.forAll(genGraph) { case (n, edges) =>
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val nodes = (0L until n.toLong).toDF("id")
+      val edgeDf = if (edges.isEmpty)
+        spark.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0)
+      else edges.toDF("a", "b")
+      val got = Cluster.connectedComponents(nodes, edgeDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dedup_clusters on sf0.01 finds the planted pair/triple structure") {
     val out = SparkEntry.queries("dedup_clusters")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
