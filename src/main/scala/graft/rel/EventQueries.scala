@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 
-/** Event-analytics operators over the events table: ordered funnels
-  * and cohort retention — the product-analytics surface an analytics
-  * engine is expected to ship alongside the relational core.
+/** Event-analytics operators over the events table: ordered funnels,
+  * cohort retention, Markov transition matrices, last-touch
+  * attribution, and DAU/MAU engagement — the product-analytics surface
+  * an analytics engine is expected to ship alongside the relational
+  * core.
   *
   * Scale shape: every stage/cohort pass filters to ONE event type
   * before aggregating (predicate reaches the parquet scan), and all

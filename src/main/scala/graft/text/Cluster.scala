@@ -17,11 +17,10 @@ import org.apache.spark.sql.functions._
   * scales linearly with executors. Convergence needs O(diameter)
   * rounds; near-duplicate graphs at corpus scale are overwhelmingly
   * tiny star/clique clusters (diameter ≤ 3), so the loop terminates in
-  * a handful of rounds even at 100 TB. (For adversarial long-chain
-  * graphs the alternating large-star/small-star variant of
-  * Kiveris et al., "Connected Components in MapReduce and Beyond",
-  * SoCC'14, drops this to O(log n) rounds — same per-round plan shape,
-  * so it can be swapped in without touching callers.)
+  * a handful of rounds even at 100 TB. For adversarial long-chain
+  * graphs, [[connectedComponentsLogRounds]] implements the alternating
+  * large-star/small-star variant (O(log n) rounds) with the same
+  * contract — swap it in without touching callers.
   *
   * Lineage is cut per round with `localCheckpoint`: without it the
   * iterated plan nests one join layer per round and the optimizer
@@ -76,4 +75,71 @@ object Cluster {
       .agg(count(lit(1)).as("n_members"), max("id").as("max_doc"))
       .where(col("n_members") >= 2)
       .orderBy("cluster_id")
+
+  /** The O(log n)-round variant: alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Same contract as [[connectedComponents]]; use this when
+    * the duplicate graph may contain long chains — each round halves
+    * tall trees instead of walking them one hop at a time.
+    *
+    *  - large-star: every node's LARGER neighbors re-attach to the
+    *    minimum of its neighborhood (incl. itself). Each undirected
+    *    edge is processed once, from its smaller endpoint's list.
+    *  - small-star: every node and its SMALLER neighbors re-attach to
+    *    the minimum among them.
+    *
+    * The fixed point is a forest of stars rooted at each component's
+    * minimum id. Convergence is detected by an order-independent
+    * checksum aggregate (count + sum of edge hashes) — two scalar
+    * aggregates per round, no edge-set except() diff, no collect of
+    * the edges.
+    */
+  def connectedComponentsLogRounds(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical parent-pointer form: (u, v) with v < u, deduped
+    def canon(e: DataFrame): DataFrame = e
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+    def checksum(e: DataFrame): (Long, Long) = {
+      // xor-fold of edge hashes: order-independent, overflow-free
+      // under ANSI (a sum of hashes overflows long); edges are deduped
+      // so xor self-cancellation cannot collide distinct sets of the
+      // same parity
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var e = canon(edges.select(col("a"), col("b"))).localCheckpoint()
+    var sig = checksum(e)
+    var it = 0
+    var converged = sig._1 == 0L
+    while (!converged && it < maxIter) {
+      // ---- large-star: emit (v, min(Γ(u) ∪ {u})) for v ∈ Γ(u), v > u
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val afterLs = canon(
+        nbrs.join(mins, "u").where(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b")))
+      // ---- small-star: for each u, attach u and its smaller
+      // neighbors to their collective minimum
+      val minsSs = afterLs.groupBy("u").agg(min("v").as("mv"))
+      val afterSs = canon(
+        afterLs.join(minsSs, "u").where(col("v") =!= col("mv"))
+          .select(col("v").as("a"), col("mv").as("b"))
+          .union(afterLs.join(minsSs, "u")
+            .select(col("u").as("a"), col("mv").as("b"))))
+        .localCheckpoint()
+      val nextSig = checksum(afterSs)
+      converged = nextSig == sig
+      sig = nextSig
+      e = afterSs
+      it += 1
+    }
+    nodes.select(col("id"))
+      .join(e.select(col("u").as("id"), col("v")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
+  }
 }

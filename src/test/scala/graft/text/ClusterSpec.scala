@@ -62,6 +62,46 @@ class ClusterSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("large-star/small-star CC matches union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genGraph = for {
+      n <- Gen.chooseNum(1, 24)
+      nEdges <- Gen.chooseNum(0, 30)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    val prop = Prop.forAll(genGraph) { case (n, edges) =>
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val nodes = (0L until n.toLong).toDF("id")
+      val edgeDf = if (edges.isEmpty)
+        spark.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0)
+      else edges.toDF("a", "b")
+      val got = Cluster.connectedComponentsLogRounds(nodes, edgeDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("large-star/small-star CC collapses a long chain in few rounds") {
+    // a 60-node path: plain propagation needs ~60 rounds, the star
+    // algorithm's maxIter=25 default is ample (O(log n))
+    val n = 60
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val assign = Cluster.connectedComponentsLogRounds(nodes, edges)
+    assert(assign.where(col("cluster_id") =!= 0L).count() == 0,
+      "every chain node must collapse to root 0 within the default round budget")
+  }
+
   test("dedup_clusters on sf0.01 finds the planted pair/triple structure") {
     val out = SparkEntry.queries("dedup_clusters")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
