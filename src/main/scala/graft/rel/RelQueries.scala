@@ -534,6 +534,33 @@ object RelQueries {
 
   private lazy val windowDefs: Map[String, QueryDef] = Map(
 
+    // positional window values: first/last/nth over an explicit frame —
+    // the "compare each row to its group's opener / latest / 3rd"
+    // shape. Full-partition frame for first/nth (stable), running
+    // frame for last; all orders tie-break on the key.
+    "window_nth_value" -> QueryDef(
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w1 AS first_ord,
+        |  last_value(o_orderkey) OVER w2 AS latest_ord,
+        |  nth_value(o_orderkey, 3) OVER w1 AS third_ord
+        |FROM orders
+        |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val w1 = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val w2 = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w1).as("first_ord"),
+          last(col("o_orderkey")).over(w2).as("latest_ord"),
+          nth_value(col("o_orderkey"), 3).over(w1).as("third_ord"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ranking window: top-3 parts per brand
     "window_rank" -> QueryDef(
       """SELECT p_brand, p_partkey, rn FROM (
@@ -637,6 +664,34 @@ object RelQueries {
   )
 
   private lazy val setDefs: Map[String, QueryDef] = Map(
+
+    // UNION DISTINCT (vs the ALL variant below): dedup across branches
+    "set_union_distinct" -> QueryDef(
+      """SELECT k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  UNION
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0)
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+        .union(Tables.customer(s, d).where(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("k")))
+        .distinct()
+        .orderBy("k")
+    },
+
+    // bounded cross join: the one shape where a cartesian product IS
+    // the plan you want — two tiny dims (5 x 25 rows) paired up for a
+    // dense axis. Both sides are broadcast-size; anything bigger goes
+    // through the LSH/bucket machinery instead (PlanSpec pins that no
+    // unbounded op builds a cartesian).
+    "join_cross" -> QueryDef(
+      """SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+        |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      Tables.region(s, d).select("r_name")
+        .crossJoin(broadcast(Tables.nation(s, d).select("n_name")))
+        .orderBy("r_name", "n_name")
+    },
 
     "set_union_all" -> QueryDef(
       """SELECT k FROM (
