@@ -145,6 +145,39 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Stream-static enrichment join: the unbounded event stream joins a
+    * bounded dimension (event-type weights) that BROADCASTS — each
+    * micro-batch probes the dim locally, no stream-side state, no
+    * shuffle of the stream beyond the final aggregate. This is the
+    * canonical "enrich the firehose with reference data" pattern; the
+    * static side re-resolves per batch, so a dim refresh lands without
+    * restarting the query.
+    */
+  def streamStaticJoinOnce(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsStreamSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val dim = spark.createDataFrame(Seq(
+      ("click", 1L), ("view", 2L), ("purchase", 10L), ("signup", 5L), ("error", 0L)))
+      .toDF("event_type", "weight")
+    val agg = src.join(broadcast(dim), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("weight").as("score"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type")
+  }
+
   /** Streaming deduplication: emit each (user_id, event_type) key once,
     * drained with AvailableNow, then count survivors per type in batch.
     * `dropDuplicates` keys state exactly like the batch distinct the

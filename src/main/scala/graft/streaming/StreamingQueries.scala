@@ -31,6 +31,18 @@ object StreamingQueries {
       StreamingOps.streamDedupOnce(s, d)
     },
 
+    // stream-static broadcast enrichment == the batch join (the dim is
+    // bounded reference data; no stream-side join state)
+    "streaming_static_join" -> QueryDef(
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(weight) AS BIGINT) AS score
+        |FROM events
+        |JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 10),
+        |             ('signup', 5), ('error', 0)) AS w(event_type, weight)
+        |USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      StreamingOps.streamStaticJoinOnce(s, d)
+    },
+
     // stream-stream interval join == batch interval join (watermark set
     // beyond the data's span, so no rows are late-dropped)
     "streaming_join" -> QueryDef(
