@@ -59,18 +59,36 @@ object VecQueries {
         .orderBy("q_id", "rank")
     },
 
-    // embedding-cosine near-duplicate pairs above a threshold, via the
-    // same bucket-join (no full pair space); oracle on a bounded subset
+    // embedding-cosine near-duplicate pairs above a threshold — the
+    // bounded brute-force oracle twin of the LSH tier below. Random
+    // embeddings never reach cosine 0.5, so scaled copies (the
+    // normalization-difference duplicate class: same direction, 1.5x
+    // magnitude) are planted at vec_id+1000 with double arithmetic
+    // mirrored exactly in SQL — the verifier then verifies 30 real
+    // pairs instead of vacuously matching on an empty set.
     "dedup_embedding_cosine" -> QueryDef(
-      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |  ${VecFunctions.cosineSql("a.embedding", "b.embedding")} AS sim
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE a.vec_id < 200 AND b.vec_id < 200
-         |  AND ${VecFunctions.cosineSql("a.embedding", "b.embedding")} > 0.5
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id < 100),
+         |aug AS (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000, list_transform(v, x -> x * 1.5) FROM base
+         |  WHERE vec_id < 30)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${VecFunctions.cosineSql("a.v", "b.v")} AS sim
+         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+         |WHERE ${VecFunctions.cosineSql("a.v", "b.v")} > 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val emb = Tables.embeddings(s, d).where(col("vec_id") < 200)
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      val base = Tables.embeddings(s, d).where(col("vec_id") < 100)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = base.where(col("vec_id") < 30)
+        .select((col("vec_id") + 1000).as("vec_id"),
+          transform(col("v"), x => x * lit(1.5)).as("v"))
+      val aug = base.unionByName(planted)
+      val a = aug.select(col("vec_id").as("a_id"), col("v").as("a_vec"))
+      val b = aug.select(col("vec_id").as("b_id"), col("v").as("b_vec"))
       a.crossJoin(b).where(col("a_id") < col("b_id"))
         .withColumn("sim", VecFunctions.cosine(col("a_vec"), col("b_vec")))
         .where(col("sim") > 0.5)
