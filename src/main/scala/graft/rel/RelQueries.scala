@@ -455,12 +455,18 @@ object RelQueries {
     },
 
     // anti join (NOT EXISTS)
+    // anti join against the urgent orders only: every customer has SOME
+    // order in this data, so the unfiltered anti join would be a
+    // vacuous 0-row green — this variant leaves ~200 real survivors
     "join_anti" -> QueryDef(
       """SELECT c_custkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left_anti")
+        .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
         .select("c_custkey")
         .orderBy("c_custkey")
     },
@@ -718,14 +724,17 @@ object RelQueries {
         .orderBy("k")
     },
 
+    // ordering customers EXCEPT the non-negative-balance ones = the
+    // debtors who still order (~120 rows; the previous high-balance-
+    // minus-all-orderers form was a vacuous 0-row green)
     "set_except" -> QueryDef(
-      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+      """SELECT o_custkey AS k FROM orders
         |EXCEPT
-        |SELECT o_custkey FROM orders
+        |SELECT c_custkey FROM customer WHERE c_acctbal >= 0
         |ORDER BY k""".stripMargin) { (s, d) =>
-      Tables.customer(s, d).where(col("c_acctbal") > 9000)
-        .select(col("c_custkey").as("k"))
-        .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
+      Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .except(Tables.customer(s, d).where(col("c_acctbal") >= 0)
+          .select(col("c_custkey").as("k")))
         .orderBy("k")
     }
   )

@@ -87,11 +87,13 @@ object TextQueries {
     },
 
     // brute-force 3-gram Jaccard near-dup pairs on a bounded subset —
-    // the exact verifier the LSH tier delegates to, oracle-checked
+    // the exact verifier the LSH tier delegates to, oracle-checked.
+    // Bound 300 (not 100): the corpus's planted near-dup pairs all
+    // straddle id 100, so the tighter bound verified an empty set
     "dedup_ngram_jaccard" -> QueryDef(
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS shset
-         |  FROM documents WHERE doc_id < 100)
+         |  FROM documents WHERE doc_id < 300)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
          |    (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) AS jaccard
@@ -100,7 +102,7 @@ object TextQueries {
          |      3 * (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)))
          |  AND len(a.shset) + len(b.shset) > 0
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val sh = Tables.documents(s, d).where(col("doc_id") < 100)
+      val sh = Tables.documents(s, d).where(col("doc_id") < 300)
         .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("shset"))
       val a = sh.toDF("a_id", "a_sh")
       val b = sh.toDF("b_id", "b_sh")
