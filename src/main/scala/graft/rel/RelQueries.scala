@@ -1003,6 +1003,73 @@ object RelQueries {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // recursive CTE through the SQL front door (Spark 4 WITH RECURSIVE):
+    // a 31-day calendar axis built by recursion, left-joined to daily
+    // event counts so zero-activity days surface — the gap-free
+    // time-axis shape, this time via recursion instead of sequence().
+    // Engine-local date arithmetic differs (date_add vs date + int) but
+    // the results are identical integer dates/counts.
+    "sql_recursive_cte" -> QueryDef(
+      """WITH RECURSIVE days(i) AS (
+        |  SELECT 0 UNION ALL SELECT i + 1 FROM days WHERE i < 30),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT DATE '2024-01-01' + i AS day, COALESCE(n, 0) AS n
+        |FROM days LEFT JOIN daily ON daily.d = DATE '2024-01-01' + i
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("v_events")
+      s.sql(
+        """WITH RECURSIVE days(i) AS (
+          |  SELECT 0 UNION ALL SELECT i + 1 FROM days WHERE i < 30),
+          |daily AS (
+          |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM v_events GROUP BY 1)
+          |SELECT date_add(DATE '2024-01-01', i) AS day, COALESCE(n, 0L) AS n
+          |FROM days LEFT JOIN daily ON daily.d = date_add(DATE '2024-01-01', i)
+          |ORDER BY day""".stripMargin)
+    },
+
+    // LATERAL correlated derived table: per-order lineitem aggregates
+    // through the SQL front door; Catalyst decorrelates the lateral
+    // into a join, so the plan stays shuffle-partitioned.
+    "sql_lateral_join" -> QueryDef(
+      s"""SELECT o_orderkey, l.cnt, l.total
+         |FROM orders o, LATERAL (
+         |  SELECT COUNT(*) AS cnt, ${graft.tick.Reducers.exactSql("sum", "l_quantity", "l_quantity")} AS total
+         |  FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+         |WHERE o_orderkey < 200
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("v_orders2")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem2")
+      s.sql(
+        """SELECT o_orderkey, l.cnt, l.total
+          |FROM v_orders2 o, LATERAL (
+          |  SELECT COUNT(*) AS cnt,
+          |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS total
+          |  FROM v_lineitem2 WHERE l_orderkey = o.o_orderkey) l
+          |WHERE o_orderkey < 200
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // scalar subquery: rows 1.5x above the corpus-wide mean (~25% of
+    // orders — 2x would select nothing on this uniform-ish price
+    // distribution) — the mean is
+    // decimal-exact so the comparison boundary is deterministic across
+    // engines (a plain fp avg() could flip boundary rows).
+    "sql_scalar_subquery" -> QueryDef(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("v_orders3")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM v_orders3
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*)
+          |  FROM v_orders3)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // approximate percentiles: the constant-memory sketch that replaces
     // agg_percentiles' exact global sort at 100 TB when rank tolerance
     // is acceptable. Sketch internals are engine-specific (Spark
