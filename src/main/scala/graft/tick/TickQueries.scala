@@ -295,6 +295,38 @@ object TickQueries {
         .orderBy("bucket")
     },
 
+    // VWAP — the canonical tick aggregation: per-day value weighted by
+    // the trade-size field (props.k). Fixed-point integer moments
+    // (price in cents, weight in centiunits) keep Σ(p·w) and Σw exact
+    // under any partition order; the closing division is one double op.
+    // Zero-weight days guard to NULL identically on both engines.
+    "tick_vwap_daily" -> QueryDef(
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    COUNT(*) AS n_trades,
+        |    CAST(SUM(CAST(CAST(round("value" * 100.0) AS BIGINT)
+        |                  * CAST(round(CAST(json_extract_string(props, 'k') AS DOUBLE) * 100.0) AS BIGINT)
+        |             AS DECIMAL(30,0))) AS DOUBLE) AS spw,
+        |    CAST(SUM(CAST(round(CAST(json_extract_string(props, 'k') AS DOUBLE) * 100.0) AS BIGINT)) AS DOUBLE) AS sw
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT bucket, n_trades,
+        |  CASE WHEN sw = 0 THEN NULL ELSE spw / sw / 100.0 END AS vwap
+        |FROM m ORDER BY bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val iv = round(col("value") * 100.0).cast("long")
+      val ik = round(get_json_object(col("props"), "$.k").cast("double") * 100.0).cast("long")
+      graft.Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_trades"),
+          sum((iv * ik).cast("decimal(30,0)")).cast("double").as("spw"),
+          sum(ik).cast("double").as("sw"))
+        .select(col("bucket"), col("n_trades"),
+          when(col("sw") === 0, lit(null)).otherwise(col("spw") / col("sw") / lit(100.0))
+            .as("vwap"))
+        .orderBy("bucket")
+    },
+
     // volume-anomaly detection: per-day event counts z-scored against
     // the series' own mean/stddev. Counts are integers, so the moment
     // sums (Σn, Σn²) are exact BIGINT arithmetic; mean/variance then
