@@ -181,6 +181,49 @@ object RelQueries {
         .orderBy("l_returnflag")
     },
 
+    // higher statistical moments: per-group skewness and excess
+    // kurtosis from exact integer power sums (quantity <= 50, so even
+    // x^4 stays a small exact BIGINT) closed by one double formula —
+    // same engine-determinism rationale as agg_corr; sqrt(m2)*m2
+    // replaces pow(m2, 1.5) because pow is not correctly rounded.
+    "agg_skew_kurtosis" -> QueryDef(
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_returnflag, n, s1 / n AS mu,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM m)
+        |SELECT l_returnflag, n, mu,
+        |  m3 / (sqrt(m2) * m2) AS skewness,
+        |  m4 / (m2 * m2) - 3 AS kurtosis_excess
+        |FROM c ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val x = col("l_quantity").cast("long")
+      val m = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("s1"),
+          sum(x * x).cast("double").as("s2"),
+          sum(x * x * x).cast("double").as("s3"),
+          sum(x * x * x * x).cast("double").as("s4"))
+      val mu = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - mu * mu
+      val m3 = col("s3") / col("n") - lit(3) * mu * (col("s2") / col("n")) + lit(2) * mu * mu * mu
+      val m4 = col("s4") / col("n") - lit(4) * mu * (col("s3") / col("n")) +
+        lit(6) * mu * mu * (col("s2") / col("n")) - lit(3) * mu * mu * mu * mu
+      m.select(col("l_returnflag"), col("n"), mu.as("mu"),
+          (m3 / (sqrt(m2) * m2)).as("skewness"),
+          (m4 / (m2 * m2) - lit(3)).as("kurtosis_excess"))
+        .orderBy("l_returnflag")
+    },
+
     // multi-dimensional aggregates: CUBE (null super-group rows; Spark
     // sorts nulls first on ASC, DuckDB last -> explicit NULLS FIRST)
     "cube_agg" -> QueryDef(
@@ -565,6 +608,30 @@ object RelQueries {
           last(col("o_orderkey")).over(w2).as("latest_ord"),
           nth_value(col("o_orderkey"), 3).over(w1).as("third_ord"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // rank vs dense_rank vs row_number on a column WITH ties
+    // (p_retailprice repeats across parts): rank leaves gaps after tie
+    // groups, dense_rank doesn't, row_number breaks ties by the key
+    "window_dense_rank" -> QueryDef(
+      """SELECT p_brand, p_partkey,
+        |  RANK() OVER w AS rk,
+        |  DENSE_RANK() OVER w AS drk,
+        |  ROW_NUMBER() OVER (PARTITION BY p_brand
+        |                     ORDER BY p_size DESC, p_partkey) AS rn
+        |FROM part WHERE p_partkey < 500
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC)
+        |ORDER BY p_brand, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tied = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+      val stable = Window.partitionBy("p_brand")
+        .orderBy(col("p_size").desc, col("p_partkey").asc)
+      Tables.part(s, d).where(col("p_partkey") < 500)
+        .select(col("p_brand"), col("p_partkey"),
+          rank().over(tied).as("rk"),
+          dense_rank().over(tied).as("drk"),
+          row_number().over(stable).as("rn"))
+        .orderBy("p_brand", "rn")
     },
 
     // ranking window: top-3 parts per brand

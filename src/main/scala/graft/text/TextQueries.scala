@@ -637,6 +637,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // sliding context windows WITH overlap (stride 25 < size 50) — the
+    // production chunking mode: consecutive windows share half their
+    // tokens so no span is ever split across a boundary without also
+    // appearing whole in a neighbor. Same per-row explode shape as
+    // text_chunk; windows starting past the end are excluded (the last
+    // partial window still emits so no token is dropped).
+    "text_chunk_overlap" -> QueryDef(
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, CAST(floor((len(toks)-1)/25) AS BIGINT))) AS w
+        |  FROM t
+        |)
+        |SELECT doc_id, w,
+        |  len(list_slice(toks, w*25+1, w*25+50)) AS chunk_len,
+        |  md5(array_to_string(list_slice(toks, w*25+1, w*25+50), ' ')) AS chunk_md5
+        |FROM c WHERE w*25 < len(toks)
+        |ORDER BY doc_id, w""".stripMargin) { (s, d) =>
+      val stride = 25
+      val size50 = 50
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      def chunk = slice(col("toks"), (col("w") * stride + 1).cast("int"), lit(size50))
+      toks
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            floor((size(col("toks")) - 1) / stride).cast("long"))).as("w"))
+        .where(col("w") * stride < size(col("toks")))
+        .select(col("doc_id"), col("w"),
+          size(chunk).cast("long").as("chunk_len"),
+          md5(concat_ws(" ", chunk)).as("chunk_md5"))
+        .orderBy("doc_id", "w")
+    },
+
     // duplicate-cluster grouping: LSH candidates → exact-Jaccard verify
     // (≥ 0.9, integer-compared) → connected components, reported as one
     // row per multi-member cluster. The pair relation is not transitive
