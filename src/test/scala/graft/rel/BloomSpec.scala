@@ -32,6 +32,20 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("no false negatives on random key sets (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genKeys = for {
+      n <- Gen.chooseNum(1, 2000)
+      keys <- Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    } yield keys.distinct.toArray
+    val prop = Prop.forAll(genKeys) { keys =>
+      val (words, mBits) = Bloom.build(keys)
+      keys.forall(Bloom.mightContain(words, mBits, 7, _))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("join_bloom_prune keeps exactly the exact-join result") {
     val bloomed = graft.SparkEntry.queries("join_bloom_prune")(spark, sf001)
     val plain = graft.Tables.orders(spark, sf001)
