@@ -224,7 +224,13 @@ object GraftExpressions {
     * removes those), never drops a member.
     */
   case class BloomMightContain(child: Expression, words: Array[Long], mBits: Int, k: Int)
-      extends UnaryExpression {
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+    // pin the key to LongType at analysis time: nullSafeEval casts to
+    // Long, so an un-coerced Int key would CCE on the interpreted path
+    // while codegen silently widens — the two paths must agree
+    override def inputTypes = Seq(LongType) // AbstractDataType is private[sql]
 
     override def dataType: DataType = BooleanType
 

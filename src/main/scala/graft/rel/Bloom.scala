@@ -48,7 +48,13 @@ object Bloom {
     * rounded up to a word; 16 bits/key with k=7 gives ~0.8% FP rate).
     */
   def build(keys: Array[Long], bitsPerKey: Int = 16, k: Int = 7): (Array[Long], Int) = {
-    val mBits = math.max(64, keys.length * bitsPerKey)
+    // Long arithmetic: Int n*bitsPerKey overflows past ~134M keys,
+    // yielding a negative (or tiny) m — fail loudly instead
+    val m = math.max(64L, keys.length.toLong * bitsPerKey)
+    require(m <= Int.MaxValue,
+      s"bloom filter needs $m bits (${keys.length} keys x $bitsPerKey b/key) > Int.MaxValue; " +
+        "lower bitsPerKey or build distributed (treeAggregate of per-partition filters)")
+    val mBits = m.toInt
     val words = new Array[Long]((mBits + 63) / 64)
     keys.foreach { key =>
       probe(mBits, k, key)(pos => words(pos >>> 6) |= 1L << (pos & 63))
@@ -71,10 +77,17 @@ object Bloom {
 
   /** Collect the (assumed bounded) dim keys and return the fact frame
     * filtered to might-match rows. `dimKeys` must be a single LONG
-    * column projection.
+    * column projection. The bounded-small contract is ENFORCED:
+    * collecting stops at maxKeys+1 rows and fails if the dim exceeds
+    * it, rather than OOMing the driver — a dim that big should use the
+    * distributed treeAggregate builder instead.
     */
-  def pruneByKeys(fact: DataFrame, factKey: Column, dimKeys: DataFrame): DataFrame = {
-    val keys = dimKeys.collect().map(_.getLong(0))
+  def pruneByKeys(fact: DataFrame, factKey: Column, dimKeys: DataFrame,
+      maxKeys: Int = 8 << 20): DataFrame = {
+    val keys = dimKeys.limit(maxKeys + 1).collect().map(_.getLong(0))
+    require(keys.length <= maxKeys,
+      s"pruneByKeys dim side exceeds $maxKeys keys — outside the bounded-collect " +
+        "contract; build the filter distributed (treeAggregate of per-partition words)")
     val (words, mBits) = build(keys)
     fact.where(mightContainCol(factKey, words, mBits))
   }

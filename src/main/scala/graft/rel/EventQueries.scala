@@ -90,8 +90,10 @@ object EventQueries {
         |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) & 1023 AS b
         |  FROM events)
         |SELECT event_id,
-        |  list_sum(list_transform(range(10),
-        |    i -> ((a >> i) & 1) * (1::BIGINT << (2*i)) + ((b >> i) & 1) * (1::BIGINT << (2*i+1)))) AS z
+        |  -- list_sum returns DOUBLE/HUGEINT in DuckDB; cast back so the
+        |  -- driver's typed value hash agrees with Spark's BIGINT z
+        |  CAST(list_sum(list_transform(range(10),
+        |    i -> ((a >> i) & 1) * (1::BIGINT << (2*i)) + ((b >> i) & 1) * (1::BIGINT << (2*i+1)))) AS BIGINT) AS z
         |FROM src ORDER BY z, event_id""".stripMargin) { (sp, d) =>
       graft.Tables.events(sp, d)
         .select(col("event_id"),

@@ -585,12 +585,16 @@ object RelQueries {
 
     // positional window values: first/last/nth over an explicit frame —
     // the "compare each row to its group's opener / latest / 3rd"
-    // shape. Full-partition frame for first/nth (stable), running
-    // frame for last; all orders tie-break on the key.
+    // shape. Full-partition frame for first/nth (stable); last_value
+    // runs IGNORE NULLS over a sparsely-populated column ("most recent
+    // urgent order seen so far") so it is NOT the identity column a
+    // plain running last_value degenerates to. All orders tie-break on
+    // the key.
     "window_nth_value" -> QueryDef(
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w1 AS first_ord,
-        |  last_value(o_orderkey) OVER w2 AS latest_ord,
+        |  last_value(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey END
+        |             IGNORE NULLS) OVER w2 AS last_urgent_ord,
         |  nth_value(o_orderkey, 3) OVER w1 AS third_ord
         |FROM orders
         |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -605,7 +609,8 @@ object RelQueries {
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
           first(col("o_orderkey")).over(w1).as("first_ord"),
-          last(col("o_orderkey")).over(w2).as("latest_ord"),
+          last(when(col("o_orderpriority") === "1-URGENT", col("o_orderkey")),
+            ignoreNulls = true).over(w2).as("last_urgent_ord"),
           nth_value(col("o_orderkey"), 3).over(w1).as("third_ord"))
         .orderBy("o_custkey", "o_orderkey")
     },

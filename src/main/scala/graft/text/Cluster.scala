@@ -63,7 +63,16 @@ object Cluster {
       labels = next
       it += 1
     }
-    labels
+    if (!converged) {
+      // diameter > maxIter: the propagation has NOT reached a fixpoint
+      // and the labels are wrong. Never return them silently — finish
+      // with the O(log n) star-contraction variant, whose round budget
+      // covers diameters up to 2^maxIter.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxIter=$maxIter before convergence; " +
+          "falling back to large-star/small-star (O(log n) rounds)")
+      connectedComponentsLogRounds(nodes, edges)
+    } else labels
   }
 
   /** Cluster summary over a component assignment: one row per
@@ -90,9 +99,9 @@ object Cluster {
     *
     * The fixed point is a forest of stars rooted at each component's
     * minimum id. Convergence is detected by an order-independent
-    * checksum aggregate (count + sum of edge hashes) — two scalar
-    * aggregates per round, no edge-set except() diff, no collect of
-    * the edges.
+    * checksum aggregate (count + two independent xor-folds of edge
+    * hashes, collision odds ~2^-128) — one scalar aggregate per round,
+    * no edge-set except() diff, no collect of the edges.
     */
   def connectedComponentsLogRounds(
       nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
@@ -101,13 +110,19 @@ object Cluster {
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-    def checksum(e: DataFrame): (Long, Long) = {
+    def checksum(e: DataFrame): (Long, Long, Long) = {
       // xor-fold of edge hashes: order-independent, overflow-free
-      // under ANSI (a sum of hashes overflows long); edges are deduped
-      // so xor self-cancellation cannot collide distinct sets of the
-      // same parity
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      // under ANSI (a sum of hashes overflows long). Dedup rules out
+      // xor self-cancellation, but distinct same-cardinality sets CAN
+      // still collide (probability ~2^-64 per fold); folding a second
+      // independent seed drives a spurious early stop to ~2^-128 —
+      // negligible, not impossible.
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))"),
+        expr("bit_xor(xxhash64(v, u))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
 
     var e = canon(edges.select(col("a"), col("b"))).localCheckpoint()
@@ -138,6 +153,10 @@ object Cluster {
       e = afterSs
       it += 1
     }
+    // 2^maxIter diameter headroom makes exhaustion a genuine anomaly
+    // (corrupt edge input, not a big graph) — never emit wrong labels
+    if (!converged) throw new IllegalStateException(
+      s"large-star/small-star did not converge in $maxIter rounds")
     nodes.select(col("id"))
       .join(e.select(col("u").as("id"), col("v")), Seq("id"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))

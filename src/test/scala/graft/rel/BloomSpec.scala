@@ -46,6 +46,34 @@ class BloomSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("non-LONG probe key is rejected at analysis time") {
+    // nullSafeEval casts the key to Long: without the input-type pin an
+    // Int key would CCE interpreted but silently widen under codegen
+    val (words, mBits) = Bloom.build(Array(1L, 2L))
+    val intKeys = Seq(1, 2, 3).toDF("key") // IntegerType
+    val ex = intercept[Exception] {
+      intKeys.select(Bloom.mightContainCol(col("key"), words, mBits)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("type"),
+      s"expected an analysis-time type error, got: ${ex.getMessage}")
+    // the properly-typed path still works after an explicit cast
+    val ok = intKeys.select(
+      Bloom.mightContainCol(col("key").cast("long"), words, mBits).as("hit")).collect()
+    assert(ok.map(_.getBoolean(0)).toSeq.take(2).forall(identity))
+  }
+
+  test("pruneByKeys enforces the bounded-collect contract") {
+    val dim = (0L until 100L).toDF("k")
+    val fact = (0L until 10L).toDF("key")
+    val ex = intercept[IllegalArgumentException] {
+      Bloom.pruneByKeys(fact, col("key"), dim, maxKeys = 50)
+    }
+    assert(ex.getMessage.contains("bounded-collect"))
+    // within bounds it prunes to exactly the member set (no FNs)
+    val pruned = Bloom.pruneByKeys(fact, col("key"), dim, maxKeys = 200)
+    assert(pruned.count() == 10L)
+  }
+
   test("join_bloom_prune keeps exactly the exact-join result") {
     val bloomed = graft.SparkEntry.queries("join_bloom_prune")(spark, sf001)
     val plain = graft.Tables.orders(spark, sf001)

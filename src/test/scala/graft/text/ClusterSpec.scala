@@ -102,6 +102,17 @@ class ClusterSpec extends SparkSpec {
       "every chain node must collapse to root 0 within the default round budget")
   }
 
+  test("min-label propagation exhausting maxIter falls back to star contraction") {
+    // a 30-node path with maxIter=3: propagation alone would stop 27
+    // hops short and return WRONG labels; the fallback must finish it
+    val n = 30
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val assign = Cluster.connectedComponents(nodes, edges, maxIter = 3)
+    assert(assign.where(col("cluster_id") =!= 0L).count() == 0,
+      "fallback must produce fully-converged labels, never partial ones")
+  }
+
   test("dedup_clusters on sf0.01 finds the planted pair/triple structure") {
     val out = SparkEntry.queries("dedup_clusters")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -28,7 +28,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -37,6 +37,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
             exp = con.execute(sql).fetchall()
             exp_cols = [d[0] for d in con.description]
@@ -63,7 +65,10 @@ def main(sf_dir, out_dir):
         for r, (er, gr) in enumerate(zip(exp, got)):
             for i, j in zip(ei, gi):
                 a, b = norm(er[i]), norm(gr[j])
-                if a != b:
+                # the driver hashes TYPED values: float 5.0 != int 5
+                # there, even though == passes here (layout_zorder r4)
+                if a != b or (isinstance(a, float) != isinstance(b, float)
+                              and a is not None and b is not None):
                     bad = (r, exp_cols[i], a, b)
                     break
             if bad:
@@ -80,4 +85,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], frozenset(sys.argv[3:])))
