@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
     tick.TickQueries.defs ++ tick.StoreQueries.defs ++ rel.RelQueries.defs ++
-      rel.EventQueries.defs ++ text.TextQueries.defs ++ vec.VecQueries.defs ++
+      rel.EventQueries.defs ++ rel.AnalyticsQueries.defs ++
+      text.TextQueries.defs ++ text.CorpusQueries.defs ++ vec.VecQueries.defs ++
       mm.MmQueries.defs ++ streaming.StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

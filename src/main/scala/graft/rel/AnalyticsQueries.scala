@@ -1,0 +1,240 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Round-5 analytics surface: iterative graph ranking, Pareto
+  * frontiers, robust outlier detection, dataset profiling, and the
+  * remaining distribution-window functions — the "what else does an
+  * analytics engine ship" tier beyond the relational core.
+  *
+  * Determinism doctrine (same as the tick reducers): anything iterated
+  * or aggregated across partitions computes in INTEGER fixed-point so
+  * the result is independent of partitioning and addition order —
+  * PageRank carries rank mass in 1e-12 units, MAD works on value
+  * cents, the skyline compares integer cents/dates. Doubles appear
+  * only in single-expression scalar math where both engines execute
+  * the identical IEEE op sequence.
+  */
+object AnalyticsQueries {
+
+  /** One PageRank sweep over undirected edges `(u, v, d_u)` where d_u
+    * is u's degree: every node's new rank is
+    * `0.15*UNIT + 0.85 * sum(r_u div d_u)` in integer 1e-12 units.
+    * Integer division makes the sum order-independent, so the
+    * distributed result is bit-identical to any sequential evaluation.
+    */
+  private def prStep(undDeg: DataFrame, pr: DataFrame): DataFrame =
+    undDeg.join(pr, undDeg("u") === pr("node"))
+      .select(undDeg("v"), expr("r div d").as("contrib"))
+      .groupBy(col("v").as("node"))
+      .agg(expr("150000000000 + (85 * sum(contrib)) div 100").as("r"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // PageRank over the customer<->supplier bipartite graph (edge =
+    // "this customer ordered from this supplier"), 10 fixed-point
+    // iterations. Scale shape: the per-round job is one node-keyed
+    // equi-join + one partial-aggregated groupBy (no pair space, no
+    // driver state beyond the loop counter); lineage is cut per round
+    // with localCheckpoint like Cluster's CC loop. Integer rank mass
+    // (1e-12 units) keeps every iteration exact on both engines, so
+    // this is hash-checked — unusual for an iterative fp algorithm.
+    "graph_pagerank" -> QueryDef(
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+        |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY 1),
+        |pr(it, node, r) AS (
+        |  SELECT 0, node, 1000000000000::BIGINT FROM deg
+        |  UNION ALL
+        |  SELECT it+1, und.v,
+        |    150000000000 + (85 * SUM(pr.r // deg.d)) // 100
+        |  FROM pr JOIN und ON und.u = pr.node JOIN deg ON deg.node = pr.node
+        |  WHERE it < 10 GROUP BY 1, 2)
+        |SELECT node, r AS rank_fp FROM pr WHERE it = 10
+        |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      // degree is joined onto the edge list ONCE, outside the loop
+      val undDeg = und.join(deg, und("u") === deg("node"))
+        .select(col("u"), col("v"), col("d")).localCheckpoint()
+      var pr = deg.select(col("node"), lit(1000000000000L).as("r")).localCheckpoint()
+      (1 to 10).foreach { _ => pr = prStep(undDeg, pr).localCheckpoint() }
+      pr.orderBy(col("r").desc, col("node")).limit(20)
+        .select(col("node"), col("r").as("rank_fp"))
+    },
+
+    // 2-D skyline / Pareto frontier: orders not strictly dominated on
+    // (lower price, later date). Two-phase: range-partition on price,
+    // prune locally (a row dominated inside its slice is dominated
+    // globally), then one exact window over the tiny survivor set —
+    // the global sort never sees the full table, so the plan survives
+    // 100x. Strictness via a RANGE frame ending 1 PRECEDING (= all
+    // strictly cheaper rows).
+    "skyline_pareto" -> QueryDef(
+      """WITH pts AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+        |         CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |w AS (
+        |  SELECT *, max(d) OVER (ORDER BY price_c
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_d
+        |  FROM pts)
+        |SELECT o_orderkey, price_c, d FROM w
+        |WHERE best_d IS NULL OR d >= best_d
+        |ORDER BY price_c, o_orderkey""".stripMargin) { (s, d) =>
+      val pts = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice*100) AS BIGINT)").as("price_c"),
+        col("o_orderdate").cast("date").as("d"))
+      val slices = s.sparkContext.defaultParallelism
+      val sliced = pts.repartitionByRange(slices, col("price_c"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy("pid").orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val survivors = sliced
+        .withColumn("bd", max("d").over(wLocal))
+        .where(col("bd").isNull || col("d") >= col("bd"))
+        .drop("bd", "pid")
+      val wGlobal = Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      survivors
+        .withColumn("best_d", max("d").over(wGlobal))
+        .where(col("best_d").isNull || col("d") >= col("best_d"))
+        .select("o_orderkey", "price_c", "d")
+        .orderBy("price_c", "o_orderkey")
+    },
+
+    // robust anomaly detection: median + MAD per event type, flag
+    // |v - med| > 3 * 1.4826 * MAD (the normal-consistent MAD z-score).
+    // Medians interpolate over integer cents, so (a+b)/2 is exact in
+    // double on both engines and the flags are deterministic. Scale
+    // note: percentile() buffers per group here (5 groups); a
+    // high-cardinality grouping would reuse agg_percentiles'
+    // range-sliced global-rank machinery instead.
+    "anomaly_mad" -> QueryDef(
+      """WITH v AS (SELECT event_id, event_type,
+        |             CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |m AS (SELECT event_type, quantile_cont(vc, 0.5) AS med FROM v GROUP BY 1),
+        |md AS (SELECT v.event_type, quantile_cont(abs(vc - med), 0.5) AS mad
+        |       FROM v JOIN m USING (event_type) GROUP BY 1)
+        |SELECT event_id, event_type, vc, med, mad
+        |FROM v JOIN m USING (event_type) JOIN md USING (event_type)
+        |WHERE abs(vc - med) > 4.4478 * mad
+        |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+      val m = v.groupBy("event_type").agg(expr("percentile(vc, 0.5)").as("med"))
+      val md = v.join(broadcast(m), "event_type")
+        .groupBy("event_type").agg(expr("percentile(abs(vc - med), 0.5)").as("mad"))
+      v.join(broadcast(m), "event_type").join(broadcast(md), "event_type")
+        .where(abs(col("vc") - col("med")) > lit(4.4478) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("vc"), col("med"), col("mad"))
+        .orderBy("event_type", "event_id")
+    },
+
+    // dataset profiling (DuckDB SUMMARIZE / Deequ-style): null count,
+    // distinct count, min/max per column, ONE scan. All 6 columns
+    // aggregate in a single pass (multiple count-distincts expand
+    // rows 6x before the partial agg — the standard trade; an
+    // approximate profile would swap in HLL). Numerics/timestamps
+    // render through DECIMAL/DATE so both engines print identically.
+    "profile_columns" -> QueryDef(
+      """SELECT col_name, n_nulls, n_distinct, min_v, max_v FROM (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_v, CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+        |    MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+        |    CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+        |    CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+        |    MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      def prof(c: String, render: Column => Column): Seq[Column] = Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_dist"),
+        render(min(col(c))).cast("string").as(s"${c}_min"),
+        render(max(col(c))).cast("string").as(s"${c}_max"))
+      val id: Column => Column = identity
+      val aggs =
+        prof("o_orderkey", id) ++ prof("o_custkey", id) ++
+          prof("o_orderstatus", id) ++
+          prof("o_totalprice", _.cast("decimal(18,2)")) ++
+          prof("o_orderdate", _.cast("date")) ++
+          prof("o_orderpriority", id)
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max").mkString(", ")
+      one.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_v, max_v)"))
+        .orderBy("col_name")
+    },
+
+    // distribution windows: percent_rank (rank-1)/(n-1) and cume_dist
+    // count<= / n over a tie-heavy ordering — exact rational doubles,
+    // identical on both engines including the n=1 -> 0.0 edge.
+    "window_percent_cume" -> QueryDef(
+      """SELECT p_brand, p_partkey, p_size,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM part WHERE p_partkey <= 2000
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_size)
+        |ORDER BY p_brand, p_partkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("p_brand").orderBy("p_size")
+      Tables.part(s, d).where(col("p_partkey") <= 2000)
+        .select(col("p_brand"), col("p_partkey"), col("p_size"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("p_brand", "p_partkey")
+    },
+
+    // JSON-lines sink + source round-trip: the interchange sibling of
+    // the csv/orc round-trips (JSON = the dominant raw-crawl format a
+    // training pipeline ingests). Write a projection once per sf dir,
+    // read back with an explicit schema (no inference pass at scale),
+    // reproduce the rows exactly — longs and strings are textual,
+    // doubles round-trip through shortest-repr printing.
+    "source_json_roundtrip" -> QueryDef(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val path = s"${sys.props("java.io.tmpdir")}/graft_json_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+        Tables.orders(s, d).where(col("o_orderkey") <= 5000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").json(path)
+      }
+      s.read
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .json(path)
+        .orderBy("o_orderkey")
+    }
+  )
+}

@@ -1,0 +1,168 @@
+package graft.text
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import TextFunctions._
+
+/** Round-5 corpus-preparation operators: lexical retrieval scoring
+  * (BM25), token-distribution entropy, sequence packing, and
+  * temperature-scaled domain mixing — the steps between "filtered
+  * documents" and "training batches" in an LLM data pipeline.
+  *
+  * Determinism: entropy and the mixing allocation compute in integer
+  * fixed-point (micro-nats / per-mille weights) so sums and floors are
+  * partition-order independent; BM25 is a single fixed IEEE op
+  * sequence per row rounded to 9 dp (ln is the one libm call — see
+  * the boundary-distance check in R5OpsSpec).
+  */
+object CorpusQueries {
+
+  /** Shared BM25 per-term formula (k1=1.2, b=0.75), written once and
+    * fed verbatim to BOTH engines so the op sequence is identical.
+    * Expects columns: n (corpus size), df_i, tf_i, dl, avgdl.
+    */
+  private def bm25Term(i: Int): String =
+    s"ln((n - df$i + 0.5)/(df$i + 0.5) + 1.0) * " +
+      s"(tf$i*2.2)/(tf$i + 1.2*(0.25 + 0.75*dl/avgdl))"
+  private val bm25Score: String =
+    s"round(${bm25Term(1)} + ${bm25Term(2)} + ${bm25Term(3)}, 9)"
+  private val bm25Terms = Seq("batch", "index", "shuffle")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // BM25 top-20 for a fixed 3-term query. Shape at scale: one
+    // tokenize+tf pass over the corpus (tf per term via a filtered
+    // size — no explode, no per-term scan), one single-row stats
+    // aggregate broadcast back, one TakeOrderedAndProject. The same
+    // tf columns feed an inverted-index variant when the query set is
+    // dynamic (text_inverted_index).
+    "text_bm25" -> QueryDef({
+      val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(t, x -> x = '$t')) AS tf${i + 1}"
+      }.mkString(",\n        |    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+         |d AS (
+         |  SELECT doc_id, len(t) AS dl,
+         |    $tfs
+         |  FROM toks),
+         |stats AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl,
+         |    CAST(SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |    CAST(SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         |    CAST(SUM(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+         |  FROM d)
+         |SELECT doc_id, $bm25Score AS score
+         |FROM d, stats WHERE tf1 + tf2 + tf3 > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("t"), x => x === t)).as(s"tf${i + 1}")
+      }
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(Seq(col("doc_id"), size(col("t")).as("dl")) ++ tfCols: _*)
+      val stats = docs.agg(
+        count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+        sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+      docs.crossJoin(broadcast(stats))
+        .where(col("tf1") + col("tf2") + col("tf3") > 0)
+        .select(col("doc_id"), expr(bm25Score).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // unigram token entropy per document, in integer MICRO-NATS:
+    // H = ln(n) - (sum c_i*ln(c_i))/n with each ln pre-rounded to a
+    // 1e-6 integer grid. Makes the cross-partition sum exact (ints),
+    // and the grid is safe: min distance of ln(c)*1e6 from a rounding
+    // boundary over c in [1, 1e5] is 2.8e-6, vs ~4e-10 of cross-libm
+    // ulp noise (pinned in R5OpsSpec). One explode + two keyed aggs.
+    "text_entropy" -> QueryDef(
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+         |e AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         |        CAST(SUM(c * CAST(round(ln(c)*1000000) AS BIGINT)) AS BIGINT) AS s
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, CAST(round(ln(n)*1000000) AS BIGINT) - s // n AS h_mnat
+         |FROM e ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n"),
+          sum(expr("c * CAST(round(ln(c)*1000000) AS BIGINT)")).as("s"))
+        .select(col("doc_id"),
+          expr("CAST(round(ln(n)*1000000) AS BIGINT) - s div n").as("h_mnat"))
+        .orderBy("doc_id")
+    },
+
+    // sequence packing, pretraining style: concatenate each source's
+    // docs in doc_id order and cut the stream into fixed 4096-char
+    // windows; a doc's bin = the window its first char lands in.
+    // One window-sum per source partition (sources are the natural
+    // pack unit and hash-spread at scale — no global sort); all
+    // integer arithmetic.
+    "pack_sequences" -> QueryDef(
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  cum_before // 4096 AS bin, cum_before % 4096 AS offset_in_bin
+        |FROM t ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          coalesce(sum("n_chars").over(w), lit(0L)).as("cum_before"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("cum_before div 4096").as("bin"),
+          expr("cum_before % 4096").as("offset_in_bin"))
+        .orderBy("source", "doc_id")
+    },
+
+    // temperature-scaled domain mixing (alpha = 0.5): sample languages
+    // proportional to count^alpha instead of count, the standard
+    // rebalancing for multilingual pretraining. Integer per-mille
+    // weights floor(sqrt(n)*1000) — sqrt is IEEE-correctly-rounded on
+    // both engines, so the floor is deterministic — then an integer
+    // largest-floor allocation of 200 slots and a deterministic
+    // Lehmer-hash draw of each language's quota. No rand(), no
+    // collect; the per-domain row_number is the only window.
+    "sample_temperature" -> QueryDef(
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n)*1000) AS BIGINT) AS wgt FROM c),
+        |tot AS (SELECT CAST(SUM(wgt) AS BIGINT) AS tw FROM w),
+        |alloc AS (SELECT lang, LEAST(n, (200 * wgt) // tw) AS take FROM w, tot),
+        |r AS (SELECT doc_id, lang,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY ((doc_id % 1048573) * 48271) % 2147483647, doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN alloc USING (lang)
+        |WHERE rn <= take ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("n"),
+          expr("CAST(floor(sqrt(n)*1000) AS BIGINT)").as("wgt"))
+      val tot = w.agg(sum("wgt").as("tw"))
+      val alloc = w.crossJoin(broadcast(tot))
+        .select(col("lang"), least(col("n"), expr("(200 * wgt) div tw")).as("take"))
+      val rn = Window.partitionBy("lang")
+        .orderBy(expr("((doc_id % 1048573) * 48271) % 2147483647"), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"),
+          row_number().over(rn).as("rn"))
+        .join(broadcast(alloc), "lang")
+        .where(col("rn") <= col("take"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("lang", "doc_id")
+    }
+  )
+}

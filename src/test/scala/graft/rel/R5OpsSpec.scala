@@ -1,0 +1,178 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Invariant pins for the round-5 operator wave (all hash-checked
+  * against the DuckDB oracle in the verify gate; these guard the
+  * semantics a refactor could break in both engines at once).
+  */
+class R5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graph_pagerank matches a sequential fixed-point reference") {
+    // sequential re-implementation of the exact integer recurrence over
+    // the same sf0.001 graph — any divergence means the distributed
+    // join/agg loop reordered something it must not
+    val edges = graft.Tables.orders(spark, sf0001)
+      .join(graft.Tables.lineitem(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges ++ edges.map { case (u, v) => (v, u) }
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var r = deg.keys.map(_ -> 1000000000000L).toMap
+    (1 to 10).foreach { _ =>
+      val in = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = in.map { case (n, s) => n -> (150000000000L + 85 * s / 100) }
+    }
+    val expected = r.toSeq.sortBy { case (n, rk) => (-rk, n) }.take(20)
+    val got = SparkEntry.queries("graph_pagerank")(spark, sf0001)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == expected, s"distributed/sequential PageRank diverge:\n$got\n$expected")
+  }
+
+  test("pagerank mass is conserved up to integer-division truncation") {
+    val n = SparkEntry.queries("graph_pagerank")(spark, sf001)
+    // top-20 ranks all exceed the uniform start (they're hubs) and
+    // carry the damping floor
+    val ranks = n.collect().map(_.getLong(1))
+    assert(ranks.forall(_ > 1000000000000L), "top-20 must beat the uniform rank")
+    assert(ranks.sorted.reverse.toSeq == ranks.toSeq, "ordered by rank desc")
+  }
+
+  test("skyline_pareto equals the brute-force frontier at sf0.001") {
+    val pts = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice*100) AS BIGINT)"),
+        col("o_orderdate").cast("date"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate.toEpochDay))
+    val frontier = pts.filter { case (_, p, d) =>
+      !pts.exists { case (_, p2, d2) => p2 < p && d2 > d }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("skyline_pareto")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == frontier, s"skyline mismatch: got $got expected $frontier")
+  }
+
+  test("skyline survivors are mutually non-dominated") {
+    val rows = SparkEntry.queries("skyline_pareto")(spark, sf001)
+      .collect().map(r => (r.getLong(1), r.getDate(2).toLocalDate.toEpochDay))
+    rows.foreach { case (p, d) =>
+      assert(!rows.exists { case (p2, d2) => p2 < p && d2 > d },
+        s"($p, $d) is dominated inside the frontier")
+    }
+  }
+
+  test("anomaly_mad flags exactly the > 3-sigma-equivalent deviations") {
+    val out = SparkEntry.queries("anomaly_mad")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (vc, med, mad) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(vc - med) > 4.4478 * mad, s"non-outlier row leaked: $r")
+    }
+  }
+
+  test("ln micro-nat grid is far from rounding boundaries on the JVM") {
+    // the text_entropy contract: round(ln(c)*1e6) must be stable under
+    // 1-ulp libm differences. Verify the JVM's ln keeps every count
+    // c <= 100k at least 1e-6 from a .5 boundary (cross-libm noise is
+    // ~4e-10 at this magnitude).
+    val worst = (1 to 100000).map { c =>
+      val x = math.log(c.toDouble) * 1e6
+      math.abs(x - math.floor(x) - 0.5)
+    }.min
+    assert(worst > 1e-6, s"ln grid boundary distance too small: $worst")
+  }
+
+  test("text_entropy matches a direct per-doc recomputation") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("text_entropy")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def lnInt(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    docs.foreach { case (id, text) =>
+      val counts = text.trim.toLowerCase.split("\\s+").groupBy(identity)
+        .values.map(_.length.toLong)
+      val n = counts.sum
+      val expected = lnInt(n) - counts.map(c => c * lnInt(c)).sum / n
+      assert(got(id) == expected, s"doc $id entropy ${got(id)} != $expected")
+    }
+  }
+
+  test("pack_sequences bins are contiguous cuts of the source stream") {
+    val rows = SparkEntry.queries("pack_sequences")(spark, sf001)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._2)
+      var cum = 0L
+      ordered.foreach { case (_, _, nChars, bin, off) =>
+        assert(bin == cum / 4096, "bin must be the window of the first char")
+        assert(off == cum % 4096 && off >= 0 && off < 4096, "offset within window")
+        cum += nChars
+      }
+    }
+  }
+
+  test("sample_temperature flattens the domain distribution") {
+    val raw = graft.Tables.documents(spark, sf001)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val take = SparkEntry.queries("sample_temperature")(spark, sf001)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = raw.values.sum.toDouble
+    val sampled = take.values.sum.toDouble
+    // alpha=0.5 pulls the head domain's share toward uniform
+    val headLang = raw.maxBy(_._2)._1
+    assert(take(headLang) / sampled < raw(headLang) / total,
+      "head domain share must shrink under temperature sampling")
+    take.foreach { case (l, t) => assert(t <= raw(l), s"$l oversampled") }
+    // draws are deterministic
+    val again = SparkEntry.queries("sample_temperature")(spark, sf001)
+      .collect().map(_.getLong(0)).toSeq
+    val first = SparkEntry.queries("sample_temperature")(spark, sf001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == first, "temperature sample must be reproducible")
+  }
+
+  test("text_bm25 returns only term-bearing docs in descending score order") {
+    val out = SparkEntry.queries("text_bm25")(spark, sf001).collect()
+    assert(out.length == 20)
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse, "scores must be descending")
+    assert(scores.forall(_ > 0.0), "BM25 of a matched doc is positive")
+    val ids = out.map(_.getLong(0)).toSet
+    val texts = graft.Tables.documents(spark, sf001)
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase).toMap
+    ids.foreach { id =>
+      assert(Seq("batch", "index", "shuffle").exists(t =>
+        texts(id).split("\\s+").contains(t)), s"doc $id bears no query term")
+    }
+  }
+
+  test("profile_columns matches direct counts") {
+    val out = SparkEntry.queries("profile_columns")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val orders = graft.Tables.orders(spark, sf001)
+    val n = orders.count()
+    assert(out("o_orderkey") == ((0L, n)), "orderkey is a unique non-null key")
+    val distinctStatus = orders.select("o_orderstatus").distinct().count()
+    assert(out("o_orderstatus")._2 == distinctStatus)
+  }
+
+  test("window_percent_cume stays in [0,1] with exact rank arithmetic") {
+    val rows = SparkEntry.queries("window_percent_cume")(spark, sf001).collect()
+    rows.foreach { r =>
+      val (pr, cd) = (r.getDouble(3), r.getDouble(4))
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0, s"out of range: $r")
+    }
+  }
+}
