@@ -15,7 +15,7 @@ object SparkEntry {
     tick.TickQueries.defs ++ tick.StoreQueries.defs ++ rel.RelQueries.defs ++
       rel.EventQueries.defs ++ rel.AnalyticsQueries.defs ++
       text.TextQueries.defs ++ text.CorpusQueries.defs ++ vec.VecQueries.defs ++
-      mm.MmQueries.defs ++ streaming.StreamingQueries.defs
+      vec.VecAnalytics.defs ++ mm.MmQueries.defs ++ streaming.StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference README's own example query (README.md:32-44): avg

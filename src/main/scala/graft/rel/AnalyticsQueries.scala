@@ -214,6 +214,38 @@ object AnalyticsQueries {
         .orderBy("p_brand", "p_partkey")
     },
 
+    // winsorization: clamp each group's values to its own [p05, p95]
+    // before averaging — the robust-mean step quality pipelines apply
+    // to heavy-tailed metrics. Exact: percentiles interpolate integer
+    // cents (worst case x.5), and the clamped sum adds multiples of
+    // 0.5 below 2^52, so no fp rounding occurs at ANY partitioning.
+    "agg_winsorize" -> QueryDef(
+      """WITH v AS (SELECT l_returnflag AS g,
+        |             CAST(round(l_extendedprice*100) AS BIGINT) AS vc FROM lineitem),
+        |p AS (SELECT g, quantile_cont(vc, 0.05) AS p05, quantile_cont(vc, 0.95) AS p95
+        |      FROM v GROUP BY 1)
+        |SELECT g, COUNT(*) AS n,
+        |  CAST(SUM(LEAST(GREATEST(vc, p05), p95)) AS DOUBLE) / COUNT(*) AS wins_mean_c,
+        |  CAST(SUM(CASE WHEN vc < p05 OR vc > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        |FROM v JOIN p USING (g)
+        |GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+      val v = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("g"),
+        expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("vc"))
+      val p = v.groupBy("g").agg(
+        expr("percentile(vc, 0.05)").as("p05"),
+        expr("percentile(vc, 0.95)").as("p95"))
+      v.join(broadcast(p), "g")
+        .groupBy("g")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(least(greatest(col("vc"), col("p05")), col("p95"))).cast("double") /
+            count(lit(1))).as("wins_mean_c"),
+          sum(when(col("vc") < col("p05") || col("vc") > col("p95"), 1L)
+            .otherwise(0L)).as("n_clamped"))
+        .orderBy("g")
+    },
+
     // JSON-lines sink + source round-trip: the interchange sibling of
     // the csv/orc round-trips (JSON = the dominant raw-crawl format a
     // training pipeline ingests). Write a projection once per sf dir,

@@ -209,6 +209,45 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  /** One-shot streaming SESSION-window aggregation: per-user sessions
+    * that close after 30 minutes of silence, via the native
+    * `session_window` grouping (dynamic-length windows merged in the
+    * state store — the streaming twin of Sessionize's batch islands).
+    * Complete mode re-emits the merged sessions at the final
+    * AvailableNow batch (update mode is rejected for session windows);
+    * the watermark bounds session state in a production stream (set
+    * beyond the testdata span so nothing is late-dropped and the drain
+    * equals the batch oracle).
+    */
+  def sessionWindowAggOnce(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsStreamSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_t", "365 days")
+    val agg = src
+      .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Stream-stream interval join: clicks joined to the same user's
     * purchases within the following 10 minutes. Both sides carry a
     * watermark — that is what lets the join RUNTIME bound its state

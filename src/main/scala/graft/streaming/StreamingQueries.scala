@@ -43,6 +43,29 @@ object StreamingQueries {
       StreamingOps.streamStaticJoinOnce(s, d)
     },
 
+    // native session_window streaming aggregation == batch gap islands
+    // (a session merges an event iff it lands strictly before the
+    // current window end, so a gap of exactly 30 min starts a NEW
+    // session — the oracle's >= mirrors that boundary)
+    "streaming_session_agg" -> QueryDef(
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |        CASE WHEN LAG(t) OVER w IS NULL
+        |               OR t - LAG(t) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, MIN(t) AS session_start,
+        |  MAX(t) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      StreamingOps.sessionWindowAggOnce(s, d).orderBy("user_id", "session_start")
+    },
+
     // stream-stream interval join == batch interval join (watermark set
     // beyond the data's span, so no rows are late-dropped)
     "streaming_join" -> QueryDef(

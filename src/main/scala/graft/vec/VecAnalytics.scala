@@ -1,0 +1,80 @@
+package graft.vec
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Round-5 embedding analytics: per-class centroids and
+  * Johnson-Lindenstrauss random projection — the building blocks of
+  * IVF training (centroids) and cheap pre-filtering (projection) that
+  * a 100 TB embedding pipeline runs before any exact scoring.
+  *
+  * Both are hash-checked: centroids accumulate in integer 2^-20
+  * fixed point (float -> double -> *2^20 is EXACT, powers of two don't
+  * round), and the projection folds its 64 terms in a fixed
+  * left-to-right order, which both engines execute bit-identically.
+  */
+object VecAnalytics {
+
+  /** Deterministic JL sign for (input dim i, output dim j): parity of
+    * one Lehmer step over the seeded cell index. Expressible in both
+    * engines with plain integer SQL — no engine-private hash.
+    */
+  private def signSql(i: String, j: Int, outDims: Int): String =
+    // CAST before the multiply: Spark's sequence() yields INT and the
+    // Lehmer product exceeds 2^31 (ANSI overflow); DuckDB is BIGINT
+    // either way
+    s"(1 - 2*((CAST($i*$outDims + $j + 999983 AS BIGINT) * 48271) % 2147483647 % 2))"
+
+  private val OutDims = 8
+
+  /** Shared per-output-dim projection fold, 0-based array indexing
+    * abstracted per engine ([] is 0-based in Spark, 1-based in DuckDB).
+    */
+  private def projSpark(j: Int): String =
+    s"round(aggregate(sequence(0, 63), 0.0D, (acc, i) -> " +
+      s"acc + CAST(embedding[i] AS DOUBLE) * ${signSql("i", j, OutDims)}), 9)"
+  private def projDuck(j: Int): String =
+    s"round(list_reduce(list_transform(range(0, 64), i -> " +
+      s"CAST(embedding[i+1] AS DOUBLE) * ${signSql("i", j, OutDims)}), (a, b) -> a + b), 9)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // per-label mean embedding (the k-means / IVF-training primitive)
+    // in integer fixed point: v*2^20 is exact for floats, so the
+    // per-dimension sums are plain BIGINTs — partition-order
+    // independent, hash-exact, no fp accumulation drift at any scale.
+    // One posexplode + one (label, dim)-keyed partial-agg shuffle.
+    "vec_centroids" -> QueryDef(
+      """SELECT CAST(label AS BIGINT) AS label, i AS dim,
+        |  CAST(SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT)
+        |    // COUNT(*) AS mean_fp
+        |FROM embeddings, UNNEST(range(0, 64)) AS t(i)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(expr(
+          "sum(CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) div count(1)").as("mean_fp"))
+        .select(col("label").cast("long").as("label"), col("dim").cast("long").as("dim"),
+          col("mean_fp"))
+        .orderBy("label", "dim")
+    },
+
+    // 64 -> 8 dim JL projection with deterministic Lehmer-parity signs.
+    // Per-row, embarrassingly parallel, stays in whole-stage codegen
+    // (HOF fold, no UDF); the fold order is pinned so the doubles match
+    // the oracle bit for bit before the 9-dp round.
+    "vec_random_projection" -> QueryDef({
+      val cols = (0 until OutDims).map(j => s"${projDuck(j)} AS p$j").mkString(",\n        |  ")
+      s"""SELECT vec_id,
+         |  $cols
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val cols = (0 until OutDims).map(j => expr(projSpark(j)).as(s"p$j"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: cols: _*)
+        .orderBy("vec_id")
+    }
+  )
+}

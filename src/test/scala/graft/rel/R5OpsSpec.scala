@@ -168,6 +168,74 @@ class R5OpsSpec extends SparkSpec {
     assert(out("o_orderstatus")._2 == distinctStatus)
   }
 
+  test("vec_centroids matches the per-label float mean within fixed-point grid") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val byLabel = emb.groupBy(_._1)
+    val got = SparkEntry.queries("vec_centroids")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    byLabel.foreach { case (l, vs) =>
+      (0 until 64).foreach { d =>
+        val mean = vs.map(_._2(d).toDouble).sum / vs.length
+        val gotMean = got((l.toLong, d.toLong)).toDouble / 1048576.0
+        // integer div truncation + quantization: within 2^-20 + ulp slack
+        assert(math.abs(gotMean - mean) < 2.0 / 1048576.0,
+          s"centroid($l, $d): $gotMean vs $mean")
+      }
+    }
+  }
+
+  test("vec_random_projection roughly preserves relative distances (JL)") {
+    val rows = SparkEntry.queries("vec_random_projection")(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(r.getDouble).toArray).toMap
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .where(col("vec_id") < 40).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // E[proj dist^2] = orig dist^2 for +-1 sign projections scaled by
+    // 1/sqrt(k); unscaled, ratio concentrates around k=8. Median over
+    // pairs must land in a generous band around 8.
+    val ratios = (for {
+      i <- 0L until 20L; j <- (i + 1) until 40L
+    } yield d2(rows(i), rows(j)) / d2(emb(i), emb(j))).sorted
+    val median = ratios(ratios.length / 2)
+    assert(median > 2.0 && median < 32.0,
+      s"JL distance-ratio median $median outside the k=8 band")
+  }
+
+  test("agg_winsorize means sit inside the clamp band") {
+    val v = graft.Tables.lineitem(spark, sf001).select(
+      col("l_returnflag").as("g"),
+      expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("vc"))
+    val p = v.groupBy("g").agg(
+      expr("percentile(vc, 0.05)").as("p05"),
+      expr("percentile(vc, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("agg_winsorize")(spark, sf001).collect().foreach { r =>
+      val (g, n, mean, clamped) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      val (p05, p95) = p(g)
+      assert(mean >= p05 && mean <= p95, s"$g winsorized mean outside [$p05,$p95]")
+      // by construction at most ~10% of rows sit outside [p05, p95]
+      assert(clamped.toDouble / n <= 0.11, s"$g clamps ${clamped}/$n rows")
+    }
+  }
+
+  test("streaming_session_agg equals the batch sessionizer") {
+    val stream = SparkEntry.queries("streaming_session_agg")(spark, sf0001)
+    val batch = graft.streaming.Sessionize.batch(
+      graft.Tables.events(spark, sf0001), 1800000000L)
+    assert(stream.count() == batch.count(),
+      "session_window must produce exactly the batch islands")
+    // event mass is conserved: every event lands in exactly one session
+    val nEvents = graft.Tables.events(spark, sf0001).count()
+    val inSessions = stream.agg(sum("n_events")).head().getLong(0)
+    assert(inSessions == nEvents, s"$inSessions events in sessions of $nEvents")
+  }
+
   test("window_percent_cume stays in [0,1] with exact rank arithmetic") {
     val rows = SparkEntry.queries("window_percent_cume")(spark, sf001).collect()
     rows.foreach { r =>
