@@ -36,7 +36,13 @@ object ExplainAudit {
       "join_bloom_prune",  // bloom probe ON the fact scan, pre-shuffle
       "topk_per_group",    // rank window over pre-aggregated rows only
       "events_transitions", // one user-partitioned window, tiny agg
-      "text_inverted_index") // explode + single partial-agg term shuffle
+      "text_inverted_index", // explode + single partial-agg term shuffle
+      "graph_pagerank",    // per-round node-keyed join + partial agg
+      "skyline_pareto",    // range-partitioned local prune -> tiny global
+      "text_bm25",         // one tf pass, broadcast stats, topk
+      "vec_centroids",     // posexplode + (label,dim) partial agg
+      "sample_temperature", // broadcast alloc, one per-domain window
+      "anomaly_mad")       // broadcast med/mad, filter at scan side
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

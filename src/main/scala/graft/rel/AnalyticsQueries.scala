@@ -74,8 +74,8 @@ object AnalyticsQueries {
     },
 
     // 2-D skyline / Pareto frontier: orders not strictly dominated on
-    // (lower price, later date). Two-phase: range-partition on price,
-    // prune locally (a row dominated inside its slice is dominated
+    // (lower price, later date). Two-phase: bucket-partition on price,
+    // prune locally (a row dominated inside its bucket is dominated
     // globally), then one exact window over the tiny survivor set —
     // the global sort never sees the full table, so the plan survives
     // 100x. Strictness via a RANGE frame ending 1 PRECEDING (= all
@@ -96,15 +96,19 @@ object AnalyticsQueries {
         col("o_orderkey"),
         expr("CAST(round(o_totalprice*100) AS BIGINT)").as("price_c"),
         col("o_orderdate").cast("date").as("d"))
-      val slices = s.sparkContext.defaultParallelism
-      val sliced = pts.repartitionByRange(slices, col("price_c"))
-        .withColumn("pid", spark_partition_id())
-      val wLocal = Window.partitionBy("pid").orderBy("price_c")
+      // local prune partitions on a VALUE-derived price bucket (fixed
+      // 2^20-cent width), not spark_partition_id: the window's hash
+      // shuffle then IS the partitioning step — one exchange total
+      // instead of repartitionByRange + a second pid shuffle. A row
+      // dominated inside its bucket is dominated globally, so the
+      // prune is sound; the exact pass below sees every survivor.
+      val sliced = pts.withColumn("bucket", expr("price_c div 1048576"))
+      val wLocal = Window.partitionBy("bucket").orderBy("price_c")
         .rangeBetween(Window.unboundedPreceding, -1)
       val survivors = sliced
         .withColumn("bd", max("d").over(wLocal))
         .where(col("bd").isNull || col("d") >= col("bd"))
-        .drop("bd", "pid")
+        .drop("bd", "bucket")
       val wGlobal = Window.orderBy("price_c")
         .rangeBetween(Window.unboundedPreceding, -1)
       survivors

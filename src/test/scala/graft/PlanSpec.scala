@@ -61,4 +61,33 @@ class PlanSpec extends SparkSpec {
     assert(reads.nonEmpty, p)
     assert(reads.forall(s => s.split(",").length <= 4), s"unpruned scan: $reads")
   }
+
+  test("skyline local prune runs in ONE exchange before the survivor pass") {
+    val p = plan("skyline_pareto")
+    // the full table is shuffled exactly once (hash on the price
+    // bucket); the second, global window only sees pruned survivors
+    val exchanges = "Exchange".r.findAllMatchIn(
+      p.linesIterator.filter(_.contains("+- Exchange")).mkString("\n")).length
+    assert(exchanges <= 2, s"skyline shuffles the full table twice:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bm25 broadcasts the one-row corpus stats, never the corpus") {
+    val p = plan("text_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort: " + p)
+  }
+
+  test("temperature sampling broadcasts the per-domain allocation") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("MAD outlier filter broadcasts the tiny per-group stats") {
+    val p = plan("anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "per-group stats must broadcast: " + p)
+  }
 }
