@@ -250,6 +250,118 @@ object AnalyticsQueries {
         .orderBy("g")
     },
 
+    // exact per-group mode with deterministic ties (most frequent
+    // value, smallest wins): count + one row_number over the tiny
+    // (group, value) aggregate — never a window over raw rows.
+    "agg_mode" -> QueryDef(
+      """WITH c AS (SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS q,
+        |             COUNT(*) AS n FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT g, q, n,
+        |        ROW_NUMBER() OVER (PARTITION BY g ORDER BY n DESC, q) AS rn FROM c)
+        |SELECT g, q AS mode_q, n FROM r WHERE rn = 1 ORDER BY g""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("g").orderBy(col("n").desc, col("q"))
+      c.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("g"), col("q").as("mode_q"), col("n"))
+        .orderBy("g")
+    },
+
+    // salted skew join surfaced as a driver query: events (5 hot keys,
+    // ~20k rows each at sf0.01) join a tiny weights dim through
+    // Scale.saltedJoin — each hot key spreads over 8 salt sub-keys, so
+    // no single task owns a key's whole row set. Result is provably
+    // salt-invariant (the oracle is the plain join); weight*cents is
+    // exact integer arithmetic.
+    "join_skew_salted" -> QueryDef(
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(weight * CAST(round(value*100) AS BIGINT)) AS BIGINT) AS score_c
+        |FROM events
+        |JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 10),
+        |             ('signup', 5), ('error', 0)) AS w(event_type, weight)
+        |USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val weights = Seq(("click", 1L), ("view", 2L), ("purchase", 10L),
+        ("signup", 5L), ("error", 0L)).toDF("event_type", "weight")
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+      Scale.saltedJoin(ev, weights, Seq("event_type"), salts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("weight") * col("vc")).as("score_c"))
+        .orderBy("event_type")
+    },
+
+    // largest-triangle downsampling (LTTB, parallel bucket-mean
+    // variant): cut each series into 50 time buckets and keep the
+    // point with the largest triangle area against the NEIGHBORING
+    // OCCUPIED buckets' mean points — the standard charting
+    // downsampler, which preserves visual extremes where per-bucket
+    // avg flattens them. First/last buckets keep their first/last
+    // point. All integer arithmetic (relative-ms x, cent y: products
+    // stay under 2^53), one bucket-keyed agg + one tiny window over
+    // bucket means + one per-bucket row_number — no sequential scan,
+    // unlike textbook LTTB whose previous-selected-point recurrence
+    // cannot parallelize.
+    "downsample_lttb" -> QueryDef(
+      """WITH v AS (
+        |  SELECT event_type AS g, epoch_us(CAST(ts AS TIMESTAMP)) AS xus,
+        |         CAST(round(value*100) AS BIGINT) AS y
+        |  FROM events),
+        |ext AS (SELECT g, MIN(xus) AS t0, MAX(xus) AS t1 FROM v GROUP BY 1),
+        |pts AS (
+        |  SELECT v.g, xus, (xus - t0) // 1000 AS xm, y,
+        |         (xus - t0) // ((t1 - t0 + 50) // 50) AS b
+        |  FROM v JOIN ext ON v.g = ext.g),
+        |mb AS (
+        |  SELECT g, b,
+        |    CAST(SUM(xm) AS BIGINT) // COUNT(*) AS mx,
+        |    CAST(SUM(y) AS BIGINT) // COUNT(*) AS my
+        |  FROM pts GROUP BY 1, 2),
+        |mbs AS (
+        |  SELECT g, b, mx, my,
+        |    LAG(mx) OVER w AS pmx, LAG(my) OVER w AS pmy,
+        |    LEAD(mx) OVER w AS nmx, LEAD(my) OVER w AS nmy
+        |  FROM mb WINDOW w AS (PARTITION BY g ORDER BY b)),
+        |sc AS (
+        |  SELECT p.g, p.b, p.xus, p.y,
+        |    ROW_NUMBER() OVER (PARTITION BY p.g, p.b ORDER BY
+        |      CASE WHEN pmx IS NULL THEN p.xus
+        |           WHEN nmx IS NULL THEN -p.xus
+        |           ELSE -abs((pmx - nmx)*(p.y - pmy) - (pmx - p.xm)*(nmy - pmy)) END,
+        |      p.xus) AS rn
+        |  FROM pts p JOIN mbs USING (g, b))
+        |SELECT g, b, xus, y FROM sc WHERE rn = 1 ORDER BY g, b""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d).select(
+        col("event_type").as("g"),
+        unix_micros(col("ts")).as("xus"),
+        expr("CAST(round(value*100) AS BIGINT)").as("y"))
+      val ext = v.groupBy("g").agg(min("xus").as("t0"), max("xus").as("t1"))
+      val pts = v.join(broadcast(ext), "g")
+        .select(col("g"), col("xus"), expr("(xus - t0) div 1000").as("xm"), col("y"),
+          expr("(xus - t0) div ((t1 - t0 + 50) div 50)").as("b"))
+      val mb = pts.groupBy("g", "b")
+        .agg(expr("sum(xm) div count(1)").as("mx"),
+          expr("sum(y) div count(1)").as("my"))
+      val wB = Window.partitionBy("g").orderBy("b")
+      val mbs = mb.select(col("g"), col("b"),
+        lag("mx", 1).over(wB).as("pmx"), lag("my", 1).over(wB).as("pmy"),
+        lead("mx", 1).over(wB).as("nmx"), lead("my", 1).over(wB).as("nmy"))
+      val ord = expr(
+        """CASE WHEN pmx IS NULL THEN xus
+          |     WHEN nmx IS NULL THEN -xus
+          |     ELSE -abs((pmx - nmx)*(y - pmy) - (pmx - xm)*(nmy - pmy)) END""".stripMargin)
+      val wSel = Window.partitionBy("g", "b").orderBy(ord, col("xus"))
+      pts.join(broadcast(mbs), Seq("g", "b"))
+        .withColumn("rn", row_number().over(wSel))
+        .where(col("rn") === 1)
+        .select(col("g"), col("b"), col("xus"), col("y"))
+        .orderBy("g", "b")
+    },
+
     // JSON-lines sink + source round-trip: the interchange sibling of
     // the csv/orc round-trips (JSON = the dominant raw-crawl format a
     // training pipeline ingests). Write a projection once per sf dir,

@@ -236,6 +236,70 @@ class R5OpsSpec extends SparkSpec {
     assert(inSessions == nEvents, s"$inSessions events in sessions of $nEvents")
   }
 
+  test("join_skew_salted is salt-invariant (equals the plain join)") {
+    val plain = {
+      val weights = Seq(("click", 1L), ("view", 2L), ("purchase", 10L),
+        ("signup", 5L), ("error", 0L)).toDF("event_type", "weight")
+      graft.Tables.events(spark, sf001)
+        .select(col("event_type"), expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+        .join(weights, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("weight") * col("vc")).as("score_c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val salted = SparkEntry.queries("join_skew_salted")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain, "salting must never change the join result")
+  }
+
+  test("agg_mode picks the maximal frequency with smallest-value ties") {
+    val freq = graft.Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag").as("g"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    SparkEntry.queries("agg_mode")(spark, sf001).collect().foreach { r =>
+      val (g, q, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val grp = freq.filter(_._1 == g)
+      assert(grp.forall(_._3 <= n), s"$g: mode freq $n not maximal")
+      assert(grp.filter(_._3 == n).map(_._2).min == q, s"$g: tie not broken to min value")
+    }
+  }
+
+  test("downsample_lttb keeps per-bucket area-maximal points") {
+    val rows = SparkEntry.queries("downsample_lttb")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 5 series x <= 50 buckets, one point per occupied bucket
+    assert(rows.groupBy(r => (r._1, r._2)).forall(_._2.length == 1))
+    assert(rows.groupBy(_._1).forall(_._2.length <= 50))
+    // recompute one series' interior selections directly
+    val g0 = "click"
+    val pts = graft.Tables.events(spark, sf0001)
+      .where(col("event_type") === g0)
+      .select(unix_micros(col("ts")).as("xus"),
+        expr("CAST(round(value*100) AS BIGINT)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val t0 = pts.map(_._1).min; val t1 = pts.map(_._1).max
+    val width = (t1 - t0 + 50) / 50
+    val byB = pts.groupBy(p => (p._1 - t0) / width)
+    val means = byB.map { case (b, ps) =>
+      b -> (ps.map(p => (p._1 - t0) / 1000).sum / ps.length, ps.map(_._2).sum / ps.length)
+    }
+    val occupied = byB.keys.toSeq.sorted
+    occupied.sliding(3).foreach {
+      case Seq(pb, b, nb) =>
+        val (pmx, pmy) = means(pb); val (nmx, nmy) = means(nb)
+        val best = byB(b).map { case (xus, y) =>
+          val xm = (xus - t0) / 1000
+          (-math.abs((pmx - nmx) * (y - pmy) - (pmx - xm) * (nmy - pmy)), xus, y)
+        }.min
+        val got = rows.find(r => r._1 == g0 && r._2 == b).get
+        assert((got._3, got._4) == ((best._2, best._3)),
+          s"bucket $b: got (${got._3},${got._4}) expected (${best._2},${best._3})")
+      case _ =>
+    }
+  }
+
   test("window_percent_cume stays in [0,1] with exact rank arithmetic") {
     val rows = SparkEntry.queries("window_percent_cume")(spark, sf001).collect()
     rows.foreach { r =>
