@@ -270,6 +270,31 @@ object AnalyticsQueries {
         .orderBy("g")
     },
 
+    // exact frequent items above a support threshold (the heavy-hitter
+    // report at the point where exactness is still affordable): two
+    // partial-aggregated shuffles — (group,value) counts, then the
+    // group totals joined back — and an integer-compared 2% support
+    // test (n*50 >= total), no doubles. The approximate counterpart at
+    // extreme cardinality is a count-min/SpaceSaving sketch; this exact
+    // tier IS the oracle such a sketch would be validated against.
+    "agg_frequent_items" -> QueryDef(
+      """WITH c AS (SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS q,
+        |             COUNT(*) AS n FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1)
+        |SELECT g, q, n, total FROM c JOIN t USING (g)
+        |WHERE n * 50 >= total
+        |ORDER BY g, n DESC, q""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy("g").agg(sum("n").as("total"))
+      c.join(broadcast(t), "g")
+        .where(col("n") * 50 >= col("total"))
+        .select(col("g"), col("q"), col("n"), col("total"))
+        .orderBy(col("g"), col("n").desc, col("q"))
+    },
+
     // salted skew join surfaced as a driver query: events (5 hot keys,
     // ~20k rows each at sf0.01) join a tiny weights dim through
     // Scale.saltedJoin — each hot key spreads over 8 salt sub-keys, so

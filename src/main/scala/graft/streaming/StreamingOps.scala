@@ -178,6 +178,35 @@ object StreamingOps {
     spark.table(name).orderBy("event_type")
   }
 
+  /** Streaming top-k: complete-mode sort+limit OVER the running
+    * aggregate (the live leaderboard shape). Sorting is legal in
+    * streaming only with complete output mode, and it sorts the
+    * aggregate state (|users| rows), never the stream. Deterministic
+    * ties: count desc, then user_id.
+    */
+  def streamTopKOnce(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsStreamSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val agg = src.groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(k)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming deduplication: emit each (user_id, event_type) key once,
     * drained with AvailableNow, then count survivors per type in batch.
     * `dropDuplicates` keys state exactly like the batch distinct the

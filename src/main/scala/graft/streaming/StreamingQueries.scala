@@ -43,6 +43,14 @@ object StreamingQueries {
       StreamingOps.streamStaticJoinOnce(s, d)
     },
 
+    // complete-mode streaming leaderboard: sort+limit over the running
+    // per-user aggregate == the batch top-k
+    "streaming_topk" -> QueryDef(
+      """SELECT user_id, COUNT(*) AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin) { (s, d) =>
+      StreamingOps.streamTopKOnce(s, d, 10)
+    },
+
     // native session_window streaming aggregation == batch gap islands
     // (a session merges an event iff it lands strictly before the
     // current window end, so a gap of exactly 30 min starts a NEW
