@@ -295,6 +295,28 @@ object AnalyticsQueries {
         .orderBy(col("g"), col("n").desc, col("q"))
     },
 
+    // count-min sketch heavy hitters: the constant-memory approximate
+    // tier above agg_frequent_items. One pass builds the 4x2048
+    // counter sketch via the custom typed Aggregator (partial-agg
+    // friendly: fixed 64 KB buffer, element-wise-sum merge), the exact
+    // top-10 keys probe it driver-side (a 64 KB array lookup, not a
+    // data pass). Estimates are sums of per-row increments, so they
+    // are IDENTICAL under any partitioning — deterministic row values,
+    // rows-only only because DuckDB has no CM twin; the no-undercount
+    // and error-bound properties are pinned in SketchSpec.
+    "sketch_heavy_hitters" -> QueryDef.rowsOnly { (s, d) =>
+      import graft.functions.CountMin
+      val keys = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
+      val sketch = keys.agg(CountMin.sketchCol(col("k")).as("sk"))
+        .head().getSeq[Long](0).toArray
+      val top = keys.groupBy("k").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("k")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      import s.implicits._
+      top.map { case (k, n) => (k, n, CountMin.estimate(sketch, k)) }
+        .toSeq.toDF("k", "exact_n", "cm_estimate")
+    },
+
     // salted skew join surfaced as a driver query: events (5 hot keys,
     // ~20k rows each at sf0.01) join a tiny weights dim through
     // Scale.saltedJoin — each hot key spreads over 8 salt sub-keys, so

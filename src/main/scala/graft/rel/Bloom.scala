@@ -26,7 +26,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Bloom {
 
-  private[rel] def scramble(x: Long): Long = {
+  private[graft] def scramble(x: Long): Long = {
     var z = x + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
