@@ -409,6 +409,44 @@ object AnalyticsQueries {
         .orderBy("g", "b")
     },
 
+    // snapshot isolation + time travel over the versioned store: v1
+    // ingests all clicks, v2 upserts day-5 clicks shifted by +1000
+    // cents, then BOTH versions are read back and aggregated — the
+    // v1 numbers must be unaffected by the later commit (the manifest
+    // it reads is immutable), and v2 must show exactly the day-5
+    // delta. The oracle recomputes both snapshots from raw events.
+    "store_time_travel" -> QueryDef(
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day,
+        |             CAST(round(value*100) AS BIGINT) AS vc
+        |           FROM events WHERE event_type = 'click'),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+        |         CAST(SUM(vc) AS BIGINT) AS total FROM c),
+        |v2 AS (SELECT CAST(2 AS BIGINT), COUNT(*),
+        |         CAST(SUM(CASE WHEN day = DATE '2024-01-05' THEN vc + 1000
+        |                       ELSE vc END) AS BIGINT) FROM c)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |ORDER BY version""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = s"${sys.props("java.io.tmpdir")}/graft_snap_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val clicks = Tables.events(s, d).where(col("event_type") === "click")
+        .select(col("event_id").cast("string").as("key"),
+          date_format(col("ts"), "yyyy-MM-dd").as("part"),
+          lit(0L).as("seq"),
+          expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+      if (SnapshotStore.currentVersion(s, base) < 2) {
+        SnapshotStore.commit(s, base, clicks)
+        SnapshotStore.commit(s, base,
+          clicks.where(col("part") === "2024-01-05")
+            .withColumn("seq", lit(1L))
+            .withColumn("vc", col("vc") + 1000L))
+      }
+      Seq(1, 2).map { v =>
+        SnapshotStore.readVersion(s, base, v)
+          .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+          .select(lit(v.toLong).as("version"), col("n"), col("total"))
+      }.reduce(_ unionByName _).orderBy("version")
+    },
+
     // JSON-lines sink + source round-trip: the interchange sibling of
     // the csv/orc round-trips (JSON = the dominant raw-crawl format a
     // training pipeline ingests). Write a projection once per sf dir,

@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(): String =
+    Files.createTempDirectory("graft_snap_spec").toString
+
+  test("earlier snapshots are isolated from later commits") {
+    val base = freshBase()
+    val v1rows = Seq(("a", "p1", 0L, 10L), ("b", "p1", 0L, 20L), ("c", "p2", 0L, 30L))
+      .toDF("key", "part", "seq", "vc")
+    assert(SnapshotStore.commit(spark, base, v1rows) == 1)
+    val v2rows = Seq(("a", "p1", 1L, 99L)).toDF("key", "part", "seq", "vc")
+    assert(SnapshotStore.commit(spark, base, v2rows) == 2)
+
+    val v1 = SnapshotStore.readVersion(spark, base, 1)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(v1 == Set(("a", 10L), ("b", 20L), ("c", 30L)),
+      "v1 must be exactly the first commit, untouched by v2")
+    val v2 = SnapshotStore.readVersion(spark, base, 2)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(v2 == Set(("a", 99L), ("b", 20L), ("c", 30L)),
+      "v2 upserts key a and inherits the rest")
+  }
+
+  test("untouched partitions are physically shared between versions") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 1L), ("b", "p2", 0L, 2L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 1L, 5L)).toDF("key", "part", "seq", "vc"))
+    val m1 = SnapshotStore.readManifest(spark, base, 1)
+    val m2 = SnapshotStore.readManifest(spark, base, 2)
+    assert(m1("p2") == m2("p2"), "untouched partition must keep the SAME directory")
+    assert(m1("p1") != m2("p1"), "touched partition must move to the new commit's dir")
+  }
+
+  test("within-batch duplicates resolve by highest seq") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("k", "p", 0L, 1L), ("k", "p", 2L, 3L), ("k", "p", 1L, 2L))
+        .toDF("key", "part", "seq", "vc"))
+    val got = SnapshotStore.readVersion(spark, base, 1)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(got.toSeq == Seq(("k", 3L)), s"highest seq must win: ${got.toSeq}")
+  }
+
+  test("reading a nonexistent version fails loudly") {
+    val base = freshBase()
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readVersion(spark, base, 1)
+    }
+    SnapshotStore.commit(spark, base, Seq(("a", "p", 0L, 1L)).toDF("key", "part", "seq", "vc"))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readVersion(spark, base, 2)
+    }
+  }
+}
