@@ -86,10 +86,12 @@ object SnapshotStore {
           .select(col("key"), col("part"), col("seq"), col("vc"))
           .withColumn("gen", lit(0)))
     // LWW applies to the batch itself too: within-batch duplicate keys
-    // resolve by seq before anything lands on disk
+    // resolve by seq before anything lands on disk. vc closes the
+    // order into a total one, so equal-seq duplicates still resolve
+    // deterministically instead of by partition luck.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("key", "part")
-      .orderBy(col("gen").desc, col("seq").desc)
+      .orderBy(col("gen").desc, col("seq").desc, col("vc").desc)
     val merged = unioned
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")

@@ -129,6 +129,63 @@ object CorpusQueries {
         .orderBy("source", "doc_id")
     },
 
+    // URL canonicalization dedup — the crawl-pipeline step before any
+    // content dedup: lowercase, strip fragment, strip tracking params
+    // (utm_*), repair the dangling '&' that stripping can leave, and
+    // drop the pre-query trailing slash; variants then collapse by
+    // exact grouping. Planted: 250 URLs in 10 surface variants per
+    // canonical target (case, trailing slash, utm param, fragment).
+    // Pure per-row regex chain (codegen'd) + one groupBy — scales with
+    // the scan. NOTE: the single-occurrence patterns keep Spark's
+    // replace-all and DuckDB's replace-first semantics aligned.
+    "dedup_url_canonical" -> QueryDef(
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.SHOP' ELSE 'https://www.shop' END
+        |    || CAST(doc_id % 5 AS VARCHAR) || '.Example.com/item/' || CAST(doc_id % 25 AS VARCHAR)
+        |    || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+        |    || '?utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '&id=' || CAST(doc_id % 25 AS VARCHAR)
+        |    || CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END AS raw
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |canon AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(
+        |      CASE WHEN NOT contains(s3, '?') THEN regexp_replace(s3, '&', '?') ELSE s3 END,
+        |      '/\?', '?') AS curl
+        |  FROM (
+        |    SELECT doc_id, raw,
+        |      regexp_replace(
+        |        regexp_replace(lower(raw), '#.*$', ''),
+        |        '[?&]utm_[a-z]+=[^&#]*', '') AS s3
+        |    FROM aug))
+        |SELECT curl, COUNT(*) AS n_variants, COUNT(DISTINCT raw) AS n_raw
+        |FROM canon GROUP BY curl HAVING COUNT(*) >= 2 ORDER BY curl""".stripMargin) { (s, d) =>
+      val raw = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("HTTPS://WWW.SHOP"))
+          .otherwise(lit("https://www.shop")),
+        pmod(col("doc_id"), lit(5)).cast("string"), lit(".Example.com/item/"),
+        pmod(col("doc_id"), lit(25)).cast("string"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=s"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("&id="), pmod(col("doc_id"), lit(25)).cast("string"),
+        when(pmod(col("doc_id"), lit(6)) === 0, lit("#top")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), raw.as("raw"))
+        .withColumn("s3", regexp_replace(
+          regexp_replace(lower(col("raw")), "#.*$", ""),
+          "[?&]utm_[a-z]+=[^&#]*", ""))
+        .withColumn("curl", regexp_replace(
+          when(!col("s3").contains("?"), regexp_replace(col("s3"), "&", "?"))
+            .otherwise(col("s3")),
+          "/\\?", "?"))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_variants"), countDistinct(col("raw")).as("n_raw"))
+        .where(col("n_variants") >= 2)
+        .orderBy("curl")
+    },
+
     // temperature-scaled domain mixing (alpha = 0.5): sample languages
     // proportional to count^alpha instead of count, the standard
     // rebalancing for multilingual pretraining. Integer per-mille

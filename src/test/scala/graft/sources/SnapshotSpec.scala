@@ -52,6 +52,44 @@ class SnapshotSpec extends SparkSpec {
     assert(got.toSeq == Seq(("k", 3L)), s"highest seq must win: ${got.toSeq}")
   }
 
+  test("random commit sequences match an in-memory LWW reference at every version") {
+    // storage engines break on SEQUENCES, not single ops: replay random
+    // upsert batches against a sequential reference map and check every
+    // historical snapshot after every commit
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genBatch = Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      p <- Gen.oneOf("p1", "p2", "p3")
+      seq <- Gen.chooseNum(0L, 5L)
+      vc <- Gen.chooseNum(1L, 100L)
+    } yield (k, p, seq, vc)).map(_.take(6))
+    val genRun = Gen.listOfN(3, genBatch)
+    val prop = Prop.forAll(genRun) { batches =>
+      val base = freshBase()
+      var ref = Map.empty[(String, String), Long] // (key, part) -> vc
+      val history = scala.collection.mutable.ArrayBuffer.empty[Map[(String, String), Long]]
+      batches.foreach { b =>
+        // reference LWW: within the batch, highest seq wins (stable on
+        // ties by keeping the max-seq row's LAST occurrence like the
+        // engine's deterministic row_number tie on nothing further —
+        // avoid ties entirely by deduping (k,p,seq) keeping max vc)
+        val dedup = b.groupBy(t => (t._1, t._2)).map { case (_, rows) =>
+          rows.maxBy(r => (r._3, r._4))
+        }
+        ref = ref ++ dedup.map(t => (t._1, t._2) -> t._4)
+        history += ref
+        SnapshotStore.commit(spark, base, b.toDF("key", "part", "seq", "vc"))
+      }
+      history.zipWithIndex.forall { case (expected, i) =>
+        val got = SnapshotStore.readVersion(spark, base, i + 1)
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+        got == expected
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("reading a nonexistent version fails loudly") {
     val base = freshBase()
     intercept[IllegalArgumentException] {
