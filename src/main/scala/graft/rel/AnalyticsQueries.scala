@@ -228,9 +228,11 @@ object AnalyticsQueries {
 
     // winsorization: clamp each group's values to its own [p05, p95]
     // before averaging — the robust-mean step quality pipelines apply
-    // to heavy-tailed metrics. Exact: percentiles interpolate integer
-    // cents (worst case x.5), and the clamped sum adds multiples of
-    // 0.5 below 2^52, so no fp rounding occurs at ANY partitioning.
+    // to heavy-tailed metrics. Exact at this scale: percentiles
+    // interpolate integer cents (worst case x.5), and the clamped sum
+    // adds multiples of 0.5 whose partials stay below 2^52 up to
+    // ~10^8 rows/group — past that, switch the sum to DECIMAL like
+    // sample_hash's dsum to keep partition-order independence.
     "agg_winsorize" -> QueryDef(
       """WITH v AS (SELECT l_returnflag AS g,
         |             CAST(round(l_extendedprice*100) AS BIGINT) AS vc FROM lineitem),
@@ -441,13 +443,14 @@ object AnalyticsQueries {
           date_format(col("ts"), "yyyy-MM-dd").as("part"),
           lit(0L).as("seq"),
           expr("CAST(round(value*100) AS BIGINT)").as("vc"))
-      if (SnapshotStore.currentVersion(s, base) < 2) {
-        SnapshotStore.commit(s, base, clicks)
-        SnapshotStore.commit(s, base,
-          clicks.where(col("part") === "2024-01-05")
-            .withColumn("seq", lit(1L))
-            .withColumn("vc", col("vc") + 1000L))
-      }
+      // resume-safe build: a crash between the two commits must not
+      // shift the day-5 upsert to version 3 on the next run
+      val cur = SnapshotStore.currentVersion(s, base)
+      if (cur == 0) SnapshotStore.commit(s, base, clicks)
+      if (cur <= 1) SnapshotStore.commit(s, base,
+        clicks.where(col("part") === "2024-01-05")
+          .withColumn("seq", lit(1L))
+          .withColumn("vc", col("vc") + 1000L))
       Seq(1, 2).map { v =>
         SnapshotStore.readVersion(s, base, v)
           .agg(count(lit(1)).as("n"), sum("vc").as("total"))
