@@ -280,6 +280,45 @@ object AnalyticsQueries {
         .orderBy("g")
     },
 
+    // moving MEDIAN (robust smoothing — the outlier-immune sibling of
+    // window_moving_avg): exact percentile over a 7-row event-time
+    // frame per series. Integer cents keep the two-point interpolation
+    // exact in double on both engines; one series-keyed window, ties
+    // broken on event_id.
+    "window_moving_median" -> QueryDef(
+      """SELECT event_id, event_type,
+        |  quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) OVER (
+        |    PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM events WHERE event_type IN ('error', 'purchase')
+        |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, d)
+        .where(col("event_type").isin("error", "purchase"))
+        .select(col("event_id"), col("event_type"),
+          expr("percentile(CAST(round(value*100) AS BIGINT), 0.5)")
+            .over(w).as("med7"))
+        .orderBy("event_type", "event_id")
+    },
+
+    // aggregate FILTER clause through the SQL front door — the
+    // conditional-aggregate syntax (Catalyst rewrites each FILTER to
+    // the same conditional the CASE-WHEN formulations build by hand,
+    // still one pass)
+    "agg_filter_clause" -> QueryDef(
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE value > 50) AS n_big,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) FILTER (WHERE value > 50) AS BIGINT) AS big_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("v_events_fc")
+      s.sql(
+        """SELECT event_type, COUNT(*) AS n,
+          |  COUNT(*) FILTER (WHERE value > 50) AS n_big,
+          |  SUM(CAST(round(value*100) AS BIGINT)) FILTER (WHERE value > 50) AS big_c
+          |FROM v_events_fc GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
     // exact frequent items above a support threshold (the heavy-hitter
     // report at the point where exactness is still affordable): two
     // partial-aggregated shuffles — (group,value) counts, then the
