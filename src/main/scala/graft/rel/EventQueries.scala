@@ -210,6 +210,42 @@ object EventQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // day-of-week seasonality profile: per-type dow means against the
+    // type's overall mean — the seasonal-index decomposition a
+    // forecasting pipeline starts from. Integer sums; each mean and
+    // the index are single IEEE divisions of exact integers, so both
+    // engines produce identical doubles. (Spark's dayofweek is
+    // 1=Sunday..7; DuckDB's is 0=Sunday..6 — aligned via -1.)
+    "events_seasonality" -> QueryDef(
+      """WITH base AS (
+        |  SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+        |         CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events),
+        |g AS (SELECT event_type, dow, COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS s
+        |      FROM base GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn,
+        |        CAST(SUM(s) AS BIGINT) AS tsum FROM g GROUP BY 1)
+        |SELECT event_type, dow, n,
+        |  CAST(s AS DOUBLE)/n AS dow_mean_c,
+        |  (CAST(s AS DOUBLE)/n) / (CAST(tsum AS DOUBLE)/tn) AS seasonal_idx
+        |FROM g JOIN t USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin) { (sp, d) =>
+      val base = graft.Tables.events(sp, d).select(
+        col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+      val g = base.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), sum("vc").as("s"))
+      val t = g.groupBy("event_type")
+        .agg(sum("n").as("tn"), sum("s").as("tsum"))
+      g.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          (col("s").cast("double") / col("n")).as("dow_mean_c"),
+          ((col("s").cast("double") / col("n")) /
+            (col("tsum").cast("double") / col("tn"))).as("seasonal_idx"))
+        .orderBy("event_type", "dow")
+    },
+
     // cohort retention: users bucketed by first-signup day, counted
     // per day-offset of any later activity (0..7). Two user-keyed
     // shuffles (first-day agg, distinct activity) + one count-distinct.

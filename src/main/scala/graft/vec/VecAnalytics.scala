@@ -61,6 +61,52 @@ object VecAnalytics {
         .orderBy("label", "dim")
     },
 
+    // nearest-centroid assignment in the SAME 2^-20 fixed point as
+    // vec_centroids — together they are one oracle-exact Lloyd
+    // iteration (the k-means / IVF-training step). This entry keeps
+    // the relational explode-join formulation BECAUSE it is the
+    // oracle twin; the production no-shuffle path is
+    // VecFunctions.assignByCentroids (broadcast centroid array, fused
+    // per-row argmin). Squared distances are exact BIGINTs, ties
+    // break on the smaller label.
+    "vec_kmeans_assign" -> QueryDef(
+      """WITH cent AS (
+        |  SELECT CAST(label AS BIGINT) AS c_label, i AS dim,
+        |    CAST(SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT)
+        |      // COUNT(*) AS m
+        |  FROM embeddings, UNNEST(range(0, 64)) AS t(i)
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT vec_id, i AS dim,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(range(0, 64)) AS t(i)),
+        |d AS (
+        |  SELECT vec_id, c_label, CAST(SUM((qv - m) * (qv - m)) AS BIGINT) AS d2
+        |  FROM q JOIN cent USING (dim)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, c_label, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+        |  FROM d)
+        |SELECT vec_id, c_label AS assigned, d2 FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val quant = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("qv", expr("CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)"))
+      val cent = quant.groupBy(col("label").cast("long").as("c_label"), col("dim"))
+        .agg(expr("sum(qv) div count(1)").as("m"))
+      val dist = quant.select(col("vec_id"), col("dim"), col("qv"))
+        .join(broadcast(cent), "dim")
+        .groupBy("vec_id", "c_label")
+        .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))
+      dist.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("assigned"), col("d2"))
+        .orderBy("vec_id")
+    },
+
     // 64 -> 8 dim JL projection with deterministic Lehmer-parity signs.
     // Per-row, embarrassingly parallel, stays in whole-stage codegen
     // (HOF fold, no UDF); the fold order is pinned so the doubles match

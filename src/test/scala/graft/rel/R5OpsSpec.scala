@@ -300,6 +300,46 @@ class R5OpsSpec extends SparkSpec {
     }
   }
 
+  test("vec_kmeans_assign picks the argmin centroid (sequential recompute)") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // SQL round() is half-AWAY-FROM-ZERO on both engines; Scala
+    // math.round is half-toward-+inf — they differ on negative .5s
+    def q(v: Float): Long = {
+      val x = v.toDouble * 1048576
+      if (x >= 0) math.round(x) else -math.round(-x)
+    }
+    val cent = emb.groupBy(_._2).map { case (l, vs) =>
+      l.toLong -> Array.tabulate(64)(d => vs.map(t => q(t._3(d))).sum / vs.length)
+    }
+    val expected = emb.map { case (id, _, v) =>
+      val best = cent.toSeq.map { case (l, m) =>
+        val d2 = (0 until 64).map { d => val x = q(v(d)) - m(d); x * x }.sum
+        (d2, l)
+      }.min
+      id -> ((best._2, best._1))
+    }.toMap
+    SparkEntry.queries("vec_kmeans_assign")(spark, sf0001).collect().foreach { r =>
+      val (id, asn, d2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(expected(id) == ((asn, d2)), s"vec $id: ($asn,$d2) != ${expected(id)}")
+    }
+  }
+
+  test("events_seasonality indices weight-average to exactly 1 per type") {
+    val rows = SparkEntry.queries("events_seasonality")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val total = g.map(_._2).sum.toDouble
+      val wavg = g.map { case (_, n, m, _) => n * m }.sum / total
+      val wavgIdx = g.map { case (_, n, _, i) => n * i }.sum / total / 1.0
+      // weighted mean of dow means == overall mean => weighted idx ~ 1
+      assert(math.abs(wavgIdx - 1.0) < 1e-9, s"$t weighted index $wavgIdx != 1")
+      assert(g.forall(_._4 > 0), s"$t has a nonpositive seasonal index")
+      assert(wavg > 0)
+    }
+  }
+
   test("window_percent_cume stays in [0,1] with exact rank arithmetic") {
     val rows = SparkEntry.queries("window_percent_cume")(spark, sf001).collect()
     rows.foreach { r =>
