@@ -119,6 +119,45 @@ object SnapshotStore {
     next
   }
 
+  /** Delete by key predicate as a new version: the touched partitions
+    * are rewritten WITHOUT the matching rows (no tombstones to merge
+    * on read), untouched partitions inherit. Prior snapshots still see
+    * the deleted rows — that is the point of versioning. A partition
+    * whose rows all die drops out of the new manifest entirely (parquet
+    * writes no dir for zero rows), exactly like a never-written one.
+    */
+  def delete(spark: SparkSession, base: String, parts: Seq[String],
+      keyPred: org.apache.spark.sql.Column): Int = {
+    val v = currentVersion(spark, base)
+    require(v > 0, "cannot delete from an empty store")
+    val next = v + 1
+    val prev = readManifest(spark, base, v)
+    val touched = parts.flatMap(p => prev.get(p).map(p -> _))
+    val survivors = touched.map { case (p, dir) =>
+      spark.read.parquet(dir).withColumn("part", lit(p))
+    }.reduceOption(_ unionByName _)
+      .map(_.where(!keyPred).select("key", "part", "seq", "vc"))
+    val dataDir = s"$base/data/v$next"
+    survivors.foreach(_.write.mode("overwrite").partitionBy("part").parquet(dataDir))
+
+    val f = fs(spark, base)
+    val written =
+      if (survivors.isEmpty) Map.empty[String, String]
+      else f.listStatus(new Path(dataDir)).map(_.getPath.getName)
+        .filter(_.startsWith("part="))
+        .map(n => java.net.URLDecoder.decode(n.stripPrefix("part="), "UTF-8") -> s"$dataDir/$n")
+        .toMap
+    // fully-deleted partitions drop out of the manifest entirely
+    val manifest = (prev -- touched.map(_._1)) ++ written
+    val tmp = new Path(s"$base/_versions/.v$next.tmp")
+    val out = f.create(tmp, true)
+    try out.write(manifest.toSeq.sorted.map { case (p, d) => s"$p\t$d" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(f.rename(tmp, manifestPath(base, next)), s"commit of v$next lost a race")
+    next
+  }
+
   /** Snapshot read AS OF `version` — an immutable file set resolved
     * from that version's manifest; later commits never disturb it.
     */

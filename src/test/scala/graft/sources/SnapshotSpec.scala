@@ -90,6 +90,26 @@ class SnapshotSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("delete rewrites touched partitions and preserves prior snapshots") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base, Seq(
+      ("a", "p1", 0L, 1L), ("b", "p1", 0L, 2L), ("c", "p2", 0L, 3L))
+      .toDF("key", "part", "seq", "vc"))
+    val v = SnapshotStore.delete(spark, base, Seq("p1"), col("key") === "a")
+    assert(v == 2)
+    val v2 = SnapshotStore.readVersion(spark, base, 2)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(v2 == Set(("b", 2L), ("c", 3L)), s"v2 must lose only key a: $v2")
+    // time travel still sees the deleted row
+    val v1 = SnapshotStore.readVersion(spark, base, 1)
+      .collect().map(_.getString(0)).toSet
+    assert(v1 == Set("a", "b", "c"), "v1 must still contain the deleted key")
+    // fully-deleting a partition removes it from the new manifest
+    val v3 = SnapshotStore.delete(spark, base, Seq("p2"), lit(true))
+    val m3 = SnapshotStore.readManifest(spark, base, v3)
+    assert(!m3.contains("p2") && m3.contains("p1"), s"p2 must drop out: $m3")
+  }
+
   test("reading a nonexistent version fails loudly") {
     val base = freshBase()
     intercept[IllegalArgumentException] {
