@@ -228,7 +228,10 @@ object AnalyticsQueries {
 
     // winsorization: clamp each group's values to its own [p05, p95]
     // before averaging — the robust-mean step quality pipelines apply
-    // to heavy-tailed metrics. Exact at this scale: percentiles
+    // to heavy-tailed metrics. The cut points come from the
+    // RankStats range-slice machinery (O(slices) aggregate state, no
+    // per-group value maps — percentile()'s maps made this the
+    // bench's heap hot spot). Exact at this scale: percentiles
     // interpolate integer cents (worst case x.5), and the clamped sum
     // adds multiples of 0.5 whose partials stay below 2^52 up to
     // ~10^8 rows/group — past that, switch the sum to DECIMAL like
@@ -246,9 +249,8 @@ object AnalyticsQueries {
       val v = Tables.lineitem(s, d).select(
         col("l_returnflag").as("g"),
         expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("vc"))
-      val p = v.groupBy("g").agg(
-        expr("percentile(vc, 0.05)").as("p05"),
-        expr("percentile(vc, 0.95)").as("p95"))
+      val p = RankStats.percentiles(v, "g", "vc",
+        Seq(0.05 -> "p05", 0.95 -> "p95"))
       v.join(broadcast(p), "g")
         .groupBy("g")
         .agg(

@@ -272,47 +272,17 @@ object RelQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val slices = s.sparkContext.defaultParallelism * 4
-      // monotonically_increasing_id = (pid << 33) + consecutive row
-      // position, and rows of one group are contiguous inside a sorted
-      // slice, so (mid - min(mid) over (g, pid)) is the in-slice rank.
-      // localCheckpoint pins the sampled range boundaries: the slice
-      // stats and the rank pick below must see identical slicing.
-      val sliced = Tables.lineitem(s, d)
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-        .repartitionByRange(slices, col("g"), col("v"))
-        .sortWithinPartitions(col("g"), col("v"))
-        .select(col("g"), col("v"),
-          spark_partition_id().as("pid"),
-          monotonically_increasing_id().as("mid"))
-        .localCheckpoint()
-      val wOff = Window.partitionBy("g").orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val segs = sliced.groupBy("g", "pid")
-        .agg(count(lit(1)).as("c"), min("mid").as("base"))
-        .withColumn("off", sum("c").over(wOff) - col("c"))
-        .withColumn("n", sum("c").over(Window.partitionBy("g")))
-      val ranked = sliced
-        .join(broadcast(segs), Seq("g", "pid"))
-        .withColumn("rn", col("off") + (col("mid") - col("base")))
-      def pct(p: Double, name: String): Seq[Column] = {
-        val r = (col("n") - 1L).cast("double") * p
-        val lo = floor(r).cast("long")
-        val hi = ceil(r).cast("long")
-        Seq(
-          max(when(col("rn") === lo, col("v"))).as(s"${name}_lo"),
-          max(when(col("rn") === hi, col("v"))).as(s"${name}_hi"),
-          max(when(col("rn") === lo, r - lo.cast("double"))).as(s"${name}_frac"))
-      }
-      val aggs = pct(0.5, "a") ++ pct(0.9, "b")
-      ranked
-        .groupBy(col("g"))
-        .agg(aggs.head, aggs.tail: _*)
+      // range-slice global-rank percentiles (shared RankStats helper):
+      // O(slices) aggregate state, one range exchange, quantile_cont
+      // interpolation — no per-group value maps.
+      val v = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      RankStats.percentiles(v, "l_returnflag", "l_extendedprice",
+        Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"))
         .select(
-          col("g").as("l_returnflag"),
-          round(col("a_lo") + col("a_frac") * (col("a_hi") - col("a_lo")), 6).as("p50"),
-          round(col("b_lo") + col("b_frac") * (col("b_hi") - col("b_lo")), 6).as("p90"))
+          col("l_returnflag"),
+          round(col("p50_raw"), 6).as("p50"),
+          round(col("p90_raw"), 6).as("p90"))
         .orderBy("l_returnflag")
     },
 

@@ -112,8 +112,8 @@ object CorpusQueries {
     "pack_sequences" -> QueryDef(
       """WITH t AS (
         |  SELECT doc_id, source, n_chars,
-        |    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |    COALESCE(CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
         |  FROM documents)
         |SELECT doc_id, source, n_chars,
         |  cum_before // 4096 AS bin, cum_before % 4096 AS offset_in_bin
