@@ -2,15 +2,19 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Versioned parquet store with snapshot isolation and time travel —
   * the lakehouse commit protocol (Delta/Iceberg's core idea) reduced
   * to its essentials on plain parquet + a manifest-per-version:
   *
-  *  - data lives in immutable per-commit partition directories
-  *    (`data/v<N>/<part>=...`); a commit never rewrites a prior
-  *    version's files
+  *  - data lives in immutable per-attempt partition directories
+  *    (`data/v<N>-<token>/<part>=...`); a commit never rewrites a
+  *    prior version's files, and the attempt token means a LOSING
+  *    concurrent committer can never clobber the winner's data either
+  *    — each attempt writes only under its own directory, and the
+  *    loser's orphan is removed on failure (or by `vacuum`)
   *  - each version is a MANIFEST (`_versions/v<N>.manifest`) mapping
   *    partition value -> the directory that holds that partition's
   *    rows AS OF the version; unchanged partitions carry the previous
@@ -20,6 +24,12 @@ import org.apache.spark.sql.functions._
   *  - commits are atomic via write-temp + rename of the manifest (the
   *    single mutation readers resolve); a reader of version N sees an
   *    immutable file set no later commit can disturb
+  *  - `vacuum(keep)` bounds storage: it drops all but the newest
+  *    `keep` manifests and deletes every partition directory no
+  *    surviving manifest references — shared directories survive for
+  *    as long as ANY retained snapshot needs them. (The reference's
+  *    append-only file grows forever — SURVEY §4.2/§4.4 flag that as
+  *    the anti-feature not to replicate.)
   *
   * At 100 TB this is the difference between "reproduce last week's
   * training run" being a free manifest read vs impossible: time travel
@@ -36,6 +46,14 @@ object SnapshotStore {
 
   private def manifestPath(base: String, v: Int) =
     new Path(s"$base/_versions/v$v.manifest")
+
+  /** Partition-dir name -> partition value. Spark writes Hive-style
+    * escaping (`a/b` -> `a%2Fb`); java.net.URLDecoder is NOT its
+    * inverse (it turns '+' into a space, which escapePathName never
+    * produces), so decode with the catalog's own unescape.
+    */
+  private def partValue(dirName: String): String =
+    ExternalCatalogUtils.unescapePathName(dirName.stripPrefix("part="))
 
   /** Latest committed version, 0 when the store is empty. */
   def currentVersion(spark: SparkSession, base: String): Int = {
@@ -59,6 +77,41 @@ object SnapshotStore {
       }.toMap
     }
   } // (missing manifest == empty: readVersion turns that into a clear error)
+
+  /** List this attempt's written partition dirs as (part value -> dir). */
+  private def writtenParts(spark: SparkSession, base: String, dataDir: String): Map[String, String] =
+    fs(spark, base).listStatus(new Path(dataDir)).map(_.getPath.getName)
+      .filter(_.startsWith("part="))
+      .map(n => partValue(n) -> s"$dataDir/$n")
+      .toMap
+
+  /** Publish `manifest` as version `next`, or clean up this attempt's
+    * private data dir and fail if another committer won the version.
+    * The attempt token in `dataDir` is what makes the cleanup safe:
+    * the loser deletes only files no published manifest can reference.
+    */
+  private def publish(spark: SparkSession, base: String, next: Int,
+      manifest: Map[String, String], dataDir: String): Unit = {
+    val f = fs(spark, base)
+    val tmp = new Path(s"$base/_versions/.v$next.${new Path(dataDir).getName}.tmp")
+    f.mkdirs(new Path(s"$base/_versions"))
+    val out = f.create(tmp, true)
+    try out.write(manifest.toSeq.sorted.map { case (p, d) => s"$p\t$d" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // rename IS the commit point: readers either see v<next> complete
+    // or not at all; rename-onto-existing fails, so exactly one
+    // attempt publishes each version
+    if (f.exists(manifestPath(base, next)) || !f.rename(tmp, manifestPath(base, next))) {
+      f.delete(tmp, false)
+      f.delete(new Path(dataDir), true)
+      throw new IllegalStateException(
+        s"commit of v$next lost a race; this attempt's data was removed")
+    }
+  }
+
+  private def attemptDir(base: String, next: Int): String =
+    s"$base/data/v$next-${java.util.UUID.randomUUID.toString.take(8)}"
 
   /** Commit `batch` (columns: key, part, seq, vc) as the next version:
     * last-write-wins upsert against the current snapshot, touching only
@@ -96,35 +149,26 @@ object SnapshotStore {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
 
-    val dataDir = s"$base/data/v$next"
+    val dataDir = attemptDir(base, next)
     merged.drop("gen").write.mode("overwrite").partitionBy("part").parquet(dataDir)
 
-    // new manifest: touched partitions point at this commit's dirs,
+    // new manifest: touched partitions point at this attempt's dirs,
     // untouched ones inherit (physical sharing between snapshots)
-    val f = fs(spark, base)
-    val written = f.listStatus(new Path(dataDir)).map(_.getPath.getName)
-      .filter(_.startsWith("part="))
-      .map(n => java.net.URLDecoder.decode(n.stripPrefix("part="), "UTF-8") -> s"$dataDir/$n")
-      .toMap
-    val manifest = prev ++ written
-    val tmp = new Path(s"$base/_versions/.v$next.tmp")
-    f.mkdirs(new Path(s"$base/_versions"))
-    val out = f.create(tmp, true)
-    try out.write(manifest.toSeq.sorted.map { case (p, d) => s"$p\t$d" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    // rename IS the commit point: readers either see v<next> complete
-    // or not at all
-    require(f.rename(tmp, manifestPath(base, next)), s"commit of v$next lost a race")
+    val manifest = prev ++ writtenParts(spark, base, dataDir)
+    publish(spark, base, next, manifest, dataDir)
     next
   }
 
   /** Delete by key predicate as a new version: the touched partitions
     * are rewritten WITHOUT the matching rows (no tombstones to merge
-    * on read), untouched partitions inherit. Prior snapshots still see
-    * the deleted rows — that is the point of versioning. A partition
-    * whose rows all die drops out of the new manifest entirely (parquet
-    * writes no dir for zero rows), exactly like a never-written one.
+    * on read), untouched partitions inherit. SQL DELETE semantics: a
+    * row dies only where the predicate is definitively TRUE — a
+    * NULL-valued predicate keeps the row (filtering survivors with a
+    * bare `!pred` would silently delete every NULL-predicate row).
+    * Prior snapshots still see the deleted rows — that is the point
+    * of versioning. A partition whose rows all die drops out of the
+    * new manifest entirely (parquet writes no dir for zero rows),
+    * exactly like a never-written one.
     */
   def delete(spark: SparkSession, base: String, parts: Seq[String],
       keyPred: org.apache.spark.sql.Column): Int = {
@@ -136,37 +180,79 @@ object SnapshotStore {
     val survivors = touched.map { case (p, dir) =>
       spark.read.parquet(dir).withColumn("part", lit(p))
     }.reduceOption(_ unionByName _)
-      .map(_.where(!keyPred).select("key", "part", "seq", "vc"))
-    val dataDir = s"$base/data/v$next"
+      .map(_.where(!coalesce(keyPred, lit(false))).select("key", "part", "seq", "vc"))
+    val dataDir = attemptDir(base, next)
     survivors.foreach(_.write.mode("overwrite").partitionBy("part").parquet(dataDir))
 
-    val f = fs(spark, base)
     val written =
       if (survivors.isEmpty) Map.empty[String, String]
-      else f.listStatus(new Path(dataDir)).map(_.getPath.getName)
-        .filter(_.startsWith("part="))
-        .map(n => java.net.URLDecoder.decode(n.stripPrefix("part="), "UTF-8") -> s"$dataDir/$n")
-        .toMap
+      else writtenParts(spark, base, dataDir)
     // fully-deleted partitions drop out of the manifest entirely
     val manifest = (prev -- touched.map(_._1)) ++ written
-    val tmp = new Path(s"$base/_versions/.v$next.tmp")
-    val out = f.create(tmp, true)
-    try out.write(manifest.toSeq.sorted.map { case (p, d) => s"$p\t$d" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    require(f.rename(tmp, manifestPath(base, next)), s"commit of v$next lost a race")
+    publish(spark, base, next, manifest, dataDir)
     next
   }
 
   /** Snapshot read AS OF `version` — an immutable file set resolved
     * from that version's manifest; later commits never disturb it.
+    * ONE multi-path parquet scan regardless of partition count (a
+    * per-dir union would put thousands of scan nodes in the plan at
+    * scale); the partition value rides back in via the file path:
+    * `input_file_name()` renders the Hadoop URI-encoded path, so the
+    * driver-side lookup keys on `new Path(dir).toUri.getRawPath`'s
+    * last segment — byte-identical to what the executor sees, for
+    * any partition value (slash, space, '+', '%', ... pinned in
+    * SnapshotSpec).
     */
   def readVersion(spark: SparkSession, base: String, version: Int): DataFrame = {
     val m = readManifest(spark, base, version)
     require(m.nonEmpty, s"version $version does not exist (or store is empty)")
-    m.toSeq.sorted.map { case (part, dir) =>
-      spark.read.parquet(dir).withColumn("part", lit(part))
-    }.reduce(_ unionByName _)
+    val entries = m.toSeq.sorted
+    val segToPart = entries.map { case (part, dir) =>
+      new Path(dir).toUri.getRawPath.split('/').last -> part
+    }
+    import spark.implicits._
+    val lookup = segToPart.toDF("seg", "part")
+    spark.read.parquet(entries.map(_._2): _*)
+      .withColumn("seg",
+        regexp_extract(input_file_name(), "/(part=[^/]+)/[^/]*$", 1))
+      .join(broadcast(lookup), "seg")
       .select("key", "part", "seq", "vc")
+  }
+
+  /** Reclaim storage: keep the newest `keepVersions` manifests, delete
+    * the older ones, then delete every partition directory under
+    * `data/` that no SURVIVING manifest references (directories shared
+    * with a retained snapshot survive — sharing is physical, so the
+    * reference set is the union over kept manifests). Attempt dirs
+    * left empty (including orphans from lost commit races) are
+    * removed. After vacuum, `readVersion` of a dropped version fails
+    * loudly with the usual missing-version error.
+    */
+  def vacuum(spark: SparkSession, base: String, keepVersions: Int): Unit = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val f = fs(spark, base)
+    val cur = currentVersion(spark, base)
+    if (cur == 0) return
+    val cutoff = cur - keepVersions + 1
+    val kept = (cutoff to cur).filter(v => f.exists(manifestPath(base, v)))
+    // normalize through Path so string-level slash quirks in `base`
+    // can't make a referenced dir look unreferenced (and get deleted)
+    val referenced = kept.flatMap(v => readManifest(spark, base, v).values)
+      .map(d => new Path(d).toUri.getPath).toSet
+    (1 until cutoff).foreach(v => f.delete(manifestPath(base, v), false))
+    val dataRoot = new Path(s"$base/data")
+    if (!f.exists(dataRoot)) return
+    f.listStatus(dataRoot).filter(_.isDirectory).foreach { attempt =>
+      f.listStatus(attempt.getPath)
+        .filter(st => st.getPath.getName.startsWith("part="))
+        .foreach { st =>
+          if (!referenced.contains(st.getPath.toUri.getPath))
+            f.delete(st.getPath, true)
+        }
+      val left = f.listStatus(attempt.getPath)
+        .filterNot(_.getPath.getName.startsWith("_")) // writer metadata (_SUCCESS)
+      if (left.isEmpty) f.delete(attempt.getPath, true)
+    }
   }
 }

@@ -110,6 +110,92 @@ class SnapshotSpec extends SparkSpec {
     assert(!m3.contains("p2") && m3.contains("p1"), s"p2 must drop out: $m3")
   }
 
+  test("readVersion is ONE multi-path scan, not a per-partition union") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      (1 to 8).map(i => (s"k$i", s"p$i", 0L, i.toLong)).toDF("key", "part", "seq", "vc"))
+    val df = SnapshotStore.readVersion(spark, base, 1)
+    // count relation leaves in the optimized plan (AQE wraps the
+    // physical tree, so look logical: one leaf per source scan; the
+    // broadcast seg->part lookup is a LocalRelation, not a scan)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1,
+      s"8 partitions must resolve to a single scan node, got ${scans.size}")
+    assert(df.collect().length == 8)
+  }
+
+  test("partition values survive escaping end to end (slash, space, plus, percent)") {
+    val base = freshBase()
+    val nasty = Seq("a/b", "a b", "a+b", "100%x", "x=y#z")
+    SnapshotStore.commit(spark, base,
+      nasty.zipWithIndex.map { case (p, i) => (s"k$i", p, 0L, i.toLong) }
+        .toDF("key", "part", "seq", "vc"))
+    val got = SnapshotStore.readVersion(spark, base, 1)
+      .collect().map(r => (r.getString(1), r.getLong(3))).toSet
+    assert(got == nasty.zipWithIndex.map { case (p, i) => (p, i.toLong) }.toSet,
+      s"every escaped partition value must round-trip exactly: $got")
+    // upsert into an escaped partition must match the manifest entry,
+    // not create a parallel mangled one
+    SnapshotStore.commit(spark, base,
+      Seq(("k0", "a/b", 1L, 99L)).toDF("key", "part", "seq", "vc"))
+    val v2 = SnapshotStore.readVersion(spark, base, 2)
+      .where(col("part") === "a/b")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(v2 == Set(("k0", 99L)), s"escaped-partition upsert must collapse: $v2")
+  }
+
+  test("delete with a NULL-valued predicate keeps the row (SQL DELETE semantics)") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p", 0L, 1L), ("b", "p", 0L, 2L), ("c", "p", 0L, 3L))
+        .toDF("key", "part", "seq", "vc"))
+    // nullif(vc,1) is NULL for key a: the predicate is TRUE only for
+    // vc=2 (key b); a must SURVIVE even though the predicate is NULL
+    val pred = expr("nullif(vc, 1) = 2")
+    SnapshotStore.delete(spark, base, Seq("p"), pred)
+    val got = SnapshotStore.readVersion(spark, base, 2)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "c"),
+      s"only the definitively-true row may die, got survivors $got")
+  }
+
+  test("vacuum drops old versions but keeps every dir a retained snapshot shares") {
+    val base = freshBase()
+    // v1 writes p1+p2; v2 touches only p1; v3 touches only p1 again —
+    // so v3 (the survivor) still references v1's p2 dir
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 1L), ("b", "p2", 0L, 2L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 1L, 5L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 2L, 9L)).toDF("key", "part", "seq", "vc"))
+    val before = SnapshotStore.readVersion(spark, base, 3)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+
+    SnapshotStore.vacuum(spark, base, keepVersions = 1)
+
+    // v3 still readable, byte-identical content
+    val after = SnapshotStore.readVersion(spark, base, 3)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(after == before && after == Set(("a", 9L), ("b", 2L)))
+    assert(SnapshotStore.currentVersion(spark, base) == 3)
+    // dropped versions fail loudly
+    intercept[IllegalArgumentException] { SnapshotStore.readVersion(spark, base, 1) }
+    intercept[IllegalArgumentException] { SnapshotStore.readVersion(spark, base, 2) }
+    // v2's p1 dir (referenced by nothing retained) is physically gone;
+    // v1's p2 dir (shared into v3) survives
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m3 = SnapshotStore.readManifest(spark, base, 3)
+    val live = fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/data/*/part=*"))
+      .map(_.getPath.toUri.getPath).toSet
+    assert(live == m3.values.map(d =>
+      new org.apache.hadoop.fs.Path(d).toUri.getPath).toSet,
+      s"exactly the retained manifest's dirs may remain, got $live")
+  }
+
   test("reading a nonexistent version fails loudly") {
     val base = freshBase()
     intercept[IllegalArgumentException] {
