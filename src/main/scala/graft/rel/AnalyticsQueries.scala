@@ -21,18 +21,6 @@ import graft.{QueryDef, Tables}
   */
 object AnalyticsQueries {
 
-  /** One PageRank sweep over undirected edges `(u, v, d_u)` where d_u
-    * is u's degree: every node's new rank is
-    * `0.15*UNIT + 0.85 * sum(r_u div d_u)` in integer 1e-12 units.
-    * Integer division makes the sum order-independent, so the
-    * distributed result is bit-identical to any sequential evaluation.
-    */
-  private def prStep(undDeg: DataFrame, pr: DataFrame): DataFrame =
-    undDeg.join(pr, undDeg("u") === pr("node"))
-      .select(undDeg("v"), expr("r div d").as("contrib"))
-      .groupBy(col("v").as("node"))
-      .agg(expr("150000000000 + (85 * sum(contrib)) div 100").as("r"))
-
   val defs: Map[String, QueryDef] = Map(
 
     // PageRank over the customer<->supplier bipartite graph (edge =
@@ -63,20 +51,10 @@ object AnalyticsQueries {
         .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
       val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-      // degree is joined onto the edge list ONCE, outside the loop
-      val undDeg = und.join(deg, und("u") === deg("node"))
-        .select(col("u"), col("v"), col("d")).localCheckpoint()
-      var pr = deg.select(col("node"), lit(1000000000000L).as("r")).localCheckpoint()
-      // lineage is cut every FIFTH round: a depth-5 join/agg tree is
-      // still cheap for Catalyst, and skipping 8 of 10 checkpoint
-      // materializations is ~20% wall clock (6.8s -> 5.3s warm at
-      // sf0.1 via TimeOne); deeper than ~5 the re-analysis cost and
-      // whole-plan recomputation on executor loss start winning.
-      (1 to 10).foreach { i =>
-        val next = prStep(undDeg, pr)
-        pr = if (i % 5 == 0) next.localCheckpoint() else next
-      }
+      // the oracle pins 10 iterations; PageRank.run's exact-fixpoint
+      // early exit is result-identical when it fires (a fixed point
+      // stays fixed), so the hash check still holds
+      val (pr, _) = PageRank.run(und, maxIter = 10)
       pr.orderBy(col("r").desc, col("node")).limit(20)
         .select(col("node"), col("r").as("rank_fp"))
     },

