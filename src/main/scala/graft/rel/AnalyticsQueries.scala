@@ -477,6 +477,49 @@ object AnalyticsQueries {
       }.reduce(_ unionByName _).orderBy("version")
     },
 
+    // versioned TICK time travel: every event becomes a tick point
+    // keyed (series, ts_ns, field) — unique in this data, so the tick
+    // key IS the snapshot key — v1 ingests all series, v2 upserts
+    // day-5 points shifted +500 cents, and both versions answer a
+    // day-RANGED as-of query. The range prunes at the MANIFEST level
+    // (TickVersioned.readAsOfRange): out-of-range day dirs never
+    // reach the scan, so a 10-year store serves this with 3 dirs.
+    // The oracle recomputes both versions from raw events.
+    "tick_asof_range" -> QueryDef(
+      """WITH c AS (SELECT event_type AS series, CAST(ts AS DATE) AS day,
+        |             CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT * FROM c
+        |      WHERE day BETWEEN DATE '2024-01-04' AND DATE '2024-01-06'),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS version, series, COUNT(*) AS n,
+        |         CAST(SUM(vc) AS BIGINT) AS total FROM r GROUP BY 2),
+        |v2 AS (SELECT CAST(2 AS BIGINT), series, COUNT(*),
+        |         CAST(SUM(CASE WHEN day = DATE '2024-01-05' THEN vc + 500
+        |                       ELSE vc END) AS BIGINT) FROM r GROUP BY 2)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |ORDER BY version, series""".stripMargin) { (s, d) =>
+      import graft.tick.TickVersioned
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ticksnap_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val pts = Tables.events(s, d).select(
+        col("event_type").as("index"),
+        col("ts_ns"),
+        lit("value").as("field"),
+        expr("CAST(round(value*100) AS BIGINT)").as("vc"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d0"))
+      // resume-safe build, like store_time_travel
+      val cur = TickVersioned.currentVersion(s, base)
+      if (cur == 0) TickVersioned.commit(s, base, pts.drop("d0"))
+      if (cur <= 1) TickVersioned.commit(s, base,
+        pts.where(col("d0") === "2024-01-05").drop("d0")
+          .withColumn("vc", col("vc") + 500L)
+          .withColumn("seq", lit(1L)))
+      Seq(1, 2).map { v =>
+        TickVersioned.readAsOfRange(s, base, v, "2024-01-04", "2024-01-06")
+          .groupBy(col("index").as("series"))
+          .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+          .select(lit(v.toLong).as("version"), col("series"), col("n"), col("total"))
+      }.reduce(_ unionByName _).orderBy("version", "series")
+    },
+
     // JSON-lines sink + source round-trip: the interchange sibling of
     // the csv/orc round-trips (JSON = the dominant raw-crawl format a
     // training pipeline ingests). Write a projection once per sf dir,

@@ -204,14 +204,26 @@ object SnapshotStore {
     * any partition value (slash, space, '+', '%', ... pinned in
     * SnapshotSpec).
     */
-  def readVersion(spark: SparkSession, base: String, version: Int): DataFrame = {
+  def readVersion(spark: SparkSession, base: String, version: Int): DataFrame =
+    readVersionWhere(spark, base, version, _ => true)
+
+  /** Snapshot read restricted to the partitions `partFilter` accepts —
+    * partition pruning at the MANIFEST level: rejected partitions'
+    * directories never reach the scan at all (the part value is only
+    * re-attached after the read, so a post-hoc `.where` on it could
+    * not prune; this is the scale path for day-ranged time travel).
+    */
+  def readVersionWhere(spark: SparkSession, base: String, version: Int,
+      partFilter: String => Boolean): DataFrame = {
     val m = readManifest(spark, base, version)
     require(m.nonEmpty, s"version $version does not exist (or store is empty)")
-    val entries = m.toSeq.sorted
+    import spark.implicits._
+    val entries = m.toSeq.filter { case (p, _) => partFilter(p) }.sorted
+    if (entries.isEmpty)
+      return Seq.empty[(String, String, Long, Long)].toDF("key", "part", "seq", "vc")
     val segToPart = entries.map { case (part, dir) =>
       new Path(dir).toUri.getRawPath.split('/').last -> part
     }
-    import spark.implicits._
     val lookup = segToPart.toDF("seg", "part")
     spark.read.parquet(entries.map(_._2): _*)
       .withColumn("seg",
