@@ -21,6 +21,29 @@ import graft.{QueryDef, Tables}
   */
 object AnalyticsQueries {
 
+  /** Build (once per sf dir, resume-safe) the two-version click
+    * snapshot store that store_time_travel / store_history query:
+    * v1 = all clicks keyed by event_id, day-partitioned; v2 = the
+    * day-5 rows upserted with +1000 cents. A crash between the two
+    * commits must not shift the upsert to version 3 on the next run.
+    */
+  private def ensureClickStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.SnapshotStore
+    val base = s"${sys.props("java.io.tmpdir")}/graft_snap_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val clicks = Tables.events(s, d).where(col("event_type") === "click")
+      .select(col("event_id").cast("string").as("key"),
+        date_format(col("ts"), "yyyy-MM-dd").as("part"),
+        lit(0L).as("seq"),
+        expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+    val cur = SnapshotStore.currentVersion(s, base)
+    if (cur == 0) SnapshotStore.commit(s, base, clicks)
+    if (cur <= 1) SnapshotStore.commit(s, base,
+      clicks.where(col("part") === "2024-01-05")
+        .withColumn("seq", lit(1L))
+        .withColumn("vc", col("vc") + 1000L))
+    base
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // PageRank over the customer<->supplier bipartite graph (edge =
@@ -184,6 +207,76 @@ object AnalyticsQueries {
       one.select(expr(
         s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_v, max_v)"))
         .orderBy("col_name")
+    },
+
+    // the 100 TB profile: same one-scan shape as profile_columns but
+    // HLL distinct counts — approx_count_distinct composes into ONE
+    // aggregate with NO Expand (exact count-distinct forces the 6x
+    // row expansion the profile_columns comment documents). Sketch
+    // internals are engine-specific -> rows-only; the error bound vs
+    // the exact profile is pinned in R6OpsSpec.
+    "profile_columns_approx" -> QueryDef.rowsOnly { (s, d) =>
+      val o = Tables.orders(s, d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = cols.flatMap(c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}_dist")))
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', ${c}_nulls, ${c}_dist").mkString(", ")
+      one.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, approx_distinct)"))
+        .orderBy("col_name")
+    },
+
+    // one-pass covariance MATRIX: every pairwise second moment of
+    // (quantity, price, discount) per group from a single scan —
+    // integer-cent moments in DECIMAL(38,0) partials (price*price
+    // sums overflow BIGINT at sf>=0.1), then ONE double division per
+    // cell, so the fp result is bit-identical on both engines and
+    // independent of partition order. The population-covariance
+    // identity n*Sxy - Sx*Sy keeps everything integer until the end.
+    "agg_covar_matrix" -> QueryDef(
+      """WITH v AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_quantity*100) AS BIGINT) AS q,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS p,
+        |  CAST(round(l_discount*100) AS BIGINT) AS dc FROM lineitem),
+        |s AS (SELECT g, COUNT(*) AS n, SUM(q) AS sq, SUM(p) AS sp, SUM(dc) AS sd,
+        |        SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(dc*dc) AS sdd,
+        |        SUM(q*p) AS sqp, SUM(q*dc) AS sqd, SUM(p*dc) AS spd
+        |      FROM v GROUP BY g)
+        |SELECT g, n,
+        |  CAST(n*sqq - sq*sq AS DOUBLE) / (n*n) AS var_q,
+        |  CAST(n*spp - sp*sp AS DOUBLE) / (n*n) AS var_p,
+        |  CAST(n*sdd - sd*sd AS DOUBLE) / (n*n) AS var_d,
+        |  CAST(n*sqp - sq*sp AS DOUBLE) / (n*n) AS cov_qp,
+        |  CAST(n*sqd - sq*sd AS DOUBLE) / (n*n) AS cov_qd,
+        |  CAST(n*spd - sp*sd AS DOUBLE) / (n*n) AS cov_pd
+        |FROM s ORDER BY g""".stripMargin) { (s, d) =>
+      val v = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("g"),
+        expr("CAST(round(l_quantity*100) AS BIGINT)").as("q"),
+        expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("p"),
+        expr("CAST(round(l_discount*100) AS BIGINT)").as("dc"))
+      val mom = v.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        expr("sum(CAST(q AS DECIMAL(19,0)))").as("sq"),
+        expr("sum(CAST(p AS DECIMAL(19,0)))").as("sp"),
+        expr("sum(CAST(dc AS DECIMAL(19,0)))").as("sd"),
+        expr("sum(CAST(q AS DECIMAL(19,0)) * q)").as("sqq"),
+        expr("sum(CAST(p AS DECIMAL(19,0)) * p)").as("spp"),
+        expr("sum(CAST(dc AS DECIMAL(19,0)) * dc)").as("sdd"),
+        expr("sum(CAST(q AS DECIMAL(19,0)) * p)").as("sqp"),
+        expr("sum(CAST(q AS DECIMAL(19,0)) * dc)").as("sqd"),
+        expr("sum(CAST(p AS DECIMAL(19,0)) * dc)").as("spd"))
+      mom.select(col("g"), col("n"),
+        expr("CAST(n*sqq - sq*sq AS DOUBLE) / (n*n)").as("var_q"),
+        expr("CAST(n*spp - sp*sp AS DOUBLE) / (n*n)").as("var_p"),
+        expr("CAST(n*sdd - sd*sd AS DOUBLE) / (n*n)").as("var_d"),
+        expr("CAST(n*sqp - sq*sp AS DOUBLE) / (n*n)").as("cov_qp"),
+        expr("CAST(n*sqd - sq*sd AS DOUBLE) / (n*n)").as("cov_qd"),
+        expr("CAST(n*spd - sp*sd AS DOUBLE) / (n*n)").as("cov_pd"))
+        .orderBy("g")
     },
 
     // distribution windows: percent_rank (rank-1)/(n-1) and cume_dist
@@ -456,24 +549,35 @@ object AnalyticsQueries {
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2
         |ORDER BY version""".stripMargin) { (s, d) =>
       import graft.sources.SnapshotStore
-      val base = s"${sys.props("java.io.tmpdir")}/graft_snap_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val clicks = Tables.events(s, d).where(col("event_type") === "click")
-        .select(col("event_id").cast("string").as("key"),
-          date_format(col("ts"), "yyyy-MM-dd").as("part"),
-          lit(0L).as("seq"),
-          expr("CAST(round(value*100) AS BIGINT)").as("vc"))
-      // resume-safe build: a crash between the two commits must not
-      // shift the day-5 upsert to version 3 on the next run
-      val cur = SnapshotStore.currentVersion(s, base)
-      if (cur == 0) SnapshotStore.commit(s, base, clicks)
-      if (cur <= 1) SnapshotStore.commit(s, base,
-        clicks.where(col("part") === "2024-01-05")
-          .withColumn("seq", lit(1L))
-          .withColumn("vc", col("vc") + 1000L))
+      val base = ensureClickStore(s, d)
       Seq(1, 2).map { v =>
         SnapshotStore.readVersion(s, base, v)
           .agg(count(lit(1)).as("n"), sum("vc").as("total"))
           .select(lit(v.toLong).as("version"), col("n"), col("total"))
+      }.reduce(_ unionByName _).orderBy("version")
+    },
+
+    // the snapshot store's commit log as a query (DESCRIBE HISTORY):
+    // versions from the manifest listing (no data read for the
+    // partition counts), row counts from the snapshot reads. v2
+    // rewrote one day and inherited the rest, so both versions carry
+    // the full partition set and row count — which the oracle derives
+    // from raw events alone.
+    "store_history" -> QueryDef(
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day FROM events
+        |           WHERE event_type = 'click'),
+        |d AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_parts,
+        |        COUNT(*) AS n_rows FROM c)
+        |SELECT CAST(1 AS BIGINT) AS version, n_parts, n_rows FROM d
+        |UNION ALL SELECT CAST(2 AS BIGINT), n_parts, n_rows FROM d
+        |ORDER BY version""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureClickStore(s, d)
+      SnapshotStore.history(s, base).map { case (v, nParts) =>
+        SnapshotStore.readVersion(s, base, v)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(v.toLong).as("version"),
+            lit(nParts.toLong).as("n_parts"), col("n_rows"))
       }.reduce(_ unionByName _).orderBy("version")
     },
 

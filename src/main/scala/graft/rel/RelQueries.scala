@@ -454,6 +454,54 @@ object RelQueries {
         .orderBy("o_orderpriority")
     },
 
+    // bucketed CO-LOCATED join: both sides written bucketBy(8) on the
+    // join key (sorted within buckets), so the sort-merge join needs
+    // NO exchange and no sort — bucket layout IS the join
+    // partitioning. This is the 100 TB pattern for a join you run
+    // every day: pay the shuffle once at write time, never at query
+    // time (PlanSpec pins the exchange-free plan). Tables are
+    // (re)materialized once per session per sf dir — the in-memory
+    // catalog forgets them between sessions, the warehouse data is
+    // simply overwritten.
+    "layout_bucketed_join" -> QueryDef(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val to = s"graft_bkt_orders_$tag"
+      val tl = s"graft_bkt_lineitem_$tag"
+      // the in-memory catalog forgets tables between sessions but the
+      // warehouse dir persists; CREATE refuses a non-empty location,
+      // so drop the stale dir before rematerializing
+      def fresh(name: String)(write: => Unit): Unit =
+        if (!s.catalog.tableExists(name)) {
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          write
+        }
+      fresh(to) {
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(to)
+      }
+      fresh(tl) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("price_c"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(tl)
+      }
+      s.table(to).where(col("o_orderstatus") === "F").hint("merge")
+        .join(s.table(tl), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_c").as("rev_c"))
+        .orderBy("o_orderpriority")
+    },
+
     // semi join (EXISTS)
     "join_semi" -> QueryDef(
       """SELECT c_custkey, c_name FROM customer

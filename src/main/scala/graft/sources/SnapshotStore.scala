@@ -232,6 +232,16 @@ object SnapshotStore {
       .select("key", "part", "seq", "vc")
   }
 
+  /** The commit log: (version, partition count) for every live
+    * manifest, oldest first — a driver-side manifest listing, no data
+    * read (Delta's DESCRIBE HISTORY reduced to its queryable core).
+    */
+  def history(spark: SparkSession, base: String): Seq[(Int, Int)] =
+    (1 to currentVersion(spark, base)).flatMap { v =>
+      val m = readManifest(spark, base, v)
+      if (m.isEmpty) None else Some(v -> m.size)
+    }
+
   /** Reclaim storage: keep the newest `keepVersions` manifests, delete
     * the older ones, then delete every partition directory under
     * `data/` that no SURVIVING manifest references (directories shared

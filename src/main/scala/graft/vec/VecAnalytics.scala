@@ -107,6 +107,67 @@ object VecAnalytics {
         .orderBy("vec_id")
     },
 
+    // ITERATED Lloyd k-means (3 rounds from the per-label seeds) in
+    // the same 2^-20 fixed point as vec_centroids/vec_kmeans_assign —
+    // a full iterative-ML training loop that stays HASH-exact: every
+    // assignment distance and every centroid mean is integer, so the
+    // distributed loop is bit-identical to the oracle's recursive CTE.
+    // Scale shape per round: centroids broadcast (k*dims rows) into
+    // the exploded vector table, partial-agg argmin, partial-agg
+    // mean — the corpus shuffles on (vec_id) once per round and the
+    // pair space (vec x cluster) exists only inside one aggregate.
+    "vec_kmeans_iter" -> QueryDef(
+      """WITH RECURSIVE
+        |q AS (SELECT vec_id, i AS dim,
+        |        CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+        |      FROM embeddings, UNNEST(range(0, 64)) AS t(i)),
+        |cent(it, c_label, dim, m) AS (
+        |  SELECT 0, CAST(label AS BIGINT), i AS dim,
+        |    CAST(SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT)
+        |      // COUNT(*)
+        |  FROM embeddings, UNNEST(range(0, 64)) AS t(i)
+        |  GROUP BY 2, 3
+        |  UNION ALL
+        |  SELECT it+1, a.c_label, q2.dim, SUM(q2.qv) // COUNT(*)
+        |  FROM (
+        |    SELECT vec_id, c_label, it,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+        |    FROM (
+        |      SELECT q.vec_id, cent.c_label, cent.it,
+        |        SUM((q.qv - cent.m) * (q.qv - cent.m)) AS d2
+        |      FROM q JOIN cent USING (dim)
+        |      GROUP BY 1, 2, 3)
+        |  ) a JOIN q AS q2 ON a.vec_id = q2.vec_id
+        |  WHERE a.rn = 1 AND a.it < 3
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_label, dim, CAST(m AS BIGINT) AS m
+        |FROM cent WHERE it = 3 ORDER BY c_label, dim""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val quant = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("qv", expr("CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)"))
+        .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"), col("qv"))
+        .localCheckpoint() // reused every round: materialize the explode once
+      var cent = quant
+        .groupBy(col("label").cast("long").as("c_label"), col("dim"))
+        .agg(expr("sum(qv) div count(1)").as("m"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))
+      (1 to 3).foreach { _ =>
+        val assign = quant.select(col("vec_id"), col("dim"), col("qv"))
+          .join(broadcast(cent), "dim")
+          .groupBy("vec_id", "c_label")
+          .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("d2"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("c_label"))
+        cent = quant.join(assign, "vec_id")
+          .groupBy("c_label", "dim")
+          .agg(expr("sum(qv) div count(1)").as("m"))
+      }
+      cent.select(col("c_label"), col("dim"), col("m")).orderBy("c_label", "dim")
+    },
+
     // 64 -> 8 dim JL projection with deterministic Lehmer-parity signs.
     // Per-row, embarrassingly parallel, stays in whole-stage codegen
     // (HOF fold, no UDF); the fold order is pinned so the doubles match

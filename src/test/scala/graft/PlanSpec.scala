@@ -90,4 +90,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), "per-group stats must broadcast: " + p)
   }
+
+  test("bucketed join is exchange-free below the join") {
+    // with broadcast off, the bucket layout must satisfy the
+    // sort-merge join's distribution outright: no Exchange between
+    // the scans and the join (the agg above it still shuffles)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan("layout_bucketed_join")
+      // the tree block ends at the first blank line; nodes BELOW the
+      // join are the lines after it in the tree
+      val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+      val joinIdx = tree.indexWhere(_.contains("SortMergeJoin"))
+      assert(joinIdx >= 0, p)
+      val below = tree.drop(joinIdx + 1)
+      assert(below.forall(!_.contains("Exchange")),
+        s"bucketed join must not reshuffle its inputs:\n$p")
+      assert(p.contains("Bucketed: true"), s"scans must be bucket-aware:\n$p")
+    } finally spark.conf.set(key, old)
+  }
 }

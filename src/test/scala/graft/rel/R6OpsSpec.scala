@@ -47,4 +47,19 @@ class R6OpsSpec extends SparkSpec {
     val got = pr.collect().map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(got == r, s"capped run must equal the sequential recurrence: $got vs $r")
   }
+
+  test("approximate profile tracks the exact profile within the HLL error bound") {
+    val approx = graft.SparkEntry.queries("profile_columns_approx")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.SparkEntry.queries("profile_columns")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, (nulls, dist)) =>
+      val (aNulls, aDist) = approx(c)
+      assert(aNulls == nulls, s"$c null count is exact arithmetic, must match")
+      // rsd 0.02 requested; allow 3 sigma
+      assert(math.abs(aDist - dist) <= math.max(3, 0.06 * dist),
+        s"$c approx distinct $aDist vs exact $dist beyond 6%")
+    }
+  }
 }
