@@ -21,27 +21,45 @@ import graft.{QueryDef, Tables}
   */
 object AnalyticsQueries {
 
-  /** Build (once per sf dir, resume-safe) the two-version click
-    * snapshot store that store_time_travel / store_history query:
-    * v1 = all clicks keyed by event_id, day-partitioned; v2 = the
-    * day-5 rows upserted with +1000 cents. A crash between the two
-    * commits must not shift the upsert to version 3 on the next run.
+  /** All click events in the store's row model: key = event_id,
+    * part = day, vc = integer cents.
     */
-  private def ensureClickStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    import graft.sources.SnapshotStore
-    val base = s"${sys.props("java.io.tmpdir")}/graft_snap_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val clicks = Tables.events(s, d).where(col("event_type") === "click")
+  private def clicksOf(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).where(col("event_type") === "click")
       .select(col("event_id").cast("string").as("key"),
         date_format(col("ts"), "yyyy-MM-dd").as("part"),
         lit(0L).as("seq"),
         expr("CAST(round(value*100) AS BIGINT)").as("vc"))
-    val cur = SnapshotStore.currentVersion(s, base)
-    if (cur == 0) SnapshotStore.commit(s, base, clicks)
-    if (cur <= 1) SnapshotStore.commit(s, base,
-      clicks.where(col("part") === "2024-01-05")
-        .withColumn("seq", lit(1L))
-        .withColumn("vc", col("vc") + 1000L))
+
+  /** Resume-safe store builder: `steps(i)` must take the store from
+    * version i to i+1, so a crash between steps never shifts later
+    * versions — the next run resumes at the step the version count
+    * points to.
+    */
+  private def ensureVersions(s: org.apache.spark.sql.SparkSession, base: String)(
+      steps: (() => Unit)*): String = {
+    val cur = graft.sources.SnapshotStore.currentVersion(s, base)
+    steps.drop(cur).foreach(_())
     base
+  }
+
+  private def storeBase(d: String, tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** Build (once per sf dir, resume-safe) the two-version click
+    * snapshot store that store_time_travel / store_history / changes
+    * query: v1 = all clicks keyed by event_id, day-partitioned;
+    * v2 = the day-5 rows upserted with +1000 cents.
+    */
+  private def ensureClickStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.SnapshotStore
+    val base = s"${sys.props("java.io.tmpdir")}/graft_snap_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    ensureVersions(s, base)(
+      () => SnapshotStore.commit(s, base, clicksOf(s, d)),
+      () => SnapshotStore.commit(s, base,
+        clicksOf(s, d).where(col("part") === "2024-01-05")
+          .withColumn("seq", lit(1L))
+          .withColumn("vc", col("vc") + 1000L)))
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -579,6 +597,167 @@ object AnalyticsQueries {
           .select(lit(v.toLong).as("version"),
             lit(nParts.toLong).as("n_parts"), col("n_rows"))
       }.reduce(_ unionByName _).orderBy("version")
+    },
+
+    // MERGE INTO (Delta-style) as a new store version: one source
+    // batch carrying updates (day-3 clicks +500), deletes (every
+    // 10th day-3 click, marked vc = -1) and inserts (day-3 purchases
+    // under disjoint 'p'-prefixed keys) — one full-outer join over
+    // the ONE touched partition; the other 29 day partitions inherit
+    // physically. The oracle replays the same merge arithmetic from
+    // raw events.
+    "store_merge" -> QueryDef(
+      """WITH c AS (SELECT event_id, strftime(ts, '%Y-%m-%d') AS part,
+        |             CAST(round(value*100) AS BIGINT) AS vc
+        |           FROM events WHERE event_type = 'click'),
+        |m AS (SELECT part, vc + CASE WHEN part = '2024-01-03' THEN 500 ELSE 0 END AS vc
+        |      FROM c WHERE NOT (part = '2024-01-03' AND event_id % 10 = 0)
+        |      UNION ALL
+        |      SELECT strftime(ts, '%Y-%m-%d'), CAST(round(value*100) AS BIGINT)
+        |      FROM events WHERE event_type = 'purchase'
+        |        AND strftime(ts, '%Y-%m-%d') = '2024-01-03')
+        |SELECT part, COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS total
+        |FROM m GROUP BY part ORDER BY part""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureVersions(s, storeBase(d, "snapm"))(
+        () => SnapshotStore.commit(s, storeBase(d, "snapm"), clicksOf(s, d)),
+        () => {
+          val day3 = Tables.events(s, d)
+            .where(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-03")
+          val updDel = day3.where(col("event_type") === "click")
+            .select(col("event_id").cast("string").as("key"),
+              lit("2024-01-03").as("part"), lit(1L).as("seq"),
+              when(col("event_id") % 10 === 0, lit(-1L)).otherwise(lit(500L)).as("vc"))
+          val ins = day3.where(col("event_type") === "purchase")
+            .select(concat(lit("p"), col("event_id").cast("string")).as("key"),
+              lit("2024-01-03").as("part"), lit(1L).as("seq"),
+              expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+          SnapshotStore.merge(s, storeBase(d, "snapm"), updDel.unionByName(ins),
+            matchedDelete = col("s.vc") === -1L,
+            matchedUpdateVc = col("t.vc") + col("s.vc"))
+        })
+      SnapshotStore.readVersion(s, base, 2)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+        .orderBy("part")
+    },
+
+    // change data feed v1 -> v2 of the click store: the partitions to
+    // diff come from the MANIFESTS (unchanged directory pointer ==
+    // skipped without reading a row — physical sharing doubles as a
+    // free change index), so the CDF costs O(changed partitions).
+    // v2 bumped every day-5 row, so the feed is exactly one
+    // preimage + postimage pair per day-5 click.
+    "store_changes" -> QueryDef(
+      """WITH c AS (SELECT CAST(event_id AS VARCHAR) AS key,
+        |             strftime(ts, '%Y-%m-%d') AS part,
+        |             CAST(round(value*100) AS BIGINT) AS vc
+        |           FROM events WHERE event_type = 'click'
+        |             AND strftime(ts, '%Y-%m-%d') = '2024-01-05')
+        |SELECT key, part, 'update_preimage' AS change_type,
+        |       CAST(0 AS BIGINT) AS seq, vc FROM c
+        |UNION ALL
+        |SELECT key, part, 'update_postimage', 1, vc + 1000 FROM c
+        |ORDER BY key, change_type""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureClickStore(s, d)
+      SnapshotStore.changes(s, base, 1, 2).orderBy("key", "change_type")
+    },
+
+    // compaction (OPTIMIZE): v2 rewrites v1's many-files-per-partition
+    // layout (one file per write task) into one file per partition,
+    // content-identical — the small-files reset a frequently-committing
+    // store needs at scale. The oracle checks content equality; the
+    // file-count drop and v1's integrity are pinned in SnapshotSpec.
+    "store_compact" -> QueryDef(
+      """SELECT strftime(ts, '%Y-%m-%d') AS part, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY part ORDER BY part""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureVersions(s, storeBase(d, "snapc"))(
+        () => SnapshotStore.commit(s, storeBase(d, "snapc"), clicksOf(s, d)),
+        () => SnapshotStore.compact(s, storeBase(d, "snapc")))
+      SnapshotStore.readVersion(s, base, 2)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+        .orderBy("part")
+    },
+
+    // triangle counting on the supplier co-order graph (edge = two
+    // suppliers co-supplying >= 4 orders). The oracle counts by the
+    // textbook u<v<w triple join; the Spark plan is the DISTRIBUTED
+    // algorithm: orient every edge from the (degree, id)-smaller
+    // endpoint to the larger, so each triangle is counted exactly once
+    // — at its lowest corner — and per-node wedge work is bounded by
+    // OUT-degree (~sqrt(m) after orientation) instead of raw degree:
+    // the hub that breaks the naive self-join has high in-degree but
+    // low out-degree. Wedges stay in one shuffle-partition pass; the
+    // closing-edge check is a broadcast hash semi join (at larger
+    // edge sets it becomes a shuffled semi join on (a, b) — same
+    // plan shape, no driver involvement either way).
+    "graph_triangles" -> QueryDef(
+      """WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS s
+        |           FROM lineitem),
+        |e AS (SELECT a.s AS u, b.s AS v FROM p a
+        |      JOIN p b ON a.l_orderkey = b.l_orderkey AND a.s < b.s
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+        |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        |       CAST((SELECT COUNT(*) FROM e e1
+        |             JOIN e e2 ON e2.u = e1.v
+        |             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles""".stripMargin) { (s, d) =>
+      val p = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      val e = p.as("a").join(p.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 4)
+        .select("u", "v")
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      nEdges.crossJoin(Triangles.trianglesDf(e))
+    },
+
+    // BFS shortest hops from customer 1 over the customer<->supplier
+    // co-order bipartite graph (suppliers as negative node ids), 3
+    // frontier expansions — the iterative-graph primitive under
+    // label propagation / reachability / taint tracking. Each round
+    // is one frontier-keyed equi-join + distinct + anti join against
+    // the visited set (frontiers localCheckpointed so lineage stays
+    // flat); the oracle is a recursive CTE with per-iteration
+    // min-hop grouping.
+    "graph_bfs_hops" -> QueryDef(
+      """WITH RECURSIVE eh AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+        |        -CAST(l_suppkey AS BIGINT) AS b
+        |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |ed AS (SELECT a, b FROM eh UNION ALL SELECT b, a FROM eh),
+        |bfs(node, hop) AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+        |  UNION ALL
+        |  SELECT ed.b, MIN(bfs.hop) + 1 FROM bfs JOIN ed ON ed.a = bfs.node
+        |  WHERE bfs.hop < 3 GROUP BY ed.b)
+        |SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node
+        |ORDER BY hop, node""".stripMargin) { (s, d) =>
+      val eh = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("a"),
+          (-col("l_suppkey")).cast("long").as("b"))
+        .distinct()
+      val ed = eh.unionAll(eh.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint() // reused every round
+      import s.implicits._
+      var visited = Seq((1L, 0)).toDF("node", "hop")
+      var frontier = visited.select("node")
+      (1 to 3).foreach { h =>
+        val next = frontier.join(ed, col("node") === col("a"))
+          .select(col("b").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .localCheckpoint()
+        visited = visited.unionByName(next.withColumn("hop", lit(h)))
+        frontier = next
+      }
+      visited.orderBy("hop", "node")
     },
 
     // versioned TICK time travel: every event becomes a tick point

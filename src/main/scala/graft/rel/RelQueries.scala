@@ -1093,6 +1093,25 @@ object RelQueries {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // NOT IN subquery through the SQL front door: customers with no
+    // order since mid-1998. Catalyst plans the three-valued NOT IN as
+    // a NULL-AWARE anti join — the semantically loaded variant a plain
+    // anti join gets wrong the moment the subquery can yield NULL
+    // (one NULL empties the whole result; pinned in R6OpsSpec).
+    "sql_not_in_subquery" -> QueryDef(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM v_customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM v_orders
+          |                        WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // recursive CTE through the SQL front door (Spark 4 WITH RECURSIVE):
     // a 31-day calendar axis built by recursion, left-joined to daily
     // event counts so zero-activity days surface — the gap-free

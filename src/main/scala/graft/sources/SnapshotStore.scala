@@ -193,6 +193,122 @@ object SnapshotStore {
     next
   }
 
+  /** MERGE `source` (key, part, seq, vc) into the current snapshot as
+    * a new version — Delta-style MERGE reduced to the store's row
+    * model. Rows match on (key, part). A matched row is deleted when
+    * `matchedDelete` is definitively TRUE, otherwise updated to
+    * `matchedUpdateVc` (its seq advances to the larger side so LWW
+    * stays monotonic); unmatched source rows insert as-is; unmatched
+    * target rows carry forward. Both expressions may reference the
+    * sides as `t.<col>` / `s.<col>`.
+    *
+    * Scale shape: only the partitions PRESENT in the source are read
+    * and rewritten — one shuffle (the full-outer merge join) over the
+    * touched partitions; untouched partitions inherit physically via
+    * the manifest. A touched partition whose rows all die drops out of
+    * the manifest like a never-written one.
+    */
+  def merge(spark: SparkSession, base: String, source: DataFrame,
+      matchedDelete: org.apache.spark.sql.Column,
+      matchedUpdateVc: org.apache.spark.sql.Column): Int = {
+    val v = currentVersion(spark, base)
+    val next = v + 1
+    val prev = readManifest(spark, base, v)
+    val touched = source.select("part").distinct().collect().map(_.getString(0))
+    val existingParts = touched.toSeq.flatMap(p => prev.get(p).map(p -> _))
+    val src = source.select("key", "part", "seq", "vc")
+    val merged = existingParts.map { case (p, dir) =>
+      spark.read.parquet(dir).withColumn("part", lit(p))
+    }.reduceOption(_ unionByName _) match {
+      case None => src // empty target: everything inserts
+      case Some(t) =>
+        val joined = t.select("key", "part", "seq", "vc").alias("t")
+          .join(src.alias("s"),
+            col("t.key") === col("s.key") && col("t.part") === col("s.part"),
+            "full_outer")
+        val matched = col("t.key").isNotNull && col("s.key").isNotNull
+        joined
+          // delete only where matched AND the clause is definitively true
+          .where(!(matched && (matchedDelete <=> lit(true))))
+          .select(
+            coalesce(col("t.key"), col("s.key")).as("key"),
+            coalesce(col("t.part"), col("s.part")).as("part"),
+            when(col("t.key").isNull, col("s.seq"))
+              .when(col("s.key").isNull, col("t.seq"))
+              .otherwise(greatest(col("t.seq"), col("s.seq"))).as("seq"),
+            when(col("t.key").isNull, col("s.vc"))   // insert
+              .when(col("s.key").isNull, col("t.vc")) // carry forward
+              .otherwise(matchedUpdateVc).as("vc"))   // update
+    }
+    val dataDir = attemptDir(base, next)
+    merged.write.mode("overwrite").partitionBy("part").parquet(dataDir)
+    val manifest = (prev -- touched) ++ writtenParts(spark, base, dataDir)
+    publish(spark, base, next, manifest, dataDir)
+    next
+  }
+
+  /** Change data feed between two committed versions: a row-level diff
+    * classified as insert / delete / update_preimage / update_postimage
+    * (Delta CDF's queryable core). The partition set to diff comes from
+    * the MANIFESTS — a partition whose directory pointer is unchanged
+    * is skipped without reading a row, so physical sharing doubles as a
+    * free change index: the cost is O(changed partitions), not O(store).
+    */
+  def changes(spark: SparkSession, base: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV >= 1 && toV > fromV, s"need 1 <= fromV < toV, got $fromV..$toV")
+    val ma = readManifest(spark, base, fromV)
+    val mb = readManifest(spark, base, toV)
+    require(ma.nonEmpty && mb.nonEmpty, s"versions $fromV and $toV must both exist")
+    val changed = (ma.keySet ++ mb.keySet).filter(p => ma.get(p) != mb.get(p))
+    val before = readVersionWhere(spark, base, fromV, changed.contains)
+    val after = readVersionWhere(spark, base, toV, changed.contains)
+    val j = before.alias("t").join(after.alias("s"),
+      col("t.key") === col("s.key") && col("t.part") === col("s.part"), "full_outer")
+    val pre = struct(lit("update_preimage").as("change_type"),
+      col("t.seq").as("seq"), col("t.vc").as("vc"))
+    val post = struct(lit("update_postimage").as("change_type"),
+      col("s.seq").as("seq"), col("s.vc").as("vc"))
+    val ins = struct(lit("insert").as("change_type"),
+      col("s.seq").as("seq"), col("s.vc").as("vc"))
+    val del = struct(lit("delete").as("change_type"),
+      col("t.seq").as("seq"), col("t.vc").as("vc"))
+    // rewritten-but-identical rows are not changes — drop them first so
+    // every surviving row maps to a non-empty change array
+    j.where(!(col("t.key").isNotNull && col("s.key").isNotNull &&
+        col("t.seq") === col("s.seq") && col("t.vc") === col("s.vc")))
+      .select(
+        coalesce(col("t.key"), col("s.key")).as("key"),
+        coalesce(col("t.part"), col("s.part")).as("part"),
+        explode(
+          when(col("t.key").isNull, array(ins))
+            .when(col("s.key").isNull, array(del))
+            .otherwise(array(pre, post))).as("c"))
+      .select(col("key"), col("part"), col("c.change_type").as("change_type"),
+        col("c.seq").as("seq"), col("c.vc").as("vc"))
+  }
+
+  /** Compaction (OPTIMIZE): rewrite the current snapshot into one file
+    * per partition as a new content-identical version. Prior versions
+    * are untouched (vacuum reclaims their files once they age out).
+    * The small-files problem is the operational killer of frequent
+    * ingest at scale — a store committing every 5 minutes accumulates
+    * hundreds of files per partition per day until reads spend longer
+    * opening footers than scanning rows; compaction resets that to one.
+    */
+  def compact(spark: SparkSession, base: String): Int = {
+    val v = currentVersion(spark, base)
+    require(v > 0, "cannot compact an empty store")
+    val next = v + 1
+    val cur = readVersion(spark, base, v)
+    val dataDir = attemptDir(base, next)
+    // repartition by part: each partition's rows land in one task, so
+    // partitionBy writes exactly one file per partition directory
+    cur.repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(dataDir)
+    publish(spark, base, next, writtenParts(spark, base, dataDir), dataDir)
+    next
+  }
+
   /** Snapshot read AS OF `version` — an immutable file set resolved
     * from that version's manifest; later commits never disturb it.
     * ONE multi-path parquet scan regardless of partition count (a

@@ -117,6 +117,35 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // character-level edit-distance near-dup pairs: the verifier tier
+    // OCR/typo-corrupted duplicates need, where shingle Jaccard decays
+    // but levenshtein stays tiny (planted pairs sit at <= 8 edits vs
+    // >= 39 for the closest background pair). Spark computes the
+    // BANDED O(len*k) variant (threshold arg -> -1 above 20), so each
+    // candidate costs ~20x less than the full DP the oracle runs; the
+    // length-band prefilter is the cheap pair cut. Bounded twin like
+    // dedup_ngram_jaccard — the scale tier feeds LSH candidates
+    // through the same verifier.
+    "text_levenshtein_pairs" -> QueryDef(
+      """WITH d AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE abs(a.n_chars - b.n_chars) <= 40
+        |  AND levenshtein(a.text, b.text) <= 20
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val dd = Tables.documents(s, d).where(col("doc_id") < 300)
+        .select("doc_id", "text", "n_chars")
+      val a = dd.toDF("a_id", "a_text", "a_n")
+      val b = dd.toDF("b_id", "b_text", "b_n")
+      a.crossJoin(b)
+        .where(col("a_id") < col("b_id") && abs(col("a_n") - col("b_n")) <= 40)
+        .withColumn("lev", levenshtein(col("a_text"), col("b_text"), 20).cast("long"))
+        .where(col("lev") >= 0)
+        .select("a_id", "b_id", "lev")
+        .orderBy("a_id", "b_id")
+    },
+
     // asymmetric containment pairs: |A∩B| / |A| ≥ 0.8 flags doc A as a
     // near-SUBSET of B (quote/excerpt detection — Jaccard misses these
     // when B is much longer). Directional, so both orientations can

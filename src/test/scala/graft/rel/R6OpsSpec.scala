@@ -62,4 +62,64 @@ class R6OpsSpec extends SparkSpec {
         s"$c approx distinct $aDist vs exact $dist beyond 6%")
     }
   }
+
+  test("oriented triangle count equals brute force on random graphs") {
+    // the degree-ordered orientation must count every triangle exactly
+    // once regardless of degree skew — check against O(n^3) brute force
+    // on random graphs including a hub-heavy one
+    val rnd = new scala.util.Random(7)
+    val graphs = Seq(
+      (8, (for (u <- 0 until 8; v <- u + 1 until 8 if rnd.nextDouble() < 0.5)
+        yield (u.toLong, v.toLong)).toSeq),
+      // star + rim: hub 0 touches all, rim is a cycle — maximal skew
+      (10, ((1 until 10).map(i => (0L, i.toLong)) ++
+        (1 until 10).map(i => (i.toLong, if (i == 9) 1L else i + 1L))
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }).distinct.toSeq))
+    graphs.foreach { case (n, edges) =>
+      val eset = edges.toSet
+      val brute = (for {
+        a <- 0L until n.toLong; b <- a + 1 until n.toLong; c <- b + 1 until n.toLong
+        if eset((a, b)) && eset((b, c)) && eset((a, c))
+      } yield 1).size
+      val got = Triangles.count(edges.toDF("u", "v"))
+      assert(got == brute, s"n=$n: oriented $got vs brute $brute")
+    }
+  }
+
+  test("distributed BFS equals sequential BFS on the sf0.001 graph") {
+    val rows = graft.SparkEntry.queries("graph_bfs_hops")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // sequential reference over the same edges
+    val eh = graft.Tables.orders(spark, sf0001)
+      .join(graft.Tables.lineitem(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long"), -col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (eh ++ eh.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSeq }
+    var hop = Map(1L -> 0)
+    var frontier = Set(1L)
+    (1 to 3).foreach { h =>
+      val next = frontier.flatMap(n => adj.getOrElse(n, Seq.empty[Long])).diff(hop.keySet)
+      hop = hop ++ next.map(_ -> h)
+      frontier = next
+    }
+    assert(rows == hop, s"got ${rows.size} nodes vs reference ${hop.size}")
+  }
+
+  test("NOT IN over a subquery containing NULL yields no rows (three-valued logic)") {
+    graft.Tables.customer(spark, sf001).createOrReplaceTempView("v_customer")
+    val n = spark.sql(
+      """SELECT COUNT(*) AS n FROM v_customer
+        |WHERE c_custkey NOT IN (SELECT nullif(c_custkey, 1) FROM v_customer)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n == 0, s"one NULL in the NOT IN list must empty the result, got $n")
+  }
+
+  test("levenshtein pair scan separates planted near-dups from background") {
+    val rows = graft.SparkEntry.queries("text_levenshtein_pairs")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "the planted near-dup pairs must surface")
+    assert(rows.forall(_._3 <= 8),
+      s"everything under the 20-edit cut should be a planted pair (<= 8 edits): ${rows.toSeq}")
+  }
 }

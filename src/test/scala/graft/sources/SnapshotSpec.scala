@@ -196,6 +196,101 @@ class SnapshotSpec extends SparkSpec {
       s"exactly the retained manifest's dirs may remain, got $live")
   }
 
+  test("merge updates, deletes, inserts, and carries the rest forward") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base, Seq(
+      ("a", "p1", 0L, 10L), ("b", "p1", 0L, 20L), ("c", "p1", 0L, 30L),
+      ("d", "p2", 0L, 40L)).toDF("key", "part", "seq", "vc"))
+    // source: update a (+5), delete b (marker vc = -1), insert e; p2 untouched
+    val src = Seq(("a", "p1", 1L, 5L), ("b", "p1", 1L, -1L), ("e", "p1", 1L, 50L))
+      .toDF("key", "part", "seq", "vc")
+    val v = SnapshotStore.merge(spark, base, src,
+      matchedDelete = col("s.vc") === -1L,
+      matchedUpdateVc = col("t.vc") + col("s.vc"))
+    assert(v == 2)
+    val got = SnapshotStore.readVersion(spark, base, 2)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(got == Set(("a", 15L), ("c", 30L), ("d", 40L), ("e", 50L)),
+      s"update/delete/insert/carry-forward: $got")
+    // the untouched partition physically inherits; v1 is unharmed
+    val m1 = SnapshotStore.readManifest(spark, base, 1)
+    val m2 = SnapshotStore.readManifest(spark, base, 2)
+    assert(m1("p2") == m2("p2"), "untouched partition must share its dir")
+    assert(SnapshotStore.readVersion(spark, base, 1).count() == 4)
+    // a NULL matchedDelete is NOT a delete (SQL three-valued semantics)
+    val v3 = SnapshotStore.merge(spark, base,
+      Seq(("a", "p1", 2L, 1L)).toDF("key", "part", "seq", "vc"),
+      matchedDelete = expr("nullif(s.vc, 1) = 2"),
+      matchedUpdateVc = col("t.vc") + col("s.vc"))
+    val a3 = SnapshotStore.readVersion(spark, base, v3)
+      .where(col("key") === "a").collect().map(_.getLong(3))
+    assert(a3.toSeq == Seq(16L), s"NULL delete clause must fall through to update: ${a3.toSeq}")
+  }
+
+  test("merge into an empty store (or new partition) inserts everything") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base, Seq(("a", "p1", 0L, 1L)).toDF("key", "part", "seq", "vc"))
+    val v = SnapshotStore.merge(spark, base,
+      Seq(("x", "p9", 0L, 7L), ("y", "p9", 0L, 8L)).toDF("key", "part", "seq", "vc"),
+      matchedDelete = lit(false), matchedUpdateVc = col("s.vc"))
+    val got = SnapshotStore.readVersion(spark, base, v)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(got == Set(("a", 1L), ("x", 7L), ("y", 8L)), s"$got")
+  }
+
+  test("changes classifies insert/delete/update and skips identical rewrites") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base, Seq(
+      ("a", "p1", 0L, 10L), ("b", "p1", 0L, 20L), ("c", "p1", 0L, 30L),
+      ("d", "p2", 0L, 40L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.merge(spark, base,
+      Seq(("a", "p1", 1L, 5L), ("b", "p1", 1L, -1L), ("e", "p1", 1L, 50L))
+        .toDF("key", "part", "seq", "vc"),
+      matchedDelete = col("s.vc") === -1L,
+      matchedUpdateVc = col("t.vc") + col("s.vc"))
+    val got = SnapshotStore.changes(spark, base, 1, 2)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(4))).toSet
+    assert(got == Set(
+      ("a", "update_preimage", 10L), ("a", "update_postimage", 15L),
+      ("b", "delete", 20L), ("e", "insert", 50L)),
+      s"c (identical rewrite) and d (untouched partition) must not appear: $got")
+  }
+
+  test("compact collapses to one file per partition, content-identical, prior version intact") {
+    val base = freshBase()
+    // spread rows over several write tasks so v1 has multiple files/part
+    // (AQE would coalesce this tiny shuffle to one task — disable it for
+    // the seed commit to reproduce the many-tasks layout of a real run)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val oldCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try SnapshotStore.commit(spark, base,
+      spark.range(200).selectExpr("CAST(id AS STRING) AS key",
+        "CASE WHEN id % 2 = 0 THEN 'p1' ELSE 'p2' END AS part",
+        "CAST(0 AS BIGINT) AS seq", "id AS vc").repartition(8))
+    finally spark.conf.set(coalesceKey, oldCoalesce)
+    val before = SnapshotStore.readVersion(spark, base, 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+    def filesPerPart(v: Int): Map[String, Int] = {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SnapshotStore.readManifest(spark, base, v).map { case (p, dir) =>
+        p -> fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .count(_.getPath.getName.endsWith(".parquet"))
+      }
+    }
+    assert(filesPerPart(1).values.forall(_ > 1), s"need a fragmented v1: ${filesPerPart(1)}")
+    val v = SnapshotStore.compact(spark, base)
+    assert(v == 2)
+    assert(filesPerPart(2).values.forall(_ == 1), s"compacted: ${filesPerPart(2)}")
+    val after = SnapshotStore.readVersion(spark, base, 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+    assert(after == before, "compaction must not change content")
+    assert(SnapshotStore.readVersion(spark, base, 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet == before,
+      "v1 must remain readable and identical")
+  }
+
   test("reading a nonexistent version fails loudly") {
     val base = freshBase()
     intercept[IllegalArgumentException] {
