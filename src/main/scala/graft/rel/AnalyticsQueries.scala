@@ -297,6 +297,92 @@ object AnalyticsQueries {
         .orderBy("g")
     },
 
+    // per-group OLS regression (price on quantity): slope, intercept,
+    // R^2 from the same exact integer-cent moments as agg_covar_matrix
+    // — DECIMAL(38,0) partials, then a FIXED sequence of double casts
+    // and divisions, so the fp results are bit-identical on both
+    // engines at any partitioning (the engines' own regr_slope/corr
+    // accumulate doubles in partition order and are not). R^2's
+    // central-moment product would overflow DECIMAL(38) squared, so it
+    // divides in doubles — each cast is of an exactly-representable
+    // integer and the op order is pinned.
+    "agg_regression" -> QueryDef(
+      """WITH v AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_quantity*100) AS BIGINT) AS x,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS y FROM lineitem),
+        |s AS (SELECT g, COUNT(*) AS n,
+        |        CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+        |        CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+        |        CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+        |        CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy,
+        |        CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy
+        |      FROM v GROUP BY g)
+        |SELECT g, n,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |     * CAST(sx AS DOUBLE)) / n AS intercept,
+        |  (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) /
+        |    (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS r2
+        |FROM s ORDER BY g""".stripMargin) { (s, d) =>
+      val v = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("g"),
+        expr("CAST(round(l_quantity*100) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("y"))
+      val mom = v.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0))").as("sx"),
+        expr("CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0))").as("sy"),
+        expr("CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0))").as("sxx"),
+        expr("CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0))").as("syy"),
+        expr("CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0))").as("sxy"))
+      mom.select(col("g"), col("n"),
+        expr("CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)").as("slope"),
+        expr("""(CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             * CAST(sx AS DOUBLE)) / n""").as("intercept"),
+        expr("""(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) /
+            (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))""").as("r2"))
+        .orderBy("g")
+    },
+
+    // data-quality audit: the constraint pack a pipeline runs before
+    // training — FK integrity (anti join), domain range, key
+    // uniqueness (surplus rows over distinct keys), null checks —
+    // each rule ONE aggregate, unioned into a (rule, n_bad) report.
+    // The synthetic data genuinely violates the lineitem PK rule, so
+    // the audit is checked against a real nonzero count.
+    "dq_audit" -> QueryDef(
+      """SELECT 'dup_lineitem_pk' AS rule, CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_bad
+        |  FROM (SELECT COUNT(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber) WHERE c > 1
+        |UNION ALL
+        |SELECT 'fk_lineitem_orders', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'null_custkey', CAST(COUNT(*) AS BIGINT) FROM orders
+        |  WHERE o_custkey IS NULL
+        |UNION ALL
+        |SELECT 'qty_range', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  WHERE l_quantity < 1 OR l_quantity > 50
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val dup = li.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_bad"))
+        .select(lit("dup_lineitem_pk").as("rule"), col("n_bad"))
+      val fk = li.join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("fk_lineitem_orders").as("rule"), col("n_bad"))
+      val nulls = o.where(col("o_custkey").isNull)
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("null_custkey").as("rule"), col("n_bad"))
+      val range = li.where(col("l_quantity") < 1 || col("l_quantity") > 50)
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("qty_range").as("rule"), col("n_bad"))
+      dup.unionByName(fk).unionByName(nulls).unionByName(range).orderBy("rule")
+    },
+
     // distribution windows: percent_rank (rank-1)/(n-1) and cume_dist
     // count<= / n over a tie-heavy ordering — exact rational doubles,
     // identical on both engines including the n=1 -> 0.0 edge.

@@ -91,6 +91,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "per-group stats must broadcast: " + p)
   }
 
+  test("triangle counting never goes cartesian; closing edges broadcast") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"),
+      "wedge + closing joins must stay equi-joins: " + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the closing-edge membership probe should broadcast: " + p)
+  }
+
   test("bucketed join is exchange-free below the join") {
     // with broadcast off, the bucket layout must satisfy the
     // sort-merge join's distribution outright: no Exchange between
