@@ -107,6 +107,52 @@ object VecAnalytics {
         .orderBy("vec_id")
     },
 
+    // product quantization ENCODE: split the 64-dim space into 8
+    // subspaces of 8 dims, codebook = per-label subvector means in the
+    // 2^-20 fixed point, code = argmin subspace distance — each vector
+    // compresses to 8 codes (the IVF-PQ memory trick: 256 bytes of
+    // floats -> 8 bytes of codes at ~17x less storage than fp32).
+    // Everything integer, so codes AND reconstruction errors are
+    // hash-exact vs the oracle. Scale shape: the codebook (labels x 64
+    // dims) broadcasts into the exploded vectors; the vec x label
+    // candidate space exists only inside one partial aggregate;
+    // argmin via a (vec, sub)-keyed window on the tiny distance table.
+    "vec_pq_encode" -> QueryDef(
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim, i // 8 AS sub,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(range(0, 64)) AS t(i)),
+        |cb AS (SELECT label AS c_label, dim, sub,
+        |         CAST(SUM(qv) AS BIGINT) // COUNT(*) AS m
+        |       FROM q GROUP BY 1, 2, 3),
+        |d AS (SELECT q.vec_id, q.sub, cb.c_label,
+        |        SUM((q.qv - cb.m) * (q.qv - cb.m)) AS d2
+        |      FROM q JOIN cb ON q.dim = cb.dim GROUP BY 1, 2, 3),
+        |a AS (SELECT vec_id, sub, c_label, d2,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_label) AS rn
+        |      FROM d)
+        |SELECT vec_id, sub, c_label AS code, CAST(d2 AS BIGINT) AS sq_err
+        |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("label"),
+          col("dim").cast("long").as("dim"),
+          expr("CAST(dim AS BIGINT) div 8").as("sub"),
+          expr("CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)").as("qv"))
+      val cb = q.groupBy(col("label").as("c_label"), col("dim"), col("sub"))
+        .agg(expr("sum(qv) div count(1)").as("m"))
+      val d2 = q.select("vec_id", "dim", "sub", "qv")
+        .join(broadcast(cb.select("c_label", "dim", "m")), "dim")
+        .groupBy("vec_id", "sub", "c_label")
+        .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("d2"))
+      val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("c_label"))
+      d2.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("c_label").as("code"),
+          col("d2").as("sq_err"))
+        .orderBy("vec_id", "sub")
+    },
+
     // ITERATED Lloyd k-means (3 rounds from the per-label seeds) in
     // the same 2^-20 fixed point as vec_centroids/vec_kmeans_assign —
     // a full iterative-ML training loop that stays HASH-exact: every

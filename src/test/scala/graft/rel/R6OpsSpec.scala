@@ -115,6 +115,33 @@ class R6OpsSpec extends SparkSpec {
     assert(n == 0, s"one NULL in the NOT IN list must empty the result, got $n")
   }
 
+  test("PQ encoding picks the per-subspace optimum, beating the average codebook entry") {
+    // rebuild the (vec, sub, label) distance table and check the query's
+    // chosen errors are exactly the per-(vec,sub) minima — and that the
+    // argmin buys real compression quality vs an average codebook pick
+    val q = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        expr("CAST(dim AS BIGINT) div 8").as("sub"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)").as("qv"),
+        col("label"))
+    val cb = q.groupBy(col("label").as("c_label"), col("dim"))
+      .agg(expr("sum(qv) div count(1)").as("m"))
+    val d2 = q.join(cb, "dim")
+      .groupBy("vec_id", "sub", "c_label")
+      .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("d2"))
+    val stats = d2.groupBy("vec_id", "sub")
+      .agg(min("d2").as("best"), avg("d2").as("mean"))
+      .agg(sum("best").as("sum_best"), sum("mean").as("sum_mean"))
+      .collect().head
+    val got = graft.SparkEntry.queries("vec_pq_encode")(spark, sf001)
+      .agg(sum("sq_err")).collect().head.getLong(0)
+    assert(got == stats.getLong(0), "query errors must be the exact per-(vec,sub) minima")
+    assert(stats.getLong(0) < stats.getDouble(1).toLong,
+      s"argmin must beat the average codebook entry: ${stats}")
+  }
+
   test("levenshtein pair scan separates planted near-dups from background") {
     val rows = graft.SparkEntry.queries("text_levenshtein_pairs")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
