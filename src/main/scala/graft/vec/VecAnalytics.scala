@@ -153,6 +153,90 @@ object VecAnalytics {
         .orderBy("vec_id", "sub")
     },
 
+    // PQ-ADC search with exact re-rank — the production IVF-PQ shape:
+    // asymmetric-distance scan over the 8-byte CODES (query x codebook
+    // lookup tables, never the raw vectors) prunes the corpus to a
+    // 50-candidate shortlist per query, then exact distances run on
+    // the shortlist only. At 100 TB that's billions of vectors scanned
+    // as codes (a broadcast LUT equi-join on (sub, code)) and exact
+    // arithmetic on thousands. Everything integer, so shortlist AND
+    // re-ranked top-5 are hash-exact vs the oracle. The 10-entry
+    // codebooks (label seeds) are coarse — shortlist recall ~0.6 here,
+    // climbing with codebook size (256 in production PQ) — which is
+    // exactly why the re-rank stage exists.
+    "sim_pq_adc_topk" -> QueryDef(
+      """WITH qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim, i // 8 AS sub,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(range(0, 64)) AS t(i)),
+        |cb AS (SELECT label AS c_label, dim, sub,
+        |         CAST(SUM(qv) AS BIGINT) // COUNT(*) AS m FROM qv GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, c_label AS code FROM (
+        |    SELECT qv.vec_id, qv.sub, cb.c_label,
+        |      ROW_NUMBER() OVER (PARTITION BY qv.vec_id, qv.sub
+        |        ORDER BY SUM((qv.qv - cb.m)*(qv.qv - cb.m)), cb.c_label) AS rn
+        |    FROM qv JOIN cb ON qv.dim = cb.dim GROUP BY 1, 2, 3) WHERE rn = 1),
+        |lut AS (SELECT qv.vec_id AS q_id, cb.sub, cb.c_label,
+        |          SUM((qv.qv - cb.m)*(qv.qv - cb.m)) AS pd
+        |        FROM qv JOIN cb ON qv.dim = cb.dim
+        |        WHERE qv.vec_id < 10 GROUP BY 1, 2, 3),
+        |adc AS (SELECT lut.q_id, codes.vec_id AS id, CAST(SUM(lut.pd) AS BIGINT) AS adc_dist
+        |        FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.c_label
+        |        WHERE codes.vec_id <> lut.q_id GROUP BY 1, 2),
+        |short AS (SELECT q_id, id FROM (
+        |    SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, id) AS arank FROM adc) WHERE arank <= 50),
+        |ex AS (SELECT short.q_id, short.id,
+        |         CAST(SUM((c.qv - s.qv)*(c.qv - s.qv)) AS BIGINT) AS d2
+        |       FROM short
+        |       JOIN qv c ON c.vec_id = short.id
+        |       JOIN qv s ON s.vec_id = short.q_id AND s.dim = c.dim
+        |       GROUP BY 1, 2)
+        |SELECT q_id, id, d2, rank FROM (
+        |  SELECT q_id, id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, id) AS rank FROM ex)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val qv = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("label"),
+          col("dim").cast("long").as("dim"),
+          expr("CAST(dim AS BIGINT) div 8").as("sub"),
+          expr("CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)").as("qv"))
+        .localCheckpoint() // reused by codebook, codes, LUT, and re-rank
+      val cb = qv.groupBy(col("label").as("c_label"), col("dim"), col("sub"))
+        .agg(expr("sum(qv) div count(1)").as("m"))
+      val dists = qv.select("vec_id", "dim", "sub", "qv")
+        .join(broadcast(cb.select("c_label", "dim", "m")), "dim")
+        .groupBy("vec_id", "sub", "c_label")
+        .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("d2"))
+      val wCode = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("c_label"))
+      val codes = dists.withColumn("rn", row_number().over(wCode))
+        .where(col("rn") === 1).select(col("vec_id"), col("sub"), col("c_label").as("code"))
+      val lut = dists.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sub"),
+          col("c_label").as("code"), col("d2").as("pd"))
+      val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("id"))
+        .agg(sum("pd").as("adc_dist"))
+      val wShort = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("id"))
+      val short = adc.withColumn("arank", row_number().over(wShort))
+        .where(col("arank") <= 50).select("q_id", "id")
+      // exact integer L2 on the shortlist only
+      val qside = qv.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("dim"), col("qv").as("q_qv"))
+      val ex = short
+        .join(qv.select(col("vec_id").as("id"), col("dim"), col("qv")), "id")
+        .join(broadcast(qside), Seq("q_id", "dim"))
+        .groupBy("q_id", "id")
+        .agg(sum((col("qv") - col("q_qv")) * (col("qv") - col("q_qv"))).as("d2"))
+      val wFinal = Window.partitionBy("q_id").orderBy(col("d2"), col("id"))
+      ex.withColumn("rank", row_number().over(wFinal)).where(col("rank") <= 5)
+        .select("q_id", "id", "d2", "rank")
+        .orderBy("q_id", "rank")
+    },
+
     // ITERATED Lloyd k-means (3 rounds from the per-label seeds) in
     // the same 2^-20 fixed point as vec_centroids/vec_kmeans_assign —
     // a full iterative-ML training loop that stays HASH-exact: every
