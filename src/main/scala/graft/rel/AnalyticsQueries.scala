@@ -635,6 +635,63 @@ object AnalyticsQueries {
         .orderBy("g", "b")
     },
 
+    // M4 downsampling (Jugel et al., VLDB 2014): per pixel bucket keep
+    // the rows realizing min/max VALUE and first/last TIME — the four
+    // points that make a line chart pixel-identical to the full series,
+    // where LTTB's averaged triangles merely approximate it. Shape: ONE
+    // partial-aggregated shuffle carrying four (t,v) structs per
+    // bucket — map-side combine collapses every partition to <= 4 rows
+    // per (series, bucket) before any data moves, so 100 TB of points
+    // shuffle as O(series x 50) structs; no window, no per-bucket sort
+    // (the common rank-based M4 formulation pays both). Struct min/max
+    // gives deterministic lexicographic tie-breaks ((t,v) for ends,
+    // (v,t) for extremes) in both engines; all integer, hash-exact.
+    "downsample_m4" -> QueryDef(
+      """WITH v AS (
+        |  SELECT event_type AS g, epoch_us(CAST(ts AS TIMESTAMP)) AS xus,
+        |         CAST(round(value*100) AS BIGINT) AS y
+        |  FROM events),
+        |ext AS (SELECT g, MIN(xus) AS t0, MAX(xus) AS t1 FROM v GROUP BY 1),
+        |pts AS (
+        |  SELECT v.g, xus, y,
+        |         (xus - t0) // ((t1 - t0 + 50) // 50) AS b
+        |  FROM v JOIN ext ON v.g = ext.g),
+        |m4 AS (
+        |  SELECT g, b,
+        |    min(struct_pack(t := xus, v := y)) AS o,
+        |    max(struct_pack(t := xus, v := y)) AS c,
+        |    min(struct_pack(v := y, t := xus)) AS lo,
+        |    max(struct_pack(v := y, t := xus)) AS hi
+        |  FROM pts GROUP BY 1, 2),
+        |u AS (
+        |  SELECT g, b, o.t AS xus, o.v AS y FROM m4
+        |  UNION SELECT g, b, c.t, c.v FROM m4
+        |  UNION SELECT g, b, lo.t, lo.v FROM m4
+        |  UNION SELECT g, b, hi.t, hi.v FROM m4)
+        |SELECT g, b, xus, y FROM u ORDER BY g, b, xus, y""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d).select(
+        col("event_type").as("g"),
+        unix_micros(col("ts")).as("xus"),
+        expr("CAST(round(value*100) AS BIGINT)").as("y"))
+      val ext = v.groupBy("g").agg(min("xus").as("t0"), max("xus").as("t1"))
+      val pts = v.join(broadcast(ext), "g")
+        .select(col("g"), col("xus"), col("y"),
+          expr("(xus - t0) div ((t1 - t0 + 50) div 50)").as("b"))
+      val m4 = pts.groupBy("g", "b").agg(
+        min(struct(col("xus").as("t"), col("y").as("v"))).as("o"),
+        max(struct(col("xus").as("t"), col("y").as("v"))).as("c"),
+        min(struct(col("y").as("v"), col("xus").as("t"))).as("lo"),
+        max(struct(col("y").as("v"), col("xus").as("t"))).as("hi"))
+      m4.select(col("g"), col("b"), explode(array(
+          struct(col("o.t").as("t"), col("o.v").as("v")),
+          struct(col("c.t").as("t"), col("c.v").as("v")),
+          struct(col("lo.t").as("t"), col("lo.v").as("v")),
+          struct(col("hi.t").as("t"), col("hi.v").as("v")))).as("p"))
+        .select(col("g"), col("b"), col("p.t").as("xus"), col("p.v").as("y"))
+        .distinct()
+        .orderBy("g", "b", "xus", "y")
+    },
+
     // snapshot isolation + time travel over the versioned store: v1
     // ingests all clicks, v2 upserts day-5 clicks shifted by +1000
     // cents, then BOTH versions are read back and aggregated — the
@@ -844,6 +901,57 @@ object AnalyticsQueries {
         frontier = next
       }
       visited.orderBy("hop", "node")
+    },
+
+    // single-source WEIGHTED shortest path (<= 4 edges) from customer 1
+    // over the same bipartite graph, synthetic symmetric integer
+    // weights ((|a|+|b|) % 9 + 1) — Bellman-Ford as 4 relaxation
+    // rounds. Each round = one node-keyed equi-join against the edge
+    // list + one partial-aggregated MIN groupBy (the PageRank shape:
+    // per-round state is O(nodes), edges shuffle once per round on
+    // their join key, lineage cut per round). The oracle is the same
+    // relaxation unrolled as chained CTEs — no recursive path
+    // enumeration, so neither side ever materializes a path set.
+    // All integer => hash-exact despite 4 iterations.
+    "graph_shortest_path" -> QueryDef(
+      """WITH eh AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+        |        -CAST(l_suppkey AS BIGINT) AS b
+        |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |ed AS (SELECT a, b, (abs(a) + abs(b)) % 9 + 1 AS w FROM eh
+        |       UNION ALL SELECT b, a, (abs(a) + abs(b)) % 9 + 1 FROM eh),
+        |d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT * FROM d0 UNION ALL
+        |  SELECT ed.b, d0.dist + ed.w FROM d0 JOIN ed ON ed.a = d0.node) GROUP BY 1),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT * FROM d1 UNION ALL
+        |  SELECT ed.b, d1.dist + ed.w FROM d1 JOIN ed ON ed.a = d1.node) GROUP BY 1),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT * FROM d2 UNION ALL
+        |  SELECT ed.b, d2.dist + ed.w FROM d2 JOIN ed ON ed.a = d2.node) GROUP BY 1),
+        |d4 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT * FROM d3 UNION ALL
+        |  SELECT ed.b, d3.dist + ed.w FROM d3 JOIN ed ON ed.a = d3.node) GROUP BY 1)
+        |SELECT node, dist FROM d4 ORDER BY dist, node""".stripMargin) { (s, d) =>
+      val eh = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("a"),
+          (-col("l_suppkey")).cast("long").as("b"))
+        .distinct()
+      val w = expr("abs(a) + abs(b)") % 9 + 1
+      val ed = eh.select(col("a"), col("b"), w.as("w"))
+        .unionAll(eh.select(col("b").as("a"), col("a").as("b"), w.as("w")))
+        .localCheckpoint() // reused every round
+      import s.implicits._
+      var dist = Seq((1L, 0L)).toDF("node", "dist")
+      (1 to 4).foreach { _ =>
+        dist = dist.unionAll(
+            dist.join(ed, col("node") === col("a"))
+              .select(col("b").as("node"), (col("dist") + col("w")).as("dist")))
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      dist.orderBy("dist", "node")
     },
 
     // versioned TICK time travel: every event becomes a tick point

@@ -210,6 +210,34 @@ object EventQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // top event PATHS: the 10 most frequent 3-step per-user event-type
+    // sequences — the path-discovery sibling of the pairwise Markov
+    // transitions above (funnels you did not know to look for). The
+    // window is per-user (natural hash partitioning, never a global
+    // sort); the trigram count space is |types|^3 so the groupBy
+    // collapses map-side, and the top-10 is a TakeOrderedAndProject —
+    // per-partition heads only, no full sort at any scale.
+    "events_path_topn" -> QueryDef(
+      """WITH seq AS (
+        |  SELECT event_type AS s1,
+        |    LEAD(event_type, 1) OVER w AS s2,
+        |    LEAD(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT s1, s2, s3, COUNT(*) AS n FROM seq WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin) { (sp, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      graft.Tables.events(sp, d)
+        .select(col("event_type").as("s1"),
+          lead(col("event_type"), 1).over(wSeq).as("s2"),
+          lead(col("event_type"), 2).over(wSeq).as("s3"))
+        .where(col("s3").isNotNull)
+        .groupBy("s1", "s2", "s3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(10)
+    },
+
     // day-of-week seasonality profile: per-type dow means against the
     // type's overall mean — the seasonal-index decomposition a
     // forecasting pipeline starts from. Integer sums; each mean and

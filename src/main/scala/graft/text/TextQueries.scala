@@ -256,6 +256,53 @@ object TextQueries {
         .limit(20)
     },
 
+    // PMI collocations: bigrams ranked by pointwise mutual information
+    // — phrases whose parts co-occur far beyond chance ("new york"
+    // scores where "of the" does not, however frequent). PMI =
+    // ln(N*n_xy/(n_x*n_y)); ln is monotone, so ranking by the SCALED
+    // INTEGER ratio n_xy*N*1e6 div (n_x*n_y) is PMI order with zero
+    // fp anywhere — the score column stays hash-exact. Shape: one
+    // tokenize pass feeds both the unigram and bigram aggregates
+    // (partial-combined on their keys), then two tiny broadcast-sized
+    // joins attach the marginals; min-count 5 kills the unstable tail.
+    "text_collocations" -> QueryDef(
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        |), uni AS (
+        |  SELECT w, COUNT(*) AS nw FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(nw) AS BIGINT) AS n FROM uni
+        |), bg AS (
+        |  SELECT sp[1] AS w1, sp[2] AS w2, COUNT(*) AS nxy FROM (
+        |    SELECT unnest(list_transform(list_zip(toks, toks[2:]),
+        |      p -> CASE WHEN p[2] IS NULL THEN NULL ELSE [p[1], p[2]] END)) AS sp
+        |    FROM t) WHERE sp IS NOT NULL GROUP BY 1, 2)
+        |SELECT w1, w2, nxy,
+        |  CAST(nxy * n * 1000000 AS BIGINT) // (u1.nw * u2.nw) AS pmi_ratio_ppm
+        |FROM bg, tot
+        |JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2
+        |WHERE nxy >= 5
+        |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(tokens(col("text")).as("toks"))
+      val uni = t.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("nw"))
+      val tot = uni.agg(sum("nw").cast("long").as("n"))
+      val bg = t.where(size(col("toks")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("sp"))
+        .groupBy(col("sp.w1").as("w1"), col("sp.w2").as("w2"))
+        .agg(count(lit(1)).as("nxy"))
+        .where(col("nxy") >= 5)
+      bg.crossJoin(broadcast(tot))
+        .join(broadcast(uni.select(col("w").as("w1"), col("nw").as("nw1"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("nw").as("nw2"))), "w2")
+        .select(col("w1"), col("w2"), col("nxy"),
+          expr("nxy * n * 1000000 div (nw1 * nw2)").as("pmi_ratio_ppm"))
+        .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
     // text normalization: lowercase, strip non-alphanumeric to spaces,
     // collapse runs, trim — the canonicalization step before exact
     // dedup / fingerprinting in a training pipeline. The corpus text is
@@ -398,6 +445,38 @@ object TextQueries {
         .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 13))).as("sh"))
         .join(broadcast(bsh), "sh")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
+    // boilerplate detection: 8-gram spans recurring across >= 2
+    // DISTINCT documents (headers/footers/templates in a real crawl;
+    // here the planted near-dup structure) and each doc's boilerplate
+    // contamination ratio — the pretraining cleanup step between
+    // exact dedup (whole doc) and decontamination (vs a benchmark):
+    // repeated SPANS inside otherwise-unique docs. Tokenize once;
+    // the df aggregate partial-combines on the gram key; the recurring
+    // set (~4% of grams here, df-thresholded smaller in practice) comes
+    // back via a gram-keyed equi-join — no pair space, no broadcast
+    // assumption needed. All integer => hash-exact.
+    "text_boilerplate" -> QueryDef(
+      s"""WITH tsh AS (SELECT doc_id, unnest(${shinglesSql("text", 8)}) AS sh
+         |            FROM documents),
+         |bp AS (SELECT sh AS bsh FROM (
+         |    SELECT sh, COUNT(DISTINCT doc_id) AS df FROM tsh GROUP BY 1)
+         |  WHERE df >= 2)
+         |SELECT doc_id, COUNT(*) AS n_spans, COUNT(bsh) AS n_bp,
+         |  CAST(COUNT(bsh) * 1000 AS BIGINT) // COUNT(*) AS bp_permille
+         |FROM tsh LEFT JOIN bp ON sh = bsh
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val tsh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 8)).as("sh"))
+      val bp = tsh.groupBy("sh").agg(countDistinct("doc_id").as("df"))
+        .where(col("df") >= 2).select(col("sh").as("bsh"))
+      tsh.join(bp, col("sh") === col("bsh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), count(col("bsh")).as("n_bp"))
+        .select(col("doc_id"), col("n_spans"), col("n_bp"),
+          expr("n_bp * 1000 div n_spans").as("bp_permille"))
         .orderBy("doc_id")
     },
 

@@ -106,6 +106,24 @@ class R6OpsSpec extends SparkSpec {
     assert(rows == hop, s"got ${rows.size} nodes vs reference ${hop.size}")
   }
 
+  test("bounded Bellman-Ford matches a sequential relaxation reference") {
+    val rows = graft.SparkEntry.queries("graph_shortest_path")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val eh = graft.Tables.orders(spark, sf0001)
+      .join(graft.Tables.lineitem(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long"), -col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ed = (eh ++ eh.map(_.swap)).map { case (a, b) =>
+      (a, b, (math.abs(a) + math.abs(b)) % 9 + 1) }
+    var dist = Map(1L -> 0L)
+    (1 to 4).foreach { _ =>
+      val relaxed = dist.toSeq ++ ed.flatMap { case (a, b, w) =>
+        dist.get(a).map(da => b -> (da + w)) }
+      dist = relaxed.groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    assert(rows == dist, s"got ${rows.size} nodes vs reference ${dist.size}")
+  }
+
   test("NOT IN over a subquery containing NULL yields no rows (three-valued logic)") {
     graft.Tables.customer(spark, sf001).createOrReplaceTempView("v_customer")
     val n = spark.sql(
