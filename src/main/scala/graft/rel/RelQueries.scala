@@ -596,6 +596,47 @@ object RelQueries {
         .groupBy(col("s_id").as("event_id"))
         .agg(count(when(col("hit"), 1)).as("n_clicks"))
         .orderBy("event_id")
+    },
+
+    // interval OVERLAP join — BOTH sides are intervals (error windows
+    // [ts, ts+2h] x purchase windows [ts, ts+1h]), the shape range_join
+    // (point-in-window) can't cover. Each interval explodes to the hour
+    // buckets it spans (<= 3), candidates meet on the bucket key, the
+    // exact overlap predicate filters residually, and each true pair is
+    // COUNTED EXACTLY ONCE in the canonical bucket holding
+    // max(starts) — the standard dedup that makes bucketed interval
+    // joins correct without a distinct. Work is proportional to pairs
+    // sharing an hour, never |A|x|B|; a nested-loop inequality join
+    // (the oracle's plan) would be quadratic at 100 TB.
+    "join_interval_overlap" -> QueryDef(
+      """WITH er AS (SELECT event_id AS e_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS e
+        |            FROM events WHERE event_type = 'error'),
+        |pu AS (SELECT event_id AS p_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ps,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS pe
+        |       FROM events WHERE event_type = 'purchase')
+        |SELECT e_id, COUNT(p_id) AS n_overlap
+        |FROM er LEFT JOIN pu ON s <= pe AND ps <= e
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (sp, d) =>
+      val hour = 3600000000L
+      val ev = Tables.events(sp, d)
+      val er = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 2 * hour).as("e"))
+      val pu = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("ps"),
+          (unix_micros(col("ts")) + hour).as("pe"))
+      val erB = er.withColumn("b",
+        explode(sequence(expr(s"s div $hour"), expr(s"e div $hour"))))
+      val puB = pu.withColumn("b",
+        explode(sequence(expr(s"ps div $hour"), expr(s"pe div $hour"))))
+      val pairs = erB.join(puB, Seq("b"))
+        .where(col("s") <= col("pe") && col("ps") <= col("e"))
+        .where(col("b") === expr(s"greatest(s, ps) div $hour"))
+        .groupBy("e_id").agg(count(lit(1)).as("n_overlap"))
+      er.select("e_id").join(pairs, Seq("e_id"), "left")
+        .select(col("e_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .orderBy("e_id")
     }
   )
 

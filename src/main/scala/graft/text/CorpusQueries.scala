@@ -220,6 +220,34 @@ object CorpusQueries {
         .where(col("rn") <= col("take"))
         .select(col("doc_id"), col("lang"))
         .orderBy("lang", "doc_id")
+    },
+
+    // fractional-EPOCH mixing schedule: each source gets an epoch
+    // factor (here 1.0-3.5, derived from its id; quality scores in
+    // practice), and every doc materializes floor(e) copies plus one
+    // more for a deterministic hash-draw fraction of docs — how a
+    // pretraining run up-samples curated sources without an RNG.
+    // Pure per-row integer arithmetic + a generator explode: no
+    // shuffle anywhere (the output order is the only sort), the same
+    // schedule at any parallelism, and the doc's copy count never
+    // changes as the corpus grows. All integer => hash-exact.
+    "sample_mix_epochs" -> QueryDef(
+      """WITH f AS (SELECT doc_id, source,
+        |    1000 + (CAST(substr(source, 4) AS BIGINT) * 137) % 2500 AS epm,
+        |    ((doc_id % 1048573) * 48271) % 2147483647 % 1000 AS draw
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+        |FROM f, UNNEST(range(1, CAST(epm // 1000
+        |    + CASE WHEN draw < epm % 1000 THEN 1 ELSE 0 END AS BIGINT) + 1)) AS t(e)
+        |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("1000 + (CAST(substring(source, 4) AS BIGINT) * 137) % 2500").as("epm"),
+          expr("((doc_id % 1048573) * 48271) % 2147483647 % 1000").as("draw"))
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L),
+            expr("epm div 1000 + IF(draw < epm % 1000, 1, 0)"))).as("epoch"))
+        .orderBy("doc_id", "epoch")
     }
   )
 }

@@ -77,6 +77,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the hashing trick (feature hashing): every token maps to one of
+    // 256 buckets through an md5-derived hash, and the doc's sparse
+    // feature vector is the per-(doc, bucket) count — fixed-width
+    // features for linear probes / quality classifiers with NO
+    // vocabulary to build, ship, or grow. Per-row hashing + ONE
+    // map-side-combinable aggregate on (doc, bucket); the bucket id is
+    // the same 8-hex-digit parse in both engines, so the whole sparse
+    // matrix is hash-exact. Scan-bound at any corpus size.
+    "text_hashed_features" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
+         |  COUNT(*) AS n
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 256").as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "bucket")
+    },
+
     // exact dedup: one survivor per distinct text, via 128-bit digest
     "dedup_exact" -> QueryDef(
       """SELECT md5(text) AS digest, MIN(doc_id) AS survivor_id,
