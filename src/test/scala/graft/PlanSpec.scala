@@ -119,4 +119,25 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Bucketed: true"), s"scans must be bucket-aware:\n$p")
     } finally spark.conf.set(key, old)
   }
+
+  test("M4 downsampling aggregates without any window or raw-point sort") {
+    val p = plan("downsample_m4")
+    assert(!p.contains("Window"),
+      "M4 must be the 4-struct aggregate, not a rank window: " + p)
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      "bucket extremes must partial-aggregate map-side:\n" + p)
+  }
+
+  test("interval-overlap join meets on the bucket key, never nested-loop") {
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucketed interval join must stay an equi-join: " + p)
+  }
+
+  test("collocation marginals broadcast; the bigram space never self-joins") {
+    val p = plan("text_collocations")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "unigram marginals must broadcast onto the bigram aggregate:\n" + p)
+  }
 }
