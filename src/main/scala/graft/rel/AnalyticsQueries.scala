@@ -62,6 +62,21 @@ object AnalyticsQueries {
           .withColumn("vc", col("vc") + 1000L)))
   }
 
+  /** Two-version store for store_schema_evolution: v2's day-5 upsert
+    * CARRIES A COLUMN v1 NEVER HAD (`quality`) — the schema evolves in
+    * place, no historical rewrite.
+    */
+  private def ensureEvoStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.SnapshotStore
+    val base = storeBase(d, "snapevo")
+    ensureVersions(s, base)(
+      () => SnapshotStore.commit(s, base, clicksOf(s, d)),
+      () => SnapshotStore.commit(s, base,
+        clicksOf(s, d).where(col("part") === "2024-01-05")
+          .withColumn("seq", lit(1L))
+          .withColumn("quality", col("vc") % 100)))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // PageRank over the customer<->supplier bipartite graph (edge =
@@ -952,6 +967,45 @@ object AnalyticsQueries {
           .localCheckpoint()
       }
       dist.orderBy("dist", "node")
+    },
+
+    // SCHEMA EVOLUTION under time travel: v2's upsert adds a `quality`
+    // column v1 never had. Reading v2 must surface it (NULL on the
+    // rows only v1 wrote — day-5 rows all carry it, others none);
+    // reading v1 must NOT have the column at all — each snapshot keeps
+    // the schema it was committed with, because a manifest pins dirs,
+    // and dirs written before the column existed are never rewritten.
+    // Evolution therefore costs zero data movement at any store size
+    // (the mergeSchema read pays only footer unification). The oracle
+    // recomputes both versions' aggregates from raw events.
+    "store_schema_evolution" -> QueryDef(
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day,
+        |             CAST(round(value*100) AS BIGINT) AS vc
+        |           FROM events WHERE event_type = 'click'),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+        |         CAST(0 AS BIGINT) AS n_evolved, CAST(0 AS BIGINT) AS q_total
+        |       FROM c),
+        |v2 AS (SELECT CAST(2 AS BIGINT), COUNT(*),
+        |         CAST(COUNT(*) FILTER (WHERE day = DATE '2024-01-05') AS BIGINT),
+        |         CAST(COALESCE(SUM(vc % 100)
+        |           FILTER (WHERE day = DATE '2024-01-05'), 0) AS BIGINT)
+        |       FROM c)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |ORDER BY version""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureEvoStore(s, d)
+      Seq(1, 2).map { v =>
+        val df = SnapshotStore.readVersion(s, base, v)
+        // v1 predates the column: it must be ABSENT, not null — the
+        // query materializes that as the all-zero row
+        val q = if (df.columns.contains("quality")) col("quality")
+                else lit(null).cast("long")
+        df.select(q.as("quality"))
+          .agg(count(lit(1)).as("n"), count(col("quality")).as("n_evolved"),
+            coalesce(sum("quality"), lit(0L)).as("q_total"))
+          .select(lit(v.toLong).as("version"), col("n"),
+            col("n_evolved"), col("q_total"))
+      }.reduce(_ unionByName _).orderBy("version")
     },
 
     // versioned TICK time travel: every event becomes a tick point

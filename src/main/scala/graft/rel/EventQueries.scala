@@ -238,6 +238,43 @@ object EventQueries {
         .limit(10)
     },
 
+    // gaps-and-islands: each user's LONGEST run of consecutive active
+    // days (retention streaks), via the classic day_number - row_number
+    // island key — consecutive days share it, any gap starts a new
+    // island. The raw event stream first collapses to distinct
+    // (user, day) — bounded by users x days, not events — so the two
+    // per-user windows and the island aggregate run on the small
+    // relation; everything stays keyed on user_id (one shuffle,
+    // reused). Ties on length break to the earliest streak. Integer
+    // days + dates only => hash-exact.
+    "events_streaks" -> QueryDef(
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |n AS (SELECT user_id, day,
+        |        date_diff('day', DATE '2024-01-01', day) AS dn,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |      FROM d),
+        |i AS (SELECT user_id, MIN(day) AS streak_start, COUNT(*) AS streak_len
+        |      FROM n GROUP BY user_id, dn - rn),
+        |r AS (SELECT user_id, streak_start, streak_len,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY streak_len DESC, streak_start) AS rr FROM i)
+        |SELECT user_id, streak_start, streak_len FROM r WHERE rr = 1
+        |ORDER BY user_id""".stripMargin) { (sp, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = graft.Tables.events(sp, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val n = days.select(col("user_id"), col("day"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).as("dn"),
+        row_number().over(Window.partitionBy("user_id").orderBy("day")).as("rn"))
+      n.groupBy(col("user_id"), (col("dn") - col("rn")).as("g"))
+        .agg(min("day").as("streak_start"), count(lit(1)).as("streak_len"))
+        .withColumn("rr", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("streak_len").desc, col("streak_start"))))
+        .where(col("rr") === 1)
+        .select("user_id", "streak_start", "streak_len")
+        .orderBy("user_id")
+    },
+
     // day-of-week seasonality profile: per-type dow means against the
     // type's overall mean — the seasonal-index decomposition a
     // forecasting pipeline starts from. Integer sums; each mean and

@@ -113,9 +113,11 @@ object SnapshotStore {
   private def attemptDir(base: String, next: Int): String =
     s"$base/data/v$next-${java.util.UUID.randomUUID.toString.take(8)}"
 
-  /** Commit `batch` (columns: key, part, seq, vc) as the next version:
-    * last-write-wins upsert against the current snapshot, touching only
-    * the partitions present in the batch. Returns the new version.
+  /** Commit `batch` as the next version: last-write-wins upsert against
+    * the current snapshot, touching only the partitions present in the
+    * batch. Requires the (key, part, seq, vc) core columns; any EXTRA
+    * value columns evolve the schema — old rows read them as NULL and
+    * no historical dir is rewritten. Returns the new version.
     */
   def commit(spark: SparkSession, base: String, batch: DataFrame): Int = {
     val v = currentVersion(spark, base)
@@ -128,16 +130,22 @@ object SnapshotStore {
     // dirs store only (key, seq, vc) — partitionBy moved `part` into
     // the directory name — so re-attach it per dir like readVersion.
     val existingParts = touched.toSeq.flatMap(p => prev.get(p).map(p -> _))
-    val incoming = batch.select(col("key"), col("part"), col("seq"), col("vc"))
-      .withColumn("gen", lit(1))
+    // schema EVOLUTION: the batch may carry value columns beyond the
+    // (key, part, seq, vc) core — they land in this commit's dirs, old
+    // rows surface them as NULL (and dirs from older commits are never
+    // rewritten, so evolution costs nothing at any store size)
+    val core = Seq("key", "part", "seq", "vc")
+    require(core.forall(batch.columns.contains),
+      s"batch must carry ${core.mkString("/")}, has ${batch.columns.mkString(",")}")
+    val incoming = batch.withColumn("gen", lit(1))
     val unioned =
       if (existingParts.isEmpty) incoming
       else incoming.unionByName(
         existingParts.map { case (p, dir) =>
           spark.read.parquet(dir).withColumn("part", lit(p))
-        }.reduce(_ unionByName _)
-          .select(col("key"), col("part"), col("seq"), col("vc"))
-          .withColumn("gen", lit(0)))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+          .withColumn("gen", lit(0)),
+        allowMissingColumns = true)
     // LWW applies to the batch itself too: within-batch duplicate keys
     // resolve by seq before anything lands on disk. vc closes the
     // order into a total one, so equal-seq duplicates still resolve
@@ -179,8 +187,8 @@ object SnapshotStore {
     val touched = parts.flatMap(p => prev.get(p).map(p -> _))
     val survivors = touched.map { case (p, dir) =>
       spark.read.parquet(dir).withColumn("part", lit(p))
-    }.reduceOption(_ unionByName _)
-      .map(_.where(!coalesce(keyPred, lit(false))).select("key", "part", "seq", "vc"))
+    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map(_.where(!coalesce(keyPred, lit(false)))) // evolved columns survive rewrites
     val dataDir = attemptDir(base, next)
     survivors.foreach(_.write.mode("overwrite").partitionBy("part").parquet(dataDir))
 
@@ -341,11 +349,18 @@ object SnapshotStore {
       new Path(dir).toUri.getRawPath.split('/').last -> part
     }
     val lookup = segToPart.toDF("seg", "part")
-    spark.read.parquet(entries.map(_._2): _*)
+    // mergeSchema: snapshots may span commits with EVOLVED schemas —
+    // dirs written before a column existed read it back as NULL. Core
+    // columns lead, evolved ones follow in name order (deterministic
+    // output schema regardless of which dirs this version references).
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(_._2): _*)
       .withColumn("seg",
         regexp_extract(input_file_name(), "/(part=[^/]+)/[^/]*$", 1))
       .join(broadcast(lookup), "seg")
-      .select("key", "part", "seq", "vc")
+    val core = Seq("key", "part", "seq", "vc")
+    val extras = df.columns.filterNot(c => core.contains(c) || c == "seg").sorted
+    df.select((core ++ extras).map(col): _*)
   }
 
   /** The commit log: (version, partition count) for every live

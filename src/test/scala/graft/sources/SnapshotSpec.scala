@@ -291,6 +291,29 @@ class SnapshotSpec extends SparkSpec {
       "v1 must remain readable and identical")
   }
 
+  test("schema evolution: new columns surface as NULL on old rows, old snapshots unchanged") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 1L), ("b", "p2", 0L, 2L)).toDF("key", "part", "seq", "vc"))
+    // v2 evolves: p2's row gains a `score` column (and a vc bump to win)
+    SnapshotStore.commit(spark, base,
+      Seq(("b", "p2", 1L, 20L, 7L)).toDF("key", "part", "seq", "vc", "score"))
+    val v1 = SnapshotStore.readVersion(spark, base, 1)
+    assert(!v1.columns.contains("score"), "v1 predates the column — it must be absent")
+    val v2 = SnapshotStore.readVersion(spark, base, 2)
+    assert(v2.columns.toSeq == Seq("key", "part", "seq", "vc", "score"))
+    val rows = v2.collect().map(r =>
+      r.getString(0) -> (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(rows == Map("a" -> (1L, None), "b" -> (20L, Some(7L))), rows.toString)
+    // a delete rewrite must carry the evolved column through
+    SnapshotStore.delete(spark, base, Seq("p2"), col("vc") > 100)
+    val v3 = SnapshotStore.readVersion(spark, base, 3)
+      .collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(v3 == Map("a" -> None, "b" -> Some(7L)),
+      s"evolved column lost in a delete rewrite: $v3")
+  }
+
   test("reading a nonexistent version fails loudly") {
     val base = freshBase()
     intercept[IllegalArgumentException] {
