@@ -46,6 +46,32 @@ object AnalyticsQueries {
   private def storeBase(d: String, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
 
+  /** The incremental-refresh step of store_incremental_view: advance a
+    * stored per-partition (part, n, total) count/sum view from
+    * `fromV` to `toV` by applying the change data feed — insert/delete
+    * adjust n, postimage-minus-preimage (and insert/delete vc) adjust
+    * total; a partition refreshed to zero rows leaves the view. Reads
+    * only the changed partitions plus the view itself.
+    */
+  private[graft] def refreshCountSumView(
+      s: org.apache.spark.sql.SparkSession, base: String,
+      mv: org.apache.spark.sql.DataFrame, fromV: Int, toV: Int): org.apache.spark.sql.DataFrame = {
+    val delta = graft.sources.SnapshotStore.changes(s, base, fromV, toV)
+      .groupBy("part")
+      .agg(
+        sum(when(col("change_type") === "insert", 1L)
+          .when(col("change_type") === "delete", -1L)
+          .otherwise(0L)).as("dn"),
+        sum(when(col("change_type").isin("insert", "update_postimage"), col("vc"))
+          .when(col("change_type").isin("delete", "update_preimage"), -col("vc"))
+          .otherwise(0L)).as("dtotal"))
+    mv.join(delta, Seq("part"), "full_outer")
+      .select(col("part"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("dtotal"), lit(0L))).as("total"))
+      .where(col("n") > 0)
+  }
+
   /** Build (once per sf dir, resume-safe) the two-version click
     * snapshot store that store_time_travel / store_history / changes
     * query: v1 = all clicks keyed by event_id, day-partitioned;
@@ -839,6 +865,37 @@ object AnalyticsQueries {
       SnapshotStore.readVersion(s, base, 2)
         .groupBy("part")
         .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+        .orderBy("part")
+    },
+
+    // INCREMENTAL materialized-view maintenance: the per-partition
+    // (n, total) view is materialized ONCE at v1, then refreshed to v2
+    // by applying the change data feed — insert/delete adjust n,
+    // postimage-minus-preimage adjusts total. The refresh plan reads
+    // the small stored MV plus only the CHANGED partitions (the CDF's
+    // manifest diff skips unchanged directory pointers without opening
+    // a file), so refresh cost is O(changed data) + O(view), not
+    // O(store) — the difference between minutes and a full recompute
+    // at 100 TB. The oracle recomputes the v2 state from raw events;
+    // all four CDF branches are exercised in SnapshotSpec.
+    "store_incremental_view" -> QueryDef(
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS part,
+        |             CAST(round(value*100) AS BIGINT)
+        |               + CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-05'
+        |                      THEN 1000 ELSE 0 END AS vc
+        |           FROM events WHERE event_type = 'click')
+        |SELECT part, COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS total
+        |FROM c GROUP BY part ORDER BY part""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureClickStore(s, d)
+      val mvPath = s"$base/mv_v1"
+      val fs = new org.apache.hadoop.fs.Path(mvPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS")))
+        SnapshotStore.readVersion(s, base, 1).groupBy("part")
+          .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+          .write.mode("overwrite").parquet(mvPath)
+      refreshCountSumView(s, base, s.read.parquet(mvPath), 1, 2)
         .orderBy("part")
     },
 

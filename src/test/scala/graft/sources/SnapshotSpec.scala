@@ -314,6 +314,30 @@ class SnapshotSpec extends SparkSpec {
       s"evolved column lost in a delete rewrite: $v3")
   }
 
+  test("incremental view refresh equals recompute across all four CDF branches") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base, Seq(
+      ("a", "p1", 0L, 10L), ("b", "p1", 0L, 20L), ("c", "p2", 0L, 30L),
+      ("d", "p3", 0L, 40L), ("x", "p4", 0L, 7L)).toDF("key", "part", "seq", "vc"))
+    // one merge exercises every CDF branch: delete a (p1), update b
+    // (p1, +5), insert e (p2), delete p4's only row; p3 untouched
+    SnapshotStore.merge(spark, base, Seq(
+      ("a", "p1", 1L, -1L), ("b", "p1", 1L, 5L),
+      ("e", "p2", 1L, 50L), ("x", "p4", 1L, -1L)).toDF("key", "part", "seq", "vc"),
+      matchedDelete = col("s.vc") === -1L,
+      matchedUpdateVc = col("t.vc") + col("s.vc"))
+    val mv = SnapshotStore.readVersion(spark, base, 1)
+      .groupBy("part").agg(count(lit(1)).as("n"), sum("vc").as("total"))
+    val refreshed = graft.rel.AnalyticsQueries.refreshCountSumView(spark, base, mv, 1, 2)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val recomputed = SnapshotStore.readVersion(spark, base, 2)
+      .groupBy("part").agg(count(lit(1)).as("n"), sum("vc").as("total"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(refreshed == recomputed, s"refresh $refreshed != recompute $recomputed")
+    assert(!refreshed.contains("p4"), "a partition refreshed to empty must leave the view")
+    assert(refreshed("p1") == ((1L, 25L)), refreshed.toString)
+  }
+
   test("reading a nonexistent version fails loudly") {
     val base = freshBase()
     intercept[IllegalArgumentException] {
