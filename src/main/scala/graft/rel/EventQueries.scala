@@ -275,6 +275,56 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // RFM segmentation — the product-analytics workhorse: per user,
+    // recency (days from last purchase to the fixed 2024-02-01
+    // anchor), frequency (purchase count), monetary (cents total),
+    // each quintile-scored by ntile(5) over a TOTAL order (metric,
+    // then user_id) so the scores are deterministic at any
+    // parallelism, then a rule segment. The per-user rollup is one
+    // shuffle; the three ntiles run over the already-collapsed user
+    // relation (users << events). Integers everywhere => hash-exact.
+    "events_rfm" -> QueryDef(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01') AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), sc AS (
+        |  SELECT user_id, recency_days, frequency, monetary,
+        |    CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r,
+        |    CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f,
+        |    CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m
+        |  FROM u)
+        |SELECT user_id, recency_days, frequency, monetary, r, f, m,
+        |  CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+        |       WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+        |       WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM sc ORDER BY user_id""".stripMargin) { (sp, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val u = graft.Tables.events(sp, d)
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          datediff(lit("2024-02-01").cast("date"), max("ts").cast("date")).as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("monetary"))
+      val sc = u.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id")))
+          .cast("long").as("r"),
+        ntile(5).over(Window.orderBy(col("frequency"), col("user_id")))
+          .cast("long").as("f"),
+        ntile(5).over(Window.orderBy(col("monetary"), col("user_id")))
+          .cast("long").as("m"))
+      sc.withColumn("segment",
+          when(col("r") >= 4 && col("f") >= 4 && col("m") >= 4, "champion")
+            .when(col("r") <= 2 && col("f") >= 3, "at_risk")
+            .when(col("r") <= 2 && col("f") <= 2, "hibernating")
+            .otherwise("regular"))
+        .orderBy("user_id")
+    },
+
     // day-of-week seasonality profile: per-type dow means against the
     // type's overall mean — the seasonal-index decomposition a
     // forecasting pipeline starts from. Integer sums; each mean and

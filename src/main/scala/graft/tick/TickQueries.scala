@@ -366,6 +366,222 @@ object TickQueries {
           ((col("n") - col("mu")) / col("sd")).as("z"),
           (abs(col("n") - col("mu")) > lit(2) * col("sd")).as("is_anomaly"))
         .orderBy("event_type", "bucket")
+    },
+
+    // TWAP — time-weighted average over the IRREGULAR series (the
+    // TSDB integral: each observation holds until the next one, so
+    // sparse quiet hours don't get out-voted by bursts the way a plain
+    // AVG is). Per (series, day): Σ vc·gap_µs / Σ gap_µs between the
+    // day's first and last observation. Every product fits a BIGINT
+    // and the numerator accumulates in DECIMAL(38,0)/HUGEINT — exact
+    // under any partition order; one double-division sequence closes
+    // it. Ties at the same µs are totally ordered by event_id, so the
+    // hold-forward attribution is deterministic on both engines. One
+    // window + one aggregate, both keyed on (series, day).
+    "tick_twap" -> QueryDef(
+      """WITH t AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    epoch_us(ts) AS us, event_id,
+        |    CAST(round("value" * 100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), g AS (
+        |  SELECT event_type, day, vc,
+        |    LEAD(us) OVER (PARTITION BY event_type, day
+        |      ORDER BY us, event_id) - us AS gap
+        |  FROM t
+        |), a AS (
+        |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(vc * gap) AS DOUBLE) AS num,
+        |    CAST(SUM(gap) AS BIGINT) AS den
+        |  FROM g GROUP BY 1, 2)
+        |SELECT event_type, day, n_obs,
+        |  CASE WHEN den = 0 OR den IS NULL THEN NULL
+        |       ELSE num / CAST(den AS DOUBLE) / 100.0 END AS twap
+        |FROM a ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+      val t = graft.Tables.events(s, d)
+        .where(col("event_type").isin("click", "view"))
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      val g = t.select(col("event_type"), col("day"), col("vc"),
+        (lead("us", 1).over(w) - col("us")).as("gap"))
+      g.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_obs"),
+          sum((col("vc") * col("gap")).cast("decimal(38,0)")).cast("double").as("num"),
+          sum("gap").as("den"))
+        .select(col("event_type"), col("day"), col("n_obs"),
+          when(col("den") === 0 || col("den").isNull, lit(null))
+            .otherwise(col("num") / col("den").cast("double") / lit(100.0)).as("twap"))
+        .orderBy("event_type", "day")
+    },
+
+    // PromQL increase() with counter-reset handling: per series, the
+    // hourly-sampled last value in cents steps forward by v - prev,
+    // except a DROP means the counter restarted — the step is v itself
+    // (the monotone-counter convention every metrics backend
+    // implements). Steps are exact BIGINTs, so daily increase totals
+    // and reset counts are hash-exact; the lag window and the daily
+    // rollup share the series key.
+    "tick_counter_increase" -> QueryDef(
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+        |    MAX_BY(CAST(round("value" * 100) AS BIGINT), ts) AS vc
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, bucket, vc,
+        |    LAG(vc) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+        |  FROM h)
+        |SELECT event_type, CAST(date_trunc('day', bucket) AS TIMESTAMP) AS day,
+        |  CAST(SUM(CASE WHEN prev IS NULL THEN NULL
+        |                WHEN vc >= prev THEN vc - prev ELSE vc END) AS BIGINT) AS increase,
+        |  CAST(COUNT(CASE WHEN vc < prev THEN 1 END) AS BIGINT) AS n_resets
+        |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+      val h = graft.Tables.events(s, d)
+        .where(col("event_type").isin("click", "view"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(max_by(expr("CAST(round(value * 100) AS BIGINT)"), col("ts_ns")).as("vc"))
+      h.withColumn("prev", lag("vc", 1).over(w))
+        .groupBy(col("event_type"), date_trunc("day", col("bucket")).as("day"))
+        .agg(
+          sum(when(col("prev").isNull, lit(null))
+            .when(col("vc") >= col("prev"), col("vc") - col("prev"))
+            .otherwise(col("vc"))).as("increase"),
+          count(when(col("vc") < col("prev"), lit(1))).as("n_resets"))
+        .orderBy("event_type", "day")
+    },
+
+    // autocorrelation (ACF lags 1-3) of each series' daily-count
+    // sequence — the seasonality/momentum diagnostic a forecasting
+    // pipeline runs first. Every moment (Σx, Σx², Σx·x_lag, the
+    // head/tail-excluded sums) is an exact BIGINT aggregate; the ACF
+    // ratio then derives in one fixed double-op sequence identical on
+    // both engines — no fp-order dependence. The lag window and the
+    // final aggregate share the series key, so the plan is one
+    // window shuffle + a tiny per-series reduce.
+    "tick_acf" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_type, n,
+        |    lag(n, 1) OVER w AS n1, lag(n, 2) OVER w AS n2, lag(n, 3) OVER w AS n3
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+        |), m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q,
+        |    CAST(SUM(n * n1) AS BIGINT) AS p1, CAST(SUM(n * n2) AS BIGINT) AS p2,
+        |    CAST(SUM(n * n3) AS BIGINT) AS p3,
+        |    CAST(SUM(CASE WHEN n1 IS NOT NULL THEN n END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN n2 IS NOT NULL THEN n END) AS BIGINT) AS a2,
+        |    CAST(SUM(CASE WHEN n3 IS NOT NULL THEN n END) AS BIGINT) AS a3,
+        |    CAST(SUM(n1) AS BIGINT) AS b1, CAST(SUM(n2) AS BIGINT) AS b2,
+        |    CAST(SUM(n3) AS BIGINT) AS b3,
+        |    CAST(COUNT(n1) AS BIGINT) AS m1, CAST(COUNT(n2) AS BIGINT) AS m2,
+        |    CAST(COUNT(n3) AS BIGINT) AS m3
+        |  FROM l GROUP BY 1
+        |), f AS (
+        |  SELECT *, CAST(s AS DOUBLE) / nd AS mu,
+        |    CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nd AS den
+        |  FROM m)
+        |SELECT event_type, nd,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE (CAST(p1 AS DOUBLE) - mu * a1 - mu * b1 + m1 * mu * mu) / den END AS r1,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE (CAST(p2 AS DOUBLE) - mu * a2 - mu * b2 + m2 * mu * mu) / den END AS r2,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE (CAST(p3 AS DOUBLE) - mu * a3 - mu * b3 + m3 * mu * mu) / den END AS r3
+        |FROM f ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val l = day.select(col("event_type"), col("n"),
+        lag("n", 1).over(w).as("n1"), lag("n", 2).over(w).as("n2"),
+        lag("n", 3).over(w).as("n3"))
+      val m = l.groupBy("event_type").agg(
+        count(lit(1)).as("nd"), sum("n").as("s"), sum(col("n") * col("n")).as("q"),
+        sum(col("n") * col("n1")).as("p1"), sum(col("n") * col("n2")).as("p2"),
+        sum(col("n") * col("n3")).as("p3"),
+        sum(when(col("n1").isNotNull, col("n"))).as("a1"),
+        sum(when(col("n2").isNotNull, col("n"))).as("a2"),
+        sum(when(col("n3").isNotNull, col("n"))).as("a3"),
+        sum("n1").as("b1"), sum("n2").as("b2"), sum("n3").as("b3"),
+        count(col("n1")).as("m1"), count(col("n2")).as("m2"), count(col("n3")).as("m3"))
+      val f = m
+        .withColumn("mu", col("s").cast("double") / col("nd"))
+        .withColumn("den",
+          col("q").cast("double") - col("s").cast("double") * col("s").cast("double") / col("nd"))
+      def r(k: Int) = when(col("den") === 0, lit(null)).otherwise(
+        (col(s"p$k").cast("double") - col("mu") * col(s"a$k") - col("mu") * col(s"b$k")
+          + col(s"m$k") * col("mu") * col("mu")) / col("den")).as(s"r$k")
+      f.select(col("event_type"), col("nd"), r(1), r(2), r(3)).orderBy("event_type")
+    },
+
+    // CUSUM changepoint detection on each series' daily counts: the
+    // clamped recurrence s_t = max(0, s_{t-1} + dev_t) is NOT a prefix
+    // sum, but it equals SS_t - min(0, min_{i<=t} SS_i) over the
+    // UNCLAMPED running sum — so both one-sided CUSUMs become two
+    // window passes (running sum, then prefix min/max) that share one
+    // sort. Deviations are scaled by the series length (dev = nd*n - s)
+    // to stay in exact BIGINT arithmetic — the emitted CUSUMs are
+    // hash-exact integers; only the 5σ shift flag touches doubles,
+    // via the same fixed op sequence on both engines.
+    "tick_cusum" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type AS s_type, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(n) AS BIGINT) AS s,
+        |    sqrt((CAST(SUM(n * n) AS DOUBLE)
+        |          - CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE) / COUNT(*))
+        |         / (COUNT(*) - 1)) AS sd
+        |  FROM day GROUP BY 1
+        |), dev AS (
+        |  SELECT event_type, bucket, n, nd, sd,
+        |    CAST(SUM(nd * n - s) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ss
+        |  FROM day JOIN st ON day.event_type = st.s_type
+        |), c AS (
+        |  SELECT event_type, bucket, n, nd, sd, ss,
+        |    CAST(ss - LEAST(MIN(ss) OVER w, 0) AS BIGINT) AS cusum_up,
+        |    CAST(GREATEST(MAX(ss) OVER w, 0) - ss AS BIGINT) AS cusum_down
+        |  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, bucket, n, cusum_up, cusum_down,
+        |  (cusum_up > 5 * nd * sd) OR (cusum_down > 5 * nd * sd) AS is_shift
+        |FROM c ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val st = day.groupBy(col("event_type").as("s_type")).agg(
+        count(lit(1)).as("nd"), sum("n").as("s"),
+        sqrt((sum(col("n") * col("n")).cast("double")
+          - sum("n").cast("double") * sum("n").cast("double") / count(lit(1)))
+          / (count(lit(1)) - 1)).as("sd"))
+      val dev = day.join(broadcast(st), col("event_type") === col("s_type"))
+        .withColumn("ss", sum(col("nd") * col("n") - col("s")).over(w))
+      dev.select(col("event_type"), col("bucket"), col("n"),
+          (col("ss") - least(min("ss").over(w), lit(0L))).as("cusum_up"),
+          (greatest(max("ss").over(w), lit(0L)) - col("ss")).as("cusum_down"),
+          ((col("ss") - least(min("ss").over(w), lit(0L)) > lit(5) * col("nd") * col("sd"))
+            || (greatest(max("ss").over(w), lit(0L)) - col("ss") > lit(5) * col("nd") * col("sd")))
+            .as("is_shift"))
+        .orderBy("event_type", "bucket")
     }
   )
 }

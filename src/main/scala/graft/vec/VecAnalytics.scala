@@ -237,6 +237,114 @@ object VecAnalytics {
         .orderBy("q_id", "rank")
     },
 
+    // IVF-PQ end to end — the full billion-scale ANN architecture:
+    // (1) IVF: every corpus vector files under its nearest coarse
+    // centroid (argmin total distance, the inverted list); a query
+    // PROBES only its 3 nearest of the 10 coarse buckets, so the ADC
+    // stage never sees ~70% of the corpus — at 100 TB the probe
+    // fraction (nprobe/nlist) is the knob that trades recall for scan
+    // cost. (2) PQ-ADC: the probed candidates are scanned as 8-byte
+    // codes against the query's broadcast lookup table. (3) exact
+    // integer re-rank of the 50-candidate shortlist. All three stages
+    // are fixed-point integer arithmetic, so the final top-5 is
+    // hash-exact vs the oracle; membership-in-probed-bucket is
+    // structural (the join), and the probe fraction is pinned in
+    // R6OpsSpec.
+    "sim_ivf_pq_topk" -> QueryDef(
+      """WITH qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim, i // 8 AS sub,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(range(0, 64)) AS t(i)),
+        |cb AS (SELECT label AS c_label, dim, sub,
+        |         CAST(SUM(qv) AS BIGINT) // COUNT(*) AS m FROM qv GROUP BY 1, 2, 3),
+        |dists AS (SELECT qv.vec_id, qv.sub, cb.c_label,
+        |            SUM((qv.qv - cb.m)*(qv.qv - cb.m)) AS d2
+        |          FROM qv JOIN cb ON qv.dim = cb.dim GROUP BY 1, 2, 3),
+        |tot AS (SELECT vec_id, c_label, SUM(d2) AS td FROM dists GROUP BY 1, 2),
+        |assign AS (SELECT vec_id, c_label AS bucket FROM (
+        |    SELECT vec_id, c_label, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY td, c_label) AS rn FROM tot) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, c_label AS probe FROM (
+        |    SELECT vec_id, c_label, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY td, c_label) AS rn FROM tot WHERE vec_id < 10) WHERE rn <= 3),
+        |codes AS (SELECT vec_id, sub, c_label AS code FROM (
+        |    SELECT vec_id, sub, c_label, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d2, c_label) AS rn FROM dists) WHERE rn = 1),
+        |lut AS (SELECT vec_id AS q_id, sub, c_label AS code, d2 AS pd
+        |        FROM dists WHERE vec_id < 10),
+        |adc AS (SELECT probes.q_id, codes.vec_id AS id, CAST(SUM(lut.pd) AS BIGINT) AS adc_dist
+        |        FROM codes
+        |        JOIN assign ON assign.vec_id = codes.vec_id
+        |        JOIN probes ON probes.probe = assign.bucket
+        |        JOIN lut ON lut.q_id = probes.q_id AND lut.sub = codes.sub
+        |                AND lut.code = codes.code
+        |        WHERE codes.vec_id <> probes.q_id GROUP BY 1, 2),
+        |short AS (SELECT q_id, id FROM (
+        |    SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, id) AS arank FROM adc) WHERE arank <= 50),
+        |ex AS (SELECT short.q_id, short.id,
+        |         CAST(SUM((c.qv - s.qv)*(c.qv - s.qv)) AS BIGINT) AS d2
+        |       FROM short
+        |       JOIN qv c ON c.vec_id = short.id
+        |       JOIN qv s ON s.vec_id = short.q_id AND s.dim = c.dim
+        |       GROUP BY 1, 2)
+        |SELECT q_id, id, d2, rank FROM (
+        |  SELECT q_id, id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, id) AS rank FROM ex)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val qv = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("label"),
+          col("dim").cast("long").as("dim"),
+          expr("CAST(dim AS BIGINT) div 8").as("sub"),
+          expr("CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)").as("qv"))
+        .localCheckpoint() // reused by codebook, codes, LUT, and re-rank
+      val cb = qv.groupBy(col("label").as("c_label"), col("dim"), col("sub"))
+        .agg(expr("sum(qv) div count(1)").as("m"))
+      val dists = qv.select("vec_id", "dim", "sub", "qv")
+        .join(broadcast(cb.select("c_label", "dim", "m")), "dim")
+        .groupBy("vec_id", "sub", "c_label")
+        .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("d2"))
+        .localCheckpoint() // feeds IVF totals, codes, and the query LUT
+      val tot = dists.groupBy("vec_id", "c_label").agg(sum("d2").as("td"))
+      val wA = Window.partitionBy("vec_id").orderBy(col("td"), col("c_label"))
+      val assign = tot.withColumn("rn", row_number().over(wA))
+        .where(col("rn") === 1).select(col("vec_id"), col("c_label").as("bucket"))
+      val probes = tot.where(col("vec_id") < 10)
+        .withColumn("rn", row_number().over(wA)).where(col("rn") <= 3)
+        .select(col("vec_id").as("q_id"), col("c_label").as("probe"))
+      val wCode = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("c_label"))
+      val codes = dists.withColumn("rn", row_number().over(wCode))
+        .where(col("rn") === 1).select(col("vec_id"), col("sub"), col("c_label").as("code"))
+      val lut = dists.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sub"),
+          col("c_label").as("code"), col("d2").as("pd"))
+      // the IVF prune: only (query, candidate) pairs whose bucket is
+      // probed ever reach the ADC join
+      val cand = assign.join(broadcast(probes), col("bucket") === col("probe"))
+        .select(col("q_id"), col("vec_id"))
+      val adc = codes.join(cand, "vec_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .join(broadcast(lut), Seq("q_id", "sub", "code"))
+        .groupBy(col("q_id"), col("vec_id").as("id"))
+        .agg(sum("pd").as("adc_dist"))
+      val wShort = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("id"))
+      val short = adc.withColumn("arank", row_number().over(wShort))
+        .where(col("arank") <= 50).select("q_id", "id")
+      val qside = qv.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("dim"), col("qv").as("q_qv"))
+      val ex = short
+        .join(qv.select(col("vec_id").as("id"), col("dim"), col("qv")), "id")
+        .join(broadcast(qside), Seq("q_id", "dim"))
+        .groupBy("q_id", "id")
+        .agg(sum((col("qv") - col("q_qv")) * (col("qv") - col("q_qv"))).as("d2"))
+      val wFinal = Window.partitionBy("q_id").orderBy(col("d2"), col("id"))
+      ex.withColumn("rank", row_number().over(wFinal)).where(col("rank") <= 5)
+        .select("q_id", "id", "d2", "rank")
+        .orderBy("q_id", "rank")
+    },
+
     // ITERATED Lloyd k-means (3 rounds from the per-label seeds) in
     // the same 2^-20 fixed point as vec_centroids/vec_kmeans_assign —
     // a full iterative-ML training loop that stays HASH-exact: every

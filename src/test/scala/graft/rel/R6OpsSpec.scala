@@ -187,6 +187,37 @@ class R6OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"shortlist recall@5 collapsed: $recall")
   }
 
+  test("IVF-PQ: exact re-rank, probed lists under half the corpus, recall holds") {
+    val qv = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)").as("qv"))
+    val qs = qv.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("dim"), col("qv").as("q_qv"))
+    val exact = qv.join(qs, "dim").where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("id"))
+      .agg(sum((col("qv") - col("q_qv")) * (col("qv") - col("q_qv"))).as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val top5 = exact.groupBy(_._1._1).values.flatMap(
+      _.toSeq.sortBy { case ((_, id), d2) => (d2, id) }.take(5).map(_._1)).toSet
+    val got = graft.SparkEntry.queries("sim_ivf_pq_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 50, s"10 queries x top-5, got ${got.length}")
+    got.foreach { case (q, id, d2) =>
+      assert(exact((q, id)) == d2, s"re-ranked d2 for ($q,$id) must be exact")
+    }
+    val recall = got.count(g => top5((g._1, g._2))) / 50.0
+    assert(recall >= 0.4, s"IVF-PQ recall@5 collapsed: $recall")
+    // the scan-cost claim: the IVF assignment is the k-means argmin, so
+    // any 3 probed lists hold well under half the corpus — nprobe/nlist
+    // really does bound the ADC stage's input
+    val sizes = graft.SparkEntry.queries("vec_kmeans_assign")(spark, sf001)
+      .groupBy("assigned").count().collect().map(_.getLong(1)).sorted.reverse
+    val frac = sizes.take(3).sum.toDouble / sizes.sum
+    assert(frac < 0.5, s"top-3 inverted lists hold $frac of the corpus")
+    info(f"recall@5 = $recall%.2f, worst-case 3-list probe fraction = $frac%.2f")
+  }
+
   test("levenshtein pair scan separates planted near-dups from background") {
     val rows = graft.SparkEntry.queries("text_levenshtein_pairs")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

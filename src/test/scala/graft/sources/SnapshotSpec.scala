@@ -336,6 +336,10 @@ class SnapshotSpec extends SparkSpec {
     assert(refreshed == recomputed, s"refresh $refreshed != recompute $recomputed")
     assert(!refreshed.contains("p4"), "a partition refreshed to empty must leave the view")
     assert(refreshed("p1") == ((1L, 25L)), refreshed.toString)
+    // the refresh must never OPEN the untouched partition: the manifest
+    // diff prunes p3 before any file is read
+    val opened = SnapshotStore.changes(spark, base, 1, 2).inputFiles.mkString("\n")
+    assert(!opened.contains("part=p3"), s"untouched partition read during refresh:\n$opened")
   }
 
   test("reading a nonexistent version fails loudly") {
