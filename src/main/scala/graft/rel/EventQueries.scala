@@ -282,7 +282,10 @@ object EventQueries {
     // then user_id) so the scores are deterministic at any
     // parallelism, then a rule segment. The per-user rollup is one
     // shuffle; the three ntiles run over the already-collapsed user
-    // relation (users << events). Integers everywhere => hash-exact.
+    // relation (users << events — same trade as window_ntile; a
+    // 100M-user deployment swaps them for RankStats-style
+    // range-partitioned global ranks, which this oracle twin pins the
+    // semantics for). Integers everywhere => hash-exact.
     "events_rfm" -> QueryDef(
       """WITH u AS (
         |  SELECT user_id,
