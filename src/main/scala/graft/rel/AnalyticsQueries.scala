@@ -868,6 +868,42 @@ object AnalyticsQueries {
         .orderBy("part")
     },
 
+    // SHALLOW CLONE: the clone's v1 manifest points at the source's
+    // data dirs — zero rows copied at any store size — then the clone
+    // evolves independently (day-3 +500 upsert) while the source's
+    // current snapshot stays byte-identical: dirs are immutable, so
+    // divergence costs only the clone's own writes. The dev/staging
+    // branch-a-100TB-table-for-free pattern. Oracle recomputes both
+    // sides from raw events; dir sharing is pinned in SnapshotSpec.
+    "store_clone" -> QueryDef(
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS part,
+        |             CAST(round(value*100) AS BIGINT)
+        |               + CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-05'
+        |                      THEN 1000 ELSE 0 END AS vc
+        |           FROM events WHERE event_type = 'click')
+        |SELECT 'clone' AS side, part, COUNT(*) AS n,
+        |  CAST(SUM(vc + CASE WHEN part = '2024-01-03' THEN 500 ELSE 0 END) AS BIGINT) AS total
+        |FROM c GROUP BY part
+        |UNION ALL
+        |SELECT 'source', part, COUNT(*), CAST(SUM(vc) AS BIGINT) FROM c GROUP BY part
+        |ORDER BY side, part""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureClickStore(s, d)
+      val cb = storeBase(d, "snapclone")
+      ensureVersions(s, cb)(
+        () => { SnapshotStore.shallowClone(s, base, cb); () },
+        () => { SnapshotStore.commit(s, cb,
+          clicksOf(s, d).where(col("part") === "2024-01-03")
+            .withColumn("seq", lit(1L))
+            .withColumn("vc", col("vc") + 500L)); () })
+      def sideAgg(b: String, side: String) =
+        SnapshotStore.readVersion(s, b, 2).groupBy("part")
+          .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+          .select(lit(side).as("side"), col("part"), col("n"), col("total"))
+      sideAgg(cb, "clone").unionByName(sideAgg(base, "source"))
+        .orderBy("side", "part")
+    },
+
     // INCREMENTAL materialized-view maintenance: the per-partition
     // (n, total) view is materialized ONCE at v1, then refreshed to v2
     // by applying the change data feed — insert/delete adjust n,

@@ -363,6 +363,26 @@ object SnapshotStore {
     df.select((core ++ extras).map(col): _*)
   }
 
+  /** SHALLOW CLONE: start a new store at `cloneBase` whose v1 manifest
+    * points at the SOURCE's current data dirs — zero rows copied, so a
+    * clone of a 100 TB store costs one manifest write. The clone then
+    * evolves independently: its own commits write under its own base,
+    * never rewriting shared dirs (dirs are immutable), and vacuuming
+    * the clone sweeps only the clone's data root. The one lifecycle
+    * hazard is the same one Delta shallow clones carry: vacuuming the
+    * SOURCE can delete dirs a clone still references — retain or
+    * deep-copy before vacuuming a cloned-from store.
+    */
+  def shallowClone(spark: SparkSession, base: String, cloneBase: String): Int = {
+    val v = currentVersion(spark, base)
+    require(v > 0, s"cannot clone empty store $base")
+    require(currentVersion(spark, cloneBase) == 0, s"clone target $cloneBase not empty")
+    // no data is written for a clone; the attempt dir exists only so a
+    // lost publish race has something well-defined (and empty) to sweep
+    publish(spark, cloneBase, 1, readManifest(spark, base, v), attemptDir(cloneBase, 1))
+    1
+  }
+
   /** The commit log: (version, partition count) for every live
     * manifest, oldest first — a driver-side manifest listing, no data
     * read (Delta's DESCRIBE HISTORY reduced to its queryable core).

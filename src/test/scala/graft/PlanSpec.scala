@@ -134,6 +134,44 @@ class PlanSpec extends SparkSpec {
       "bucketed interval join must stay an equi-join: " + p)
   }
 
+  test("TWAP's hold-forward window and day aggregate share one shuffle") {
+    val p = plan("tick_twap")
+    // the lead() window hashes on (event_type, day) and the aggregate
+    // groups on the same key: Catalyst must reuse that partitioning —
+    // no Exchange between the Window node and the aggregate above it
+    // (root-first tree: the aggregate prints before the window)
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    val aggIdx = tree.indexWhere(_.contains("HashAggregate"))
+    val winIdx = tree.indexWhere(_.contains("Window"))
+    assert(aggIdx >= 0 && winIdx > aggIdx, s"unexpected shape:\n$p")
+    assert(tree.slice(aggIdx, winIdx).forall(!_.contains("Exchange")),
+      s"aggregate re-shuffles what the window already partitioned:\n$p")
+    // the only exchanges are the window hash + the presentation sort
+    assert(tree.count(_.contains("Exchange")) == 2, s"extra shuffles:\n$p")
+  }
+
+  test("CUSUM's running sum and prefix min/max share one sort per series") {
+    val p = plan("tick_cusum")
+    // both window passes order by (event_type, bucket): the second
+    // window must not re-sort what the first already ordered
+    val seriesSorts = "Sort \\[event_type".r.findAllIn(p).length
+    assert(seriesSorts <= 1, s"window passes re-sort the series:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("streak islands never window over raw events") {
+    val p = plan("events_streaks")
+    // the distinct (user, day) collapse must run BELOW both windows.
+    // The formatted tree prints root-first, so the deepest node is the
+    // LAST tree line: the bottom-most aggregate (the distinct) must
+    // sit deeper than the bottom-most window
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    val lastWin = tree.lastIndexWhere(_.contains("Window"))
+    val lastAgg = tree.lastIndexWhere(_.contains("HashAggregate"))
+    assert(lastWin >= 0 && lastAgg > lastWin,
+      s"windows must see the collapsed relation, not raw events:\n$p")
+  }
+
   test("collocation marginals broadcast; the bigram space never self-joins") {
     val p = plan("text_collocations")
     assert(!p.contains("CartesianProduct"), p)

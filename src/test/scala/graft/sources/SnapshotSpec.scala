@@ -342,6 +342,36 @@ class SnapshotSpec extends SparkSpec {
     assert(!opened.contains("part=p3"), s"untouched partition read during refresh:\n$opened")
   }
 
+  test("shallow clone shares dirs zero-copy and evolves independently") {
+    val base = freshBase()
+    val cb = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 1L), ("b", "p2", 0L, 2L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 1L, 10L)).toDF("key", "part", "seq", "vc"))
+    assert(SnapshotStore.shallowClone(spark, base, cb) == 1)
+    // zero copy: the clone's manifest references the SOURCE's dirs
+    assert(SnapshotStore.readManifest(spark, cb, 1)
+      == SnapshotStore.readManifest(spark, base, 2))
+    // independent evolution: a clone commit must not move the source
+    SnapshotStore.commit(spark, cb,
+      Seq(("b", "p2", 2L, 99L)).toDF("key", "part", "seq", "vc"))
+    val cloneNow = SnapshotStore.readVersion(spark, cb, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toSet
+    assert(cloneNow == Set("a" -> 10L, "b" -> 99L), cloneNow.toString)
+    val srcNow = SnapshotStore.readVersion(spark, base, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toSet
+    assert(srcNow == Set("a" -> 10L, "b" -> 2L),
+      s"clone commit leaked into the source: $srcNow")
+    // and the clone's new dir lives under the CLONE's base, so
+    // vacuuming the clone can never touch shared source dirs
+    val p2dir = SnapshotStore.readManifest(spark, cb, 2)("p2")
+    assert(p2dir.startsWith(cb), p2dir)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.shallowClone(spark, base, cb) // target not empty
+    }
+  }
+
   test("reading a nonexistent version fails loudly") {
     val base = freshBase()
     intercept[IllegalArgumentException] {
