@@ -49,9 +49,15 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
+    // per-query min(lap1, lap2): single-lap reads in this sandbox show
+    // 6-20x phantom swings on identical code (GC/THP noise); the min of
+    // two laps is the steadier per-query estimator for regression reads
+    val coldMap = cold.toMap
+    val minLap = results.map { case (k, v) => k -> math.min(v, coldMap.getOrElse(k, v)) }
+    val minTotal = if (minLap.nonEmpty) minLap.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":$failedJson,"sf":"$sfDir","lap1_total":$coldTotal,"lap1_queries":${json(cold)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":$failedJson,"sf":"$sfDir","lap1_total":$coldTotal,"lap1_queries":${json(cold)},"min_total":$minTotal,"min_queries":${json(minLap)}}"""
     // stop FIRST so the JSON is this process's final stdout line (a
     // launcher that reads the tail shouldn't trip over shutdown noise),
     // and drop a file copy as a parse-proof fallback

@@ -19,16 +19,41 @@ object StreamingOps {
 
   private val nameCounter = new AtomicInteger(0)
 
-  /** The events parquet schema as a stream source schema (`ts` read as
-    * LONG nanos — see graft.Tables.events).
+  /** The events parquet schema as a stream source schema. The `ts`
+    * column's physical type has varied across testdata generations
+    * (LONG nanos for the legacy TIMESTAMP(NANOS) file, TIMESTAMP_NTZ
+    * for timestamp[us]) — see graft.Tables.events.
     */
-  val eventsStreamSchema: StructType = StructType(Seq(
+  def eventsStreamSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** events as a file stream, with the raw columns plus `ts_t`
+    * (TimestampType, µs) normalized from whichever physical `ts`
+    * encoding the parquet actually has. The type probe is a
+    * footer-only batch schema read, not a data scan.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probed = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // a µs file is DECLARED TimestampType so the scan yields TIMESTAMP
+    // directly (session tz is UTC, so the micros are unchanged)
+    val declared = if (probed == LongType) LongType else TimestampType
+    val src = spark.readStream
+      .schema(eventsStreamSchema(declared))
+      // file stream sources take directories; select the one table file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    declared match {
+      // integer DIV, not fp division: ns epochs (~1.7e18) exceed 2^53
+      case LongType => src.withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      case _        => src.withColumn("ts_t", col("ts"))
+    }
+  }
 
   /** One-shot streaming window aggregation over the events table:
     * readStream → tumbling 1-hour window per event_type → complete-mode
@@ -37,13 +62,7 @@ object StreamingOps {
     * the oracle checks.
     */
   def windowAggOnce(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
-      .schema(eventsStreamSchema)
-      // file stream sources take directories; select the one table file
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+    val src = eventsStream(spark, dir)
     val agg = src
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(
@@ -120,12 +139,7 @@ object StreamingOps {
     */
   def watermarkedCounts(
       spark: SparkSession, dir: String, delay: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
-      .schema(eventsStreamSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+    val src = eventsStream(spark, dir)
     val agg = src
       .withWatermark("ts_t", delay)
       // group by the window expression itself (not window.start): the
@@ -154,11 +168,7 @@ object StreamingOps {
     * restarting the query.
     */
   def streamStaticJoinOnce(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
-      .schema(eventsStreamSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsStream(spark, dir)
     val dim = spark.createDataFrame(Seq(
       ("click", 1L), ("view", 2L), ("purchase", 10L), ("signup", 5L), ("error", 0L)))
       .toDF("event_type", "weight")
@@ -185,11 +195,7 @@ object StreamingOps {
     * ties: count desc, then user_id.
     */
   def streamTopKOnce(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
-      .schema(eventsStreamSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsStream(spark, dir)
     val agg = src.groupBy("user_id")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("user_id"))
@@ -217,11 +223,7 @@ object StreamingOps {
     * ages out instead of growing forever.
     */
   def streamDedupOnce(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
-      .schema(eventsStreamSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsStream(spark, dir)
     val dd = src.select("user_id", "event_type")
       .dropDuplicates("user_id", "event_type")
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
@@ -251,12 +253,7 @@ object StreamingOps {
     * equals the batch oracle).
     */
   def sessionWindowAggOnce(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
-      .schema(eventsStreamSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+    val src = eventsStream(spark, dir)
       .withWatermark("ts_t", "365 days")
     val agg = src
       .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
@@ -289,17 +286,13 @@ object StreamingOps {
     * real delay and accept the late-data semantics.
     */
   def streamIntervalJoinOnce(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def side(tpe: String, prefix: String) = spark.readStream
-      .schema(eventsStreamSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def side(tpe: String, prefix: String) = eventsStream(spark, dir)
       // user subset: bounds join state while proving the same semantics
       .where(col("event_type") === tpe && col("user_id") < 500)
       .select(
         col("user_id").as(s"${prefix}_user"),
         col("event_id").as(s"${prefix}_id"),
-        timestamp_micros(expr("ts DIV 1000")).as(s"${prefix}_ts"))
+        col("ts_t").as(s"${prefix}_ts"))
       .withWatermark(s"${prefix}_ts", "365 days")
     val joined = side("click", "c").join(
       side("purchase", "p"),

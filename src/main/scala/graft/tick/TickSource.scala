@@ -22,7 +22,11 @@ trait TickSource {
   /** Resolve a tick field name to a DoubleType column. */
   def field(name: String): Column
   /** Exact ns-epoch key (LONG), when the source carries one — raw
-    * queries surface it so ns-distinct points stay distinct.
+    * queries surface it so ns-distinct points stay distinct. NOTE:
+    * when the underlying file only stores µs timestamps (the current
+    * driver testdata), `ts_ns` is µs×1000 — point lookups and
+    * half-open ranges behave identically, but sub-µs distinctness is
+    * only real on sources that ingest true ns keys (StoreSource).
     */
   def tsNs: Option[Column] = None
   /** DuckDB mirror of [[tsNs]]. */
@@ -64,14 +68,34 @@ final case class EventsSource(spark: SparkSession, dir: String) extends TickSour
     case other   => get_json_object(frame("props"), s"$$.$other").cast("double")
   }
 
-  /** Range on the physical LONG nanos column: pushed into the parquet
-    * scan (row-group min/max skipping), unlike a predicate on the
-    * derived µs `ts`.
+  /** Whether the parquet file's physical `ts` is the legacy LONG-nanos
+    * encoding (vs a µs timestamp). Footer-only schema read, not a scan.
+    */
+  private lazy val tsIsLongNanos: Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+  }
+
+  /** Range on whichever time column is PHYSICAL in the file — that is
+    * the one the parquet scan can row-group-skip on; a predicate on the
+    * derived twin would read everything. ns bounds round to µs with
+    * ceiling division: every stored µs value v satisfies
+    * `v*1000 >= X  ⟺  v >= ceil(X/1000)` and
+    * `v*1000 <  Y  ⟺  v <  ceil(Y/1000)`.
     */
   override def rangePredicate(from: Option[java.time.Instant], to: Option[java.time.Instant]): Option[Column] = {
-    val f = from.map(i => frame("ts_ns") >= lit(epochNs(i)))
-    val t = to.map(i => frame("ts_ns") < lit(epochNs(i)))
-    (f ++ t).reduceOption(_ && _)
+    if (tsIsLongNanos) {
+      val f = from.map(i => frame("ts_ns") >= lit(epochNs(i)))
+      val t = to.map(i => frame("ts_ns") < lit(epochNs(i)))
+      (f ++ t).reduceOption(_ && _)
+    } else {
+      def ceilUs(i: java.time.Instant): Column =
+        timestamp_micros(lit(Math.floorDiv(epochNs(i) + 999L, 1000L)))
+      val f = from.map(i => frame("ts") >= ceilUs(i))
+      val t = to.map(i => frame("ts") < ceilUs(i))
+      (f ++ t).reduceOption(_ && _)
+    }
   }
 
   // NOTE: no tsNs override — DuckDB's parquet reader surfaces the
