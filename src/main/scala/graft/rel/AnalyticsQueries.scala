@@ -444,10 +444,12 @@ object AnalyticsQueries {
 
     // winsorization: clamp each group's values to its own [p05, p95]
     // before averaging — the robust-mean step quality pipelines apply
-    // to heavy-tailed metrics. The cut points come from the
-    // RankStats range-slice machinery (O(slices) aggregate state, no
-    // per-group value maps — percentile()'s maps made this the
-    // bench's heap hot spot). Exact at this scale: percentiles
+    // to heavy-tailed metrics. The cut points come from RankStats'
+    // histogram-refinement selection (three map-side-combinable
+    // passes, zero full-data shuffles — percentile()'s value maps
+    // made this the bench's heap hot spot, and the earlier
+    // range-shuffle fix made it the bench's exchange hot spot).
+    // Exact at this scale: percentiles
     // interpolate integer cents (worst case x.5), and the clamped sum
     // adds multiples of 0.5 whose partials stay below 2^52 up to
     // ~10^8 rows/group — past that, switch the sum to DECIMAL like

@@ -255,13 +255,13 @@ object RelQueries {
     // exact interpolated percentiles, fully distributed. Spark's
     // percentile() aggregate buffers a value->count map per group
     // (memory-bound at scale); a per-group window sort serializes each
-    // group onto one task. Instead: range-partition by (group, value)
-    // so the global sort parallelizes across all slices; per-slice
-    // (count, min-rowid) — a tiny aggregate — converts per-slice row
-    // positions into exact global ranks; the lo/hi rank rows
-    // interpolate with the same lower + frac*(upper-lower) formula
-    // DuckDB's quantile_cont uses. Per-group work never concentrates
-    // on one task, so the plan survives a 100x scale-up. Both sides
+    // group onto one task. Instead: histogram-refinement selection
+    // (RankStats) — exact bucket counts locate each target rank's
+    // bucket, a second bounded pass picks the ranked value, and the
+    // lo/hi rank values interpolate with the same
+    // lower + frac*(upper-lower) formula DuckDB's quantile_cont uses.
+    // No full-data shuffle at any point, so the plan survives a 100x
+    // scale-up with only scan cost growing. Both sides
     // round to 6 dp: quantile_cont's internal interpolation can place
     // its multiply-add one ulp away from ours at some (n, p) pairs
     // (seen at sf0.001; identical at sf0.01), and 1e-6 absolute is far
@@ -272,9 +272,10 @@ object RelQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      // range-slice global-rank percentiles (shared RankStats helper):
-      // O(slices) aggregate state, one range exchange, quantile_cont
-      // interpolation — no per-group value maps.
+      // histogram-refinement percentiles (shared RankStats helper):
+      // exact ranked selection from three tiny-shuffle aggregate
+      // passes, quantile_cont interpolation — no per-group value
+      // maps, no full-data exchange.
       val v = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"))
       RankStats.percentiles(v, "l_returnflag", "l_extendedprice",
