@@ -25,7 +25,7 @@ object ExplainAudit {
       "tick_point_lookup", // exact-key scan
       "rollup_query_hour", // routed rollup read
       "sim_bruteforce_topk", // broadcast NL join + window topk
-      "agg_percentiles",   // range-slice global ranks (no per-group sort)
+      "agg_percentiles",   // histogram-refinement ranks (no data shuffle)
       "tick_gap_fill",     // broadcast axis join, window only on the axis
       "text_tfidf",        // two-stage partial agg + broadcast scalar
       "pivot_agg",         // single-pass conditional agg (no values scan)

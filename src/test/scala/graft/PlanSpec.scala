@@ -40,11 +40,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("exact percentiles sort via range partitioning, not per-group windows") {
+  test("exact percentiles never shuffle the data relation") {
     val p = plan("agg_percentiles")
-    // the global sort of the big relation is a range exchange: work
-    // spreads over all slices instead of one task per group
-    assert(p.contains("rangepartitioning"), p)
+    // histogram-refinement selection: the only range exchange allowed
+    // is the final presentation orderBy of the per-group result — the
+    // data itself is only ever scanned + partially aggregated
+    val ranges = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(ranges <= 1, s"data relation is being range-shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // every aggregate over the full relation must partial-aggregate
+    // (map-side combine) before its exchange
+    assert(p.contains("HashAggregate"), p)
   }
 
   test("minhash dedup never materializes a pair space") {
