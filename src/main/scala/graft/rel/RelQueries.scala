@@ -568,6 +568,75 @@ object RelQueries {
         .orderBy("event_id")
     },
 
+    // as-of join, NEAREST direction (pandas merge_asof
+    // direction='nearest'): for each purchase, the same user's click
+    // with the smallest |gap|, backward winning ties. Same scalable
+    // shape as asof_join — union + ONE shuffle by user — with a second
+    // (forward) pass over the same sorted partition; no range
+    // explosion, no inequality join. Ordering puts clicks before
+    // purchases at an equal µs, so a same-instant click resolves
+    // backward with gap 0 on both engines.
+    "asof_join_nearest" -> QueryDef(
+      """WITH u AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, ts,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+        |    CASE WHEN event_type = 'click' THEN "value" END AS cv
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(cv IGNORE NULLS) OVER wb AS b_val,
+        |    last_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS) OVER wb AS b_us,
+        |    first_value(cv IGNORE NULLS) OVER wf AS f_val,
+        |    first_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS) OVER wf AS f_us
+        |  FROM u
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY us, tag, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY us, tag, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, ts,
+        |  CASE WHEN b_us IS NULL THEN f_val
+        |       WHEN f_us IS NULL THEN b_val
+        |       WHEN us - b_us <= f_us - us THEN b_val ELSE f_val END AS click_value,
+        |  CASE WHEN b_us IS NULL THEN f_us - us
+        |       WHEN f_us IS NULL THEN us - b_us
+        |       ELSE LEAST(us - b_us, f_us - us) END AS gap_us
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val tagged = ev.where(col("event_type").isin("purchase", "click"))
+        .select(
+          col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1).as("tag"),
+          when(col("event_type") === "click", col("value")).as("cv"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("tag").asc, col("event_id").asc)
+      val wb = ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wf = ord.rowsBetween(
+        0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      tagged
+        .withColumn("b_val", last(col("cv"), ignoreNulls = true).over(wb))
+        .withColumn("b_us",
+          last(when(col("tag") === 0, col("us")), ignoreNulls = true).over(wb))
+        .withColumn("f_val", first(col("cv"), ignoreNulls = true).over(wf))
+        .withColumn("f_us",
+          first(when(col("tag") === 0, col("us")), ignoreNulls = true).over(wf))
+        .where(col("tag") === 1)
+        .select(
+          col("event_id"), col("ts"),
+          when(col("b_us").isNull, col("f_val"))
+            .when(col("f_us").isNull, col("b_val"))
+            .when(col("us") - col("b_us") <= col("f_us") - col("us"), col("b_val"))
+            .otherwise(col("f_val")).as("click_value"),
+          when(col("b_us").isNull, col("f_us") - col("us"))
+            .when(col("f_us").isNull, col("us") - col("b_us"))
+            .otherwise(least(col("us") - col("b_us"), col("f_us") - col("us")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    },
+
     // range (interval) join: clicks within 10 minutes after each signup,
     // same user. Spark-side: time-bucket equi-join (each probe row
     // explodes to its 2 candidate buckets) + exact residual filter — the

@@ -242,6 +242,38 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  /** Bounded-state streaming deduplication:
+    * `dropDuplicatesWithinWatermark` — the production form of
+    * [[streamDedupOnce]]'s dropDuplicates. Key state is dropped once
+    * the watermark passes the key's first-seen event time plus the
+    * delay, so state is O(keys-per-delay-window), not O(all keys ever)
+    * — the only dedup that survives an unbounded stream. The delay
+    * here exceeds the testdata span, so nothing ages out mid-drain and
+    * the result equals the batch distinct the oracle runs; a
+    * production stream uses a real delay and accepts that a duplicate
+    * arriving later than the delay re-emits.
+    */
+  def streamDedupWatermarkOnce(spark: SparkSession, dir: String): DataFrame = {
+    val dd = eventsStream(spark, dir)
+      .withWatermark("ts_t", "365 days")
+      .select(col("user_id"), col("event_type"), col("ts_t"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      dd.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("event_type")
+  }
+
   /** One-shot streaming SESSION-window aggregation: per-user sessions
     * that close after 30 minutes of silence, via the native
     * `session_window` grouping (dynamic-length windows merged in the

@@ -31,6 +31,16 @@ object StreamingQueries {
       StreamingOps.streamDedupOnce(s, d)
     },
 
+    // bounded-state dedup: dropDuplicatesWithinWatermark with a delay
+    // beyond the data span == batch distinct; on a real stream the
+    // same plan holds O(keys-per-window) state instead of O(all keys)
+    "streaming_dedup_watermark" -> QueryDef(
+      """SELECT event_type, COUNT(*) AS n_keys
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      StreamingOps.streamDedupWatermarkOnce(s, d)
+    },
+
     // stream-static broadcast enrichment == the batch join (the dim is
     // bounded reference data; no stream-side join state)
     "streaming_static_join" -> QueryDef(
