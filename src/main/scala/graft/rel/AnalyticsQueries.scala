@@ -828,6 +828,37 @@ object AnalyticsQueries {
         .orderBy("part")
     },
 
+    // RESTORE: roll the click store back to v1 after the day-5 upsert
+    // — a manifest-only commit (v3 points at v1's directories, zero
+    // data rewritten), then prove the current read equals the
+    // pre-upsert state AND that the rolled-over v2 stays readable.
+    // The oracle derives both states from raw events.
+    "store_restore" -> QueryDef(
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day,
+        |             CAST(round(value*100) AS BIGINT) AS vc
+        |           FROM events WHERE event_type = 'click'),
+        |v2 AS (SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN day = DATE '2024-01-05' THEN vc + 1000
+        |                       ELSE vc END) AS BIGINT) AS total FROM c),
+        |v3 AS (SELECT CAST(3 AS BIGINT), COUNT(*),
+        |         CAST(SUM(vc) AS BIGINT) FROM c)
+        |SELECT * FROM v2 UNION ALL SELECT * FROM v3
+        |ORDER BY version""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureVersions(s, storeBase(d, "snaprest"))(
+        () => SnapshotStore.commit(s, storeBase(d, "snaprest"), clicksOf(s, d)),
+        () => SnapshotStore.commit(s, storeBase(d, "snaprest"),
+          clicksOf(s, d).where(col("part") === "2024-01-05")
+            .withColumn("seq", lit(1L))
+            .withColumn("vc", col("vc") + 1000L)),
+        () => SnapshotStore.restore(s, storeBase(d, "snaprest"), 1))
+      Seq(2, 3).map { v =>
+        SnapshotStore.readVersion(s, base, v)
+          .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+          .select(lit(v.toLong).as("version"), col("n"), col("total"))
+      }.reduce(_ unionByName _).orderBy("version")
+    },
+
     // change data feed v1 -> v2 of the click store: the partitions to
     // diff come from the MANIFESTS (unchanged directory pointer ==
     // skipped without reading a row — physical sharing doubles as a

@@ -383,6 +383,26 @@ object SnapshotStore {
     1
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE ... VERSION AS OF` analog): make
+    * the table's next version identical to historical version `toV` —
+    * a manifest-only commit pointing at toV's directories, no byte of
+    * data copied or rewritten at any table size. History is preserved:
+    * the rolled-over versions stay readable until vacuumed, and the
+    * restore is itself just another version (so a restore can be
+    * restored, and `changes` across it reports the rollback's diff).
+    */
+  def restore(spark: SparkSession, base: String, toV: Int): Int = {
+    val cur = currentVersion(spark, base)
+    require(toV >= 1 && toV <= cur, s"cannot restore to v$toV (store is at v$cur)")
+    val m = readManifest(spark, base, toV)
+    require(m.nonEmpty, s"version $toV no longer exists (vacuumed?)")
+    val next = cur + 1
+    // no data is written for a restore; the attempt dir exists only so
+    // a lost publish race has something well-defined (empty) to sweep
+    publish(spark, base, next, m, attemptDir(base, next))
+    next
+  }
+
   /** The commit log: (version, partition count) for every live
     * manifest, oldest first — a driver-side manifest listing, no data
     * read (Delta's DESCRIBE HISTORY reduced to its queryable core).

@@ -342,6 +342,28 @@ class SnapshotSpec extends SparkSpec {
     assert(!opened.contains("part=p3"), s"untouched partition read during refresh:\n$opened")
   }
 
+  test("restore rolls back manifest-only, preserves history, and is itself restorable") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 1L), ("b", "p2", 0L, 2L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 1L, 99L), ("c", "p3", 0L, 3L)).toDF("key", "part", "seq", "vc"))
+    assert(SnapshotStore.restore(spark, base, 1) == 3)
+    def state(v: Int) = SnapshotStore.readVersion(spark, base, v)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(state(3) == Set(("a", 1L), ("b", 2L)), "restored state must equal v1")
+    assert(state(2) == Set(("a", 99L), ("b", 2L), ("c", 3L)),
+      "rolled-over v2 must stay readable")
+    // manifest-only: v3 points at v1's exact directories (zero copy)
+    assert(SnapshotStore.readManifest(spark, base, 3) ==
+      SnapshotStore.readManifest(spark, base, 1))
+    // a restore is a normal version: restoring to v2 undoes the rollback
+    assert(SnapshotStore.restore(spark, base, 2) == 4)
+    assert(state(4) == state(2))
+    // out-of-range target fails loudly
+    intercept[IllegalArgumentException](SnapshotStore.restore(spark, base, 9))
+  }
+
   test("shallow clone shares dirs zero-copy and evolves independently") {
     val base = freshBase()
     val cb = freshBase()
