@@ -1034,9 +1034,11 @@ object AnalyticsQueries {
       var visited = Seq((1L, 0)).toDF("node", "hop")
       var frontier = visited.select("node")
       (1 to 3).foreach { h =>
-        val next = frontier.join(ed, col("node") === col("a"))
+        // frontier and visited are O(nodes) vs the O(edges) list: both
+        // broadcast, so the edge list never re-shuffles across rounds
+        val next = broadcast(frontier).join(ed, col("node") === col("a"))
           .select(col("b").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
+          .join(broadcast(visited), Seq("node"), "left_anti")
           .localCheckpoint()
         visited = visited.unionByName(next.withColumn("hop", lit(h)))
         frontier = next
@@ -1049,8 +1051,8 @@ object AnalyticsQueries {
     // weights ((|a|+|b|) % 9 + 1) — Bellman-Ford as 4 relaxation
     // rounds. Each round = one node-keyed equi-join against the edge
     // list + one partial-aggregated MIN groupBy (the PageRank shape:
-    // per-round state is O(nodes), edges shuffle once per round on
-    // their join key, lineage cut per round). The oracle is the same
+    // per-round state is O(nodes) and broadcasts, so the edge list
+    // never re-shuffles; lineage cut per round). The oracle is the same
     // relaxation unrolled as chained CTEs — no recursive path
     // enumeration, so neither side ever materializes a path set.
     // All integer => hash-exact despite 4 iterations.
@@ -1086,8 +1088,10 @@ object AnalyticsQueries {
       import s.implicits._
       var dist = Seq((1L, 0L)).toDF("node", "dist")
       (1 to 4).foreach { _ =>
+        // the distance vector is O(nodes): broadcast it so the edge
+        // list never re-shuffles across relaxation rounds
         dist = dist.unionAll(
-            dist.join(ed, col("node") === col("a"))
+            broadcast(dist).join(ed, col("node") === col("a"))
               .select(col("b").as("node"), (col("dist") + col("w")).as("dist")))
           .groupBy("node").agg(min("dist").as("dist"))
           .localCheckpoint()

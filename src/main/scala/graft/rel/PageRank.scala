@@ -28,9 +28,20 @@ object PageRank {
 
   /** One sweep over `(u, v, d)` edges (d = u's degree): every node's
     * new rank is `0.15*UNIT + 0.85 * sum(r_u div d_u)`.
+    *
+    * The rank vector BROADCASTS explicitly: it is O(nodes) — orders of
+    * magnitude below the edge list — and without the hint both sides
+    * of the node-keyed join get exchanges materialized before AQE can
+    * downgrade to broadcast, so every iteration would re-shuffle the
+    * whole edge list (measured: 2/3 of pagerank wall time at sf0.1).
+    * The edges therefore never move after the one degree join at
+    * build; each round is a map-side hash probe + partial-aggregated
+    * groupBy. At vertex counts past driver memory, swap the hint for
+    * pre-hash-partitioned edges and a co-partitioned join — same
+    * algorithm, same bits.
     */
   private def step(undDeg: DataFrame, pr: DataFrame): DataFrame =
-    undDeg.join(pr, undDeg("u") === pr("node"))
+    undDeg.join(broadcast(pr), undDeg("u") === pr("node"))
       .select(undDeg("v"), expr("r div d").as("contrib"))
       .groupBy(col("v").as("node"))
       .agg(expr("150000000000 + (85 * sum(contrib)) div 100").as("r"))
@@ -65,7 +76,7 @@ object PageRank {
           // next iteration, computed once from pinned lineage
           val probe = step(undDeg, pinned).localCheckpoint()
           val changed = probe.as("a")
-            .join(pinned.as("b"), col("a.node") === col("b.node"))
+            .join(broadcast(pinned.as("b")), col("a.node") === col("b.node"))
             .where(col("a.r") =!= col("b.r"))
             .limit(1).count() > 0
           if (!changed) { converged = true; pr = pinned }
