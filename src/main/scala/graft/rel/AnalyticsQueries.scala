@@ -859,6 +859,39 @@ object AnalyticsQueries {
       }.reduce(_ unionByName _).orderBy("version")
     },
 
+    // VACUUM through the oracle gate: after GC-ing to keepVersions=1,
+    // the surviving snapshot must still read IN FULL — v2 physically
+    // shares 29 of its 30 day dirs with the dropped v1, so this checks
+    // the sweep's shared-dir safety (a dir referenced by any retained
+    // manifest survives), not just that files went away. n_live counts
+    // the post-vacuum manifests (exactly one).
+    "store_vacuum_safety" -> QueryDef(
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day,
+        |             CAST(round(value*100) AS BIGINT) AS vc
+        |           FROM events WHERE event_type = 'click')
+        |SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN day = DATE '2024-01-05' THEN vc + 1000
+        |                ELSE vc END) AS BIGINT) AS total,
+        |  CAST(1 AS BIGINT) AS n_live
+        |FROM c""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = storeBase(d, "snapvac")
+      ensureVersions(s, base)(
+        () => SnapshotStore.commit(s, base, clicksOf(s, d)),
+        () => SnapshotStore.commit(s, base,
+          clicksOf(s, d).where(col("part") === "2024-01-05")
+            .withColumn("seq", lit(1L))
+            .withColumn("vc", col("vc") + 1000L)))
+      // vacuum is idempotent and does not advance the version counter,
+      // so it runs outside the resume-safe version steps
+      SnapshotStore.vacuum(s, base, keepVersions = 1)
+      val nLive = SnapshotStore.history(s, base).size.toLong
+      SnapshotStore.readVersion(s, base, 2)
+        .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+        .select(lit(2L).as("version"), col("n"), col("total"),
+          lit(nLive).as("n_live"))
+    },
+
     // change data feed v1 -> v2 of the click store: the partitions to
     // diff come from the MANIFESTS (unchanged directory pointer ==
     // skipped without reading a row — physical sharing doubles as a
