@@ -35,6 +35,38 @@ object StoreQueries {
     store
   }
 
+  /** Store + rollups over 'view' events with a range DELETED after
+    * materialization — exercises the incremental rollup refresh on the
+    * delete path. Built once per dir; the `_done` marker (written only
+    * after the delete) makes the cached end state crash-safe: a build
+    * interrupted anywhere reruns from scratch.
+    */
+  private[tick] val deleteFromNs: Long = epochNsOf("2024-01-08T12:00:00Z")
+  private[tick] val deleteToNs: Long = epochNsOf("2024-01-12T00:00:00Z")
+  private def epochNsOf(s: String): Long = {
+    val i = java.time.Instant.parse(s); i.getEpochSecond * 1000000000L + i.getNano
+  }
+  private def rollupDeleteStore(spark: SparkSession, dir: String): TickStore = synchronized {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_store_rollupdel_v1_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val store = new TickStore(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(root, "_done")
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      store.createDb(spark, "db")
+      store.ingest(spark, "db",
+        Tables.events(spark, dir).where(col("event_type") === "view")
+          .select(col("event_type").as("index"), col("ts_ns"),
+            map(lit("value"), col("value")).as("value"),
+            col("event_id").as("seq")))
+      Rollup.materialize(spark, store, "db")
+      store.deleteRange(spark, "db", "view", deleteFromNs, deleteToNs)
+      fs.create(done, true).close()
+    }
+    store
+  }
+
   private def freshStore(spark: SparkSession, dir: String, tag: String): (TickStore, String) = {
     val root = s"${sys.props("java.io.tmpdir")}/graft_store_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -142,6 +174,23 @@ object StoreQueries {
       val store = rollupStore(spark, dir)
       store.query(spark, "db", TickQuery.fromJson(
         """{"index":"view","group":"3days","fields":{"value":{"reducer":"avg"}}}"""))
+    },
+
+    // A9 + pyramid: hour-level query answered FROM THE ROLLUP TIER
+    // after a range delete — proves the delete path's incremental
+    // rollup refresh (interior days dropped, the boundary day's
+    // buckets recomputed), not just the point data rewrite. Oracle =
+    // direct aggregation over the raw events minus the deleted range.
+    "rollup_after_delete" -> QueryDef(
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+        |  CAST(SUM(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) AS value_sum
+        |FROM events WHERE event_type = 'view'
+        |  AND NOT (ts >= TIMESTAMP '2024-01-08 12:00:00'
+        |           AND ts < TIMESTAMP '2024-01-12 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val store = rollupDeleteStore(spark, dir)
+      store.query(spark, "db", TickQuery.fromJson(
+        """{"index":"view","group":"hour","fields":{"value":{"reducer":"sum"}}}"""))
     },
 
     // A7 exact-key point lookup on the raw events table (the store-side
