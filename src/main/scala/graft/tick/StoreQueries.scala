@@ -67,6 +67,32 @@ object StoreQueries {
     store
   }
 
+  /** Store fragmented by six chunked ingests of the 'error' series
+    * (6 files per (index, day) partition), then compacted to one file
+    * per partition. `_done`-marker cached like [[rollupDeleteStore]].
+    */
+  private def compactedStore(spark: SparkSession, dir: String): TickStore = synchronized {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_store_compact_v1_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val store = new TickStore(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(root, "_done")
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      store.createDb(spark, "db")
+      val errs = Tables.events(spark, dir).where(col("event_type") === "error")
+        .select(col("event_type").as("index"), col("ts_ns"),
+          map(lit("value"), col("value")).as("value"),
+          col("event_id").as("seq"))
+      (0 until 6).foreach { i =>
+        store.ingest(spark, "db", errs.where(col("seq") % 6 === i))
+      }
+      store.compact(spark, "db", maxFilesPerPartition = 2)
+      fs.create(done, true).close()
+    }
+    store
+  }
+
   private def freshStore(spark: SparkSession, dir: String, tag: String): (TickStore, String) = {
     val root = s"${sys.props("java.io.tmpdir")}/graft_store_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -191,6 +217,21 @@ object StoreQueries {
       val store = rollupDeleteStore(spark, dir)
       store.query(spark, "db", TickQuery.fromJson(
         """{"index":"view","group":"hour","fields":{"value":{"reducer":"sum"}}}"""))
+    },
+
+    // storage hygiene through the gate: six chunked ingests leave six
+    // files per (index, day); compact folds each partition to one
+    // file and the read-back must be CONTENT-IDENTICAL to the raw
+    // series (the reference's copy-on-write log never reclaims dead
+    // chunks — SURVEY §4.2 — this is the Spark-side answer). File
+    // counts are pinned in TickStoreSpec; content is pinned here.
+    "store_compact_roundtrip" -> QueryDef(
+      """SELECT ts, "value" AS v FROM events
+        |WHERE event_type = 'error' ORDER BY ts""".stripMargin) { (spark, dir) =>
+      val store = compactedStore(spark, dir)
+      store.read(spark, "db")
+        .select(col("ts"), element_at(col("value"), "value").as("v"))
+        .orderBy("ts")
     },
 
     // A7 exact-key point lookup on the raw events table (the store-side
