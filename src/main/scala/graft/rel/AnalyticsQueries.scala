@@ -1062,21 +1062,11 @@ object AnalyticsQueries {
           (-col("l_suppkey")).cast("long").as("b"))
         .distinct()
       val ed = eh.unionAll(eh.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint() // reused every round
-      import s.implicits._
-      var visited = Seq((1L, 0)).toDF("node", "hop")
-      var frontier = visited.select("node")
-      (1 to 3).foreach { h =>
-        // frontier and visited are O(nodes) vs the O(edges) list: both
-        // broadcast, so the edge list never re-shuffles across rounds
-        val next = broadcast(frontier).join(ed, col("node") === col("a"))
-          .select(col("b").as("node")).distinct()
-          .join(broadcast(visited), Seq("node"), "left_anti")
-          .localCheckpoint()
-        visited = visited.unionByName(next.withColumn("hop", lit(h)))
-        frontier = next
-      }
-      visited.orderBy("hop", "node")
+      // frontier and visited are O(nodes) vs the O(edges) list: the
+      // Broadcast tier keeps the edge list stationary across rounds;
+      // GraphLoops.CoPartitioned is the hash-equal fallback for node
+      // sets past broadcast limits (pinned in GraphLoopsSpec)
+      GraphLoops.bfsHops(ed, source = 1L, rounds = 3).orderBy("hop", "node")
     },
 
     // single-source WEIGHTED shortest path (<= 4 edges) from customer 1
@@ -1117,19 +1107,10 @@ object AnalyticsQueries {
       val w = expr("abs(a) + abs(b)") % 9 + 1
       val ed = eh.select(col("a"), col("b"), w.as("w"))
         .unionAll(eh.select(col("b").as("a"), col("a").as("b"), w.as("w")))
-        .localCheckpoint() // reused every round
-      import s.implicits._
-      var dist = Seq((1L, 0L)).toDF("node", "dist")
-      (1 to 4).foreach { _ =>
-        // the distance vector is O(nodes): broadcast it so the edge
-        // list never re-shuffles across relaxation rounds
-        dist = dist.unionAll(
-            broadcast(dist).join(ed, col("node") === col("a"))
-              .select(col("b").as("node"), (col("dist") + col("w")).as("dist")))
-          .groupBy("node").agg(min("dist").as("dist"))
-          .localCheckpoint()
-      }
-      dist.orderBy("dist", "node")
+      // the distance vector is O(nodes): the Broadcast tier keeps the
+      // edge list stationary across relaxation rounds; CoPartitioned
+      // is the hash-equal fallback (pinned in GraphLoopsSpec)
+      GraphLoops.bellmanFord(ed, source = 1L, rounds = 4).orderBy("dist", "node")
     },
 
     // SCHEMA EVOLUTION under time travel: v2's upsert adds a `quality`

@@ -1,0 +1,137 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Strategy tier for the iterative graph loops (PageRank, BFS,
+  * Bellman-Ford): how the O(nodes) per-round state meets the
+  * stationary O(edges) list.
+  *
+  *  - [[GraphLoops.Broadcast]] — the state vector broadcast-joins onto
+  *    the edge list every round. Fastest while node state fits the
+  *    driver/executor broadcast limits (it is orders of magnitude below
+  *    the edge list), and the mode the bench queries run in.
+  *  - [[GraphLoops.CoPartitioned]] — the edge list is hash-partitioned
+  *    on its probe key ONCE at build (the materialized localCheckpoint
+  *    RDD carries that HashPartitioning, which Spark preserves through
+  *    LogicalRDD), and each round the state side alone shuffles to meet
+  *    it via a SHUFFLE_HASH-hinted join. The hint also stops AQE from
+  *    demoting back to broadcast, so the plan shape is stable. Edges
+  *    never move after build; per-round network is O(nodes). This is
+  *    the 100 TB fallback for vertex sets past broadcast limits —
+  *    same algorithm, same integer arithmetic, bit-identical results
+  *    (pinned by GraphLoopsSpec).
+  *
+  * Reference semantics (tickdb has no graph ops — this is extension
+  * surface): results are strategy-independent by construction because
+  * every loop uses order-independent integer arithmetic.
+  */
+object GraphLoops {
+
+  sealed trait Strategy
+  /** Per-round state broadcasts; edges never shuffle. Default. */
+  case object Broadcast extends Strategy
+  /** Edges hash-pinned once; state shuffles to meet them each round. */
+  case object CoPartitioned extends Strategy
+
+  /** Materialize the edge list once for the whole loop. CoPartitioned
+    * pre-hash-partitions on `key` first so the pinned RDD's
+    * HashPartitioning satisfies every later state join's
+    * ClusteredDistribution outright — no per-round edge exchange.
+    */
+  def pinEdges(edges: DataFrame, key: String, strategy: Strategy): DataFrame =
+    strategy match {
+      case Broadcast => edges.localCheckpoint()
+      case CoPartitioned =>
+        val s = edges.sparkSession
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // the pin itself must plan WITHOUT AQE: under an adaptive plan
+        // the checkpointed LogicalRDD records UnknownPartitioning and
+        // every later join re-shuffles the edges — exactly what this
+        // tier exists to avoid. Planned statically, the RDD carries
+        // HashPartitioning(key, n) through the checkpoint, so
+        // EnsureRequirements finds the edge side already satisfying
+        // the join's distribution. Downstream rounds still plan with
+        // whatever AQE setting the session has.
+        val aqe = "spark.sql.adaptive.enabled"
+        val old = s.conf.get(aqe)
+        s.conf.set(aqe, "false")
+        try edges.repartition(n, col(key)).localCheckpoint()
+        finally s.conf.set(aqe, old)
+    }
+
+  /** Inner-join O(nodes) `state` onto pinned `edges` without moving the
+    * edges: broadcast hint or shuffle-hash build side per strategy.
+    */
+  def stateJoin(edges: DataFrame, state: DataFrame, cond: Column,
+                strategy: Strategy): DataFrame =
+    strategy match {
+      case Broadcast => edges.join(broadcast(state), cond)
+      case CoPartitioned => edges.join(state.hint("shuffle_hash"), cond)
+    }
+
+  /** Anti-join two node-sized relations (both O(nodes) — the hint just
+    * keeps the build side off the driver in CoPartitioned mode).
+    */
+  private def minus(left: DataFrame, right: DataFrame,
+                    strategy: Strategy): DataFrame =
+    strategy match {
+      case Broadcast => left.join(broadcast(right), Seq("node"), "left_anti")
+      case CoPartitioned =>
+        left.join(right.hint("shuffle_hash"), Seq("node"), "left_anti")
+    }
+
+  /** One BFS/Bellman-Ford round as a standalone DataFrame, for plan
+    * pins: join a state vector onto a pinned edge list. Exposed so
+    * GraphLoopsSpec can assert the CoPartitioned step has no exchange
+    * above the edge scan.
+    */
+  def stepPlanProbe(edges: DataFrame, state: DataFrame,
+                    strategy: Strategy): DataFrame =
+    stateJoin(edges, state, col("node") === col("a"), strategy)
+      .groupBy(col("b").as("node")).agg(count(lit(1)).as("n"))
+
+  /** BFS hop counts from `source` over directed `(a, b)` edges,
+    * `rounds` frontier expansions. Per round: one state join against
+    * the pinned edges + distinct + anti-join vs visited, frontier
+    * lineage cut. Returns `(node BIGINT, hop INT)`.
+    */
+  def bfsHops(edges: DataFrame, source: Long, rounds: Int,
+              strategy: Strategy = Broadcast): DataFrame = {
+    val s = edges.sparkSession
+    val ed = pinEdges(edges, "a", strategy)
+    var visited = s.range(1)
+      .select(lit(source).cast("long").as("node"), lit(0).as("hop"))
+    var frontier = visited.select("node")
+    (1 to rounds).foreach { h =>
+      val next = minus(
+        stateJoin(ed, frontier, col("node") === col("a"), strategy)
+          .select(col("b").as("node")).distinct(),
+        visited, strategy).localCheckpoint()
+      visited = visited.unionByName(next.withColumn("hop", lit(h)))
+      frontier = next
+    }
+    visited
+  }
+
+  /** Single-source weighted shortest distance (<= `rounds` edges) over
+    * directed `(a, b, w)` edges — Bellman-Ford as `rounds` relaxation
+    * rounds. Per round: one state join + partial-aggregated MIN
+    * groupBy; all-integer so hash-exact. Returns `(node, dist)`.
+    */
+  def bellmanFord(edges: DataFrame, source: Long, rounds: Int,
+                  strategy: Strategy = Broadcast): DataFrame = {
+    val s = edges.sparkSession
+    val ed = pinEdges(edges, "a", strategy)
+    var dist = s.range(1)
+      .select(lit(source).cast("long").as("node"), lit(0L).as("dist"))
+    (1 to rounds).foreach { _ =>
+      dist = dist.unionAll(
+          stateJoin(ed, dist, col("node") === col("a"), strategy)
+            .select(col("b").as("node"), (col("dist") + col("w")).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+}

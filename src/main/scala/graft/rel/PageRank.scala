@@ -29,19 +29,25 @@ object PageRank {
   /** One sweep over `(u, v, d)` edges (d = u's degree): every node's
     * new rank is `0.15*UNIT + 0.85 * sum(r_u div d_u)`.
     *
-    * The rank vector BROADCASTS explicitly: it is O(nodes) — orders of
-    * magnitude below the edge list — and without the hint both sides
-    * of the node-keyed join get exchanges materialized before AQE can
-    * downgrade to broadcast, so every iteration would re-shuffle the
-    * whole edge list (measured: 2/3 of pagerank wall time at sf0.1).
-    * The edges therefore never move after the one degree join at
-    * build; each round is a map-side hash probe + partial-aggregated
-    * groupBy. At vertex counts past driver memory, swap the hint for
-    * pre-hash-partitioned edges and a co-partitioned join — same
-    * algorithm, same bits.
+    * In [[GraphLoops.Broadcast]] mode the rank vector BROADCASTS
+    * explicitly: it is O(nodes) — orders of magnitude below the edge
+    * list — and without the hint both sides of the node-keyed join get
+    * exchanges materialized before AQE can downgrade to broadcast, so
+    * every iteration would re-shuffle the whole edge list (measured:
+    * 2/3 of pagerank wall time at sf0.1). The edges therefore never
+    * move after the one degree join at build; each round is a map-side
+    * hash probe + partial-aggregated groupBy.
+    *
+    * In [[GraphLoops.CoPartitioned]] mode — the tier for vertex sets
+    * past broadcast limits — the edges were hash-pinned on `u` at
+    * build and the rank vector alone shuffles to meet them
+    * (shuffle-hash build side). Same algorithm, same integer bits;
+    * GraphLoopsSpec pins hash-equality of the two tiers and the
+    * absence of any per-round edge exchange.
     */
-  private def step(undDeg: DataFrame, pr: DataFrame): DataFrame =
-    undDeg.join(broadcast(pr), undDeg("u") === pr("node"))
+  private def step(undDeg: DataFrame, pr: DataFrame,
+                   strategy: GraphLoops.Strategy): DataFrame =
+    GraphLoops.stateJoin(undDeg, pr, undDeg("u") === pr("node"), strategy)
       .select(undDeg("v"), expr("r div d").as("contrib"))
       .groupBy(col("v").as("node"))
       .agg(expr("150000000000 + (85 * sum(contrib)) div 100").as("r"))
@@ -50,10 +56,12 @@ object PageRank {
     * is identical to running the full `maxIter` iterations whenever
     * the fixed point was reached — which is exactly when we stop.
     */
-  def run(und: DataFrame, maxIter: Int, checkEvery: Int = 5): (DataFrame, Int) = {
+  def run(und: DataFrame, maxIter: Int, checkEvery: Int = 5,
+          strategy: GraphLoops.Strategy = GraphLoops.Broadcast): (DataFrame, Int) = {
     val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-    val undDeg = und.join(deg, und("u") === deg("node"))
-      .select(col("u"), col("v"), col("d")).localCheckpoint()
+    val undDeg = GraphLoops.pinEdges(
+      und.join(deg, und("u") === deg("node"))
+        .select(col("u"), col("v"), col("d")), "u", strategy)
     var pr = deg.select(col("node"), lit(Unit_).as("r")).localCheckpoint()
     var it = 0
     var converged = false
@@ -64,7 +72,7 @@ object PageRank {
     // whole-plan recomputation on executor loss start winning.
     while (it < maxIter && !converged) {
       it += 1
-      val next = step(undDeg, pr)
+      val next = step(undDeg, pr, strategy)
       if (it % checkEvery != 0 && it != maxIter) pr = next
       else {
         val pinned = next.localCheckpoint()
@@ -74,9 +82,9 @@ object PageRank {
           // means exact fixed point (stop — later iterations are
           // no-ops by induction); changed means the probe IS the
           // next iteration, computed once from pinned lineage
-          val probe = step(undDeg, pinned).localCheckpoint()
-          val changed = probe.as("a")
-            .join(broadcast(pinned.as("b")), col("a.node") === col("b.node"))
+          val probe = step(undDeg, pinned, strategy).localCheckpoint()
+          val changed = GraphLoops.stateJoin(probe.as("a"), pinned.as("b"),
+              col("a.node") === col("b.node"), strategy)
             .where(col("a.r") =!= col("b.r"))
             .limit(1).count() > 0
           if (!changed) { converged = true; pr = pinned }
