@@ -363,24 +363,76 @@ object SnapshotStore {
     df.select((core ++ extras).map(col): _*)
   }
 
+  private def clonesDir(base: String) = new Path(s"$base/_versions/_clones")
+
+  /** Data dirs pinned by registered shallow clones of this store —
+    * the union of every `_versions/_clones/<id>.clone` marker's dir
+    * list, path-normalized like vacuum's reference set.
+    */
+  private[sources] def registeredCloneRefs(spark: SparkSession, base: String): Set[String] = {
+    val f = fs(spark, base)
+    val dir = clonesDir(base)
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).filter(_.getPath.getName.endsWith(".clone"))
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        txt.linesIterator.drop(1).filter(_.nonEmpty) // line 1 = clone base
+      }.map(d => new Path(d).toUri.getPath).toSet
+  }
+
   /** SHALLOW CLONE: start a new store at `cloneBase` whose v1 manifest
     * points at the SOURCE's current data dirs — zero rows copied, so a
     * clone of a 100 TB store costs one manifest write. The clone then
     * evolves independently: its own commits write under its own base,
     * never rewriting shared dirs (dirs are immutable), and vacuuming
-    * the clone sweeps only the clone's data root. The one lifecycle
-    * hazard is the same one Delta shallow clones carry: vacuuming the
-    * SOURCE can delete dirs a clone still references — retain or
-    * deep-copy before vacuuming a cloned-from store.
+    * the clone sweeps only the clone's data root.
+    *
+    * The lifecycle hazard Delta shallow clones carry — vacuuming the
+    * SOURCE deletes dirs a clone still references — is closed here
+    * because we own both stores' metadata: the clone registers the
+    * dirs it borrows in the source's `_versions/_clones/` BEFORE its
+    * manifest publishes (crash between the two steps leaves only a
+    * harmless over-retaining marker), and the source's `vacuum`
+    * excludes registered dirs unless called with `force = true`.
+    * `dropCloneRegistration` releases the pin when a clone is retired.
     */
   def shallowClone(spark: SparkSession, base: String, cloneBase: String): Int = {
     val v = currentVersion(spark, base)
     require(v > 0, s"cannot clone empty store $base")
     require(currentVersion(spark, cloneBase) == 0, s"clone target $cloneBase not empty")
+    val m = readManifest(spark, base, v)
+    val f = fs(spark, base)
+    f.mkdirs(clonesDir(base))
+    val marker = new Path(clonesDir(base),
+      s"${java.util.UUID.randomUUID.toString.take(8)}.clone")
+    val out = f.create(marker, true)
+    try out.write((cloneBase +: m.values.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     // no data is written for a clone; the attempt dir exists only so a
     // lost publish race has something well-defined (and empty) to sweep
-    publish(spark, cloneBase, 1, readManifest(spark, base, v), attemptDir(cloneBase, 1))
+    try publish(spark, cloneBase, 1, m, attemptDir(cloneBase, 1))
+    catch { case e: Throwable => f.delete(marker, false); throw e }
     1
+  }
+
+  /** Release a clone's pin on the source's data dirs (call when the
+    * clone at `cloneBase` is deep-copied or deleted). Returns the
+    * number of markers removed.
+    */
+  def dropCloneRegistration(spark: SparkSession, base: String, cloneBase: String): Int = {
+    val f = fs(spark, base)
+    val dir = clonesDir(base)
+    if (!f.exists(dir)) return 0
+    val mine = f.listStatus(dir).filter(_.getPath.getName.endsWith(".clone"))
+      .filter { st =>
+        val in = f.open(st.getPath)
+        val first = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().nextOption().getOrElse("") finally in.close()
+        first == cloneBase
+      }
+    mine.foreach(st => f.delete(st.getPath, false))
+    mine.length
   }
 
   /** RESTORE (Delta's `RESTORE TABLE ... VERSION AS OF` analog): make
@@ -421,8 +473,14 @@ object SnapshotStore {
     * left empty (including orphans from lost commit races) are
     * removed. After vacuum, `readVersion` of a dropped version fails
     * loudly with the usual missing-version error.
+    *
+    * Dirs pinned by REGISTERED shallow clones (see [[shallowClone]])
+    * are excluded from the sweep unless `force = true` — a routine
+    * source vacuum can no longer silently corrupt a clone; forcing is
+    * the explicit "I know the clones are dead" override.
     */
-  def vacuum(spark: SparkSession, base: String, keepVersions: Int): Unit = {
+  def vacuum(spark: SparkSession, base: String, keepVersions: Int,
+      force: Boolean = false): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val f = fs(spark, base)
     val cur = currentVersion(spark, base)
@@ -432,7 +490,8 @@ object SnapshotStore {
     // normalize through Path so string-level slash quirks in `base`
     // can't make a referenced dir look unreferenced (and get deleted)
     val referenced = kept.flatMap(v => readManifest(spark, base, v).values)
-      .map(d => new Path(d).toUri.getPath).toSet
+      .map(d => new Path(d).toUri.getPath).toSet ++
+      (if (force) Set.empty else registeredCloneRefs(spark, base))
     (1 until cutoff).foreach(v => f.delete(manifestPath(base, v), false))
     val dataRoot = new Path(s"$base/data")
     if (!f.exists(dataRoot)) return

@@ -27,6 +27,22 @@ object TickApi {
 
   private val mapper = new ObjectMapper()
 
+  /** Default row cap for [[query]] renders. Grouped queries are
+    * naturally bounded by their bucket count, but a RAW-level range
+    * query returns one row per stored point — unbounded in the range
+    * width — so the render path needs an explicit ceiling to keep a
+    * single HTTP request from exhausting the driver. 100k rows of
+    * `{"Timestamp": ..., "Value": {...}}` is single-digit MB of JSON.
+    */
+  val DefaultMaxRows: Int = 100000
+
+  /** Thrown when a query's result exceeds the render cap; the HTTP
+    * layer maps it to 413 Payload Too Large.
+    */
+  final class ResultTooLargeException(val cap: Int)
+    extends RuntimeException(
+      s"query result exceeds the $cap-row render cap; narrow the time range")
+
   /** GET / (reference `handlers.go:15-21`). */
   def serverInfo: String =
     """{"tickdbspark": "Welcome", "version": "0.1.0"}"""
@@ -89,30 +105,53 @@ object TickApi {
 
   /** POST /{db}/_query (A8) — returns the reference's `[]Point` JSON:
     * `[{"Timestamp": <bucket ns>, "Value": {field: reduced}}]`.
+    *
+    * Driver memory is BOUNDED: rows stream through `toLocalIterator`
+    * (one partition resident at a time, order preserved — the query
+    * result is sorted) straight into a Jackson streaming generator, so
+    * neither the full Row array nor a full JSON tree ever
+    * materializes; peak footprint is one partition + the rendered
+    * string. A result past `maxRows` throws [[ResultTooLargeException]]
+    * (HTTP 413) instead of exhausting the driver — the reference
+    * materializes unboundedly here (`handlers.go` marshals the whole
+    * `[]Point`), which is the one behavior of its daemon NOT worth
+    * wire parity at scale.
     */
-  def query(spark: SparkSession, store: TickStore, db: String, json: String): String = {
+  def query(spark: SparkSession, store: TickStore, db: String, json: String,
+      maxRows: Int = DefaultMaxRows): String = {
     val q = TickQuery.fromJson(json)
     val df = store.query(spark, db, q)
     // column 0 is the bucket (grouped) or point ts (raw); requested
     // fields follow in declaration order in both shapes
-    val arr = mapper.createArrayNode()
     // raw queries append the exact ns key as a trailing ts_ns column —
     // use it, or two ns-distinct points would render the same µs key
     val tsNsIdx = df.columns.indexOf("ts_ns")
-    df.collect().foreach { row =>
-      val node = arr.addObject()
+    val sw = new java.io.StringWriter()
+    val gen = mapper.getFactory.createGenerator(sw)
+    gen.writeStartArray()
+    val it = df.toLocalIterator()
+    var n = 0
+    while (it.hasNext) {
+      if (n >= maxRows) { gen.close(); throw new ResultTooLargeException(maxRows) }
+      val row = it.next()
       val ns =
         if (tsNsIdx >= 0) row.getLong(tsNsIdx)
         else TickQuery.instantNs(row.getTimestamp(0).toInstant)
-      node.put("Timestamp", ns)
-      val vals = node.putObject("Value")
+      gen.writeStartObject()
+      gen.writeNumberField("Timestamp", ns)
+      gen.writeObjectFieldStart("Value")
       q.fields.zipWithIndex.foreach { case ((f, _), i) =>
         val v = row.get(i + 1)
         // legacy zero-fill for absent fields (cursor.go:281-283)
-        vals.put(f, if (v == null) 0.0 else toDouble(v))
+        gen.writeNumberField(f, if (v == null) 0.0 else toDouble(v))
       }
+      gen.writeEndObject()
+      gen.writeEndObject()
+      n += 1
     }
-    mapper.writeValueAsString(arr)
+    gen.writeEndArray()
+    gen.close()
+    sw.toString
   }
 
   /** GET /{db}/{index}/{time} (A7) — the point's value map, or None

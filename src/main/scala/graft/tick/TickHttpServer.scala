@@ -36,7 +36,8 @@ import org.apache.spark.sql.SparkSession
   *    Error` (`handlers.go:141-164`); unparseable from/to times render
   *    500 `Time 'from' Error` / `Time 'to' Error` (`handlers.go:146,153`).
   */
-final class TickHttpServer(spark: SparkSession, store: TickStore, port: Int = 0) {
+final class TickHttpServer(spark: SparkSession, store: TickStore, port: Int = 0,
+    maxQueryRows: Int = TickApi.DefaultMaxRows) {
 
   private val mapper = new ObjectMapper()
 
@@ -59,7 +60,7 @@ final class TickHttpServer(spark: SparkSession, store: TickStore, port: Int = 0)
       TickApi.dropDb(spark, store, p(0)); respond(ex, 201, "")
     }),
     Route("POST", s"^/$db/_query$$".r, (p, ex) =>
-      respond(ex, 200, TickApi.query(spark, store, p(0), body(ex)))),
+      respond(ex, 200, TickApi.query(spark, store, p(0), body(ex), maxQueryRows))),
     Route("POST", s"^/$db/?$$".r, (p, ex) => {
       // the reference ignores json.Unmarshal errors (handlers.go:68):
       // a malformed / non-array body leaves the data slice nil,
@@ -142,6 +143,10 @@ final class TickHttpServer(spark: SparkSession, store: TickStore, port: Int = 0)
         case Some((route, groups)) =>
           try route.handler(groups, ex)
           catch {
+            // over-cap raw range queries: 413, not a driver OOM (the
+            // one deliberate departure from reference wire behavior)
+            case e: TickApi.ResultTooLargeException =>
+              error(ex, 413, "result_too_large", String.valueOf(e.getMessage))
             case e: Throwable =>
               error(ex, 500, "Server Error", String.valueOf(e.getMessage))
           }

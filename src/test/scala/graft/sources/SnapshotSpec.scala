@@ -394,6 +394,49 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("source vacuum spares dirs a registered clone references; force overrides") {
+    val base = freshBase()
+    val cb = freshBase()
+    // v1 writes p1+p2; v2 rewrites p1 — so after vacuum(keep=1) only
+    // v2's dirs are manifest-referenced, but the clone (taken at v1)
+    // still needs v1's p1 dir
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 1L), ("b", "p2", 0L, 2L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.shallowClone(spark, base, cb)
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 1L, 10L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.vacuum(spark, base, keepVersions = 1)
+    // the clone still reads IN FULL — including the dir only it pins
+    val cloneRows = SnapshotStore.readVersion(spark, cb, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toSet
+    assert(cloneRows == Set("a" -> 1L, "b" -> 2L),
+      s"source vacuum corrupted the clone: $cloneRows")
+    // and the source itself is unaffected
+    val srcRows = SnapshotStore.readVersion(spark, base, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toSet
+    assert(srcRows == Set("a" -> 10L, "b" -> 2L), srcRows.toString)
+    // releasing the registration (clone retired) lets a vacuum reclaim
+    assert(SnapshotStore.dropCloneRegistration(spark, base, cb) == 1)
+    SnapshotStore.vacuum(spark, base, keepVersions = 1)
+    intercept[Exception] { // the pinned dir is gone now
+      SnapshotStore.readVersion(spark, cb, 1).collect()
+    }
+  }
+
+  test("forced vacuum ignores clone registrations") {
+    val base = freshBase()
+    val cb = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 1L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.shallowClone(spark, base, cb)
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 1L, 2L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.vacuum(spark, base, keepVersions = 1, force = true)
+    intercept[Exception] {
+      SnapshotStore.readVersion(spark, cb, 1).collect()
+    }
+  }
+
   test("reading a nonexistent version fails loudly") {
     val base = freshBase()
     intercept[IllegalArgumentException] {

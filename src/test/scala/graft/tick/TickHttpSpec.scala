@@ -96,6 +96,50 @@ class TickHttpSpec extends SparkSpec {
     assert(nhStatus == 400 && nhBody.contains("no_handler"))
   }
 
+  test("raw range queries past the render cap return 413, within it stream fine") {
+    // a second server with a tiny cap, so the test doesn't need 100k rows
+    val cappedStoreRoot = s"${sys.props("java.io.tmpdir")}/graft_test_http_cap"
+    val cp = new org.apache.hadoop.fs.Path(cappedStoreRoot)
+    cp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cp, true)
+    val cappedStore = new TickStore(cappedStoreRoot)
+    val capped = new TickHttpServer(spark, cappedStore, port = 0, maxQueryRows = 5)
+    val cport = capped.start()
+    try {
+      def chttp(method: String, path: String, body: Option[String]): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$cport$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        body.foreach { b =>
+          conn.setDoOutput(true); conn.getOutputStream.write(b.getBytes("UTF-8"))
+        }
+        val status = conn.getResponseCode
+        val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+        val text = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (status, text)
+      }
+      assert(chttp("PUT", "/capdb", None)._1 == 201)
+      val points = (0 until 20).map(i =>
+        f"""{"index":"i1", "time":"2016-08-28T21:${24 + i / 60}%02d:${i % 60}%02dZ", "value":{"v": $i.0}}""")
+      assert(chttp("POST", "/capdb", Some(points.mkString("[", ",", "]")))._1 == 200)
+      // raw-level (no group) over the whole range: 20 rows > cap 5 -> 413
+      val (bigStatus, bigBody) = chttp("POST", "/capdb/_query", Some(
+        """{"index": "i1",
+          |"from":"2016-08-28T00:00:00Z", "to":"2016-08-29T00:00:00Z",
+          |"fields":{"v": {"reducer":"avg"}}}""".stripMargin))
+      assert(bigStatus == 413, s"expected 413, got $bigStatus: $bigBody")
+      assert(bigBody.contains("result_too_large"), bigBody)
+      // a narrowed range under the cap streams normally
+      val (okStatus, okBody) = chttp("POST", "/capdb/_query", Some(
+        """{"index": "i1",
+          |"from":"2016-08-28T21:24:00Z", "to":"2016-08-28T21:24:05Z",
+          |"fields":{"v": {"reducer":"avg"}}}""".stripMargin))
+      assert(okStatus == 200, s"$okStatus: $okBody")
+      assert(okBody.startsWith("""[{"Timestamp":"""), okBody)
+      assert("\"Timestamp\"".r.findAllIn(okBody).length == 5, okBody)
+    } finally capped.stop()
+  }
+
   test("malformed bodies follow the reference's ignore-unmarshal-errors paths") {
     assert(http("PUT", "/paritydb")._1 == 201)
 
