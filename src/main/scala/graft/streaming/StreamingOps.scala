@@ -131,6 +131,64 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** STREAMED ingest into the VERSIONED store — the reference's actual
+    * ingest mode (A6, `handlers.go:57-77`) under the snapshot model:
+    * every micro-batch lands as a [[graft.tick.TickVersioned]] commit,
+    * so each batch is a queryable, time-travelable snapshot the moment
+    * it drains (the combination the batch-commit and streamed-rollup
+    * gates each prove half of). The 'error' series is staged as FOUR
+    * parquet files and the file stream takes one per trigger, so the
+    * AvailableNow drain produces exactly four versions. `_done`-marker
+    * cached per sf dir (bench laps time the as-of read, not the
+    * build); the checkpoint makes a crashed build rebuild from
+    * scratch rather than double-commit.
+    *
+    * Returns (store base, version count after the drain).
+    */
+  def versionedIngestOnce(spark: SparkSession, dir: String): (String, Int) = synchronized {
+    import graft.tick.TickVersioned
+    val root = s"${sys.props("java.io.tmpdir")}/graft_vstream_v1_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(root, "_done")
+    val base = s"$root/store"
+    if (!fs.exists(done)) {
+      fs.delete(rootPath, true)
+      val srcDir = s"$root/incoming"
+      graft.Tables.events(spark, dir).where(col("event_type") === "error")
+        .select("event_id", "ts_ns", "value")
+        .repartition(4) // four files -> four micro-batches
+        .write.parquet(srcDir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part-*")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/_chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            // key = error|ts_ns|event_id (unique per event, so the
+            // final state is exactly the raw series — no same-µs LWW
+            // collapse for the oracle to disagree about)
+            TickVersioned.commit(batch.sparkSession, base, batch.select(
+              lit("error").as("index"),
+              col("ts_ns"),
+              col("event_id").cast("string").as("field"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("vc"),
+              col("event_id").as("seq")))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      fs.create(done, true).close()
+    }
+    (base, TickVersioned.currentVersion(spark, base))
+  }
+
   /** Watermarked append-mode aggregation (for the unit suite): with a
     * `delay` watermark, only windows older than max(event time) - delay
     * are finalized and emitted — late rows beyond the watermark are

@@ -84,6 +84,30 @@ object StreamingQueries {
       StreamingOps.sessionWindowAggOnce(s, d).orderBy("user_id", "session_start")
     },
 
+    // streamed ingest into the VERSIONED store: foreachBatch ->
+    // TickVersioned.commit, one snapshot per micro-batch (4 staged
+    // files -> 4 versions), then an as-of read at the post-drain head
+    // must equal the raw series — the reference's ingest mode (A6)
+    // under the snapshot model, end-to-end inside the gate. The
+    // version count rides along as a column so a drain that collapsed
+    // or duplicated batches fails the hash, not just a unit pin.
+    "streaming_versioned_ingest" -> QueryDef(
+      """SELECT epoch_us(ts) AS us, CAST(event_id AS BIGINT) AS field_id,
+        |  CAST(round("value" * 100) AS BIGINT) AS vc,
+        |  strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(4 AS BIGINT) AS n_versions
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY us, field_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val (base, nv) = StreamingOps.versionedIngestOnce(s, d)
+      graft.tick.TickVersioned.readAsOf(s, base, nv)
+        .select(expr("ts_ns div 1000").as("us"),
+          col("field").cast("long").as("field_id"),
+          col("vc"), col("day"))
+        .withColumn("n_versions", lit(nv.toLong))
+        .orderBy("us", "field_id")
+    },
+
     // stream-stream interval join == batch interval join (watermark set
     // beyond the data's span, so no rows are late-dropped)
     "streaming_join" -> QueryDef(

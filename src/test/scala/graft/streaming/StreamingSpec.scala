@@ -92,6 +92,21 @@ class StreamingSpec extends SparkSpec {
     assert(routed.length == 3)
   }
 
+  test("versioned streamed ingest: every micro-batch is a queryable snapshot") {
+    val (base, nv) = StreamingOps.versionedIngestOnce(spark, sf0001)
+    assert(nv == 4, s"4 staged files must drain as 4 commits, got $nv")
+    // every intermediate version reads back, counts strictly grow
+    // (keys are unique per event, so each batch only adds rows), and
+    // the head equals the raw series
+    val counts = (1 to nv).map(v =>
+      graft.tick.TickVersioned.readAsOf(spark, base, v).count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => a < b },
+      s"snapshot counts must be strictly increasing: $counts")
+    val raw = graft.Tables.events(spark, sf0001)
+      .where(col("event_type") === "error").count()
+    assert(counts.last == raw, s"head snapshot ${counts.last} != raw $raw")
+  }
+
   test("watermarked append-mode agg withholds windows newer than the watermark") {
     val emitted = StreamingOps.watermarkedCounts(spark, sf0001, "1 day")
     val batchDays = graft.Tables.events(spark, sf0001)
