@@ -47,9 +47,13 @@ object RankStats {
   /** Monotone bucket id in [0, K): fp subtract/divide/multiply by a
     * positive constant and floor are all order-preserving, so bucket
     * assignment can never invert value order even with rounding.
+    * The degenerate-span guard compares the CASTED doubles — the same
+    * values the arithmetic divides — so an integral span that
+    * collapses to 0.0 under the double cast (distinct BIGINTs beyond
+    * 2^53) hits the guard instead of producing NaN bucket ids.
     */
   private def bucketOf(v: Column, mn: Column, mx: Column): Column =
-    when(mx === mn, lit(0))
+    when(mx.cast("double") === mn.cast("double"), lit(0))
       .otherwise(least(lit(K - 1),
         floor((v.cast("double") - mn.cast("double")) /
           (mx.cast("double") - mn.cast("double")) * K).cast("int")))
@@ -58,11 +62,16 @@ object RankStats {
     * interpolated percentile of `v` at the paired fraction, as
     * DOUBLE. `df` must expose columns `g` (any type) and `v`
     * (numeric); the group column keeps its name in the output. NULL
-    * values of `v` are ignored (quantile_cont semantics).
+    * values of `v` are ignored (quantile_cont semantics). A NULL
+    * group key is a group like any other (quantile_cont GROUP BY
+    * semantics): the key travels wrapped in a one-field struct, so
+    * the internal equi-joins compare it null-safely and the NULL
+    * group's row survives to the output.
     */
   def percentiles(df: DataFrame, g: String, v: String,
                   ps: Seq[(Double, String)]): DataFrame = {
-    val in = df.select(col(g).as("g"), col(v).as("v")).where(col("v").isNotNull)
+    val in = df.select(struct(col(g).as("k")).as("g"), col(v).as("v"))
+      .where(col("v").isNotNull)
 
     // phase 1: group envelope. localCheckpoint pins the TINY result
     // (one row per group — not the data, unlike the r5 design) so the
@@ -136,6 +145,6 @@ object RankStats {
         ps.tail.map { case (_, name) =>
           max(when(col("pname") === name, col("pv"))).as(name)
         }: _*)
-      .withColumnRenamed("g", g)
+      .select(col("g.k").as(g) +: ps.map(p => col(p._2)): _*)
   }
 }

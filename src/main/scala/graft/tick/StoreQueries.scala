@@ -225,6 +225,13 @@ object StoreQueries {
     // series (the reference's copy-on-write log never reclaims dead
     // chunks — SURVEY §4.2 — this is the Spark-side answer). File
     // counts are pinned in TickStoreSpec; content is pinned here.
+    // ASSUMPTION this comparison rests on: no two 'error' events share
+    // a microsecond. Ingest is last-write-wins per (index, ts_ns) and
+    // the testdata's ts_ns is µs-granular, so a regenerated testdata
+    // with a same-µs collision would make the store collapse two rows
+    // the DuckDB oracle keeps — a failure here after a testdata
+    // refresh means KEY COLLISION, not a compaction bug (check
+    // `SELECT ts, count(*) ... GROUP BY ts HAVING count(*) > 1` first).
     "store_compact_roundtrip" -> QueryDef(
       """SELECT ts, "value" AS v FROM events
         |WHERE event_type = 'error' ORDER BY ts""".stripMargin) { (spark, dir) =>
