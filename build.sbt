@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sf0.1-scale invariance pins (SlowScaleSpec) are excluded from the
+// default `sbt test` lap; run them with
+//   GRAFT_SLOW=1 sbt "testOnly graft.SlowScaleSpec"
+// (the env var lifts the tag exclusion — sbt applies testOptions to
+// testOnly as well, so a plain "-n Slow" would be cancelled by "-l")
+Test / testOptions ++= (
+  if (sys.env.contains("GRAFT_SLOW")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "Slow")))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

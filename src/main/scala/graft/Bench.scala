@@ -24,6 +24,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // store-building entries split fixture construction from the
+    // measured query: setups run (and are timed) ONCE here, so both
+    // laps below time query plans — a regression in a store read can
+    // no longer hide inside rebuild noise, and vice versa
+    val setups = SparkEntry.benchSetups.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir) catch { case e: Throwable =>
+        System.err.println(s"[bench] setup $name failed: ${e.getMessage}")
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
     // noop sink: forces evaluation of EVERY output column (a bare
     // count() lets the optimizer prune projection-only work away and
     // times a fiction)
@@ -56,8 +67,9 @@ object Bench {
     val minLap = results.map { case (k, v) => k -> math.min(v, coldMap.getOrElse(k, v)) }
     val minTotal = if (minLap.nonEmpty) minLap.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val setupTotal = if (setups.nonEmpty) setups.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":$failedJson,"sf":"$sfDir","lap1_total":$coldTotal,"lap1_queries":${json(cold)},"min_total":$minTotal,"min_queries":${json(minLap)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":$failedJson,"sf":"$sfDir","lap1_total":$coldTotal,"lap1_queries":${json(cold)},"min_total":$minTotal,"min_queries":${json(minLap)},"setup_total":$setupTotal,"setup_sec":${json(setups)}}"""
     // stop FIRST so the JSON is this process's final stdout line (a
     // launcher that reads the tail shouldn't trip over shutdown noise),
     // and drop a file copy as a parse-proof fallback

@@ -32,4 +32,14 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allDefs.collect { case (name, QueryDef(_, Some(sql))) => name -> sql }
+
+  /** Idempotent fixture builders for the store-building bench entries
+    * (cached stores, bucketed tables, streamed drains). Bench runs and
+    * times these BEFORE the laps, so lap times measure query plans,
+    * not fixture construction; correctness never depends on them (the
+    * query defs invoke the same cached builders themselves).
+    */
+  def benchSetups: Map[String, (SparkSession, String) => Unit] =
+    tick.StoreQueries.benchSetups ++ rel.RelQueries.benchSetups ++
+      streaming.StreamingQueries.benchSetups
 }

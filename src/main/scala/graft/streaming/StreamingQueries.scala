@@ -7,6 +7,14 @@ import graft.QueryDef
   * oracle computes.
   */
 object StreamingQueries {
+
+  /** See [[graft.tick.StoreQueries.benchSetups]]: the staged-file
+    * stream drain is a one-off build; the lap measures the as-of read.
+    */
+  private[graft] val benchSetups
+      : Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
+    "streaming_versioned_ingest" -> ((s, d) => { StreamingOps.versionedIngestOnce(s, d); () }))
+
   val defs: Map[String, QueryDef] = Map(
     // gap-based sessionization (30 min), batch twin of the stateful
     // streaming operator — oracle-checked

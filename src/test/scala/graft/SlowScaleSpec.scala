@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+
+import graft.functions.CountMin
+import graft.rel.RelQueries
+import graft.text.{Dedup, TextFunctions}
+
+/** sf0.1 evidence for the rows-only (sketch/LSH/approx) queries. */
+object Slow extends Tag("Slow")
+
+/** The 11 rows-only queries' correctness rests on invariance pins, not
+  * on the DuckDB oracle — so those pins should scale with the data the
+  * way the oracle queries' evidence does. This suite re-runs the error
+  * /recall pins at sf0.1, the same corpus the bench reads. Excluded
+  * from the default test lap (see build.sbt); run with
+  *   sbt "testOnly graft.SlowScaleSpec -- -n Slow"
+  */
+class SlowScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  test("count-min holds the epsilon*N overcount bound at sf0.1", Slow) {
+    val keys = Tables.lineitem(spark, sf01).select(col("l_partkey").as("k"))
+    val n = keys.count()
+    val sketch = keys.agg(CountMin.sketchCol(col("k"))).head().getSeq[Long](0).toArray
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bound = math.ceil(math.E * n / CountMin.Width).toLong
+    exact.foreach { case (k, c) =>
+      val est = CountMin.estimate(sketch, k)
+      assert(est >= c, s"key $k undercounted: $est < $c")
+      assert(est - c <= bound, s"key $k overcount ${est - c} beyond eN/w ($bound)")
+    }
+  }
+
+  test("HLL profile tracks the exact profile within 3 sigma at sf0.1", Slow) {
+    val approx = SparkEntry.queries("profile_columns_approx")(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = SparkEntry.queries("profile_columns")(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, (nulls, dist)) =>
+      val (aNulls, aDist) = approx(c)
+      assert(aNulls == nulls, s"$c null count is exact arithmetic, must match")
+      // rsd 0.02 requested; allow 3 sigma
+      assert(math.abs(aDist - dist) <= math.max(3, 0.06 * dist),
+        s"$c approx distinct $aDist vs exact $dist beyond 6%")
+    }
+  }
+
+  test("approx percentiles hold the 1% rank-error bound at sf0.1", Slow) {
+    val exact = RelQueries.defs("agg_percentiles").build(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = RelQueries.defs("agg_approx_percentile").build(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val li = Tables.lineitem(spark, sf01)
+    exact.foreach { case (flag, (p50, p90)) =>
+      val (a50, a90) = approx(flag)
+      val vals = li.where(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      def rankOf(v: Double): Double = vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rankOf(a50) - rankOf(p50)) <= 0.01, s"$flag p50: $a50 vs $p50")
+      assert(math.abs(rankOf(a90) - rankOf(p90)) <= 0.01, s"$flag p90: $a90 vs $p90")
+    }
+  }
+
+  test("minhash+LSH recalls planted duplicates on the sf0.1 corpus", Slow) {
+    val docs = Tables.documents(spark, sf01).select(col("doc_id"), col("text"))
+    // plant 100 exact copies and 100 near-copies (two appended tokens)
+    // in disjoint id spaces, like DedupSpec does at sf0.01
+    val plantedExact = docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val plantedNear = docs.where(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zq zq")).as("text"))
+    val all = docs.unionByName(plantedExact).unionByName(plantedNear)
+    val sh = all.select(col("doc_id").as("id"),
+      array_distinct(TextFunctions.shingles(col("text"), 3)).as("shset"))
+    val sigs = sh.select(col("id"), Dedup.minhashSignature(col("shset"), 64).as("sig"))
+    val pairsDf = Dedup.lshCandidatePairs(sigs, "id", "sig", bands = 16)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies agree on every minhash, so every band collides
+    val exactHits = (100L until 200L).count(i => pairs.contains((i, i + 2000000L)))
+    assert(exactHits == 100, s"exact-duplicate recall $exactHits/100")
+    // near copies: a 2-token append on ~100-token docs keeps most
+    // signatures band-collliding; pin a floor well above noise
+    val nearHits = (0L until 100L).count(i => pairs.contains((i, i + 1000000L)))
+    assert(nearHits >= 50, s"near-duplicate hits $nearHits/100")
+    // and the candidate space stays bucketed at 10x the corpus
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair space materialized:\n$plan")
+  }
+
+  test("simhash pair search recalls planted duplicates on the sf0.1 corpus", Slow) {
+    val docs = Tables.documents(spark, sf01).select(col("doc_id"), col("text"))
+    val plantedExact = docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val plantedNear = docs.where(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zq zq")).as("text"))
+    val all = docs.unionByName(plantedExact).unionByName(plantedNear)
+    val sh = all.select(col("doc_id"),
+      Dedup.simhash(TextFunctions.tokens(col("text"))).as("sh"))
+    val pairsDf = Dedup.simhashPairs(sh, "doc_id", "sh", maxHamming = 3)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactHits = (100L until 200L).count(i => pairs.contains((i, i + 2000000L)))
+    assert(exactHits == 100, s"exact-duplicate recall $exactHits/100")
+    val nearHits = (0L until 100L).count(i => pairs.contains((i, i + 1000000L)))
+    assert(nearHits >= 25, s"near-duplicate hits $nearHits/100")
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair space materialized:\n$plan")
+  }
+
+  test("ANN LSH top-k holds its recall floor on sf0.1 embeddings", Slow) {
+    val emb = Tables.embeddings(spark, sf01)
+    val exact = SparkEntry.queries("sim_bruteforce_topk")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("sim_ann_topk")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ANN recall $recall at sf0.1 (${emb.count()} vectors)")
+  }
+}
