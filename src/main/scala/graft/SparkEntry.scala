@@ -41,5 +41,5 @@ object SparkEntry {
     */
   def benchSetups: Map[String, (SparkSession, String) => Unit] =
     tick.StoreQueries.benchSetups ++ rel.RelQueries.benchSetups ++
-      streaming.StreamingQueries.benchSetups
+      streaming.StreamingQueries.benchSetups ++ vec.VecAnalytics.benchSetups
 }
