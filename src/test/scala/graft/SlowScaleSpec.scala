@@ -116,6 +116,52 @@ class SlowScaleSpec extends SparkSpec {
       s"pair space materialized:\n$plan")
   }
 
+  test("events_transitions shuffles stay balanced at sf0.1 WITHOUT AQE skew rescue", Slow) {
+    // the bench queries run with AQE on, which can silently split a
+    // skewed partition — this pin proves the event-analytics key
+    // distribution does NOT depend on that rescue: with AQE off, the
+    // raw hash partitioning must already be balanced, so a 100x hot
+    // key (which AQE skew-join would paper over at sf0.1 and choke on
+    // at scale) cannot be hiding in the green bench numbers
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import scala.collection.concurrent.TrieMap
+    import scala.collection.mutable.ArrayBuffer
+    val perStage = TrieMap.empty[Int, ArrayBuffer[Long]]
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.totalBytesRead > 0)
+          perStage.getOrElseUpdate(t.stageId, ArrayBuffer.empty)
+            .synchronized { perStage(t.stageId) += m.shuffleReadMetrics.totalBytesRead }
+      }
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("events_transitions")(spark, sf01)
+        .write.format("noop").mode("overwrite").save()
+      // listener delivery is async; give the bus a moment to drain
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline && perStage.isEmpty)
+        Thread.sleep(100)
+      Thread.sleep(500)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+    val meaningful = perStage.values.map(_.toSeq).filter(_.sum > (256L << 10))
+    assert(meaningful.nonEmpty, s"no shuffle stage above 256KB observed: " +
+      perStage.map { case (s, v) => s -> v.sum }.toMap)
+    meaningful.foreach { sizes =>
+      val mean = sizes.sum.toDouble / sizes.length
+      val worst = sizes.max / mean
+      assert(worst <= 4.0,
+        f"post-shuffle partition ${sizes.max} bytes is $worst%.1fx the mean " +
+          f"(${mean}%.0f) — a hot key is relying on AQE skew handling")
+    }
+  }
+
   test("ANN LSH top-k holds its recall floor on sf0.1 embeddings", Slow) {
     val emb = Tables.embeddings(spark, sf01)
     val exact = SparkEntry.queries("sim_bruteforce_topk")(spark, sf01)
