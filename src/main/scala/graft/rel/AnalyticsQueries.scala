@@ -1069,6 +1069,34 @@ object AnalyticsQueries {
       GraphLoops.bfsHops(ed, source = 1L, rounds = 3).orderBy("hop", "node")
     },
 
+    // the SAME BFS through the CoPartitioned tier — the plan that
+    // survives node sets past broadcast limits (edge list hash-pinned
+    // once, only O(nodes) state shuffles per round) — under the full
+    // driver gate: same oracle, so the tier's hash-equality is proven
+    // end-to-end at sf0.01, not only in GraphLoopsSpec.
+    "graph_bfs_copart" -> QueryDef(
+      """WITH RECURSIVE eh AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+        |        -CAST(l_suppkey AS BIGINT) AS b
+        |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |ed AS (SELECT a, b FROM eh UNION ALL SELECT b, a FROM eh),
+        |bfs(node, hop) AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+        |  UNION ALL
+        |  SELECT ed.b, MIN(bfs.hop) + 1 FROM bfs JOIN ed ON ed.a = bfs.node
+        |  WHERE bfs.hop < 3 GROUP BY ed.b)
+        |SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node
+        |ORDER BY hop, node""".stripMargin) { (s, d) =>
+      val eh = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("a"),
+          (-col("l_suppkey")).cast("long").as("b"))
+        .distinct()
+      val ed = eh.unionAll(eh.select(col("b").as("a"), col("a").as("b")))
+      GraphLoops.bfsHops(ed, source = 1L, rounds = 3,
+          strategy = GraphLoops.CoPartitioned)
+        .orderBy("hop", "node")
+    },
+
     // single-source WEIGHTED shortest path (<= 4 edges) from customer 1
     // over the same bipartite graph, synthetic symmetric integer
     // weights ((|a|+|b|) % 9 + 1) — Bellman-Ford as 4 relaxation
