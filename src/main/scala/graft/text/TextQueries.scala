@@ -108,6 +108,46 @@ object TextQueries {
         .orderBy("digest")
     },
 
+    // SUBSTRING-level duplicate detection (the Lee et al. 2022
+    // "Deduplicating Training Data" signal at span granularity):
+    // 10-token spans appearing in >= 2 documents, reported per doc as
+    // (total spans, duplicated spans). Doc-level MinHash misses a
+    // boilerplate paragraph pasted into otherwise-distinct documents;
+    // this catches exactly that. Scale shape: one explode + one
+    // span-keyed partial-agg shuffle + one span-keyed join — work is
+    // O(total tokens), never a doc-pair space. Spans travel as strings
+    // here for oracle exactness; the 100 TB variant hashes them
+    // (xxhash64) to 8 bytes before the shuffle, identical topology.
+    // 47 docs share 969 spans in the real sf0.01 corpus, so the
+    // verifier checks live duplicate structure.
+    "dedup_duplicate_spans" -> QueryDef(
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |              FROM documents),
+        |spans AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+9], ' ') AS span
+        |          FROM toks, UNNEST(range(1, len(t)-9+1)) AS u(i)
+        |          WHERE len(t) >= 10),
+        |c AS (SELECT span, COUNT(*) AS nd FROM spans GROUP BY 1)
+        |SELECT s.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |FROM spans s JOIN c USING (span)
+        |GROUP BY 1 HAVING n_dup_spans > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val spans = toks.where(size(col("t")) >= 10)
+        .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("t")) - 9),
+            i => concat_ws(" ", slice(col("t"), i, lit(10))))).as("span"))
+        .distinct()
+      val c = spans.groupBy("span").agg(count(lit(1)).as("nd"))
+      spans.join(c, "span")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .where(col("n_dup_spans") > 0)
+        .orderBy("doc_id")
+    },
+
     // brute-force 3-gram Jaccard near-dup pairs on a bounded subset —
     // the exact verifier the LSH tier delegates to, oracle-checked.
     // Bound 300 (not 100): the corpus's planted near-dup pairs all
