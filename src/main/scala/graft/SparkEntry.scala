@@ -41,5 +41,6 @@ object SparkEntry {
     */
   def benchSetups: Map[String, (SparkSession, String) => Unit] =
     tick.StoreQueries.benchSetups ++ rel.RelQueries.benchSetups ++
-      streaming.StreamingQueries.benchSetups ++ vec.VecAnalytics.benchSetups
+      streaming.StreamingQueries.benchSetups ++ vec.VecAnalytics.benchSetups ++
+      text.TextQueries.benchSetups
 }

@@ -14,7 +14,83 @@ import TextFunctions._
   */
 object TextQueries {
 
+  /** Versioned document store for incremental dedup: v1 = the first
+    * crawl (doc_id < 400), v2 = the next crawl (doc_id >= 400 PLUS 50
+    * "re-crawled" copies of early docs arriving under new ids +10000 —
+    * planted because the synthetic corpus has no exact duplicates, and
+    * the oracle replants the same rule from the raw table). The store
+    * row model carries the text identity as vc = the first-15-hex md5
+    * prefix parsed as BIGINT, the engine-portable digest the hashed-
+    * features query established. Cached per (sf dir, documents
+    * fingerprint) like the tick stores.
+    */
+  private def docStoreBase(s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      val fp = {
+        val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+        val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+        s"${st.getLen}_${st.getModificationTime}"
+      }
+      val base = s"${sys.props("java.io.tmpdir")}/graft_docstore_v1_${fp}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      import graft.sources.SnapshotStore
+      if (SnapshotStore.currentVersion(s, base) < 2) {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val h = expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+        def rows(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("doc_id").cast("string").as("key"), col("lang").as("part"),
+          lit(0L).as("seq"), h.as("vc"))
+        val docs = Tables.documents(s, d)
+        SnapshotStore.commit(s, base, rows(docs.where(col("doc_id") < 400)))
+        SnapshotStore.commit(s, base, rows(
+          docs.where(col("doc_id") >= 400).unionByName(
+            docs.where(col("doc_id") < 50)
+              .withColumn("doc_id", col("doc_id") + 10000L))))
+      }
+      base
+    }
+
+  /** See [[graft.tick.StoreQueries.benchSetups]]. */
+  private[graft] val benchSetups
+      : Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
+    "dedup_incremental" -> ((s, d) => { docStoreBase(s, d); () }))
+
   val defs: Map[String, QueryDef] = Map(
+
+    // INCREMENTAL dedup across store versions — the production shape
+    // of exact dedup at 100 TB: a nightly crawl commits as a snapshot,
+    // and only the CDF INSERT set (the new docs) is checked against
+    // the prior corpus — never a full-corpus self-join. Here: the
+    // v1->v2 change feed yields the 150 new docs, their digests
+    // anti-probe v1's digest set (broadcast — at scale a bloom
+    // pre-filter then a digest-keyed join), and each new doc reports
+    // whether it duplicates the prior corpus. Exercises
+    // SnapshotStore.changes in an actual pipeline role; hash-exact
+    // vs an oracle that replants the same crawl split from raw docs.
+    "dedup_incremental" -> QueryDef(
+      """WITH h AS (SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |       FROM documents),
+        |v1 AS (SELECT h FROM h WHERE doc_id < 400),
+        |newd AS (SELECT doc_id + 10000 AS doc_id, h FROM h WHERE doc_id < 50
+        |         UNION ALL
+        |         SELECT doc_id, h FROM h WHERE doc_id >= 400)
+        |SELECT n.doc_id,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM v1 WHERE v1.h = n.h)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |FROM newd n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = docStoreBase(s, d)
+      val newDocs = SnapshotStore.changes(s, base, 1, 2)
+        .where(col("change_type") === "insert")
+        .select(col("key").cast("long").as("doc_id"), col("vc").as("h"))
+      val prior = SnapshotStore.readVersion(s, base, 1)
+        .select(col("vc").as("h")).distinct()
+        .withColumn("dup", lit(1L))
+      newDocs.join(broadcast(prior), Seq("h"), "left")
+        .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("is_dup"))
+        .orderBy("doc_id")
+    },
 
     // token + BPE-ish subword counting, char stats
     "text_token_stats" -> QueryDef(
