@@ -41,6 +41,7 @@ object SparkEntry {
     */
   def benchSetups: Map[String, (SparkSession, String) => Unit] =
     tick.StoreQueries.benchSetups ++ rel.RelQueries.benchSetups ++
+      rel.AnalyticsQueries.benchSetups ++
       streaming.StreamingQueries.benchSetups ++ vec.VecAnalytics.benchSetups ++
       text.TextQueries.benchSetups
 }

@@ -103,7 +103,160 @@ object AnalyticsQueries {
           .withColumn("quality", col("vc") % 100)))
   }
 
+  /** Four-version customer-dimension store for store_scd2 — the classic
+    * slowly-changing-dimension ingest timeline, synthesized
+    * deterministically from `customer`: v1 full load, v2 moves the
+    * custkey%10==0 segment, v3 moves custkey%20==5 AND inserts 20 new
+    * keys, v4 deletes custkey%50==7 by predicate. The three change
+    * families are arithmetically disjoint per version so every CDF
+    * branch is exercised without rule interaction.
+    */
+  private def ensureDimStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.SnapshotStore
+    def dim = Tables.customer(s, d).select(
+      col("c_custkey").cast("string").as("key"),
+      (col("c_custkey") % 5).cast("string").as("part"),
+      lit(0L).as("seq"), col("c_custkey").as("vc"),
+      col("c_mktsegment").as("seg"))
+    val base = storeBase(d, "snapdim")
+    ensureVersions(s, base)(
+      () => SnapshotStore.commit(s, base, dim),
+      () => SnapshotStore.commit(s, base,
+        dim.where(col("vc") % 10 === 0)
+          .withColumn("seq", lit(1L)).withColumn("seg", lit("MOVED1"))),
+      () => SnapshotStore.commit(s, base,
+        dim.where(col("vc") % 20 === 5)
+          .withColumn("seq", lit(2L)).withColumn("seg", lit("MOVED2"))
+          .unionByName(dim.where(col("vc") < 20)
+            .withColumn("key", (col("vc") + 1000000L).cast("string"))
+            .withColumn("vc", col("vc") + 1000000L)
+            .withColumn("seq", lit(2L)))),
+      () => { SnapshotStore.delete(s, base, Seq("0", "1", "2", "3", "4"),
+        col("key").cast("long") % 50 === 7); () })
+  }
+
+  /** Two-version orders fact store + the v1 denormalized join view
+    * MATERIALIZED to parquet, for store_incremental_join: v1 = the
+    * orderkey%3!=0 orders, v2 = the rest committed as inserts. Returns
+    * (storeBase, mvPath).
+    */
+  private def ensureFactStore(s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
+    import graft.sources.SnapshotStore
+    def fact(pred: org.apache.spark.sql.Column) =
+      Tables.orders(s, d).where(pred).select(
+        col("o_orderkey").cast("string").as("key"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("part"),
+        lit(0L).as("seq"), col("o_orderkey").as("vc"),
+        col("o_custkey").as("cust"),
+        expr("CAST(round(o_totalprice*100) AS BIGINT)").as("pc"),
+        col("o_orderstatus").as("st"))
+    val base = storeBase(d, "snapfact")
+    ensureVersions(s, base)(
+      () => SnapshotStore.commit(s, base, fact(col("o_orderkey") % 3 =!= 0)),
+      () => SnapshotStore.commit(s, base, fact(col("o_orderkey") % 3 === 0)))
+    val mvPath = s"$base/mv_join_v1"
+    val fs = new org.apache.hadoop.fs.Path(mvPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$mvPath/_SUCCESS")))
+      SnapshotStore.readVersion(s, base, 1)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"))), "cust")
+        .select("key", "seg", "st", "pc")
+        .write.mode("overwrite").parquet(mvPath)
+    (base, mvPath)
+  }
+
+  /** See [[graft.tick.StoreQueries.benchSetups]]: fixture builders the
+    * bench times once, outside the measured laps.
+    */
+  private[graft] val benchSetups
+      : Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
+    "store_scd2" -> ((s, d) => { ensureDimStore(s, d); () }),
+    "store_incremental_join" -> ((s, d) => { ensureFactStore(s, d); () }))
+
   val defs: Map[String, QueryDef] = Map(
+
+    // SCD TYPE-2 dimension build — the warehouse-standard "what did
+    // this dimension row look like on any past day" table — from the
+    // snapshot store's VALUE-CARRYING change feed: the v1 snapshot
+    // opens every key's first interval, each later version's
+    // insert/update_postimage rows open new intervals (and implicitly
+    // close the prior one), delete rows close without reopening. Scale
+    // shape: after the one-time initial load, each refresh consumes
+    // ONLY the CDF of that version step — O(changed rows) via the
+    // manifest diff, never a re-read of the dimension — and the
+    // interval-closing lead() windows over (key, version) events,
+    // whose volume is initial + total churn. Oracle replays the same
+    // four-version timeline from raw `customer`.
+    "store_scd2" -> QueryDef(
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+        |ev AS (
+        |  SELECT CAST(k AS VARCHAR) AS key, seg, 1 AS v, 0 AS is_del FROM c
+        |  UNION ALL
+        |  SELECT CAST(k AS VARCHAR), 'MOVED1', 2, 0 FROM c WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT CAST(k AS VARCHAR), 'MOVED2', 3, 0 FROM c WHERE k % 20 = 5
+        |  UNION ALL
+        |  SELECT CAST(k + 1000000 AS VARCHAR), seg, 3, 0 FROM c WHERE k < 20
+        |  UNION ALL
+        |  SELECT CAST(k AS VARCHAR), NULL, 4, 1 FROM c WHERE k % 50 = 7
+        |  UNION ALL
+        |  SELECT CAST(k + 1000000 AS VARCHAR), NULL, 4, 1 FROM c
+        |  WHERE k < 20 AND (k + 1000000) % 50 = 7),
+        |scd AS (SELECT key, seg, v, is_del,
+        |          lead(v) OVER (PARTITION BY key ORDER BY v) AS valid_to
+        |        FROM ev)
+        |SELECT key, seg, CAST(v AS INTEGER) AS valid_from,
+        |       CAST(valid_to AS INTEGER) AS valid_to
+        |FROM scd WHERE is_del = 0
+        |ORDER BY key, valid_from""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureDimStore(s, d)
+      val initial = SnapshotStore.readVersion(s, base, 1)
+        .select(col("key"), col("seg"), lit(1).as("v"), lit(0).as("is_del"))
+      val deltas = (2 to 4).map { v =>
+        SnapshotStore.changes(s, base, v - 1, v, withValues = true)
+          .where(col("change_type").isin("insert", "update_postimage", "delete"))
+          .select(col("key"), col("seg"), lit(v).as("v"),
+            when(col("change_type") === "delete", 1).otherwise(0).as("is_del"))
+      }.reduce(_ unionByName _)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("key").orderBy("v")
+      initial.unionByName(deltas)
+        .withColumn("valid_to", lead(col("v"), 1).over(w))
+        .where(col("is_del") === 0)
+        .select(col("key"), col("seg"), col("v").as("valid_from"),
+          col("valid_to"))
+        .orderBy("key", "valid_from")
+    },
+
+    // INCREMENTAL join-view maintenance — the denormalized
+    // fact-join-dimension table every warehouse keeps — via the
+    // value-carrying CDF: the expensive fact⋈dim join ran ONCE when v1
+    // materialized; advancing to v2 joins ONLY the CDF insert set
+    // against the broadcast dimension and unions it onto the stored
+    // view. Refresh cost is O(new rows), not O(fact table) — at 100 TB
+    // the difference between a minute and a full rebuild. The oracle
+    // recomputes the v2 view from raw orders⋈customer; equality proves
+    // the incremental path converges to the batch answer.
+    "store_incremental_join" -> QueryDef(
+      """SELECT c_mktsegment AS seg, o_orderstatus AS st,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val (base, mvPath) = ensureFactStore(s, d)
+      val delta = SnapshotStore.changes(s, base, 1, 2, withValues = true)
+        .where(col("change_type") === "insert")
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey").as("cust"), col("c_mktsegment").as("seg"))), "cust")
+        .select("key", "seg", "st", "pc")
+      s.read.parquet(mvPath).unionByName(delta)
+        .groupBy("seg", "st")
+        .agg(count(lit(1)).as("n"), sum("pc").as("total"))
+        .orderBy("seg", "st")
+    },
 
     // PageRank over the customer<->supplier bipartite graph (edge =
     // "this customer ordered from this supplier"), 10 fixed-point

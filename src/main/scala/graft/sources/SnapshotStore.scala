@@ -262,26 +262,57 @@ object SnapshotStore {
     * is skipped without reading a row, so physical sharing doubles as a
     * free change index: the cost is O(changed partitions), not O(store).
     */
-  def changes(spark: SparkSession, base: String, fromV: Int, toV: Int): DataFrame = {
+  def changes(spark: SparkSession, base: String, fromV: Int, toV: Int): DataFrame =
+    changes(spark, base, fromV, toV, withValues = false)
+
+  /** With `withValues = true` the feed carries every evolved value
+    * column alongside the (seq, vc) core — preimage/delete rows hold
+    * the `fromV` values, postimage/insert rows the `toV` values, and a
+    * column a side's schema predates reads NULL (same contract as a
+    * snapshot read). This is the Delta-CDF production shape: downstream
+    * incremental pipelines (SCD2 builds, join-view maintenance) consume
+    * the feed alone and never re-read the full table. Cost is unchanged
+    * — O(changed partitions) via the manifest diff.
+    */
+  def changes(spark: SparkSession, base: String, fromV: Int, toV: Int,
+              withValues: Boolean): DataFrame = {
     require(fromV >= 1 && toV > fromV, s"need 1 <= fromV < toV, got $fromV..$toV")
     val ma = readManifest(spark, base, fromV)
     val mb = readManifest(spark, base, toV)
     require(ma.nonEmpty && mb.nonEmpty, s"versions $fromV and $toV must both exist")
     val changed = (ma.keySet ++ mb.keySet).filter(p => ma.get(p) != mb.get(p))
-    val before = readVersionWhere(spark, base, fromV, changed.contains)
-    val after = readVersionWhere(spark, base, toV, changed.contains)
+    val core = Seq("key", "part", "seq", "vc")
+    // schema evolution: align both sides on the UNION of value columns
+    // (NULL where a side's schema predates the column), exactly like a
+    // mergeSchema snapshot read
+    def aligned(df: DataFrame, allExtras: Seq[(String, org.apache.spark.sql.types.DataType)]) =
+      df.select(core.map(col) ++ allExtras.map { case (c, t) =>
+        (if (df.columns.contains(c)) col(c) else lit(null).cast(t)).as(c)
+      }: _*)
+    val before0 = readVersionWhere(spark, base, fromV, changed.contains)
+    val after0 = readVersionWhere(spark, base, toV, changed.contains)
+    val extras: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      if (!withValues) Seq.empty
+      else (before0.schema ++ after0.schema)
+        .filterNot(f => core.contains(f.name))
+        .map(f => f.name -> f.dataType).distinct.sortBy(_._1)
+    val before = aligned(before0, extras)
+    val after = aligned(after0, extras)
     val j = before.alias("t").join(after.alias("s"),
       col("t.key") === col("s.key") && col("t.part") === col("s.part"), "full_outer")
-    val pre = struct(lit("update_preimage").as("change_type"),
-      col("t.seq").as("seq"), col("t.vc").as("vc"))
-    val post = struct(lit("update_postimage").as("change_type"),
-      col("s.seq").as("seq"), col("s.vc").as("vc"))
-    val ins = struct(lit("insert").as("change_type"),
-      col("s.seq").as("seq"), col("s.vc").as("vc"))
-    val del = struct(lit("delete").as("change_type"),
-      col("t.seq").as("seq"), col("t.vc").as("vc"))
+    def img(tag: String, side: String) = struct(
+      lit(tag).as("change_type") +: col(s"$side.seq").as("seq") +:
+        col(s"$side.vc").as("vc") +:
+        extras.map { case (c, _) => col(s"$side.$c").as(c) }: _*)
+    val pre = img("update_preimage", "t")
+    val post = img("update_postimage", "s")
+    val ins = img("insert", "s")
+    val del = img("delete", "t")
     // rewritten-but-identical rows are not changes — drop them first so
-    // every surviving row maps to a non-empty change array
+    // every surviving row maps to a non-empty change array. (seq, vc)
+    // identity is sufficient even withValues: commit's LWW only lets a
+    // row's values change under a strictly higher (gen, seq, vc), so
+    // equal keys never carry silently different values.
     j.where(!(col("t.key").isNotNull && col("s.key").isNotNull &&
         col("t.seq") === col("s.seq") && col("t.vc") === col("s.vc")))
       .select(
@@ -291,8 +322,9 @@ object SnapshotStore {
           when(col("t.key").isNull, array(ins))
             .when(col("s.key").isNull, array(del))
             .otherwise(array(pre, post))).as("c"))
-      .select(col("key"), col("part"), col("c.change_type").as("change_type"),
-        col("c.seq").as("seq"), col("c.vc").as("vc"))
+      .select(col("key") +: col("part") +: col("c.change_type").as("change_type") +:
+        col("c.seq").as("seq") +: col("c.vc").as("vc") +:
+        extras.map { case (c, _) => col(s"c.$c").as(c) }: _*)
   }
 
   /** Compaction (OPTIMIZE): rewrite the current snapshot into one file
@@ -348,18 +380,21 @@ object SnapshotStore {
     val segToPart = entries.map { case (part, dir) =>
       new Path(dir).toUri.getRawPath.split('/').last -> part
     }
-    val lookup = segToPart.toDF("seg", "part")
+    // the internal dir-segment join column gets a reserved name so it
+    // can never swallow a same-named user value column
+    val segCol = "__graft_dir_seg"
+    val lookup = segToPart.toDF(segCol, "part")
     // mergeSchema: snapshots may span commits with EVOLVED schemas —
     // dirs written before a column existed read it back as NULL. Core
     // columns lead, evolved ones follow in name order (deterministic
     // output schema regardless of which dirs this version references).
     val df = spark.read.option("mergeSchema", "true")
       .parquet(entries.map(_._2): _*)
-      .withColumn("seg",
+      .withColumn(segCol,
         regexp_extract(input_file_name(), "/(part=[^/]+)/[^/]*$", 1))
-      .join(broadcast(lookup), "seg")
+      .join(broadcast(lookup), segCol)
     val core = Seq("key", "part", "seq", "vc")
-    val extras = df.columns.filterNot(c => core.contains(c) || c == "seg").sorted
+    val extras = df.columns.filterNot(c => core.contains(c) || c == segCol).sorted
     df.select((core ++ extras).map(col): _*)
   }
 

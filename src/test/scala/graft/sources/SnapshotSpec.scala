@@ -256,6 +256,47 @@ class SnapshotSpec extends SparkSpec {
       s"c (identical rewrite) and d (untouched partition) must not appear: $got")
   }
 
+  test("value-carrying changes: images hold each side's values, evolution reads NULL") {
+    val base = freshBase()
+    // v1 carries value column `a`; v2's batch evolves in `b` and
+    // updates x, inserts z; v3 deletes y — every CDF branch with values
+    SnapshotStore.commit(spark, base, Seq(
+      ("x", "p1", 0L, 1L, "xa"), ("y", "p1", 0L, 2L, "ya"))
+      .toDF("key", "part", "seq", "vc", "a"))
+    SnapshotStore.commit(spark, base, Seq(
+      ("x", "p1", 1L, 1L, "xa2", 7L), ("z", "p1", 1L, 3L, "za", 8L))
+      .toDF("key", "part", "seq", "vc", "a", "b"))
+    SnapshotStore.delete(spark, base, Seq("p1"), col("key") === "y")
+
+    val d12 = SnapshotStore.changes(spark, base, 1, 2, withValues = true)
+      .collect().map(r => (r.getString(0), r.getString(2),
+        r.getString(r.fieldIndex("a")),
+        Option(r.get(r.fieldIndex("b"))).map(_.asInstanceOf[Long]))).toSet
+    assert(d12 == Set(
+      ("x", "update_preimage", "xa", None), // b predates v1's schema -> NULL
+      ("x", "update_postimage", "xa2", Some(7L)),
+      ("z", "insert", "za", Some(8L))), s"got $d12")
+
+    val d23 = SnapshotStore.changes(spark, base, 2, 3, withValues = true)
+      .collect().map(r => (r.getString(0), r.getString(2),
+        r.getString(r.fieldIndex("a")))).toSet
+    assert(d23 == Set(("y", "delete", "ya")), s"got $d23")
+
+    // plain changes keeps its historical 5-column surface
+    assert(SnapshotStore.changes(spark, base, 1, 2).columns.toSeq ==
+      Seq("key", "part", "change_type", "seq", "vc"))
+  }
+
+  test("a user value column named `seg` survives snapshot reads (internal name is reserved)") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base, Seq(
+      ("k1", "p1", 0L, 1L, "BUILDING"), ("k2", "p2", 0L, 2L, "AUTO"))
+      .toDF("key", "part", "seq", "vc", "seg"))
+    val got = SnapshotStore.readVersion(spark, base, 1)
+      .collect().map(r => (r.getString(0), r.getString(r.fieldIndex("seg")))).toSet
+    assert(got == Set(("k1", "BUILDING"), ("k2", "AUTO")), s"got $got")
+  }
+
   test("compact collapses to one file per partition, content-identical, prior version intact") {
     val base = freshBase()
     // spread rows over several write tasks so v1 has multiple files/part
