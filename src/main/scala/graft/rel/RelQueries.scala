@@ -25,7 +25,103 @@ object RelQueries {
   private def dsumSql(e: String): String = graft.tick.Reducers.exactSql("sum", e, e)
 
   val defs: Map[String, QueryDef] =
-    aggDefs ++ joinDefs ++ windowDefs ++ setDefs ++ scalarDefs ++ reshapeDefs
+    aggDefs ++ joinDefs ++ windowDefs ++ setDefs ++ scalarDefs ++ reshapeDefs ++
+      erDefs
+
+  /** Distinct part names split into (adjective, noun) with their part
+    * counts — the VOCAB-COLLAPSED relation entity resolution pairs
+    * over. The collapse is the scale move: 2000 parts (600k at sf100)
+    * share 64 distinct names, so the pair space is O(names²-per-block)
+    * over the tiny collapsed relation, never O(rows²); per-row volume
+    * only re-enters via the carried counts.
+    */
+  private def partNames(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.part(s, d)
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      .select(col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("adj"),
+        split(col("p_name"), " ").getItem(1).as("noun"),
+        col("n_parts"))
+
+  private def erPairCond(a: String, b: String): Column =
+    col(s"$a.noun") === col(s"$b.noun") && col(s"$a.adj") < col(s"$b.adj") &&
+      levenshtein(col(s"$a.adj"), col(s"$b.adj")) <= 2
+
+  /** Entity resolution over structured records (SURVEY §2.C): the
+    * blocking + pairwise-similarity + transitive-closure pipeline that
+    * deduplicates customer/product masters before they feed training
+    * data or joins.
+    */
+  private lazy val erDefs: Map[String, QueryDef] = Map(
+
+    // ER candidate generation: block on the noun token, pair DISTINCT
+    // names within a block, match on adjective edit distance <= 2.
+    // Blocking is what makes ER tractable at scale — the pair space is
+    // bounded per block and the relation is vocab-collapsed first —
+    // and EntityResolutionSpec pins that at this threshold the noun
+    // blocking loses NOTHING vs the full-name brute-force pair scan
+    // (the classic blocking-recall audit). Candidate volume maps back
+    // to row space via the carried per-name counts.
+    "er_blocked_match" -> QueryDef(
+      """WITH n AS (SELECT p_name, split_part(p_name,' ',1) AS adj,
+        |             split_part(p_name,' ',2) AS noun, COUNT(*) AS n_parts
+        |           FROM part GROUP BY 1, 2, 3)
+        |SELECT a.noun AS noun, a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.adj, b.adj) AS INTEGER) AS lev,
+        |       a.n_parts AS n_a, b.n_parts AS n_b,
+        |       a.n_parts * b.n_parts AS candidate_pairs
+        |FROM n a JOIN n b
+        |  ON a.noun = b.noun AND a.adj < b.adj
+        | AND levenshtein(a.adj, b.adj) <= 2
+        |ORDER BY noun, name_a, name_b""".stripMargin) { (s, d) =>
+      val n = partNames(s, d)
+      n.as("a").join(n.as("b"), erPairCond("a", "b"))
+        .select(col("a.noun").as("noun"), col("a.p_name").as("name_a"),
+          col("b.p_name").as("name_b"),
+          levenshtein(col("a.adj"), col("b.adj")).as("lev"),
+          col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"),
+          (col("a.n_parts") * col("b.n_parts")).as("candidate_pairs"))
+        .orderBy("noun", "name_a", "name_b")
+    },
+
+    // ER canonicalization: connected components over the match graph
+    // collapse matched names into entities (cold/old/red/new chains
+    // merge through transitivity even though cold<->new is distance 3
+    // — the reason ER needs closure, not just pairs). Reuses Cluster's
+    // distributed min-label CC loop on md5-derived ids; entity = the
+    // lexicographic min name per component, so the output is readable
+    // AND independent of the internal id space. Oracle = recursive-CTE
+    // reachability computing the same min-name representative.
+    "er_clusters" -> QueryDef(
+      """WITH RECURSIVE n AS (
+        |  SELECT p_name, split_part(p_name,' ',1) AS adj,
+        |         split_part(p_name,' ',2) AS noun, COUNT(*) AS n_parts
+        |  FROM part GROUP BY 1, 2, 3),
+        |e AS (SELECT a.p_name AS x, b.p_name AS y FROM n a JOIN n b
+        |      ON a.noun = b.noun AND a.adj < b.adj
+        |     AND levenshtein(a.adj, b.adj) <= 2),
+        |und AS (SELECT x, y FROM e UNION SELECT y, x FROM e),
+        |r AS (SELECT p_name AS s, p_name AS t FROM n
+        |      UNION
+        |      SELECT r.s, und.y FROM r JOIN und ON und.x = r.t),
+        |c AS (SELECT s AS p_name, MIN(t) AS entity FROM r GROUP BY 1)
+        |SELECT n.noun, c.entity, COUNT(*) AS n_names,
+        |       CAST(SUM(n.n_parts) AS BIGINT) AS n_parts
+        |FROM n JOIN c ON n.p_name = c.p_name
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val n = partNames(s, d)
+        .withColumn("id",
+          expr("CAST(conv(substring(md5(p_name),1,15),16,10) AS BIGINT)"))
+      val edges = n.as("a").join(n.as("b"), erPairCond("a", "b"))
+        .select(col("a.id").as("a"), col("b.id").as("b"))
+      val assign = graft.text.Cluster.connectedComponents(n.select("id"), edges)
+      n.join(assign, "id")
+        .groupBy("cluster_id")
+        .agg(min("noun").as("noun"), min("p_name").as("entity"),
+          count(lit(1)).as("n_names"), sum("n_parts").as("n_parts"))
+        .select("noun", "entity", "n_names", "n_parts")
+        .orderBy("noun", "entity")
+    })
 
   /** Materialize the bucketed orders/lineitem tables for
     * layout_bucketed_join (bucketBy(8) on the join key, sorted within
