@@ -258,6 +258,60 @@ object AnalyticsQueries {
         .orderBy("seg", "st")
     },
 
+    // Chi-squared independence test of segment x nation over customers
+    // — the "is this feature informative / is this split biased" gate a
+    // feature-engineering or data-audit pipeline runs before training.
+    // Observed counts, row/column totals and N are exact BIGINTs; the
+    // zero-observed cells of the full segment x nation grid are
+    // RE-INSTATED via the marginals cross join (they still contribute
+    // their expectation). Per-cell contributions are rounded to
+    // micro-units and integer-summed, so the statistic is
+    // partition-order independent and hash-exact — the same
+    // round-then-fixed-point idiom as text_lm_surprisal. Scale shape:
+    // one groupBy over the data, then everything lives in the tiny
+    // (segments x nations) aggregate space.
+    "stat_chi2" -> QueryDef(
+      """WITH o AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM customer GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o),
+        |r AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS rc FROM o GROUP BY 1),
+        |k AS (SELECT nat, CAST(SUM(c) AS BIGINT) AS cc FROM o GROUP BY 1),
+        |grid AS (
+        |  SELECT r.seg, k.nat, r.rc, k.cc, COALESCE(o.c, 0) AS c
+        |  FROM r CROSS JOIN k
+        |  LEFT JOIN o ON o.seg = r.seg AND o.nat = k.nat),
+        |cell AS (
+        |  SELECT c, CAST(rc AS DOUBLE) * cc / n AS ex
+        |  FROM grid CROSS JOIN t)
+        |SELECT
+        |  CAST(SUM(CAST(round(1000000 * (c - ex) * (c - ex) / ex) AS BIGINT)) AS BIGINT)
+        |    AS chi2_micro,
+        |  CAST((SELECT COUNT(*) - 1 FROM r) * (SELECT COUNT(*) - 1 FROM k) AS BIGINT)
+        |    AS df,
+        |  (SELECT n FROM t) AS n
+        |FROM cell""".stripMargin) { (s, d) =>
+      val o = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+        .agg(count(lit(1)).as("c"))
+      val t = o.agg(sum("c").as("n"))
+      val r = o.groupBy("seg").agg(sum("c").as("rc"))
+      val k = o.groupBy("nat").agg(sum("c").as("cc"))
+      val grid = broadcast(r).crossJoin(broadcast(k))
+        .join(o, Seq("seg", "nat"), "left")
+        .select(col("rc"), col("cc"), coalesce(col("c"), lit(0L)).as("c"))
+      val cell = grid.crossJoin(broadcast(t))
+        .select(col("c"), (col("rc").cast("double") * col("cc") / col("n")).as("ex"))
+      val chi = cell.agg(
+        sum(expr("CAST(round(1000000 * (c - ex) * (c - ex) / ex) AS BIGINT)"))
+          .cast("long").as("chi2_micro"))
+      val df = r.agg((count(lit(1)) - 1).as("dr"))
+        .crossJoin(k.agg((count(lit(1)) - 1).as("dk")))
+        .select((col("dr") * col("dk")).cast("long").as("df"))
+      chi.crossJoin(broadcast(df)).crossJoin(broadcast(t))
+        .select(col("chi2_micro"), col("df"), col("n"))
+    },
+
     // PageRank over the customer<->supplier bipartite graph (edge =
     // "this customer ordered from this supplier"), 10 fixed-point
     // iterations. Scale shape: the per-round job is one node-keyed

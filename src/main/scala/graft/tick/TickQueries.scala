@@ -464,6 +464,79 @@ object TickQueries {
     // both engines — no fp-order dependence. The lag window and the
     // final aggregate share the series key, so the plan is one
     // window shuffle + a tiny per-series reduce.
+    // rolling 24-hour correlation between paired series (click~view,
+    // click~purchase, view~error hourly cent-sums) — the co-movement
+    // monitor a market/ops dashboard keeps per instrument pair. Every
+    // windowed moment (n, Σa, Σb, Σa², Σb², Σab) is an exact BIGINT
+    // over a ROWS frame, so the rolling state is hash-exact and
+    // fp-order-free; Pearson r then derives per row in one fixed
+    // double-op sequence identical on both engines (like tick_acf).
+    // Scale shape: the window partitions by PAIR — each pair's series
+    // sorts independently, so adding instruments scales out, and the
+    // hourly pre-aggregate means the window sees buckets, not raw
+    // events. (At cent sums past ~1e9/hour the BIGINT moments need
+    // DECIMAL(38) — same plan, wider lanes.)
+    "tick_rolling_corr" -> QueryDef(
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+        |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p(ta, tb) AS (VALUES ('click','view'), ('click','purchase'), ('view','error')),
+        |j AS (
+        |  SELECT p.ta || '~' || p.tb AS pair, a.bucket, a.v AS va, b.v AS vb
+        |  FROM p JOIN h a ON a.event_type = p.ta
+        |         JOIN h b ON b.event_type = p.tb AND b.bucket = a.bucket),
+        |m AS (
+        |  SELECT pair, bucket,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(va) OVER w AS BIGINT) AS sa,
+        |    CAST(SUM(vb) OVER w AS BIGINT) AS sb,
+        |    CAST(SUM(va * va) OVER w AS BIGINT) AS saa,
+        |    CAST(SUM(vb * vb) OVER w AS BIGINT) AS sbb,
+        |    CAST(SUM(va * vb) OVER w AS BIGINT) AS sab
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY pair ORDER BY bucket
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT pair, bucket, n,
+        |  CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0 THEN NULL
+        |       ELSE CAST(n * sab - sa * sb AS DOUBLE)
+        |            / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+        |               * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) END AS r
+        |FROM m WHERE n = 24 ORDER BY pair, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val h = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("v"))
+      val pairs = s.range(1).select(explode(array(
+          struct(lit("click").as("ta"), lit("view").as("tb")),
+          struct(lit("click").as("ta"), lit("purchase").as("tb")),
+          struct(lit("view").as("ta"), lit("error").as("tb")))).as("p"))
+        .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      val j = broadcast(pairs)
+        .join(h.as("a"), col("a.event_type") === col("ta"))
+        .join(h.as("b"),
+          col("b.event_type") === col("tb") && col("b.bucket") === col("a.bucket"))
+        .select(concat(col("ta"), lit("~"), col("tb")).as("pair"),
+          col("a.bucket").as("bucket"), col("a.v").as("va"), col("b.v").as("vb"))
+      val w = Window.partitionBy("pair").orderBy("bucket").rowsBetween(-23, 0)
+      val m = j.select(col("pair"), col("bucket"),
+        count(lit(1)).over(w).as("n"),
+        sum("va").over(w).as("sa"), sum("vb").over(w).as("sb"),
+        sum(col("va") * col("va")).over(w).as("saa"),
+        sum(col("vb") * col("vb")).over(w).as("sbb"),
+        sum(col("va") * col("vb")).over(w).as("sab"))
+      val covN = col("n") * col("sab") - col("sa") * col("sb")
+      val varA = col("n") * col("saa") - col("sa") * col("sa")
+      val varB = col("n") * col("sbb") - col("sb") * col("sb")
+      m.where(col("n") === 24)
+        .select(col("pair"), col("bucket"), col("n"),
+          when(varA === 0 || varB === 0, lit(null)).otherwise(
+            covN.cast("double")
+              / (sqrt(varA.cast("double")) * sqrt(varB.cast("double")))).as("r"))
+        .orderBy("pair", "bucket")
+    },
+
     "tick_acf" -> QueryDef(
       """WITH day AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
