@@ -312,6 +312,54 @@ object AnalyticsQueries {
         .select(col("chi2_micro"), col("df"), col("n"))
     },
 
+    // degree assortativity of the customer<->supplier graph — "do
+    // high-degree nodes attach to high-degree nodes?", the
+    // one-number topology diagnostic run before choosing a
+    // partitioning/skew strategy for graph workloads. Over both edge
+    // orientations the x/y marginals coincide, so Pearson r collapses
+    // to (n·Σxy − Σx²)/(n·Σx² − (Σx)²) — every moment an exact BIGINT
+    // partial aggregate (degrees are integers), with ONE double
+    // division at the end: hash-exact despite being a correlation.
+    // Scale shape: two degree aggregates + one edge-keyed join; no
+    // pair space, no windows.
+    "graph_assortativity" -> QueryDef(
+      """WITH e AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |du AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        |dv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        |ends AS (
+        |  SELECT du.d AS x, dv.d AS y
+        |  FROM e JOIN du ON e.u = du.u JOIN dv ON e.v = dv.v
+        |  UNION ALL
+        |  SELECT dv.d, du.d
+        |  FROM e JOIN du ON e.u = du.u JOIN dv ON e.v = dv.v),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy
+        |      FROM ends)
+        |SELECT n AS n_ends,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       ELSE CAST(n * sxy - sx * sx AS DOUBLE) / (n * sxx - sx * sx)
+        |  END AS r
+        |FROM m""".stripMargin) { (s, d) =>
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
+        .distinct()
+      val du = e.groupBy("u").agg(count(lit(1)).as("du"))
+      val dv = e.groupBy("v").agg(count(lit(1)).as("dv"))
+      val ej = e.join(du, "u").join(dv, "v")
+      val ends = ej.select(col("du").as("x"), col("dv").as("y"))
+        .unionAll(ej.select(col("dv").as("x"), col("du").as("y")))
+      val m = ends.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      m.select(col("n").as("n_ends"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sx")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx"))).as("r"))
+    },
+
     // PageRank over the customer<->supplier bipartite graph (edge =
     // "this customer ordered from this supplier"), 10 fixed-point
     // iterations. Scale shape: the per-round job is one node-keyed

@@ -2,7 +2,7 @@ package graft.rel
 
 import org.apache.spark.sql.functions._
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 
 /** Event-analytics operators over the events table: ordered funnels,
   * cohort retention, Markov transition matrices, last-touch
@@ -50,6 +50,59 @@ object EventQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
+
+    // two-proportion z-test of purchase conversion between the
+    // even/odd user cohorts — the experiment readout every A/B
+    // platform ships. Cohort sizes and converter counts are exact
+    // distinct-user integers (one grouped pass over events); the
+    // pooled z-statistic then derives in ONE fixed double-op sequence
+    // shared with the oracle and lands as micro-units, so the output
+    // is hash-exact. Scale shape: per-user collapse is a partial
+    // aggregate on user_id; the test itself runs on a 2-row relation.
+    "events_ab_test" -> QueryDef(
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS cohort,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |             AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(conv) AS BIGINT) AS conv
+        |      FROM u GROUP BY 1),
+        |w AS (SELECT
+        |  MAX(CASE WHEN cohort = 0 THEN n END) AS na,
+        |  MAX(CASE WHEN cohort = 0 THEN conv END) AS ca,
+        |  MAX(CASE WHEN cohort = 1 THEN n END) AS nb,
+        |  MAX(CASE WHEN cohort = 1 THEN conv END) AS cb
+        |  FROM c)
+        |SELECT na, ca, nb, cb,
+        |  CAST(round(1000000 * (
+        |    (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+        |    / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+        |           * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+        |           * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))
+        |  )) AS BIGINT) AS z_micro
+        |FROM w""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("cohort"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("ts") < to_timestamp(lit("2024-01-03 00:00:00")), 1)
+          .otherwise(0)).as("conv"))
+      val c = u.groupBy("cohort")
+        .agg(count(lit(1)).as("n"), sum("conv").as("conv"))
+      val w = c.agg(
+        max(when(col("cohort") === 0, col("n"))).as("na"),
+        max(when(col("cohort") === 0, col("conv"))).as("ca"),
+        max(when(col("cohort") === 1, col("n"))).as("nb"),
+        max(when(col("cohort") === 1, col("conv"))).as("cb"))
+      w.select(col("na"), col("ca"), col("nb"), col("cb"),
+        expr("""CAST(round(1000000 * (
+          (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+          / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                 * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                 * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))
+        )) AS BIGINT)""").as("z_micro"))
+    },
 
     // ordered 3-stage funnel (signup -> first view after it -> first
     // purchase after that) within day 1 — "after" is strict, so each

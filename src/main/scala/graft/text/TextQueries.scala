@@ -969,6 +969,91 @@ object TextQueries {
       Cluster.clusterSummary(assign)
     },
 
+    // CANONICAL-REPRESENTATIVE selection — the step that ENDS a dedup
+    // pipeline: after LSH candidates -> exact verify -> connected
+    // components, each near-dup cluster keeps exactly ONE survivor
+    // (here: the longest doc, doc_id-tie-broken) and drops the rest.
+    // The argmax travels as ONE BIGINT key (n_chars*1e6 + doc_id —
+    // unique, order-preserving), so survivor selection is a plain MAX
+    // partial aggregate: no per-cluster sort, no row materialization
+    // beyond the cluster assignment. Scale shape matches dedup_clusters
+    // (LSH-bucketed candidates, never the pair space) plus one
+    // map-side-combinable aggregate.
+    "dedup_canonical" -> QueryDef(
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, sset AS shset FROM (
+         |    SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS sset
+         |    FROM documents)
+         |  WHERE len(sset) > 0),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.shset, b.shset)) * 10 >=
+         |            9 * (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)))
+         |        AND len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)) > 0),
+         |e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
+         |assign AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |k AS (SELECT a.id, a.cluster_id, d.n_chars * 1000000 + a.id AS kk
+         |      FROM assign a JOIN documents d ON d.doc_id = a.id)
+         |SELECT cluster_id, CAST(MAX(kk) % 1000000 AS BIGINT) AS rep_doc,
+         |       COUNT(*) AS n_members, COUNT(*) - 1 AS n_removed
+         |FROM k GROUP BY 1 HAVING COUNT(*) >= 2
+         |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val shingled = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          array_distinct(shingles(col("text"), 3)).as("shset"))
+        .where(size(col("shset")) > 0)
+        .localCheckpoint()
+      val sigs = shingled.select(col("id"),
+        Dedup.minhashSignature(col("shset"), 64).as("sig"))
+      val cands = Dedup.lshCandidatePairs(sigs, "id", "sig", 16)
+      val sa = shingled.toDF("a_id", "a_sh")
+      val sb = shingled.toDF("b_id", "b_sh")
+      val edges = cands
+        .join(sa, "a_id").join(sb, "b_id")
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+        .where(col("inter") * 10 >= col("uni") * 9 && col("uni") > 0)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      val assign = Cluster.connectedComponents(shingled.select(col("id")), edges)
+      assign
+        .join(Tables.documents(s, d).select(col("doc_id").as("id"), col("n_chars")), "id")
+        .select(col("cluster_id"), (col("n_chars") * 1000000L + col("id")).as("kk"))
+        .groupBy("cluster_id")
+        .agg((max("kk") % 1000000L).cast("long").as("rep_doc"),
+          count(lit(1)).as("n_members"),
+          (count(lit(1)) - 1).as("n_removed"))
+        .where(col("n_members") >= 2)
+        .orderBy("cluster_id")
+    },
+
+    // BALANCED class downsampling — cap every language at 50 docs so a
+    // skewed corpus (en is 3x fr here) stops drowning minority classes
+    // in training. The kept set is DETERMINISTIC at any cluster size:
+    // rank within class by (md5(text), doc_id) — a reproducible
+    // pseudo-random order with a total tie-break — and keep rank <= 50.
+    // Scale shape: one window per class partition over (hash, id);
+    // classes rank independently, so the cap parallelizes across them
+    // (a driver-free stratified limit).
+    "sample_balanced" -> QueryDef(
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r WHERE rk <= 50
+        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), row_number().over(w).as("rk"))
+        .where(col("rk") <= 50)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    },
+
     // inverted index: term → document frequency + postings summary
     // (min/max/sum of posting doc ids). The posting lists themselves
     // stay distributed — only per-term integer aggregates come back.
