@@ -104,6 +104,58 @@ object EventQueries {
         )) AS BIGINT)""").as("z_micro"))
     },
 
+    // MATCH_RECOGNIZE-lite sequential pattern detection: for every
+    // VIEW, the FIRST click strictly after it within 12h, then the
+    // FIRST purchase strictly after that click within 12h — per-user
+    // counts of completed view->click->purchase chains. First-match
+    // semantics (min over the time-bounded successor set) keep the
+    // result deterministic; unlike events_funnel this matches at EVENT
+    // granularity, so one user can complete many instances. Scale
+    // shape: every stage is a user_id-keyed equi-join with a bounded
+    // time residual + a partial-agg MIN — co-partitioned shuffles, the
+    // per-user time windows bound the residual pair space, no windows
+    // over raw events, no driver state.
+    "events_pattern_match" -> QueryDef(
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |           FROM events),
+        |v AS (SELECT user_id, t AS tv FROM e WHERE event_type = 'view'),
+        |vc AS (SELECT v.user_id, v.tv, MIN(c.t) AS tc
+        |       FROM v JOIN e c ON c.user_id = v.user_id
+        |         AND c.event_type = 'click'
+        |         AND c.t > v.tv AND c.t <= v.tv + INTERVAL 12 HOUR
+        |       GROUP BY 1, 2),
+        |vcp AS (SELECT vc.user_id, vc.tv, vc.tc, MIN(p.t) AS tp
+        |        FROM vc JOIN e p ON p.user_id = vc.user_id
+        |          AND p.event_type = 'purchase'
+        |          AND p.t > vc.tc AND p.t <= vc.tc + INTERVAL 12 HOUR
+        |        GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |       MIN(tv) AS first_start, MAX(tp) AS last_end
+        |FROM vcp GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts").as("t"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("t").as("tv"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("t").as("ct"))
+      val vc = v.join(c,
+          col("cu") === col("vu") && col("ct") > col("tv") &&
+            col("ct") <= col("tv") + expr("INTERVAL 12 HOUR"))
+        .groupBy(col("vu").as("user_id"), col("tv"))
+        .agg(min(col("ct")).as("tc"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("t").as("pt"))
+      val vcp = vc.join(p,
+          col("pu") === col("user_id") && col("pt") > col("tc") &&
+            col("pt") <= col("tc") + expr("INTERVAL 12 HOUR"))
+        .groupBy(col("user_id"), col("tv"), col("tc"))
+        .agg(min(col("pt")).as("tp"))
+      vcp.groupBy("user_id")
+        .agg(count(lit(1)).as("n_matches"),
+          min("tv").as("first_start"), max("tp").as("last_end"))
+        .orderBy("user_id")
+    },
+
     // ordered 3-stage funnel (signup -> first view after it -> first
     // purchase after that) within day 1 — "after" is strict, so each
     // stage's min-time feeds the next stage's lower bound. Three

@@ -1030,6 +1030,73 @@ object TextQueries {
         .orderBy("cluster_id")
     },
 
+    // PREFIX-FILTERING set-similarity join (AllPairs/PPJoin family) —
+    // the EXACT-candidate-generation alternative to LSH: order each
+    // doc's shingles by ascending global document frequency, keep only
+    // the first |d| - ceil(0.9|d|) + 1 as its signature, and join on
+    // signature shingles. THEOREM: two sets with Jaccard >= 0.9 must
+    // share a signature shingle, so unlike MinHash this tier has ZERO
+    // false negatives (PrefixFilterSpec pins output == full brute
+    // force) while still skipping almost the whole pair space — the
+    // rarest-first ordering keeps signature postings short. Scale
+    // shape: one df aggregate, one per-doc rank window, a
+    // signature-keyed equi-join, then exact verify on candidates only.
+    "dedup_prefix_filter" -> QueryDef(
+      s"""WITH sh AS (
+         |  SELECT doc_id, sset AS shset FROM (
+         |    SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS sset
+         |    FROM documents)
+         |  WHERE len(sset) > 0),
+         |ex AS (SELECT doc_id, len(shset) AS l, unnest(shset) AS sh FROM sh),
+         |df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1),
+         |rk AS (SELECT ex.doc_id, ex.l, ex.sh,
+         |         row_number() OVER (PARTITION BY ex.doc_id
+         |                            ORDER BY df.df, ex.sh) AS rk
+         |       FROM ex JOIN df ON ex.sh = df.sh),
+         |sig AS (SELECT doc_id, sh FROM rk
+         |        WHERE rk <= l - ((9 * l + 9) // 10) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |         FROM sig a JOIN sig b
+         |           ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |v AS (SELECT c.a, c.b,
+         |        len(list_intersect(x.shset, y.shset)) AS inter,
+         |        len(x.shset) + len(y.shset)
+         |          - len(list_intersect(x.shset, y.shset)) AS uni
+         |      FROM cand c JOIN sh x ON x.doc_id = c.a
+         |                  JOIN sh y ON y.doc_id = c.b)
+         |SELECT a, b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+         |FROM v WHERE inter * 10 >= uni * 9 AND uni > 0
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          array_distinct(shingles(col("text"), 3)).as("shset"))
+        .where(size(col("shset")) > 0)
+        .localCheckpoint() // feeds the rank pass AND both verify sides
+      val ex = sh.select(col("id"), size(col("shset")).as("l"),
+        explode(col("shset")).as("sh"))
+      val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      val rk = ex.join(dfreq, "sh")
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("id").orderBy("df", "sh")))
+      val sig = rk.where(col("rk") <= col("l") - expr("(9*l + 9) div 10") + 1)
+        .select("id", "sh")
+      val cand = sig.as("a").join(sig.as("b"),
+          col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .distinct()
+      val sa = sh.toDF("a_id", "a_sh")
+      val sb = sh.toDF("b_id", "b_sh")
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .withColumn("uni",
+          size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+        .where(col("inter") * 10 >= col("uni") * 9 && col("uni") > 0)
+        .select(col("a_id").as("a"), col("b_id").as("b"),
+          col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
+        .orderBy("a", "b")
+    },
+
     // BALANCED class downsampling — cap every language at 50 docs so a
     // skewed corpus (en is 3x fr here) stops drowning minority classes
     // in training. The kept set is DETERMINISTIC at any cluster size:
