@@ -42,7 +42,13 @@ object ExplainAudit {
       "text_bm25",         // one tf pass, broadcast stats, topk
       "vec_centroids",     // posexplode + (label,dim) partial agg
       "sample_temperature", // broadcast alloc, one per-domain window
-      "anomaly_mad")       // broadcast med/mad, filter at scan side
+      "anomaly_mad",       // broadcast med/mad, filter at scan side
+      "store_scd2",        // CDF union + one (key)-partitioned lead window
+      "store_incremental_join", // stored MV union + broadcast-dim delta join
+      "dedup_prefix_filter", // df agg + per-doc rank + signature equi-join
+      "events_pattern_match", // user-keyed joins w/ bounded time residuals
+      "tick_rolling_corr", // pair-partitioned rolling window, exact moments
+      "stat_chi2")         // broadcast marginals grid, tiny aggregates
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")
