@@ -166,13 +166,32 @@ object AnalyticsQueries {
     (base, mvPath)
   }
 
+  /** CDF-driven FOLLOWER store for store_replicate_cdf: v1 = initial
+    * sync (a snapshot read of the source's v1), v2 = the source's
+    * 1->2 change feed applied as an upsert — Delta-CDC replication in
+    * miniature. Only the feed crosses "the wire"; the follower never
+    * re-reads the source table.
+    */
+  private def ensureReplicaStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.SnapshotStore
+    val src = ensureClickStore(s, d)
+    val base = storeBase(d, "snaprepl")
+    ensureVersions(s, base)(
+      () => SnapshotStore.commit(s, base, SnapshotStore.readVersion(s, src, 1)),
+      () => SnapshotStore.commit(s, base,
+        SnapshotStore.changes(s, src, 1, 2, withValues = true)
+          .where(col("change_type").isin("insert", "update_postimage"))
+          .select("key", "part", "seq", "vc")))
+  }
+
   /** See [[graft.tick.StoreQueries.benchSetups]]: fixture builders the
     * bench times once, outside the measured laps.
     */
   private[graft] val benchSetups
       : Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
     "store_scd2" -> ((s, d) => { ensureDimStore(s, d); () }),
-    "store_incremental_join" -> ((s, d) => { ensureFactStore(s, d); () }))
+    "store_incremental_join" -> ((s, d) => { ensureFactStore(s, d); () }),
+    "store_replicate_cdf" -> ((s, d) => { ensureReplicaStore(s, d); () }))
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -256,6 +275,31 @@ object AnalyticsQueries {
         .groupBy("seg", "st")
         .agg(count(lit(1)).as("n"), sum("pc").as("total"))
         .orderBy("seg", "st")
+    },
+
+    // CDC REPLICATION: a follower store bootstraps from the source's
+    // v1 snapshot, then stays in sync by applying the source's CHANGE
+    // FEED (insert + postimage rows re-committed under LWW) — the
+    // Delta-CDC / Debezium-consumer pattern. Only the feed crosses the
+    // wire: the follower's refresh cost is O(changed rows), and the
+    // oracle proves the replica CONVERGES to the source's v2 state
+    // byte-for-byte (same aggregate the source's own gate uses). A
+    // feed-driven follower is how a 100 TB table fans out to regional
+    // replicas without ever re-shipping the table.
+    "store_replicate_cdf" -> QueryDef(
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS part,
+        |             CAST(round(value*100) AS BIGINT)
+        |               + CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-05'
+        |                      THEN 1000 ELSE 0 END AS vc
+        |           FROM events WHERE event_type = 'click')
+        |SELECT part, COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS total
+        |FROM c GROUP BY part ORDER BY part""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureReplicaStore(s, d)
+      SnapshotStore.readVersion(s, base, 2)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+        .orderBy("part")
     },
 
     // Chi-squared independence test of segment x nation over customers

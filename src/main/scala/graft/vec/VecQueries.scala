@@ -43,6 +43,53 @@ object VecQueries {
         .orderBy("q_id", "rank")
     },
 
+    // exact MAXIMUM-INNER-PRODUCT top-5 — the recommender-retrieval
+    // ranking (user·item affinity), which differs from cosine because
+    // magnitude matters: a long vector can out-score a better-aligned
+    // short one, so MIPS is NOT reducible to the cosine query without
+    // the norm-augmentation transform. Scores are Σ fx20(q)·fx20(c)
+    // in exact BIGINT (2^-20 fixed point; |x|<=4 → products < 2^44,
+    // 64 dims < 2^50 — no overflow), so ranking AND scores are
+    // hash-exact with deterministic (score DESC, id) ties. Scale
+    // shape: 10 fx-encoded queries broadcast into one streamed corpus
+    // scan + per-query top-k — identical to the cosine brute-force
+    // tier, and the same IVF/PQ machinery applies when the corpus
+    // outgrows a scan.
+    "sim_mips_topk" -> QueryDef(
+      s"""WITH f AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, fv AS qv FROM f WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, c.vec_id AS id,
+         |    CAST(list_sum(list_transform(range(64),
+         |      i -> q.qv[i+1] * c.fv[i+1])) AS BIGINT) AS score
+         |  FROM f c, q WHERE q.q_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS rank
+         |  FROM scored)
+         |SELECT q_id, id, score, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fx = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+      val q = fx.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("fv").as("qv"))
+      val scored = fx.crossJoin(broadcast(q))
+        .where(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("id"),
+          aggregate(zip_with(col("qv"), col("fv"), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v).as("score"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))))
+        .where(col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    },
+
     // LSH-bucketed ANN top-5 (multi-probe Hamming-2 x 4 independent
     // tables): engine-hash bucketing — rows-only here; recall vs brute
     // force pinned in spec. 10-bit tables keep the touched fraction at
