@@ -26,7 +26,86 @@ object RelQueries {
 
   val defs: Map[String, QueryDef] =
     aggDefs ++ joinDefs ++ windowDefs ++ setDefs ++ scalarDefs ++ reshapeDefs ++
-      erDefs
+      erDefs ++ miningDefs
+
+  /** Association-rule mining + market-structure statistics — the
+    * "what co-occurs / who dominates" analytics tier.
+    */
+  private lazy val miningDefs: Map[String, QueryDef] = Map(
+
+    // market-basket association rules at the BRAND level: for every
+    // brand pair, co-order support and lift = P(ab)/(P(a)P(b)) in
+    // exact ppm integers. The basket relation collapses to DISTINCT
+    // (order, brand) FIRST — the vocab-collapse move again: the
+    // within-order self-join pairs ~4 brands per order, never line
+    // items, and the 25-brand marginals broadcast. Lift's ppm scaling
+    // keeps the ranking integer-exact (same idiom as the PMI
+    // collocations); at 100 TB the shape is unchanged — one distinct
+    // shuffle, one bounded self-join, tiny broadcast marginals.
+    "basket_lift" -> QueryDef(
+      """WITH b AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS br
+        |           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS total FROM b),
+        |m AS (SELECT br, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+        |pc AS (SELECT a.br AS ba, c.br AS bb, CAST(COUNT(*) AS BIGINT) AS nab
+        |       FROM b a JOIN b c ON a.o = c.o AND a.br < c.br GROUP BY 1, 2)
+        |SELECT pc.ba, pc.bb, pc.nab,
+        |  CAST(pc.nab * n.total * 1000000 // (ma.cnt * mb.cnt) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pc JOIN m ma ON ma.br = pc.ba JOIN m mb ON mb.br = pc.bb
+        |CROSS JOIN n
+        |ORDER BY ba, bb""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("br"))
+        .distinct()
+      val n = b.agg(countDistinct("o").as("total"))
+      val m = b.groupBy("br").agg(count(lit(1)).as("cnt"))
+      val pc = b.as("a").join(b.as("c"),
+          col("a.o") === col("c.o") && col("a.br") < col("c.br"))
+        .groupBy(col("a.br").as("ba"), col("c.br").as("bb"))
+        .agg(count(lit(1)).as("nab"))
+      pc.join(broadcast(m.select(col("br").as("ba"), col("cnt").as("ca"))), "ba")
+        .join(broadcast(m.select(col("br").as("bb"), col("cnt").as("cb"))), "bb")
+        .crossJoin(broadcast(n))
+        .select(col("ba"), col("bb"), col("nab"),
+          expr("nab * total * 1000000 div (ca * cb)").as("lift_ppm"))
+        .orderBy("ba", "bb")
+    },
+
+    // Herfindahl-Hirschman market-concentration index of supplier
+    // revenue per nation — the antitrust/market-structure statistic,
+    // and operationally the SKEW diagnostic for a supplier-keyed
+    // workload (HHI high = a few suppliers own the revenue = a hot
+    // key). Revenue shares are floored to ppm integers before
+    // squaring, so the index is exact; two partial aggregates + one
+    // broadcast-sized join, nothing driver-side.
+    "stat_hhi" -> QueryDef(
+      """WITH r AS (SELECT s.s_nationkey AS nat, l.l_suppkey AS sk,
+        |             CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT))
+        |               AS BIGINT) AS rev
+        |           FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |           GROUP BY 1, 2),
+        |t AS (SELECT nat, CAST(SUM(rev) AS BIGINT) AS tot,
+        |        CAST(COUNT(*) AS BIGINT) AS n_sup
+        |      FROM r GROUP BY 1)
+        |SELECT t.nat AS nation, t.n_sup,
+        |  CAST(SUM((r.rev * 1000000 // t.tot) * (r.rev * 1000000 // t.tot))
+        |    AS BIGINT) AS hhi_pps
+        |FROM r JOIN t ON r.nat = t.nat
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      val r = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nat"), col("l_suppkey").as("sk"))
+        .agg(sum(expr("CAST(round(l_extendedprice*100) AS BIGINT)")).as("rev"))
+      val t = r.groupBy("nat")
+        .agg(sum("rev").as("tot"), count(lit(1)).as("n_sup"))
+      r.join(broadcast(t), "nat")
+        .groupBy(col("nat").as("nation"), col("n_sup"))
+        .agg(sum(expr("(rev * 1000000 div tot) * (rev * 1000000 div tot)"))
+          .cast("long").as("hhi_pps"))
+        .orderBy("nation")
+    })
 
   /** Distinct part names split into (adjective, noun) with their part
     * counts — the VOCAB-COLLAPSED relation entity resolution pairs
