@@ -1030,6 +1030,47 @@ object TextQueries {
         .orderBy("cluster_id")
     },
 
+    // Flesch-style READABILITY scoring — the classic quality-filter
+    // feature (prune too-simple / machine-garbled docs before
+    // training). Word, sentence, and syllable-proxy (vowel-group)
+    // counts are exact integers from one pass of per-row array ops —
+    // no shuffle at all until the final ORDER BY — and the score then
+    // derives in ONE fixed double-op sequence rounded to micro-units,
+    // so the fp-heavy formula is still hash-exact. Pure map work:
+    // scan-bound at any corpus size.
+    "text_readability" -> QueryDef(
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0)) AS BIGINT) AS words,
+        |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      x -> len(trim(x)) > 0)) AS BIGINT) AS sents,
+        |    CAST(list_sum(list_transform(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(regexp_extract_all(w, '[aeiou]+')))) AS BIGINT) AS syl
+        |  FROM documents)
+        |SELECT doc_id, words, sents, syl,
+        |  CAST(round(1000000 * (206.835
+        |    - 1.015 * (CAST(words AS DOUBLE) / sents)
+        |    - 84.6 * (CAST(syl AS DOUBLE) / words))) AS BIGINT) AS fre_micro
+        |FROM c WHERE words > 0 AND sents > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d).select(col("doc_id"),
+        expr("""CAST(size(filter(split(lower(trim(text)), '\\s+'),
+          w -> length(w) > 0)) AS BIGINT)""").as("words"),
+        expr("""CAST(size(filter(split(text, '[.!?]+'),
+          x -> length(trim(x)) > 0)) AS BIGINT)""").as("sents"),
+        expr("""CAST(aggregate(transform(split(lower(trim(text)), '\\s+'),
+          w -> size(regexp_extract_all(w, '[aeiou]+', 0))),
+          0L, (acc, v) -> acc + v) AS BIGINT)""").as("syl"))
+      c.where(col("words") > 0 && col("sents") > 0)
+        .select(col("doc_id"), col("words"), col("sents"), col("syl"),
+          expr("""CAST(round(1000000 * (206.835
+            - 1.015 * (CAST(words AS DOUBLE) / sents)
+            - 84.6 * (CAST(syl AS DOUBLE) / words))) AS BIGINT)""").as("fre_micro"))
+        .orderBy("doc_id")
+    },
+
     // PREFIX-FILTERING set-similarity join (AllPairs/PPJoin family) —
     // the EXACT-candidate-generation alternative to LSH: order each
     // doc's shingles by ascending global document frequency, keep only
