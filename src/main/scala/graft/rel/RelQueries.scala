@@ -73,6 +73,49 @@ object RelQueries {
         .orderBy("ba", "bb")
     },
 
+    // GINI COEFFICIENT of order value per priority class — the
+    // inequality statistic (and another skew diagnostic: high Gini on
+    // a key's value distribution predicts uneven partition load when
+    // weighting by it). Using the sorted-rank identity
+    // G = (2Σi·x_i − (n+1)Σx) / (nΣx): ranks come from ONE window per
+    // group, the three moments are exact BIGINTs (tie order between
+    // equal values provably cancels in Σi·x_i), and the close is one
+    // double division rounded to ppm — numerator/denominator stay in
+    // exact BIGINT (< 2^57 here), only the final ratio touches fp.
+    "agg_gini" -> QueryDef(
+      """WITH x AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY CAST(round(o_totalprice*100) AS BIGINT),
+        |                                o_orderkey) AS i
+        |  FROM orders),
+        |m AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(v) AS BIGINT) AS s,
+        |        CAST(SUM(i * v) AS BIGINT) AS sixi
+        |      FROM x GROUP BY 1)
+        |SELECT pri, n,
+        |  CAST(round(1000000 * (CAST(2 * sixi - (n + 1) * s AS DOUBLE)
+        |                        / CAST(n * s AS DOUBLE))) AS BIGINT) AS gini_ppm
+        |FROM m ORDER BY pri""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("pri")
+        .orderBy(col("v"), col("o_orderkey"))
+      val x = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("pri"),
+          expr("CAST(round(o_totalprice*100) AS BIGINT)").as("v"),
+          col("o_orderkey"))
+        .withColumn("i", row_number().over(w))
+      x.groupBy("pri")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          sum(col("i") * col("v")).as("sixi"))
+        .select(col("pri"), col("n"),
+          expr("""CAST(round(1000000 * (CAST(2 * sixi - (n + 1) * s AS DOUBLE)
+                                        / CAST(n * s AS DOUBLE))) AS BIGINT)""")
+            .as("gini_ppm"))
+        .orderBy("pri")
+    },
+
     // Herfindahl-Hirschman market-concentration index of supplier
     // revenue per nation — the antitrust/market-structure statistic,
     // and operationally the SKEW diagnostic for a supplier-keyed

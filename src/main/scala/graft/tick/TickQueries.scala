@@ -464,6 +464,63 @@ object TickQueries {
     // both engines — no fp-order dependence. The lag window and the
     // final aggregate share the series key, so the plan is one
     // window shuffle + a tiny per-series reduce.
+    // classical seasonal DECOMPOSITION of each series' daily counts
+    // (STL-lite): trend = centered 7-day moving average, seasonal =
+    // day-of-week mean of the detrended series, residual = the rest —
+    // the forecasting/anomaly preprocessing step. Everything is
+    // SCALED BY 7 so the moving average stays an exact integer
+    // (trend_x7 = the 7-day window SUM): no fp anywhere, hash-exact.
+    // Interior days only (full 7-day windows), so the window frame
+    // needs no edge semantics. Scale shape: one bucket aggregate,
+    // one series-partitioned window, a broadcast-sized day-of-week
+    // mean joined back — series decompose independently.
+    "tick_seasonal_decompose" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, bucket, n,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS trend_x7,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS wn,
+        |    dayofweek(bucket) AS dow
+        |  FROM day
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT event_type, bucket, dow, n,
+        |        trend_x7, 7 * n - trend_x7 AS det_x7
+        |      FROM t WHERE wn = 7),
+        |seas AS (SELECT event_type, dow,
+        |           CAST(SUM(det_x7) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS seas_x7
+        |         FROM f GROUP BY 1, 2)
+        |SELECT f.event_type, f.bucket, f.n, f.trend_x7, seas.seas_x7,
+        |  f.det_x7 - seas.seas_x7 AS resid_x7
+        |FROM f JOIN seas ON f.event_type = seas.event_type AND f.dow = seas.dow
+        |ORDER BY f.event_type, f.bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(-3, 3)
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val t = day.select(col("event_type"), col("bucket"), col("n"),
+        sum("n").over(w).as("trend_x7"),
+        count(lit(1)).over(w).as("wn"),
+        dayofweek(col("bucket")).as("dow"))
+      val f = t.where(col("wn") === 7)
+        .withColumn("det_x7", lit(7) * col("n") - col("trend_x7"))
+      // NB: DuckDB's integer `//` TRUNCATES toward zero (verified on
+      // negative sums), exactly like Spark's `div` — plain div is the
+      // parity-correct choice even though detrended sums go negative
+      val seas = f.groupBy("event_type", "dow")
+        .agg(expr("sum(det_x7) div count(1)").as("seas_x7"))
+      f.join(broadcast(seas), Seq("event_type", "dow"))
+        .select(col("event_type"), col("bucket"), col("n"), col("trend_x7"),
+          col("seas_x7"), (col("det_x7") - col("seas_x7")).as("resid_x7"))
+        .orderBy("event_type", "bucket")
+    },
+
     // rolling 24-hour correlation between paired series (click~view,
     // click~purchase, view~error hourly cent-sums) — the co-movement
     // monitor a market/ops dashboard keeps per instrument pair. Every
