@@ -29,6 +29,43 @@ object MmQueries {
         .orderBy("doc_id")
     },
 
+    // EXACT media dedup on the opaque binary payload — the multimodal
+    // twin of dedup_exact: group by payload digest, report duplicate
+    // groups (n copies + representative id). The payload never leaves
+    // the executor: only the 16-byte digest shuffles, which is the
+    // whole point at 100 TB of images — a map-side digest + one
+    // digest-keyed partial aggregate, identical for real JPEG bytes.
+    // (Digest here = the payload's hex image; stub payloads are
+    // md5(text) bytes, so the oracle derives the identical digest
+    // from the raw docs — DuckDB's md5() cannot hash BLOBs. The
+    // corpus has no NATURAL byte-dups below sf0.1, so re-uploaded
+    // copies of docs < 15 are planted at +50000 — the verifier then
+    // checks 15 real duplicate groups at every scale instead of
+    // vacuously matching an empty set.)
+    "mm_dedup_exact" -> QueryDef(
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000, text FROM documents WHERE doc_id < 15)
+        |SELECT md5(text) AS payload_digest,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  MIN(doc_id) AS rep_doc
+        |FROM docs
+        |GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY payload_digest""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val aug = docs.unionByName(
+        docs.where(col("doc_id") < 15)
+          .withColumn("doc_id", col("doc_id") + 50000L))
+      Multimodal.withFakeMedia(aug)
+        .select(col("doc_id"),
+          lower(hex(col("media.payload"))).as("payload_digest"))
+        .groupBy("payload_digest")
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("rep_doc"))
+        .where(col("n_copies") >= 2)
+        .orderBy("payload_digest")
+    },
+
     // partition-wise batched stub decode -> per-doc feature vector
     "mm_decode_features" -> QueryDef.rowsOnly { (s, d) =>
       import s.implicits._

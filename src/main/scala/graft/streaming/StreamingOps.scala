@@ -61,6 +61,31 @@ object StreamingOps {
     * final result — identical to the batch equivalent, which is what
     * the oracle checks.
     */
+  /** SLIDING-window streaming aggregate (2h width, 1h slide): every
+    * event lands in exactly two overlapping windows — the standard
+    * "smooth dashboard" window shape, with 2x the state of tumbling
+    * and the same per-row work. AvailableNow drain == the batch
+    * answer, which is what the oracle checks.
+    */
+  def slidingWindowAggOnce(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsStream(spark, dir)
+    val agg = src
+      .groupBy(window(col("ts_t"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   def windowAggOnce(spark: SparkSession, dir: String): DataFrame = {
     val src = eventsStream(spark, dir)
     val agg = src

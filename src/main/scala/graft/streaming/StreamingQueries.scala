@@ -31,6 +31,20 @@ object StreamingQueries {
       StreamingOps.windowAggOnce(s, d).orderBy("bucket", "event_type")
     },
 
+    // SLIDING windows (2h width, 1h slide): each event lands in
+    // exactly two overlapping windows, so the oracle enumerates both
+    // candidate starts per event (floor-hour and floor-hour minus 1h)
+    // — set-identical to Spark's epoch-aligned window assignment.
+    "streaming_sliding_window" -> QueryDef(
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+        |w AS (SELECT event_type,
+        |        date_trunc('hour', t) - to_hours(k) AS bucket
+        |      FROM e CROSS JOIN (SELECT UNNEST([0, 1]) AS k))
+        |SELECT bucket, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      StreamingOps.slidingWindowAggOnce(s, d).orderBy("bucket", "event_type")
+    },
+
     // streaming dedup == batch distinct (exactly-once key emission)
     "streaming_dedup" -> QueryDef(
       """SELECT event_type, COUNT(*) AS n_keys
