@@ -356,6 +356,50 @@ object AnalyticsQueries {
         .select(col("chi2_micro"), col("df"), col("n"))
     },
 
+    // MUTUAL INFORMATION between segment and nation — the feature-
+    // selection statistic (how many nats does knowing the nation tell
+    // you about the segment?), complementing stat_chi2's yes/no
+    // independence verdict with a magnitude. Counts and marginals are
+    // exact BIGINTs; the only transcendental step, ln(p_ab/(p_a p_b)),
+    // rounds to 9 dp and lands as a nano-scaled integer BEFORE the
+    // n_ab-weighted sum (the text_lm_surprisal idiom), so the
+    // accumulated Σ n_ab·ln-ratio is partition-order independent and
+    // hash-exact. Zero cells contribute exactly 0 (x·ln x → 0) and
+    // are correctly absent. Output = N·MI in nano-nats.
+    "stat_mutual_info" -> QueryDef(
+      """WITH o AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM customer GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o),
+        |r AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS rc FROM o GROUP BY 1),
+        |k AS (SELECT nat, CAST(SUM(c) AS BIGINT) AS cc FROM o GROUP BY 1),
+        |cell AS (
+        |  SELECT o.c,
+        |    CAST(round(round(ln(CAST(o.c AS DOUBLE) * t.n
+        |      / (CAST(r.rc AS DOUBLE) * k.cc)), 9) * 1000000000) AS BIGINT)
+        |      AS ln_nano
+        |  FROM o JOIN r ON o.seg = r.seg JOIN k ON o.nat = k.nat
+        |  CROSS JOIN t)
+        |SELECT (SELECT n FROM t) AS n,
+        |  CAST(SUM(c * ln_nano) AS BIGINT) AS mi_sum_nano
+        |FROM cell""".stripMargin) { (s, d) =>
+      val o = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+        .agg(count(lit(1)).as("c"))
+      val t = o.agg(sum("c").as("n"))
+      val r = o.groupBy("seg").agg(sum("c").as("rc"))
+      val k = o.groupBy("nat").agg(sum("c").as("cc"))
+      val cell = o.join(broadcast(r), "seg").join(broadcast(k), "nat")
+        .crossJoin(broadcast(t))
+        .select(col("c"),
+          expr("""CAST(round(round(ln(CAST(c AS DOUBLE) * n
+            / (CAST(rc AS DOUBLE) * cc)), 9) * 1000000000) AS BIGINT)""")
+            .as("ln_nano"))
+      cell.agg(sum(col("c") * col("ln_nano")).cast("long").as("mi_sum_nano"))
+        .crossJoin(broadcast(t))
+        .select(col("n"), col("mi_sum_nano"))
+    },
+
     // degree assortativity of the customer<->supplier graph — "do
     // high-degree nodes attach to high-degree nodes?", the
     // one-number topology diagnostic run before choosing a

@@ -90,6 +90,73 @@ object VecQueries {
         .orderBy("q_id", "rank")
     },
 
+    // MATRYOSHKA (MRL) truncated-embedding retrieval evaluation: rank
+    // by the 16-dim PREFIX of each 64-dim embedding — the modern
+    // shrink-the-index trick (train embeddings so prefixes remain
+    // usable, search the short prefix, optionally re-rank with the
+    // full vector) — and report, per hit, whether the full-dimension
+    // search agrees (`in_full_top5`). Both rankings are exact BIGINT
+    // fixed-point dot products with deterministic ties, so the whole
+    // evaluation is hash-exact; random embeddings make prefix/full
+    // overlap low, which is precisely the signal the evaluation
+    // exists to measure. One broadcast of 10 queries into one corpus
+    // scan computes BOTH scores — the 4x-cheaper prefix scan is the
+    // production path, the s64 column here exists to grade it.
+    "sim_matryoshka_topk" -> QueryDef(
+      s"""WITH f AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, fv AS qv FROM f WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, c.vec_id AS id,
+         |    CAST(list_sum(list_transform(range(16),
+         |      i -> q.qv[i+1] * c.fv[i+1])) AS BIGINT) AS s16,
+         |    CAST(list_sum(list_transform(range(64),
+         |      i -> q.qv[i+1] * c.fv[i+1])) AS BIGINT) AS s64
+         |  FROM f c, q WHERE q.q_id <> c.vec_id),
+         |r16 AS (SELECT q_id, id, s16,
+         |          ROW_NUMBER() OVER (PARTITION BY q_id
+         |                             ORDER BY s16 DESC, id) AS rank
+         |        FROM scored),
+         |r64 AS (SELECT q_id, id FROM (
+         |          SELECT q_id, id,
+         |            ROW_NUMBER() OVER (PARTITION BY q_id
+         |                               ORDER BY s64 DESC, id) AS rank
+         |          FROM scored) WHERE rank <= 5)
+         |SELECT r16.q_id AS q_id, r16.rank AS rank, r16.id AS id, r16.s16,
+         |  (r64.id IS NOT NULL) AS in_full_top5
+         |FROM r16 LEFT JOIN r64 ON r64.q_id = r16.q_id AND r64.id = r16.id
+         |WHERE r16.rank <= 5
+         |ORDER BY r16.q_id, r16.rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fx = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+      val q = fx.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("fv").as("qv"))
+      def dotPrefix(n: Int) = aggregate(
+        zip_with(slice(col("qv"), 1, n), slice(col("fv"), 1, n), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+      val scored = fx.crossJoin(broadcast(q))
+        .where(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("id"),
+          dotPrefix(16).as("s16"), dotPrefix(64).as("s64"))
+        .localCheckpoint() // both rankings consume it
+      val r16 = scored.withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("s16").desc, col("id"))))
+        .where(col("rank") <= 5)
+      val r64 = scored.withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("s64").desc, col("id"))))
+        .where(col("rank") <= 5)
+        .select(col("q_id").as("fq"), col("id").as("fid"))
+      r16.join(r64,
+          col("fq") === col("q_id") && col("fid") === col("id"), "left")
+        .select(col("q_id"), col("rank"), col("id"), col("s16"),
+          col("fid").isNotNull.as("in_full_top5"))
+        .orderBy("q_id", "rank")
+    },
+
     // LSH-bucketed ANN top-5 (multi-probe Hamming-2 x 4 independent
     // tables): engine-hash bucketing — rows-only here; recall vs brute
     // force pinned in spec. 10-bit tables keep the touched fraction at
