@@ -315,6 +315,57 @@ object EventQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // STATIONARY DISTRIBUTION of the event-type Markov chain — "where
+    // does a user's session settle?" — by 8 power-iteration rounds
+    // over the transition counts in integer 1e-12 probability mass
+    // (the PageRank idiom: per-edge floor division makes every round
+    // order-independent and hash-exact, so even an iterative fixpoint
+    // is oracle-checkable). The chain here has |types| = 5 states, but
+    // the plan is the generic one: per-round = one state-keyed
+    // broadcast join + partial-agg SUM over the edge relation, the
+    // same shape that scales to million-state chains (page/product
+    // graphs) where the edge relation is the big side.
+    "events_markov_stationary" -> QueryDef(
+      """WITH RECURSIVE seq AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |pi(it, st, p) AS (
+        |  SELECT 0, from_type, 1000000000000::BIGINT FROM rt
+        |  UNION ALL
+        |  SELECT it + 1, c.to_type, CAST(SUM(pi.p * c.n // rt.tot) AS BIGINT)
+        |  FROM pi JOIN c ON c.from_type = pi.st JOIN rt ON rt.from_type = pi.st
+        |  WHERE it < 8 GROUP BY 1, 2)
+        |SELECT st AS state, p AS pi_fp FROM pi WHERE it = 8
+        |ORDER BY state""".stripMargin) { (sp, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val c = Tables.events(sp, d)
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(wSeq).as("to_type"))
+        .where(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // the loop re-reads it 8 times
+      val rt = c.groupBy("from_type").agg(sum("n").as("tot"))
+      val edges = c.join(rt, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("tot"))
+        .localCheckpoint()
+      var pi = rt.select(col("from_type").as("st"),
+        lit(1000000000000L).as("p"))
+      (1 to 8).foreach { _ =>
+        pi = edges.join(broadcast(pi), col("from_type") === col("st"))
+          .select(col("to_type"), expr("p * n div tot").as("contrib"))
+          .groupBy(col("to_type").as("st"))
+          .agg(sum("contrib").as("p"))
+          .localCheckpoint()
+      }
+      pi.select(col("st").as("state"), col("p").as("pi_fp")).orderBy("state")
+    },
+
     // top event PATHS: the 10 most frequent 3-step per-user event-type
     // sequences — the path-discovery sibling of the pairwise Markov
     // transitions above (funnels you did not know to look for). The

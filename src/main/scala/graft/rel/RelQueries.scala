@@ -284,9 +284,29 @@ object RelQueries {
   }
 
   /** See [[graft.tick.StoreQueries.benchSetups]]. */
+  /** Day-partitioned parquet copy of events (hive layout, one dir per
+    * `day=` value), written once per sf dir — the fixture behind
+    * source_partitioned_roundtrip's pruning claims.
+    */
+  private[graft] def partitionedEventsPath(
+      s: org.apache.spark.sql.SparkSession, d: String): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_partev_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      graft.Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"),
+          expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    }
+    path
+  }
+
   private[graft] val benchSetups
       : Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
-    "layout_bucketed_join" -> ((s, d) => { buildBucketedTables(s, d); () }))
+    "layout_bucketed_join" -> ((s, d) => { buildBucketedTables(s, d); () }),
+    "source_partitioned_roundtrip" -> ((s, d) => { partitionedEventsPath(s, d); () }))
 
   private lazy val aggDefs: Map[String, QueryDef] = Map(
 
@@ -1182,6 +1202,27 @@ object RelQueries {
     // csv (header, explicit timestamp format), read it back with an
     // explicit schema, and reproduce the original rows. Built once per
     // sf dir (deterministic content).
+    // HIVE-PARTITIONED parquet sink + PRUNED read-back: events written
+    // partitionBy(day), then four days read via a partition-column
+    // filter that resolves at PLANNING time — pruned directories never
+    // reach the scan (PlanSpec pins PartitionFilters + the file-count
+    // drop). This is THE layout decision at 100 TB: day-partitioned
+    // facts make every time-ranged query touch only its days. Written
+    // once per sf dir; the oracle recomputes from raw events.
+    "source_partitioned_roundtrip" -> QueryDef(
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-08'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      s.read.parquet(partitionedEventsPath(s, d))
+        .where(col("day").between("2024-01-05", "2024-01-08"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+        .orderBy("day", "event_type")
+    },
+
     "source_csv_roundtrip" -> QueryDef(
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>

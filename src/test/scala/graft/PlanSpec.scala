@@ -28,6 +28,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
   }
 
+  test("partitioned roundtrip prunes day directories at planning time") {
+    val p = plan("source_partitioned_roundtrip")
+    // the day filter must land in PartitionFilters (planning-time dir
+    // pruning), NOT as a post-scan Filter over all partitions
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("day"), p)
+    // and the files ACTUALLY READ (scan metric, post-pruning — note
+    // df.inputFiles is pre-pruning metadata and lists every file) must
+    // be exactly the files under the 4 selected day dirs
+    // static pruning is a planning-time property — plan without AQE so
+    // the scan node is reachable in the executed plan tree
+    val aqe = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(aqe)
+    val scan = try {
+      spark.conf.set(aqe, "false")
+      val df = SparkEntry.queries("source_partitioned_roundtrip")(spark, sf0001)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    } finally spark.conf.set(aqe, old)
+    val read = scan.metrics("numFiles").value
+    val root = new org.apache.hadoop.fs.Path(
+      rel.RelQueries.partitionedEventsPath(spark, sf0001))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val expected = Seq("2024-01-05", "2024-01-06", "2024-01-07", "2024-01-08")
+      .map(day => fs.listStatus(new org.apache.hadoop.fs.Path(root, s"day=$day"))
+        .count(st => st.getPath.getName.endsWith(".parquet"))).sum
+    assert(read == expected && expected > 0, s"read=$read expected=$expected")
+  }
+
   test("q5 star join broadcasts every dimension") {
     val p = plan("q5_join")
     assert(p.contains("BroadcastHashJoin"), p)
