@@ -73,6 +73,46 @@ object RelQueries {
         .orderBy("ba", "bb")
     },
 
+    // WEIGHTED MEDIAN (lower) of price weighted by quantity per
+    // returnflag — the weighted-quantile shape behind "median price
+    // paid per unit" style metrics. Values COLLAPSE to distinct
+    // (group, price) with summed weights first (same vocab-collapse
+    // move as ER/BPE), then one cumulative window over the collapsed
+    // relation picks the first value whose doubled running weight
+    // reaches the total — all integer, no interpolation, hash-exact.
+    // The window runs over distinct values per group, not rows: at
+    // 100 TB the collapsed relation is orders of magnitude smaller
+    // than the data.
+    "agg_weighted_median" -> QueryDef(
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, price, w,
+        |    CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        |    CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+        |  FROM v)
+        |SELECT flag, MIN(price) AS wmedian_price, MIN(tw) AS total_weight
+        |FROM c WHERE 2 * cw >= tw
+        |GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("price"))
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("w"))
+      val c = v.select(col("flag"), col("price"), col("w"),
+        sum("w").over(Window.partitionBy("flag").orderBy("price")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cw"),
+        sum("w").over(Window.partitionBy("flag")).as("tw"))
+      c.where(col("cw") * 2 >= col("tw"))
+        .groupBy("flag")
+        .agg(min("price").as("wmedian_price"), min("tw").as("total_weight"))
+        .orderBy("flag")
+    },
+
     // GINI COEFFICIENT of order value per priority class — the
     // inequality statistic (and another skew diagnostic: high Gini on
     // a key's value distribution predicts uneven partition load when

@@ -521,6 +521,80 @@ object TickQueries {
         .orderBy("event_type", "bucket")
     },
 
+    // seasonal-residual ANOMALY detection: compose the STL-lite
+    // decomposition with a robust threshold — a day is anomalous when
+    // its |residual| exceeds 3x the series' MAD of residuals (the
+    // seasonality-aware upgrade of tick_zscore_day: a Saturday dip is
+    // NOT an anomaly once the weekly profile is removed). The MAD is
+    // the LOWER median by rank selection — integers end to end, no
+    // interpolation — so the flags are hash-exact. Scale shape: the
+    // decomposition's windows + two tiny per-series aggregates; the
+    // threshold join broadcasts per-series scalars.
+    "tick_anomaly_stl" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, bucket, n,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS trend_x7,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS wn,
+        |    dayofweek(bucket) AS dow
+        |  FROM day
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT event_type, bucket, dow, n,
+        |        7 * n - trend_x7 AS det_x7
+        |      FROM t WHERE wn = 7),
+        |seas AS (SELECT event_type, dow,
+        |           CAST(SUM(det_x7) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS seas_x7
+        |         FROM f GROUP BY 1, 2),
+        |res AS (SELECT f.event_type, f.bucket,
+        |          abs(f.det_x7 - seas.seas_x7) AS aresid
+        |        FROM f JOIN seas ON f.event_type = seas.event_type
+        |                        AND f.dow = seas.dow),
+        |rk AS (SELECT event_type, aresid,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY aresid, bucket) AS i,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |       FROM res),
+        |mad AS (SELECT event_type, aresid AS mad
+        |        FROM rk WHERE i = (cnt + 1) // 2)
+        |SELECT res.event_type, res.bucket, res.aresid, mad.mad
+        |FROM res JOIN mad ON res.event_type = mad.event_type
+        |WHERE res.aresid > 3 * mad.mad
+        |ORDER BY res.event_type, res.bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(-3, 3)
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val t = day.select(col("event_type"), col("bucket"), col("n"),
+        sum("n").over(w).as("trend_x7"),
+        count(lit(1)).over(w).as("wn"),
+        dayofweek(col("bucket")).as("dow"))
+      val f = t.where(col("wn") === 7)
+        .withColumn("det_x7", lit(7) * col("n") - col("trend_x7"))
+      val seas = f.groupBy("event_type", "dow")
+        .agg(expr("sum(det_x7) div count(1)").as("seas_x7"))
+      val res = f.join(broadcast(seas), Seq("event_type", "dow"))
+        .select(col("event_type"), col("bucket"),
+          abs(col("det_x7") - col("seas_x7")).as("aresid"))
+        .localCheckpoint() // feeds both the rank pass and the flag join
+      val rk = res.select(col("event_type"), col("aresid"),
+        row_number().over(Window.partitionBy("event_type")
+          .orderBy("aresid", "bucket")).as("i"),
+        count(lit(1)).over(Window.partitionBy("event_type")).as("cnt"))
+      val mad = rk.where(col("i") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("aresid").as("mad"))
+      res.join(broadcast(mad), "event_type")
+        .where(col("aresid") > lit(3) * col("mad"))
+        .select(col("event_type"), col("bucket"), col("aresid"), col("mad"))
+        .orderBy("event_type", "bucket")
+    },
+
     // rolling 24-hour correlation between paired series (click~view,
     // click~purchase, view~error hourly cent-sums) — the co-movement
     // monitor a market/ops dashboard keeps per instrument pair. Every
