@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkEntry, Tables}
+
+/** End-to-end composition test: the LLM-data-pipeline operators are
+  * not just individually oracle-green — they CHAIN. quality gate →
+  * near-dup survivor selection → balanced sampling produces one final
+  * kept-set, the stages interlock on doc_id, and the whole chain is
+  * bit-deterministic across independent evaluations (no RNG, no
+  * partition-order dependence anywhere — the property every
+  * reproducible-training-data pipeline needs).
+  */
+class PipelineIntegrationSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  /** doc_ids a near-dup cluster drops (everyone but the longest-doc
+    * representative) — same LSH → exact-verify → CC → argmax chain as
+    * the dedup_canonical query, via the reusable helpers.
+    */
+  private def dedupRemoved(): Set[Long] = {
+    val shingled = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        array_distinct(TextFunctions.shingles(col("text"), 3)).as("shset"))
+      .where(size(col("shset")) > 0)
+      .localCheckpoint()
+    val sigs = shingled.select(col("id"),
+      Dedup.minhashSignature(col("shset"), 64).as("sig"))
+    val cands = Dedup.lshCandidatePairs(sigs, "id", "sig", 16)
+    val sa = shingled.toDF("a_id", "a_sh")
+    val sb = shingled.toDF("b_id", "b_sh")
+    val edges = cands.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+      .where(col("inter") * 10 >= col("uni") * 9 && col("uni") > 0)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val assign = Cluster.connectedComponents(shingled.select(col("id")), edges)
+    val members = assign
+      .join(Tables.documents(spark, dir).select(col("doc_id").as("id"), col("n_chars")), "id")
+      .select(col("id"), col("cluster_id"), (col("n_chars") * 1000000L + col("id")).as("kk"))
+    val reps = members.groupBy("cluster_id").agg(max("kk").as("mk"))
+      .select((col("mk") % 1000000L).as("rep"))
+      .collect().map(_.getLong(0)).toSet
+    members.collect().map(_.getLong(0)).filterNot(reps).toSet
+  }
+
+  private def keptSet(): Seq[Long] = {
+    val quality = SparkEntry.queries("text_filter_audit")(spark, dir)
+      .where(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val removed = dedupRemoved()
+    val sampled = SparkEntry.queries("sample_balanced")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val afterDedup = quality -- removed
+    val finalKept = afterDedup intersect sampled
+    // stage-wise structure: every stage keeps a nonempty set, the
+    // chain monotonically shrinks, and both dedup and sampling
+    // actually bite (strict drops), so no stage is vacuous
+    assert(quality.nonEmpty && afterDedup.nonEmpty && finalKept.nonEmpty)
+    assert(afterDedup.size < quality.size,
+      s"dedup removed nothing from the quality-kept set (${quality.size})")
+    assert(finalKept.size < afterDedup.size,
+      s"sampling dropped nothing (${afterDedup.size})")
+    finalKept.toSeq.sorted
+  }
+
+  test("quality gate -> near-dup survivors -> balanced sample chains deterministically") {
+    val once = keptSet()
+    val twice = keptSet() // fully re-evaluated: new jobs, new partitioning luck
+    assert(once == twice, s"pipeline is not deterministic: ${once.size} vs ${twice.size}")
+  }
+
+  test("recomputed dedup removal agrees with the dedup_canonical query totals") {
+    val removed = dedupRemoved()
+    val canonical = SparkEntry.queries("dedup_canonical")(spark, dir)
+      .agg(sum("n_removed").cast("long")).collect()(0).getLong(0)
+    assert(removed.size.toLong == canonical,
+      s"member-level removal ${removed.size} != query n_removed total $canonical")
+  }
+}
