@@ -356,6 +356,54 @@ object AnalyticsQueries {
         .select(col("chi2_micro"), col("df"), col("n"))
     },
 
+    // two-sample KOLMOGOROV-SMIRNOV test: does account balance follow
+    // the same distribution in the BUILDING and MACHINERY segments?
+    // The third hypothesis test (chi2 = categorical independence,
+    // z = proportions, KS = whole continuous distributions). The
+    // statistic D = sup|F1-F2| stays EXACT: per distinct balance, the
+    // cross-multiplied ECDF gap |c1·n2 − c2·n1| is an integer, and
+    // the sup is a MAX — no fp until the final ppm report. The ECDF
+    // cumsum is one window over the DISTINCT-value axis (thousands of
+    // rows, not the data; at 100 TB it becomes the same range-sliced
+    // global-rank trick the exact percentiles use).
+    "stat_ks_test" -> QueryDef(
+      """WITH x AS (
+        |  SELECT CAST(round(c_acctbal*100) AS BIGINT) AS v,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS s2
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |g AS (SELECT v, CAST(SUM(s1) AS BIGINT) AS a, CAST(SUM(s2) AS BIGINT) AS b
+        |      FROM x GROUP BY 1),
+        |t AS (SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2
+        |      FROM g),
+        |c AS (SELECT
+        |    CAST(SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+        |    CAST(SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+        |  FROM g)
+        |SELECT t.n1, t.n2,
+        |  CAST(MAX(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT) AS d_num,
+        |  CAST(MAX(abs(c.c1 * t.n2 - c.c2 * t.n1)) * 1000000 // (t.n1 * t.n2)
+        |    AS BIGINT) AS d_ppm
+        |FROM c CROSS JOIN t GROUP BY t.n1, t.n2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val x = Tables.customer(s, d)
+        .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(expr("CAST(round(c_acctbal*100) AS BIGINT)").as("v"),
+          when(col("c_mktsegment") === "BUILDING", 1).otherwise(0).as("s1"),
+          when(col("c_mktsegment") === "MACHINERY", 1).otherwise(0).as("s2"))
+      val g = x.groupBy("v").agg(sum("s1").as("a"), sum("s2").as("b"))
+      val t = g.agg(sum("a").as("n1"), sum("b").as("n2"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = g.select(sum("a").over(w).as("c1"), sum("b").over(w).as("c2"))
+      c.crossJoin(broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          expr("d_num * 1000000 div (n1 * n2)").as("d_ppm"))
+    },
+
     // MUTUAL INFORMATION between segment and nation — the feature-
     // selection statistic (how many nats does knowing the nation tell
     // you about the segment?), complementing stat_chi2's yes/no

@@ -90,6 +90,74 @@ object VecQueries {
         .orderBy("q_id", "rank")
     },
 
+    // BINARY-QUANTIZED retrieval: embeddings collapse to their sign
+    // bits (64 dims -> 64 bits, a 32x compression — the third rung of
+    // the quantization ladder after int8 and PQ) and candidates rank
+    // by HAMMING distance, graded per hit against the exact
+    // fixed-point top-5 from the same pass. Sign extraction, bit
+    // disagreement counts, and both rankings are all integers with
+    // deterministic ties, so the evaluation is hash-exact. At scale
+    // the 8-byte signatures scan from memory and XOR+popcount replaces
+    // 64 multiplies — the production shape of binary rescoring.
+    "sim_hamming_topk" -> QueryDef(
+      s"""WITH f AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CASE WHEN CAST(x AS DOUBLE) >= 0 THEN 1 ELSE 0 END) AS sg,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, sg AS qs, fv AS qv FROM f WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, c.vec_id AS id,
+         |    CAST(list_sum(list_transform(range(64),
+         |      i -> CASE WHEN q.qs[i+1] <> c.sg[i+1] THEN 1 ELSE 0 END))
+         |      AS BIGINT) AS hd,
+         |    CAST(list_sum(list_transform(range(64),
+         |      i -> q.qv[i+1] * c.fv[i+1])) AS BIGINT) AS s64
+         |  FROM f c, q WHERE q.q_id <> c.vec_id),
+         |rh AS (SELECT q_id, id, hd,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hd, id) AS rank
+         |       FROM scored),
+         |rf AS (SELECT q_id, id FROM (
+         |         SELECT q_id, id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id
+         |                              ORDER BY s64 DESC, id) AS rank
+         |         FROM scored) WHERE rank <= 5)
+         |SELECT rh.q_id AS q_id, rh.rank AS rank, rh.id AS id, rh.hd,
+         |  (rf.id IS NOT NULL) AS in_full_top5
+         |FROM rh LEFT JOIN rf ON rf.q_id = rh.q_id AND rf.id = rh.id
+         |WHERE rh.rank <= 5
+         |ORDER BY rh.q_id, rh.rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => when(x.cast("double") >= 0, 1).otherwise(0)).as("sg"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+      val q = f.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sg").as("qs"), col("fv").as("qv"))
+      val scored = f.crossJoin(broadcast(q))
+        .where(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("id"),
+          aggregate(zip_with(col("qs"), col("sg"),
+              (a, b) => when(a =!= b, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v).as("hd"),
+          aggregate(zip_with(col("qv"), col("fv"), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v).as("s64"))
+        .localCheckpoint() // both rankings consume it
+      val rh = scored.withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("hd"), col("id"))))
+        .where(col("rank") <= 5)
+      val rf = scored.withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("s64").desc, col("id"))))
+        .where(col("rank") <= 5)
+        .select(col("q_id").as("fq"), col("id").as("fid"))
+      rh.join(rf, col("fq") === col("q_id") && col("fid") === col("id"), "left")
+        .select(col("q_id"), col("rank"), col("id"), col("hd"),
+          col("fid").isNotNull.as("in_full_top5"))
+        .orderBy("q_id", "rank")
+    },
+
     // MATRYOSHKA (MRL) truncated-embedding retrieval evaluation: rank
     // by the 16-dim PREFIX of each 64-dim embedding — the modern
     // shrink-the-index trick (train embeddings so prefixes remain
