@@ -521,6 +521,55 @@ object TickQueries {
         .orderBy("event_type", "bucket")
     },
 
+    // MAX DRAWDOWN of each series' cumulative daily value — the
+    // risk/regression metric (largest peak-to-trough fall of a
+    // cumulative curve). Same two-window trick as CUSUM: running sum,
+    // then prefix MAX, share ONE sort per series; drawdown_t =
+    // peak_t − cum_t and the answer is a plain MAX — all integer
+    // cents, hash-exact. The day the maximum drawdown bottoms out is
+    // tie-broken to the earliest via an (dd, -epoch-day) struct MAX,
+    // so even the argmax is deterministic.
+    "tick_drawdown" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket,
+        |    CAST(SUM(v) OVER w AS BIGINT) AS cum
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |                        ROWS UNBOUNDED PRECEDING)),
+        |p AS (
+        |  SELECT event_type, bucket, cum,
+        |    CAST(MAX(cum) OVER w AS BIGINT) AS peak
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |                      ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type,
+        |  CAST(MAX(peak - cum) AS BIGINT) AS max_dd,
+        |  make_timestamp(-(MAX(struct_pack(dd := peak - cum,
+        |    nday := -epoch_us(bucket))).nday)) AS trough_day,
+        |  CAST(MAX(cum) AS BIGINT) AS peak_cum
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val wRun = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("v"))
+      val p = day
+        .withColumn("cum", sum("v").over(wRun))
+        .withColumn("peak", max("cum").over(wRun))
+      p.groupBy("event_type")
+        .agg(max(col("peak") - col("cum")).as("max_dd"),
+          timestamp_micros(-max(struct(
+            (col("peak") - col("cum")).as("dd"),
+            (-unix_micros(col("bucket"))).as("nday"))).getField("nday"))
+            .as("trough_day"),
+          max("cum").as("peak_cum"))
+        .orderBy("event_type")
+    },
+
     // seasonal-residual ANOMALY detection: compose the STL-lite
     // decomposition with a robust threshold — a day is anomalous when
     // its |residual| exceeds 3x the series' MAD of residuals (the
