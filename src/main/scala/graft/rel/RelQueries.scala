@@ -1008,6 +1008,50 @@ object RelQueries {
 
   private lazy val windowDefs: Map[String, QueryDef] = Map(
 
+    // RUNNING DISTINCT count — "unique users to date per series" — an
+    // operator window functions cannot express directly (COUNT
+    // (DISTINCT) OVER is unsupported in Spark and most engines). The
+    // standard rewrite: each user's FIRST activity day is a partial
+    // aggregate, daily new-user counts attach to the observed day
+    // axis, and one running sum per series yields the cumulative
+    // distinct count — three map-side-combinable aggregates + one
+    // window over the (series, day) axis, never a distinct-inside-
+    // window state machine. Both engines use the identical rewrite.
+    "window_running_distinct" -> QueryDef(
+      """WITH a AS (
+        |  SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events),
+        |fu AS (
+        |  SELECT event_type, user_id,
+        |    MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+        |  FROM events GROUP BY 1, 2),
+        |nu AS (SELECT event_type, first_day AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS new_users
+        |       FROM fu GROUP BY 1, 2)
+        |SELECT a.event_type, a.day,
+        |  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (
+        |    PARTITION BY a.event_type ORDER BY a.day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_users_to_date
+        |FROM a LEFT JOIN nu ON nu.event_type = a.event_type AND nu.day = a.day
+        |ORDER BY a.event_type, a.day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("user_id"))
+      val axis = ev.select("event_type", "day").distinct()
+      val nu = ev.groupBy("event_type", "user_id")
+        .agg(min("day").as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("new_users"))
+      axis.join(nu, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          sum(coalesce(col("new_users"), lit(0L)))
+            .over(Window.partitionBy("event_type").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("distinct_users_to_date"))
+        .orderBy("event_type", "day")
+    },
+
     // positional window values: first/last/nth over an explicit frame —
     // the "compare each row to its group's opener / latest / 3rd"
     // shape. Full-partition frame for first/nth (stable); last_value
@@ -1232,6 +1276,45 @@ object RelQueries {
       Tables.orders(s, d).select(col("o_custkey").as("k"))
         .except(Tables.customer(s, d).where(col("c_acctbal") >= 0)
           .select(col("c_custkey").as("k")))
+        .orderBy("k")
+    },
+
+    // EXCEPT ALL — MULTISET difference (each right occurrence cancels
+    // ONE left occurrence): a customer with 5 orders and 1 balance row
+    // keeps 4 copies, where EXCEPT would drop all of them. The bag
+    // semantics matter for reconciliation workloads (unmatched
+    // occurrences == missing rows count). Aggregated to (k, n) for a
+    // stable hash — the count per key IS the multiset.
+    "set_except_all" -> QueryDef(
+      """WITH r AS (
+        |  SELECT o_custkey AS k FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM r
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .exceptAll(Tables.customer(s, d).where(col("c_acctbal") >= 0)
+          .select(col("c_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
+    // INTERSECT ALL — multiset intersection (min of the two
+    // occurrence counts per key); with customer keys unique this pins
+    // the "min(count_l, count_r)" semantics against the oracle
+    // directly (every surviving key appears exactly once even though
+    // the orders side has many).
+    "set_intersect_all" -> QueryDef(
+      """WITH r AS (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT ALL
+        |  SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM r
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .intersectAll(Tables.customer(s, d).where(col("c_acctbal") >= 0)
+          .select(col("c_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")
     }
   )
