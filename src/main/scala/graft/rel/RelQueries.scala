@@ -346,7 +346,8 @@ object RelQueries {
   private[graft] val benchSetups
       : Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
     "layout_bucketed_join" -> ((s, d) => { buildBucketedTables(s, d); () }),
-    "source_partitioned_roundtrip" -> ((s, d) => { partitionedEventsPath(s, d); () }))
+    "source_partitioned_roundtrip" -> ((s, d) => { partitionedEventsPath(s, d); () }),
+    "join_dynamic_partition_prune" -> ((s, d) => { partitionedEventsPath(s, d); () }))
 
   private lazy val aggDefs: Map[String, QueryDef] = Map(
 
@@ -1325,6 +1326,43 @@ object RelQueries {
     // csv (header, explicit timestamp format), read it back with an
     // explicit schema, and reproduce the original rows. Built once per
     // sf dir (deterministic content).
+    // DYNAMIC partition pruning: the pruning day-set is only known at
+    // RUNTIME (the days that saw an urgent order — a filter on another
+    // table), so static PartitionFilters cannot fire; Spark instead
+    // plants a dynamicpruning subquery on the fact's partition column,
+    // executes the dim side first, and skips the non-qualifying day
+    // directories before scanning them. PlanSpec pins the
+    // dynamicpruning expression AND the post-pruning numFiles metric.
+    // At 100 TB this is what makes star joins over partitioned facts
+    // read days, not history.
+    "join_dynamic_partition_prune" -> QueryDef(
+      """WITH f AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events),
+        |e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+        |      FROM events WHERE event_type = 'error' GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM e),
+        |dim AS (SELECT e.day FROM e CROSS JOIN t WHERE e.n * 30 > t.tot)
+        |SELECT f.day, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(f.vc) AS BIGINT) AS total
+        |FROM f JOIN dim ON f.day = dim.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val fact = s.read.parquet(partitionedEventsPath(s, d))
+      val e = Tables.events(s, d)
+        .where(col("event_type") === "error")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val t = e.agg(sum("n").as("tot"))
+      val dim = e.crossJoin(broadcast(t))
+        .where(col("n") * 30 > col("tot"))
+        .select("day")
+      fact.join(dim, "day")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+        .orderBy("day")
+    },
+
     // HIVE-PARTITIONED parquet sink + PRUNED read-back: events written
     // partitionBy(day), then four days read via a partition-column
     // filter that resolves at PLANNING time — pruned directories never

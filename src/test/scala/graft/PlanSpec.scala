@@ -28,6 +28,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
   }
 
+  test("runtime-only dim filter triggers DYNAMIC partition pruning on the fact") {
+    val p = plan("join_dynamic_partition_prune")
+    // the pruning set (above-average error days) exists only at
+    // runtime, so the fact scan must carry a dynamicpruning subquery
+    // on its partition column instead of a static PartitionFilter
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+  }
+
   test("partitioned roundtrip prunes day directories at planning time") {
     val p = plan("source_partitioned_roundtrip")
     // the day filter must land in PartitionFilters (planning-time dir
