@@ -48,7 +48,12 @@ object ExplainAudit {
       "dedup_prefix_filter", // df agg + per-doc rank + signature equi-join
       "events_pattern_match", // user-keyed joins w/ bounded time residuals
       "tick_rolling_corr", // pair-partitioned rolling window, exact moments
-      "stat_chi2")         // broadcast marginals grid, tiny aggregates
+      "stat_chi2",         // broadcast marginals grid, tiny aggregates
+      "q10_join",          // agg-before-dim-join order, broadcast nation
+      "stat_benford",      // one map-side-combinable digit count
+      "stat_mannwhitney",  // distinct-value cumsum, single tiny window
+      "stat_theil_sen",    // collapse-then-pair: days^2, broadcast self-join
+      "tick_bollinger")    // one shared window sort carrying 3 running sums
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

@@ -1635,6 +1635,145 @@ object AnalyticsQueries {
         .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
         .json(path)
         .orderBy("o_orderkey")
+    },
+
+    // BENFORD first-digit audit — the forensic data-quality screen
+    // (fabricated or truncated numeric columns drift from the
+    // log-distribution real-world amounts follow). One scan collapses
+    // to 9 digit-counts; the digit spine is generated so absent
+    // digits still report a zero row; expectations log10(1+1/d) land
+    // as nano-scaled integers via the shared round-then-scale idiom,
+    // so observed-vs-expected gaps are hash-exact. At 100 TB this is
+    // a single map-side-combinable count — the cheapest audit there is.
+    "stat_benford" -> QueryDef(
+      """WITH v AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs FROM v GROUP BY 1),
+        |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+        |spine AS (SELECT CAST(d AS BIGINT) AS digit FROM range(1, 10) r(d))
+        |SELECT spine.digit,
+        |  COALESCE(o.obs, 0) AS obs,
+        |  COALESCE(o.obs, 0) * 1000000000 // t.n AS obs_nano,
+        |  CAST(round(round(log10(1.0 + 1.0 / spine.digit), 9) * 1000000000)
+        |    AS BIGINT) AS exp_nano,
+        |  COALESCE(o.obs, 0) * 1000000000 // t.n
+        |    - CAST(round(round(log10(1.0 + 1.0 / spine.digit), 9) * 1000000000)
+        |        AS BIGINT) AS diff_nano
+        |FROM spine LEFT JOIN o ON spine.digit = o.digit CROSS JOIN t
+        |ORDER BY spine.digit""".stripMargin) { (s, d) =>
+      val v = Tables.orders(s, d).where(col("o_totalprice") > 0)
+        .select(expr(
+          "CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+      val o = v.groupBy("digit").agg(count(lit(1)).as("obs"))
+      val t = o.agg(sum("obs").as("n"))
+      val spine = s.range(1, 10).select(col("id").as("digit"))
+      spine.join(broadcast(o), Seq("digit"), "left").crossJoin(broadcast(t))
+        .select(col("digit"),
+          coalesce(col("obs"), lit(0L)).as("obs"),
+          expr("coalesce(obs, 0) * 1000000000 div n").as("obs_nano"),
+          expr("CAST(round(round(log10(1.0 + 1.0 / digit), 9) * 1000000000) AS BIGINT)")
+            .as("exp_nano"),
+          (expr("coalesce(obs, 0) * 1000000000 div n")
+            - expr("CAST(round(round(log10(1.0 + 1.0 / digit), 9) * 1000000000) AS BIGINT)"))
+            .as("diff_nano"))
+        .orderBy("digit")
+    },
+
+    // MANN-WHITNEY U — the nonparametric two-sample test (are click
+    // and view event values drawn from the same distribution?),
+    // completing the hypothesis-test family with the rank-based
+    // member (chi2 = categorical, z = proportions, KS = ECDF sup,
+    // U = rank sums). Ranks come from ONE cumsum over the DISTINCT
+    // cent-value axis, never the rows, and tie-averaged ranks stay
+    // integer by carrying 2x the rank sum (avg rank of a tie group =
+    // cumBefore + (t+1)/2, so 2R1 = sum a*(2*cumBefore + t + 1)).
+    // The tie-corrected z lands as micro-scaled integer through one
+    // deterministic sqrt — identical expression text both engines.
+    "stat_mannwhitney" -> QueryDef(
+      """WITH x AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s2
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT v, CAST(SUM(s1) AS BIGINT) AS a, CAST(SUM(s2) AS BIGINT) AS b
+        |      FROM x GROUP BY 1),
+        |c AS (SELECT a, b, a + b AS t,
+        |        CAST(SUM(a + b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) - (a + b) AS cum_before
+        |      FROM g),
+        |r AS (SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
+        |        CAST(SUM(a * (2 * cum_before + t + 1)) AS BIGINT) AS r1_x2,
+        |        CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+        |      FROM c)
+        |SELECT n1, n2, r1_x2,
+        |  r1_x2 - n1 * (n1 + 1) AS u1_x2,
+        |  CAST(round(1000000.0 * (r1_x2 - n1 * (n1 + 1) - n1 * n2)
+        |    / (2.0 * sqrt(n1 * n2 * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+        |        - CAST(tie_sum AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1.0))) / 12.0)))
+        |    AS BIGINT) AS z_micro
+        |FROM r""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val x = Tables.events(s, d)
+        .where(col("event_type").isin("click", "view"))
+        .select(expr("CAST(round(value*100) AS BIGINT)").as("v"),
+          when(col("event_type") === "click", 1).otherwise(0).as("s1"),
+          when(col("event_type") === "view", 1).otherwise(0).as("s2"))
+      val g = x.groupBy("v").agg(sum("s1").as("a"), sum("s2").as("b"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = g.select(col("a"), col("b"), (col("a") + col("b")).as("t"),
+        (sum(col("a") + col("b")).over(w) - (col("a") + col("b"))).as("cum_before"))
+      val r = c.agg(sum("a").as("n1"), sum("b").as("n2"),
+        sum(col("a") * (lit(2) * col("cum_before") + col("t") + 1)).as("r1_x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+      r.select(col("n1"), col("n2"), col("r1_x2"),
+        (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        expr("""CAST(round(1000000.0 * (r1_x2 - n1 * (n1 + 1) - n1 * n2)
+          / (2.0 * sqrt(n1 * n2 * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+              - CAST(tie_sum AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1.0))) / 12.0)))
+          AS BIGINT)""").as("z_micro"))
+    },
+
+    // THEIL-SEN robust slope — the regression estimator outliers
+    // can't drag (median of pairwise slopes), the robust twin of
+    // agg_regression's OLS the way MAD twins stddev. The pair space
+    // is DAYS squared per series, never rows squared: the fact table
+    // collapses to one integer-cents total per (series, day) first,
+    // so 30 days = 435 pairs regardless of row count — the same
+    // collapse-then-pair discipline as basket_lift. Slopes land as
+    // deterministic micro-integers; the median interpolates at worst
+    // to an exact .5, hash-stable in both engines.
+    "stat_theil_sen" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    CAST(round((b.v - a.v) * 1000000.0 / (b.d - a.d)) AS BIGINT) AS slope_micro
+        |  FROM day a JOIN day b
+        |    ON a.event_type = b.event_type AND a.d < b.d)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  quantile_cont(slope_micro, 0.5) AS slope_micro_med
+        |FROM pairs GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val day = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("2024-01-01"))).as("d"))
+        .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("v"))
+      val a = day.select(col("event_type"), col("d").as("d1"), col("v").as("v1"))
+      val b = day.select(col("event_type").as("et2"), col("d").as("d2"), col("v").as("v2"))
+      val pairs = a.join(b, col("event_type") === col("et2") && col("d1") < col("d2"))
+        .select(col("event_type"),
+          expr("CAST(round((v2 - v1) * 1000000.0 / (d2 - d1)) AS BIGINT)").as("slope_micro"))
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(slope_micro, 0.5)").as("slope_micro_med"))
+        .orderBy("event_type")
     }
   )
 }

@@ -737,6 +737,44 @@ object RelQueries {
         .orderBy("n_name")
     },
 
+    // TPC-H Q10 shape (returned-item reporting): who cost us the most
+    // in returns last quarter? Fact-side filters (returnflag + date
+    // window) are pushed INTO the scans on both big tables before the
+    // one fact-fact shuffle; the customer dim joins AFTER the
+    // aggregation has collapsed the fact side to one row per customer
+    // (an equi-shuffle on the dim's own key), and nation rides a
+    // broadcast — at 100 TB the join order is the whole game and this
+    // is the order AQE would want. Revenue in exact cents via the
+    // shared decimal-sum reducer.
+    "q10_join" -> QueryDef(
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+         |GROUP BY c_custkey, c_name, n_name, acctbal_cents
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).where(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-04-01 00:00:00")))
+      val perCust = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      perCust
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          expr("CAST(round(c_acctbal*100) AS BIGINT)").as("acctbal_cents"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
     // broadcast hash join, explicitly hinted
     "join_broadcast" -> QueryDef(
       """SELECT n_name, COUNT(*) AS n_cust FROM customer

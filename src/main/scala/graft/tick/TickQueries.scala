@@ -835,6 +835,118 @@ object TickQueries {
             || (greatest(max("ss").over(w), lit(0L)) - col("ss") > lit(5) * col("nd") * col("sd")))
             .as("is_shift"))
         .orderBy("event_type", "bucket")
+    },
+
+    // BOLLINGER BANDS over each series' daily total — the
+    // volatility-envelope chart primitive (mid = 7-day moving total,
+    // band = ±2 moving stddevs). Everything stays in the x7 integer
+    // frame: s7 = ROWS-window sum (= 7x the moving mean), q7 = sum of
+    // squares, and 7*q7 − s7² = 49x the population variance, all
+    // BIGINT; the single sqrt rounds to integer cents (= 7x the
+    // stddev) deterministically, so the breach flags are hash-exact.
+    // One window sort per series carries all three running sums —
+    // same shared-sort shape as CUSUM/drawdown; trivially scale-safe.
+    "tick_bollinger" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w7 AS (
+        |  SELECT event_type, bucket, v,
+        |    CAST(SUM(v) OVER w AS BIGINT) AS s7,
+        |    CAST(SUM(v * v) OVER w AS BIGINT) AS q7,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS wn
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT event_type, bucket, v, s7,
+        |    CAST(round(sqrt(CAST(7 * q7 - s7 * s7 AS DOUBLE))) AS BIGINT) AS sd_x7
+        |  FROM w7 WHERE wn = 7)
+        |SELECT event_type, bucket, v, s7, sd_x7,
+        |  s7 + 2 * sd_x7 AS upper_x7, s7 - 2 * sd_x7 AS lower_x7,
+        |  7 * v > s7 + 2 * sd_x7 AS breach_up,
+        |  7 * v < s7 - 2 * sd_x7 AS breach_down
+        |FROM b ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(-6, 0)
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("v"))
+      val b = day
+        .withColumn("s7", sum("v").over(w))
+        .withColumn("q7", sum(col("v") * col("v")).over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .where(col("wn") === 7)
+        .withColumn("sd_x7",
+          expr("CAST(round(sqrt(CAST(7 * q7 - s7 * s7 AS DOUBLE))) AS BIGINT)"))
+      b.select(col("event_type"), col("bucket"), col("v"), col("s7"), col("sd_x7"),
+          (col("s7") + lit(2) * col("sd_x7")).as("upper_x7"),
+          (col("s7") - lit(2) * col("sd_x7")).as("lower_x7"),
+          (lit(7) * col("v") > col("s7") + lit(2) * col("sd_x7")).as("breach_up"),
+          (lit(7) * col("v") < col("s7") - lit(2) * col("sd_x7")).as("breach_down"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // RSI (relative strength index), 7-day cutover — the bounded
+    // momentum oscillator. Day-over-day deltas of the daily total
+    // split into gain/loss cents (integers); the windowed gain/loss
+    // SUMS feed RSI directly (sums, not averages — the /7 cancels),
+    // so rsi_ppm = 1e6*sumGain // (sumGain+sumLoss) is pure integer
+    // division, hash-exact, with the flat-window zero case surfaced
+    // as NULL rather than a fake 50. Uses Cutler's simple-moving
+    // form rather than Wilder's recursive smoothing — deliberately:
+    // the windowed form needs one sort per series, while Wilder's
+    // EWMA-with-memory would serialize the whole series (tick_ewma
+    // already demonstrates that shape where it's warranted).
+    "tick_rsi" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |diff AS (
+        |  SELECT event_type, bucket,
+        |    v - lag(v) OVER (PARTITION BY event_type ORDER BY bucket) AS dv
+        |  FROM day),
+        |gl AS (
+        |  SELECT event_type, bucket,
+        |    CAST(GREATEST(dv, 0) AS BIGINT) AS gain,
+        |    CAST(GREATEST(-dv, 0) AS BIGINT) AS loss
+        |  FROM diff WHERE dv IS NOT NULL),
+        |w7 AS (
+        |  SELECT event_type, bucket,
+        |    CAST(SUM(gain) OVER w AS BIGINT) AS sg,
+        |    CAST(SUM(loss) OVER w AS BIGINT) AS sl,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS wn
+        |  FROM gl WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, sg, sl,
+        |  CASE WHEN sg + sl = 0 THEN NULL
+        |       ELSE sg * 1000000 // (sg + sl) END AS rsi_ppm
+        |FROM w7 WHERE wn = 7 ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy("event_type").orderBy("bucket")
+      val w7 = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(-6, 0)
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("v"))
+      val gl = day
+        .withColumn("dv", col("v") - lag("v", 1).over(wLag))
+        .where(col("dv").isNotNull)
+        .select(col("event_type"), col("bucket"),
+          greatest(col("dv"), lit(0L)).as("gain"),
+          greatest(-col("dv"), lit(0L)).as("loss"))
+      gl.withColumn("sg", sum("gain").over(w7))
+        .withColumn("sl", sum("loss").over(w7))
+        .withColumn("wn", count(lit(1)).over(w7))
+        .where(col("wn") === 7)
+        .select(col("event_type"), col("bucket"), col("sg"), col("sl"),
+          when(col("sg") + col("sl") === 0, lit(null).cast("long"))
+            .otherwise(expr("sg * 1000000 div (sg + sl)")).as("rsi_ppm"))
+        .orderBy("event_type", "bucket")
     }
   )
 }

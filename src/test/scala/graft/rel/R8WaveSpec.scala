@@ -1,0 +1,115 @@
+package graft.rel
+
+import graft.SparkSpec
+
+/** Invariant pins for the round-8 statistics/indicator wave
+  * (stat_benford, stat_mannwhitney, stat_theil_sen, tick_bollinger,
+  * tick_rsi, q10_join). Hash-correctness is the driver's DuckDB gate;
+  * these pin the mathematical invariants the hashes can't express.
+  */
+class R8WaveSpec extends SparkSpec {
+
+  test("Benford audit: full digit spine, counts conserve, expectations sum to 1") {
+    val rows = graft.SparkEntry.queries("stat_benford")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L),
+      "all nine leading digits must report, in order")
+    val nOrders = spark.read.parquet(s"$sf001/orders.parquet")
+      .where("o_totalprice > 0").count()
+    assert(rows.map(_.getLong(1)).sum == nOrders,
+      "observed counts must partition the filtered order count")
+    // sum log10(1 + 1/d) for d=1..9 telescopes to log10(10) = 1 exactly;
+    // after 9dp rounding each term, the nano-scaled sum stays within 5
+    // nano of 1e9
+    val expSum = rows.map(_.getLong(3)).sum
+    assert(math.abs(expSum - 1000000000L) <= 5, s"exp_nano sum was $expSum")
+  }
+
+  test("Mann-Whitney: rank-sum identities hold and U is in range") {
+    val r = graft.SparkEntry.queries("stat_mannwhitney")(spark, sf001).collect().head
+    val (n1, n2, r1x2, u1x2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // R1 + R2 = N(N+1)/2, so 2*R1 is bounded by N(N+1) minus group 2's
+    // minimum possible rank sum n2(n2+1)/2
+    val nn = n1 + n2
+    assert(r1x2 >= n1 * (n1 + 1) && r1x2 <= nn * (nn + 1) - n2 * (n2 + 1))
+    assert(u1x2 >= 0 && u1x2 <= 2 * n1 * n2, "0 <= U1 <= n1*n2 (x2 frame)")
+  }
+
+  test("Mann-Whitney matches a sequential rank computation at sf0.001") {
+    val r = graft.SparkEntry.queries("stat_mannwhitney")(spark, sf0001).collect().head
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .where("event_type in ('click','view')")
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), math.round(x.getDouble(1) * 100)))
+    val sorted = ev.sortBy(_._2)
+    // tie-averaged ranks, sequentially
+    val ranks = scala.collection.mutable.Map.empty[Long, Double]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      ranks(sorted(i)._2) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+      i = j
+    }
+    val r1 = ev.filter(_._1 == "click").map(x => ranks(x._2)).sum
+    assert(r.getLong(2) == math.round(2 * r1), "2x rank sum must match")
+    assert(r.getLong(0) == ev.count(_._1 == "click").toLong)
+    assert(r.getLong(1) == ev.count(_._1 == "view").toLong)
+  }
+
+  test("Theil-Sen: pair counts are days-choose-2 and the median slope is bracketed") {
+    val days = spark.read.parquet(s"$sf001/events.parquet")
+      .selectExpr("event_type", "CAST(ts AS DATE) AS d",
+        "CAST(round(value*100) AS BIGINT) AS vc")
+      .groupBy("event_type", "d").count()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = graft.SparkEntry.queries("stat_theil_sen")(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toSet == days.keySet)
+    rows.foreach { r =>
+      val nd = days(r.getString(0))
+      assert(r.getLong(1) == nd * (nd - 1) / 2,
+        s"${r.getString(0)}: pair space is C(days,2), never rows-squared")
+      // a median pairwise slope is bracketed by the extreme pairwise slopes;
+      // daily totals at sf0.01 are ~1e5 cents so +/-1e11 micro is generous
+      assert(math.abs(r.getDouble(2)) < 1e11)
+    }
+  }
+
+  test("Bollinger: band geometry and breach flags are mutually consistent") {
+    val rows = graft.SparkEntry.queries("tick_bollinger")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, s7, sd, up, lo) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+      assert(sd >= 0, "stddev is a nonnegative integer in the x7 frame")
+      assert(up - lo == 4 * sd, "band width is 4 sigma by construction")
+      assert(r.getBoolean(7) == (7 * v > up))
+      assert(r.getBoolean(8) == (7 * v < lo))
+      assert(!(r.getBoolean(7) && r.getBoolean(8)))
+    }
+  }
+
+  test("RSI stays in [0, 1e6] and is NULL only on flat windows") {
+    val rows = graft.SparkEntry.queries("tick_rsi")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sg, sl) = (r.getLong(2), r.getLong(3))
+      if (sg + sl == 0) assert(r.isNullAt(4))
+      else {
+        val ppm = r.getLong(4)
+        assert(ppm >= 0 && ppm <= 1000000)
+        assert(ppm == sg * 1000000 / (sg + sl))
+      }
+    }
+  }
+
+  test("Q10: top-20 returned-item revenue is sorted and strictly positive") {
+    val rows = graft.SparkEntry.queries("q10_join")(spark, sf001).collect()
+    assert(rows.length == 20)
+    val revs = rows.map(_.getDouble(4))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "revenue must be non-increasing")
+    assert(revs.forall(_ > 0))
+  }
+}
