@@ -223,4 +223,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "unigram marginals must broadcast onto the bigram aggregate:\n" + p)
   }
+
+  test("Q10 pushes both fact filters to the scans and aggregates before the dim join") {
+    val p = plan("q10_join")
+    // returnflag lands in the lineitem scan, the date window in the
+    // orders scan — row-group skipping on both big sides
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag must reach the lineitem reader: " + p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("IsNotNull(o_orderdate"),
+      "the date window must reach the orders reader: " + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort: " + p)
+    // the customer dim must join the AGGREGATED per-customer rows: the
+    // deepest HashAggregate sits below (after, in root-first print)
+    // the customer scan's join
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Benford audit reads only the audited column and combines map-side") {
+    val p = plan("stat_benford")
+    // column pruning: the orders scan must read o_totalprice alone
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("o_totalprice") && !scanLine.contains("o_orderkey"),
+      "digit audit must scan a single column: " + scanLine)
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice)") ||
+      p.contains("GreaterThan(o_totalprice"),
+      "the positivity filter should reach the reader: " + p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("Theil-Sen pairs the collapsed day axis, never the raw rows") {
+    val p = plan("stat_theil_sen")
+    // the self-join's both inputs are per-(series, day) aggregates:
+    // root-first print means every join sits ABOVE (before) the two
+    // aggregates that feed it
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    val firstJoin = tree.indexWhere(l =>
+      l.contains("Join") || l.contains("CartesianProduct"))
+    val aggsBelow = tree.drop(firstJoin).count(_.contains("HashAggregate"))
+    assert(firstJoin >= 0 && aggsBelow >= 2,
+      s"both join inputs must be day-collapsed aggregates:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
