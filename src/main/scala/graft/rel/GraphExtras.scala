@@ -1,0 +1,230 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph extensions beyond the PageRank/BFS/CC/triangle core: HITS
+  * hubs-and-authorities, k-core decomposition, and common-neighbor
+  * link prediction. Reference scope: tickdb has no graph ops — this
+  * widens the extension surface the earlier graph family opened.
+  *
+  * All three follow the established discipline: per-round work is
+  * node-keyed equi-joins + partial aggregates (never a pair space
+  * beyond bounded wedges), arithmetic is exact integer fixed point so
+  * every result is hash-gated against an unrolled-CTE DuckDB oracle,
+  * and the iterative loops run on [[GraphLoops.Strategy]] — broadcast
+  * state for the bench, co-partitioned state for vertex sets past
+  * broadcast limits (bit-equality pinned in GraphExtrasSpec).
+  */
+object GraphExtras {
+
+  /** HITS over directed bipartite edges `(u, v)`: `rounds` full
+    * authority+hub update pairs in 1e6-unit integer mass, each side
+    * normalized by its sum with truncating division (so scores are
+    * order-independent and hash-exact). Returns `(v, a)` — authority
+    * scores after the final round.
+    *
+    * Per half-round: one state join onto the pinned edge list + one
+    * partial-aggregated groupBy + one broadcast-of-one-row normalizer.
+    * CoPartitioned pins TWO edge copies (hashed on u and on v) so
+    * neither half-round ever moves the edges.
+    */
+  def hitsAuthorities(edges: DataFrame, rounds: Int,
+                      strategy: GraphLoops.Strategy = GraphLoops.Broadcast)
+      : DataFrame = {
+    val eU = GraphLoops.pinEdges(edges, "u", strategy)
+    val eV = GraphLoops.pinEdges(edges, "v", strategy)
+    var h = eU.select("u").distinct().withColumn("h", lit(1000000L))
+    var a: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val ar = GraphLoops
+        .stateJoin(eU, h.withColumnRenamed("u", "hu"), col("hu") === col("u"),
+          strategy)
+        .groupBy("v").agg(sum("h").as("x"))
+      a = ar.crossJoin(broadcast(ar.agg(sum("x").as("sx"))))
+        .select(col("v"), expr("CAST(x * 1000000 div sx AS BIGINT)").as("a"))
+        .localCheckpoint()
+      val hr = GraphLoops
+        .stateJoin(eV, a.withColumnRenamed("v", "av"), col("av") === col("v"),
+          strategy)
+        .groupBy("u").agg(sum("a").as("x"))
+      h = hr.crossJoin(broadcast(hr.agg(sum("x").as("sx"))))
+        .select(col("u"), expr("CAST(x * 1000000 div sx AS BIGINT)").as("h"))
+        .localCheckpoint()
+    }
+    a
+  }
+
+  /** k-core peel over undirected edges `(a, b)` (both orientations
+    * present): up to `maxRounds` rounds of "drop nodes with degree
+    * < k, keep edges whose BOTH ends survive", with an exact-fixpoint
+    * early exit (a fixed point stays fixed, so exiting early is
+    * result-identical to the oracle's full unroll). Returns the
+    * surviving edge list; degrees of it are the core report.
+    *
+    * Per round: one partial-aggregated degree count + two semi-joins
+    * of the node-sized survivor set back onto the edges. The edge
+    * list SHRINKS monotonically, so unlike PageRank there is no
+    * stationary relation to pin — each round's semi-joins broadcast
+    * the survivor set (node-sized; for vertex sets past broadcast
+    * limits the same plan runs as shuffled semi-joins, both keyed on
+    * the survivor column).
+    */
+  def kcoreEdges(und: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var e = und.localCheckpoint()
+    var prev = e.count()
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      val alive = e.groupBy("a").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("a")
+      val next = e.join(broadcast(alive), Seq("a"), "left_semi")
+        .join(broadcast(alive.withColumnRenamed("a", "b")), Seq("b"), "left_semi")
+        .select("a", "b").localCheckpoint()
+      val c = next.count()
+      done = c == prev
+      prev = c
+      e = next
+      r += 1
+    }
+    e
+  }
+
+  private[graft] val defs: Map[String, QueryDef] = Map(
+
+    // HITS — hubs and authorities on the customer->supplier order
+    // graph: which suppliers do the best-connected customers
+    // concentrate on? The eigenvector twin of PageRank for BIPARTITE
+    // endorsement structure (PageRank needs the symmetrized graph;
+    // HITS scores the two sides separately). 3 full update pairs in
+    // 1e6 integer mass, sum-normalized with truncating division each
+    // half-step — hash-exact vs the oracle's 12-CTE unroll.
+    "graph_hits" -> QueryDef(
+      """WITH e AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS h FROM e),
+        |a1r AS (SELECT v, CAST(SUM(h) AS BIGINT) AS x
+        |        FROM e JOIN h0 ON e.u = h0.u GROUP BY 1),
+        |a1s AS (SELECT CAST(SUM(x) AS BIGINT) AS sx FROM a1r),
+        |a1 AS (SELECT v, CAST(x * 1000000 // sx AS BIGINT) AS a FROM a1r, a1s),
+        |h1r AS (SELECT u, CAST(SUM(a) AS BIGINT) AS x
+        |        FROM e JOIN a1 ON e.v = a1.v GROUP BY 1),
+        |h1s AS (SELECT CAST(SUM(x) AS BIGINT) AS sx FROM h1r),
+        |h1 AS (SELECT u, CAST(x * 1000000 // sx AS BIGINT) AS h FROM h1r, h1s),
+        |a2r AS (SELECT v, CAST(SUM(h) AS BIGINT) AS x
+        |        FROM e JOIN h1 ON e.u = h1.u GROUP BY 1),
+        |a2s AS (SELECT CAST(SUM(x) AS BIGINT) AS sx FROM a2r),
+        |a2 AS (SELECT v, CAST(x * 1000000 // sx AS BIGINT) AS a FROM a2r, a2s),
+        |h2r AS (SELECT u, CAST(SUM(a) AS BIGINT) AS x
+        |        FROM e JOIN a2 ON e.v = a2.v GROUP BY 1),
+        |h2s AS (SELECT CAST(SUM(x) AS BIGINT) AS sx FROM h2r),
+        |h2 AS (SELECT u, CAST(x * 1000000 // sx AS BIGINT) AS h FROM h2r, h2s),
+        |a3r AS (SELECT v, CAST(SUM(h) AS BIGINT) AS x
+        |        FROM e JOIN h2 ON e.u = h2.u GROUP BY 1),
+        |a3s AS (SELECT CAST(SUM(x) AS BIGINT) AS sx FROM a3r),
+        |a3 AS (SELECT v, CAST(x * 1000000 // sx AS BIGINT) AS a FROM a3r, a3s)
+        |SELECT v AS suppkey, a AS auth_micro FROM a3
+        |ORDER BY auth_micro DESC, suppkey LIMIT 20""".stripMargin) { (s, d) =>
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
+        .distinct()
+      hitsAuthorities(e, rounds = 3)
+        .select(col("v").as("suppkey"), col("a").as("auth_micro"))
+        .orderBy(col("auth_micro").desc, col("suppkey")).limit(20)
+    },
+
+    // K-CORE — the degeneracy peel: drop nodes of degree < k until
+    // the remaining subgraph is everywhere >= k. THE community-core
+    // extractor (dense-subgraph mining, spam/bot filtering before
+    // expensive pairwise work). 5 peel rounds with exact-fixpoint
+    // early exit; the oracle unrolls all 5, and a fixed point stays
+    // fixed, so early exit is hash-safe. k = 35 bites on the
+    // customer side of the order graph (suppliers sit far above).
+    "graph_kcore" -> QueryDef(
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |u0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |d1 AS (SELECT a, COUNT(*) AS d FROM u0 GROUP BY 1),
+        |n1 AS (SELECT a FROM d1 WHERE d >= 35),
+        |u1 AS (SELECT u0.a, u0.b FROM u0
+        |       JOIN n1 ON u0.a = n1.a JOIN n1 m ON u0.b = m.a),
+        |d2 AS (SELECT a, COUNT(*) AS d FROM u1 GROUP BY 1),
+        |n2 AS (SELECT a FROM d2 WHERE d >= 35),
+        |u2 AS (SELECT u1.a, u1.b FROM u1
+        |       JOIN n2 ON u1.a = n2.a JOIN n2 m ON u1.b = m.a),
+        |d3 AS (SELECT a, COUNT(*) AS d FROM u2 GROUP BY 1),
+        |n3 AS (SELECT a FROM d3 WHERE d >= 35),
+        |u3 AS (SELECT u2.a, u2.b FROM u2
+        |       JOIN n3 ON u2.a = n3.a JOIN n3 m ON u2.b = m.a),
+        |d4 AS (SELECT a, COUNT(*) AS d FROM u3 GROUP BY 1),
+        |n4 AS (SELECT a FROM d4 WHERE d >= 35),
+        |u4 AS (SELECT u3.a, u3.b FROM u3
+        |       JOIN n4 ON u3.a = n4.a JOIN n4 m ON u3.b = m.a),
+        |d5 AS (SELECT a, COUNT(*) AS d FROM u4 GROUP BY 1),
+        |n5 AS (SELECT a FROM d5 WHERE d >= 35),
+        |u5 AS (SELECT u4.a, u4.b FROM u4
+        |       JOIN n5 ON u4.a = n5.a JOIN n5 m ON u4.b = m.a)
+        |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |FROM u5 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      kcoreEdges(und, k = 35, maxRounds = 5)
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .orderBy("node")
+    },
+
+    // COMMON-NEIGHBOR LINK PREDICTION — for supplier pairs, how many
+    // customers do both serve, and what is the Jaccard of their
+    // customer sets? The classic "who-should-partner" / recommender
+    // candidate scorer. The pair space is WEDGES through shared
+    // customers (sum of per-customer degree squared), never
+    // |S| x |S|: the self-join meets on the customer key, and a
+    // degree cap (<= 200 distinct suppliers) bounds any one
+    // customer's wedge fan-out — the super-node guard every
+    // production common-neighbor job ships (mirrored in the oracle,
+    // so it is part of the gated semantics; no testdata customer is
+    // near it). Degrees and Jaccard use the SAME capped edge set, so
+    // the ppm score is a true Jaccard of the analyzed graph. The
+    // degree attach (one shuffle on c) leaves the relation
+    // partitioned on the self-join's own key — the wedge join adds
+    // no exchange.
+    "graph_common_neighbors" -> QueryDef(
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |cd AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        |ec AS (SELECT e.c, e.s FROM e JOIN cd ON e.c = cd.c WHERE cd.d <= 200),
+        |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM ec GROUP BY 1),
+        |p AS (SELECT x.s AS s1, y.s AS s2, CAST(COUNT(*) AS BIGINT) AS common
+        |      FROM ec x JOIN ec y ON x.c = y.c AND x.s < y.s
+        |      GROUP BY 1, 2),
+        |j AS (SELECT s1, s2, common,
+        |        CAST(common * 1000000 // (d1.d + d2.d - common) AS BIGINT)
+        |          AS jaccard_ppm
+        |      FROM p JOIN deg d1 ON p.s1 = d1.s JOIN deg d2 ON p.s2 = d2.s)
+        |SELECT s1, s2, common, jaccard_ppm FROM j
+        |ORDER BY common DESC, s1, s2 LIMIT 20""".stripMargin) { (s, d) =>
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val cd = e.groupBy("c").agg(count(lit(1)).as("d"))
+      val ec = e.join(cd, "c").where(col("d") <= 200).select("c", "s")
+      val deg = ec.groupBy("s").agg(count(lit(1)).as("d"))
+      val x = ec.select(col("c"), col("s").as("s1"))
+      val y = ec.select(col("c").as("c2"), col("s").as("s2"))
+      val p = x.join(y, col("c") === col("c2") && col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
+      p.join(broadcast(deg.select(col("s").as("s1"), col("d").as("d1"))), "s1")
+        .join(broadcast(deg.select(col("s").as("s2"), col("d").as("d2"))), "s2")
+        .select(col("s1"), col("s2"), col("common"),
+          expr("CAST(common * 1000000 div (d1 + d2 - common) AS BIGINT)")
+            .as("jaccard_ppm"))
+        .orderBy(col("common").desc, col("s1"), col("s2")).limit(20)
+    }
+  )
+}

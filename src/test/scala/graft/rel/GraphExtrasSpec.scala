@@ -1,0 +1,98 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for the HITS / k-core / common-neighbor wave. The driver's
+  * DuckDB gate hash-checks the real-data results; these pin what the
+  * hashes can't: strategy-independence (Broadcast == CoPartitioned
+  * bit-for-bit), mass conservation under truncating normalization,
+  * multi-round peel cascades against a sequential reference, and a
+  * sequential recomputation of the top link-prediction pair.
+  */
+class GraphExtrasSpec extends SparkSpec {
+
+  private def orderEdges(sf: String) = {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
+      .distinct()
+  }
+
+  test("HITS: CoPartitioned strategy is bit-identical to Broadcast") {
+    val e = orderEdges(sf0001)
+    val b = GraphExtras.hitsAuthorities(e, 3, GraphLoops.Broadcast)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = GraphExtras.hitsAuthorities(e, 3, GraphLoops.CoPartitioned)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b == c, "authority vectors diverged between strategies")
+    assert(b.nonEmpty)
+  }
+
+  test("HITS: truncating sum-normalization conserves mass to within n units") {
+    val a = GraphExtras.hitsAuthorities(orderEdges(sf0001), 3).collect()
+    val total = a.map(_.getLong(1)).sum
+    // each truncating division loses < 1 unit per node
+    assert(total <= 1000000L && total >= 1000000L - a.length,
+      s"authority mass $total outside [1e6 - n, 1e6]")
+    assert(a.map(_.getLong(1)).forall(_ >= 0))
+  }
+
+  test("k-core peel cascades like a sequential reference on a path + triangle") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6-7 feeding a triangle 7-8-9: k=2 peels one path
+    // endpoint per round (a genuine multi-round cascade); the triangle
+    // is the 2-core and must survive any number of rounds
+    val dir = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (7L, 8L), (8L, 9L), (9L, 7L))
+    val und = dir ++ dir.map { case (a, b) => (b, a) }
+    val df = und.toDF("a", "b")
+    def sequential(rounds: Int): Set[(Long, Long)] = {
+      var es = und.toSet
+      var done = false
+      var r = 0
+      while (r < rounds && !done) {
+        val deg = es.groupBy(_._1).view.mapValues(_.size).toMap
+        val alive = deg.filter(_._2 >= 2).keySet
+        val next = es.filter(e => alive(e._1) && alive(e._2))
+        done = next == es
+        es = next
+        r += 1
+      }
+      es
+    }
+    (1 to 6).foreach { rounds =>
+      val got = GraphExtras.kcoreEdges(df, k = 2, maxRounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == sequential(rounds), s"divergence at maxRounds=$rounds")
+    }
+    // the triangle is the fixpoint
+    val core = GraphExtras.kcoreEdges(df, k = 2, maxRounds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core == Set((7L, 8L), (8L, 9L), (9L, 7L),
+      (8L, 7L), (9L, 8L), (7L, 9L)))
+  }
+
+  test("common neighbors: top pair matches a sequential recomputation") {
+    val rows = graft.SparkEntry.queries("graph_common_neighbors")(spark, sf0001)
+      .collect()
+    assert(rows.length == 20)
+    val bySupp = orderEdges(sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (s1, s2, common, jac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (n1, n2) = (bySupp(s1), bySupp(s2))
+      assert(common == (n1 & n2).size, s"common($s1,$s2)")
+      assert(jac == common * 1000000L / (n1 | n2).size, s"jaccard($s1,$s2)")
+      assert(jac <= 1000000L && common <= math.min(n1.size, n2.size))
+    }
+    // the report really is the global top by common count
+    val allPairs = for {
+      (s1, n1) <- bySupp.toSeq; (s2, n2) <- bySupp.toSeq if s1 < s2
+    } yield (n1 & n2).size.toLong
+    assert(rows.map(_.getLong(2)).min == allPairs.sorted.reverse.take(20).min)
+  }
+}
