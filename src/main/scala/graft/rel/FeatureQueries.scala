@@ -131,6 +131,154 @@ object FeatureQueries {
         .orderBy("bin")
     },
 
+    // POPULATION STABILITY INDEX — the production drift monitor run
+    // before every model refresh: bin the REFERENCE window's price
+    // distribution into its own deciles, drop the CURRENT window's
+    // values into those frozen bins, and sum (pB - pA) * ln(pB / pA).
+    // Decile edges come from the same two-phase prefix-sum as
+    // feat_quantile_bin; the current window then bins against the
+    // 10-row frozen-interval relation via a broadcast nested-loop
+    // join (10 rows x fact — the accepted broadcast-of-aggregate
+    // shape), so neither window ever shuffles. Counts stay exact
+    // BIGINT; each bin's term closes in ONE fixed double-op sequence
+    // (9dp-rounded ln, nano-scaled product), so the statistic is
+    // partition-order independent and hash-gated. An empty current
+    // bin yields NULL (the epsilon-clip variants are policy, not
+    // math; absence is the honest answer).
+    "feat_drift_psi" -> QueryDef(
+      """WITH pa AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |            FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-07-01'),
+        |pb AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |       FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-07-01'),
+        |dv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pa GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |    CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM dv),
+        |na AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dv),
+        |abin AS (SELECT (10 * cum + n - 1) // n AS bin, c, v FROM cum, na),
+        |aagg AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS c_a, MAX(v) AS hi
+        |         FROM abin GROUP BY 1),
+        |iv AS (SELECT bin, c_a,
+        |         lag(hi) OVER (ORDER BY bin) AS lo_excl,
+        |         CASE WHEN bin = 10 THEN NULL ELSE hi END AS hi_incl
+        |       FROM aagg),
+        |bagg AS (SELECT iv.bin, CAST(COUNT(pb.v) AS BIGINT) AS c_b
+        |         FROM iv LEFT JOIN pb
+        |           ON (iv.lo_excl IS NULL OR pb.v > iv.lo_excl)
+        |          AND (iv.hi_incl IS NULL OR pb.v <= iv.hi_incl)
+        |         GROUP BY 1),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pb)
+        |SELECT iv.bin, iv.c_a, bagg.c_b,
+        |  CASE WHEN bagg.c_b = 0 THEN NULL
+        |       ELSE CAST(round((CAST(bagg.c_b AS DOUBLE) / nb.n
+        |           - CAST(iv.c_a AS DOUBLE) / na.n)
+        |         * round(ln(CAST(bagg.c_b AS DOUBLE) * na.n
+        |             / (CAST(iv.c_a AS DOUBLE) * nb.n)), 9)
+        |         * 1000000000) AS BIGINT) END AS term_nano
+        |FROM iv JOIN bagg ON iv.bin = bagg.bin, na, nb
+        |ORDER BY iv.bin""".stripMargin) { (s, d) =>
+      val prices = Tables.orders(s, d).select(
+        expr("CAST(round(o_totalprice*100) AS BIGINT)").as("v"),
+        (col("o_orderdate").cast("date")
+          < lit(java.sql.Date.valueOf("1998-07-01"))).as("is_a"))
+      val pa = prices.where(col("is_a")).select("v")
+      val pb = prices.where(!col("is_a")).select(col("v").as("bv"))
+      val dv = pa.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("bucket", expr("v div 1048576"))
+      val off = dv.groupBy("bucket").agg(sum("c").as("bc"))
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = off.select(col("bucket"),
+        coalesce(sum("bc").over(wOff), lit(0L)).as("off"))
+      val wLoc = Window.partitionBy("bucket").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val na = dv.agg(sum("c").as("n"))
+      val abin = dv.join(broadcast(offs), "bucket")
+        .withColumn("cum", sum("c").over(wLoc) + col("off"))
+        .crossJoin(broadcast(na))
+        .select(expr("(10 * cum + n - 1) div n").as("bin"), col("c"), col("v"))
+      val aagg = abin.groupBy("bin")
+        .agg(sum("c").as("c_a"), max("v").as("hi"))
+      val wBin = Window.orderBy("bin")
+      val iv = aagg.select(col("bin"), col("c_a"),
+        lag("hi", 1).over(wBin).as("lo_excl"),
+        when(col("bin") === 10, lit(null)).otherwise(col("hi")).as("hi_incl"))
+      // inner BNLJ with the 10-row interval relation broadcast (a LEFT
+      // join could not build its preserved side); bins the current
+      // window never hits re-enter as c_b = 0 via the tiny left join
+      val matched = pb.join(broadcast(iv),
+          (col("lo_excl").isNull || col("bv") > col("lo_excl")) &&
+            (col("hi_incl").isNull || col("bv") <= col("hi_incl")))
+        .groupBy("bin").agg(count(lit(1)).as("c_b"))
+      val bagg = iv.select("bin").join(matched, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("c_b"), lit(0L)).as("c_b"))
+      val nb = pb.agg(count(lit(1)).as("n").cast("long").as("nb_n"))
+      iv.join(bagg, "bin")
+        .crossJoin(broadcast(na.select(col("n").as("na_n"))))
+        .crossJoin(broadcast(nb))
+        .select(col("bin"), col("c_a"), col("c_b"),
+          when(col("c_b") === 0, lit(null))
+            .otherwise(expr("""CAST(round((CAST(c_b AS DOUBLE) / nb_n
+                - CAST(c_a AS DOUBLE) / na_n)
+              * round(ln(CAST(c_b AS DOUBLE) * na_n
+                  / (CAST(c_a AS DOUBLE) * nb_n)), 9)
+              * 1000000000) AS BIGINT)""")).as("term_nano"))
+        .orderBy("bin")
+    },
+
+    // WEIGHT OF EVIDENCE + INFORMATION VALUE — the credit-scoring
+    // categorical encoder (and its feature-selection companion):
+    // per category, WoE = ln(event share / non-event share), and the
+    // IV term (p_event - p_nonevent) * WoE says how much separating
+    // power the category carries. Event = high-value order
+    // (> 200k). One partial-aggregated pass collapses the fact to
+    // |categories| rows; everything after runs on that tiny
+    // relation. Counts exact BIGINT, WoE/IV closed in one fixed
+    // double-op sequence each, nano-scaled — hash-gated. A category
+    // with an empty class yields NULL (same no-epsilon policy as
+    // feat_drift_psi).
+    "feat_woe_iv" -> QueryDef(
+      """WITH t AS (SELECT o_orderpriority AS cat,
+        |             CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS bad
+        |           FROM orders),
+        |g AS (SELECT cat, CAST(SUM(bad) AS BIGINT) AS nb,
+        |        CAST(COUNT(*) - SUM(bad) AS BIGINT) AS ng
+        |      FROM t GROUP BY 1),
+        |m AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb,
+        |        CAST(SUM(ng) AS BIGINT) AS tg FROM g)
+        |SELECT cat, ng, nb,
+        |  CASE WHEN ng = 0 OR nb = 0 THEN NULL
+        |       ELSE CAST(round(round(ln(CAST(nb AS DOUBLE) * tg
+        |           / (CAST(ng AS DOUBLE) * tb)), 9) * 1000000000) AS BIGINT)
+        |  END AS woe_nano,
+        |  CASE WHEN ng = 0 OR nb = 0 THEN NULL
+        |       ELSE CAST(round((CAST(nb AS DOUBLE) / tb - CAST(ng AS DOUBLE) / tg)
+        |         * round(ln(CAST(nb AS DOUBLE) * tg
+        |             / (CAST(ng AS DOUBLE) * tb)), 9)
+        |         * 1000000000) AS BIGINT)
+        |  END AS iv_term_nano
+        |FROM g, m ORDER BY cat""".stripMargin) { (s, d) =>
+      val t = Tables.orders(s, d).select(col("o_orderpriority").as("cat"),
+        when(col("o_totalprice") > 200000, 1).otherwise(0).as("bad"))
+      val g = t.groupBy("cat").agg(sum("bad").cast("long").as("nb"),
+        (count(lit(1)) - sum("bad")).cast("long").as("ng"))
+      val m = g.agg(sum("nb").as("tb"), sum("ng").as("tg"))
+      g.crossJoin(broadcast(m))
+        .select(col("cat"), col("ng"), col("nb"),
+          when(col("ng") === 0 || col("nb") === 0, lit(null))
+            .otherwise(expr("""CAST(round(round(ln(CAST(nb AS DOUBLE) * tg
+                / (CAST(ng AS DOUBLE) * tb)), 9) * 1000000000) AS BIGINT)"""))
+            .as("woe_nano"),
+          when(col("ng") === 0 || col("nb") === 0, lit(null))
+            .otherwise(expr("""CAST(round((CAST(nb AS DOUBLE) / tb
+                - CAST(ng AS DOUBLE) / tg)
+              * round(ln(CAST(nb AS DOUBLE) * tg
+                  / (CAST(ng AS DOUBLE) * tb)), 9)
+              * 1000000000) AS BIGINT)"""))
+            .as("iv_term_nano"))
+        .orderBy("cat")
+    },
+
     // ONE-WAY ANOVA F — does mean balance differ across market
     // segments? The omnibus member of the hypothesis-test family
     // (chi2 = categorical independence, z = two proportions, U = two

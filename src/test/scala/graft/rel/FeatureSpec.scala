@@ -73,6 +73,77 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("PSI matches a sequential recomputation at sf0.001") {
+    val rows = graft.SparkEntry.queries("feat_drift_psi")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice*100) AS BIGINT) AS v",
+        "CAST(o_orderdate AS DATE) < DATE '1998-07-01' AS is_a").collect()
+    val a = orders.filter(_.getBoolean(1)).map(_.getLong(0)).sorted
+    val b = orders.filterNot(_.getBoolean(1)).map(_.getLong(0))
+    assert(rows.map(_.getLong(1)).sum == a.length, "c_a must partition |A|")
+    assert(rows.map(_.getLong(2)).sum == b.length,
+      "edge bins are catch-alls: c_b must partition |B|")
+    // sequential: decile edges from A's distinct-value cum counts
+    val dv = a.groupBy(identity).toSeq.sortBy(_._1).map { case (v, g) => (v, g.length.toLong) }
+    val n = a.length.toLong
+    var cum = 0L
+    val hiByBin = scala.collection.mutable.Map[Long, Long]()
+    val caByBin = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    dv.foreach { case (v, c) =>
+      cum += c
+      val bin = (10 * cum + n - 1) / n
+      hiByBin(bin) = v
+      caByBin(bin) += c
+    }
+    rows.foreach { r =>
+      val bin = r.getLong(0)
+      assert(r.getLong(1) == caByBin(bin), s"c_a bin $bin")
+      val lo = if (bin == 1) None else Some(hiByBin(bin - 1))
+      val hi = if (bin == 10) None else Some(hiByBin(bin))
+      val cb = b.count(v => lo.forall(v > _) && hi.forall(v <= _)).toLong
+      assert(r.getLong(2) == cb, s"c_b bin $bin")
+      if (cb == 0) assert(r.isNullAt(3))
+      else {
+        val term = math.round((cb.toDouble / b.length - caByBin(bin).toDouble / n)
+          * round9(math.log(cb.toDouble * n / (caByBin(bin).toDouble * b.length)))
+          * 1000000000L)
+        assert(r.getLong(3) == term, s"term bin $bin")
+      }
+    }
+  }
+
+  test("WoE/IV: every IV term is non-negative and matches a recomputation") {
+    val rows = graft.SparkEntry.queries("feat_woe_iv")(spark, sf0001).collect()
+    assert(rows.length == 5, "five order priorities")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderpriority AS cat", "o_totalprice > 200000 AS bad")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val tb = orders.count(_._2).toLong
+    val tg = orders.length - tb
+    rows.foreach { r =>
+      val (cat, ng, nb) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val g = orders.filter(_._1 == cat)
+      assert(nb == g.count(_._2) && ng == g.count(!_._2))
+      if (ng == 0 || nb == 0) assert(r.isNullAt(3) && r.isNullAt(4))
+      else {
+        val woe = math.round(round9(
+          math.log(nb.toDouble * tg / (ng.toDouble * tb))) * 1000000000L)
+        assert(r.getLong(3) == woe, s"woe($cat)")
+        val ivt = math.round((nb.toDouble / tb - ng.toDouble / tg)
+          * round9(math.log(nb.toDouble * tg / (ng.toDouble * tb)))
+          * 1000000000L)
+        assert(r.getLong(4) == ivt, s"iv($cat)")
+        // (p_b - p_g) and ln(p_b/p_g) always share a sign
+        assert(r.getLong(4) >= 0, s"IV term must be non-negative ($cat)")
+      }
+    }
+  }
+
   test("ANOVA F matches a sequential recomputation at sf0.001") {
     val r = graft.SparkEntry.queries("stat_anova")(spark, sf0001).collect().head
     val ys = spark.read.parquet(s"$sf0001/customer.parquet")
