@@ -53,7 +53,13 @@ object ExplainAudit {
       "stat_benford",      // one map-side-combinable digit count
       "stat_mannwhitney",  // distinct-value cumsum, single tiny window
       "stat_theil_sen",    // collapse-then-pair: days^2, broadcast self-join
-      "tick_bollinger")    // one shared window sort carrying 3 running sums
+      "tick_bollinger",    // one shared window sort carrying 3 running sums
+      "feat_target_encode", // broadcast category stats, fact never shuffles
+      "feat_quantile_bin", // two-phase prefix sum: bucketed window, no global sort
+      "feat_drift_psi",    // 10-row interval relation broadcast onto the fact
+      "graph_common_neighbors", // wedge self-join reuses the c-keyed exchange
+      "graph_hits",        // per-half-round state join + 1-row normalizer
+      "graph_kcore")       // per-round degree count + survivor semi-joins
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

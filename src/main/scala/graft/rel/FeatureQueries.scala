@@ -123,7 +123,8 @@ object FeatureQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = dv.join(broadcast(offs), "bucket")
         .withColumn("cum", sum("c").over(wLoc) + col("off"))
-      val n = dv.agg(sum("c").as("n"))
+      // total from the ~60-row bucket subtotals, not a third dv pass
+      val n = off.agg(sum("bc").as("n"))
       cum.crossJoin(broadcast(n))
         .select(expr("(10 * cum + n - 1) div n").as("bin"), col("c"), col("v"))
         .groupBy("bin").agg(sum("c").as("n_rows"),
@@ -192,7 +193,8 @@ object FeatureQueries {
         coalesce(sum("bc").over(wOff), lit(0L)).as("off"))
       val wLoc = Window.partitionBy("bucket").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val na = dv.agg(sum("c").as("n"))
+      // total from the ~60-row bucket subtotals, not a third dv pass
+      val na = off.agg(sum("bc").as("n"))
       val abin = dv.join(broadcast(offs), "bucket")
         .withColumn("cum", sum("c").over(wLoc) + col("off"))
         .crossJoin(broadcast(na))
@@ -200,9 +202,13 @@ object FeatureQueries {
       val aagg = abin.groupBy("bin")
         .agg(sum("c").as("c_a"), max("v").as("hi"))
       val wBin = Window.orderBy("bin")
+      // materialize the 10-row frozen-bin relation: it feeds both the
+      // current-window bin join and the final report, and without the
+      // cut the whole reference-window pipeline would run twice
       val iv = aagg.select(col("bin"), col("c_a"),
         lag("hi", 1).over(wBin).as("lo_excl"),
         when(col("bin") === 10, lit(null)).otherwise(col("hi")).as("hi_incl"))
+        .localCheckpoint()
       // inner BNLJ with the 10-row interval relation broadcast (a LEFT
       // join could not build its preserved side); bins the current
       // window never hits re-enter as c_b = 0 via the tiny left join
@@ -210,7 +216,7 @@ object FeatureQueries {
           (col("lo_excl").isNull || col("bv") > col("lo_excl")) &&
             (col("hi_incl").isNull || col("bv") <= col("hi_incl")))
         .groupBy("bin").agg(count(lit(1)).as("c_b"))
-      val bagg = iv.select("bin").join(matched, Seq("bin"), "left")
+      val bagg = iv.select("bin").join(broadcast(matched), Seq("bin"), "left")
         .select(col("bin"), coalesce(col("c_b"), lit(0L)).as("c_b"))
       val nb = pb.agg(count(lit(1)).as("n").cast("long").as("nb_n"))
       iv.join(bagg, "bin")

@@ -208,10 +208,13 @@ object GraphExtras {
         |      FROM p JOIN deg d1 ON p.s1 = d1.s JOIN deg d2 ON p.s2 = d2.s)
         |SELECT s1, s2, common, jaccard_ppm FROM j
         |ORDER BY common DESC, s1, s2 LIMIT 20""".stripMargin) { (s, d) =>
+      // materialize the distinct edge list once — cd, deg, and both
+      // self-join sides all derive from it, and without the cut each
+      // would re-run the fact join + distinct from the scan up
       val e = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
+        .distinct().localCheckpoint()
       val cd = e.groupBy("c").agg(count(lit(1)).as("d"))
       val ec = e.join(cd, "c").where(col("d") <= 200).select("c", "s")
       val deg = ec.groupBy("s").agg(count(lit(1)).as("d"))

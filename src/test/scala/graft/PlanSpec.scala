@@ -265,4 +265,36 @@ class PlanSpec extends SparkSpec {
       s"both join inputs must be day-collapsed aggregates:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("target encoder broadcasts category stats; the fact never sort-merges") {
+    val p = plan("feat_target_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("decile binning's big window is bucket-partitioned, never one global sort") {
+    val p = plan("feat_quantile_bin")
+    // the cumsum window over the distinct-value axis must carry the
+    // range-bucket partition spec (two-phase prefix sum); only the
+    // ~60-row bucket-subtotal window may be unpartitioned
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(_.contains("bucket#")),
+      s"expected a bucket-partitioned window:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("PSI bins the current window against a BROADCAST 10-row interval set") {
+    val p = plan("feat_drift_psi")
+    // the non-equi interval join must build the tiny frozen-bin side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("common neighbors wedge-joins on the customer key, never a pair cross") {
+    val p = plan("graph_common_neighbors")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // degree attach at the end is a broadcast, not a shuffle of pairs
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
