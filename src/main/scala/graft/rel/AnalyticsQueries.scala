@@ -1746,6 +1746,28 @@ object AnalyticsQueries {
     // collapse-then-pair discipline as basket_lift. Slopes land as
     // deterministic micro-integers; the median interpolates at worst
     // to an exact .5, hash-stable in both engines.
+    // HLL SKETCH-MERGE ROLLUP — the REAGGREGATABLE distinct-count
+    // architecture at 100 TB: each day pre-aggregates one HLL sketch
+    // of its users (map-side combinable, O(4KB) per group), and any
+    // coarser window — month here — answers by UNIONING stored
+    // sketches instead of re-scanning events. profile_columns_approx
+    // already uses one-shot HLL; what this adds is the MERGE tier:
+    // estimate(union(daily)) is the production query path for
+    // "distinct users over an arbitrary date range". Sketches are
+    // deterministic, so SketchSpec pins merged == direct-monthly
+    // exactly, plus a 3-sigma error band vs the exact count; the
+    // driver gate is rows-only (DuckDB's approx engine differs by
+    // design).
+    "agg_hll_rollup" -> QueryDef.rowsOnly { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+        .agg(hll_union_agg(col("sk")).as("msk"))
+        .select(col("month"), hll_sketch_estimate(col("msk")).as("est_users"))
+        .orderBy("month")
+    },
+
     "stat_theil_sen" -> QueryDef(
       """WITH day AS (
         |  SELECT event_type,

@@ -45,4 +45,30 @@ class SketchSpec extends SparkSpec {
         s"estimate below exact for key ${r.getLong(0)}")
     }
   }
+
+  test("HLL rollup: merged daily sketches equal the direct monthly sketch") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("agg_hll_rollup")(spark, sf001)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf001)
+    // direct per-month sketches, no daily tier — MUST be identical,
+    // not merely close: HLL union is exact over the sketch lattice
+    val direct = ev
+      .groupBy(date_trunc("month", col("ts").cast("date")).cast("date").as("month"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(rows == direct,
+      s"sketch merge must commute with aggregation: $rows vs $direct")
+    // and the estimate tracks the exact distinct within 3 sigma
+    // (lgConfigK=12 -> sigma ~ 1.04/sqrt(2^12) ~ 1.6%)
+    val exact = ev
+      .groupBy(date_trunc("month", col("ts").cast("date")).cast("date").as("month"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    exact.foreach { case (m, n) =>
+      assert(math.abs(rows(m) - n) <= math.max(5.0, 3 * 0.0163 * n),
+        s"month $m: est ${rows(m)} vs exact $n")
+    }
+  }
 }
