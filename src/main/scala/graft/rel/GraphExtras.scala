@@ -37,21 +37,24 @@ object GraphExtras {
     val eV = GraphLoops.pinEdges(edges, "v", strategy)
     var h = eU.select("u").distinct().withColumn("h", lit(1000000L))
     var a: DataFrame = null
+    // the RAW per-node sums are what gets materialized: the normalizer
+    // (crossJoin of the 1-row total) then reads the checkpointed
+    // node-sized relation twice instead of running the edge join twice
+    // — one edge join per half-round, and the checkpoint doubles as
+    // the per-round lineage cut
     (1 to rounds).foreach { _ =>
       val ar = GraphLoops
         .stateJoin(eU, h.withColumnRenamed("u", "hu"), col("hu") === col("u"),
           strategy)
-        .groupBy("v").agg(sum("h").as("x"))
+        .groupBy("v").agg(sum("h").as("x")).localCheckpoint()
       a = ar.crossJoin(broadcast(ar.agg(sum("x").as("sx"))))
         .select(col("v"), expr("CAST(x * 1000000 div sx AS BIGINT)").as("a"))
-        .localCheckpoint()
       val hr = GraphLoops
         .stateJoin(eV, a.withColumnRenamed("v", "av"), col("av") === col("v"),
           strategy)
-        .groupBy("u").agg(sum("a").as("x"))
+        .groupBy("u").agg(sum("a").as("x")).localCheckpoint()
       h = hr.crossJoin(broadcast(hr.agg(sum("x").as("sx"))))
         .select(col("u"), expr("CAST(x * 1000000 div sx AS BIGINT)").as("h"))
-        .localCheckpoint()
     }
     a
   }
