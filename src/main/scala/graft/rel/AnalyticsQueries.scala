@@ -356,6 +356,65 @@ object AnalyticsQueries {
         .select(col("chi2_micro"), col("df"), col("n"))
     },
 
+    // CRAMÉR'S V — the EFFECT SIZE for stat_chi2's yes/no verdict:
+    // V = sqrt(chi2 / (N * min(r-1, c-1))) in [0, 1] says how STRONG
+    // the segment<->nation association is, comparable across tables
+    // of any shape (a chi2 alone grows with N even for trivial
+    // association — the classic big-data significance trap, where
+    // everything is "significant" at 100 TB). Same pipeline as chi2
+    // (one groupBy, then the tiny marginals grid); the micro-scaled
+    // chi2 integer feeds ONE sqrt at the end, so V is hash-exact.
+    "stat_cramers_v" -> QueryDef(
+      """WITH o AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM customer GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o),
+        |r AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS rc FROM o GROUP BY 1),
+        |k AS (SELECT nat, CAST(SUM(c) AS BIGINT) AS cc FROM o GROUP BY 1),
+        |grid AS (
+        |  SELECT r.seg, k.nat, r.rc, k.cc, COALESCE(o.c, 0) AS c
+        |  FROM r CROSS JOIN k
+        |  LEFT JOIN o ON o.seg = r.seg AND o.nat = k.nat),
+        |cell AS (
+        |  SELECT c, CAST(rc AS DOUBLE) * cc / n AS ex
+        |  FROM grid CROSS JOIN t),
+        |s AS (SELECT
+        |    CAST(SUM(CAST(round(1000000 * (c - ex) * (c - ex) / ex) AS BIGINT))
+        |      AS BIGINT) AS chi2_micro
+        |  FROM cell),
+        |dd AS (SELECT CAST((SELECT COUNT(*) - 1 FROM r) AS BIGINT) AS dr,
+        |         CAST((SELECT COUNT(*) - 1 FROM k) AS BIGINT) AS dk)
+        |SELECT s.chi2_micro, t.n,
+        |  CASE WHEN dd.dr < dd.dk THEN dd.dr ELSE dd.dk END AS dmin,
+        |  CAST(round(1000000 * sqrt(CAST(s.chi2_micro AS DOUBLE) / 1000000.0
+        |    / (t.n * (CASE WHEN dd.dr < dd.dk THEN dd.dr ELSE dd.dk END))))
+        |    AS BIGINT) AS v_micro
+        |FROM s, dd, t""".stripMargin) { (s, d) =>
+      val o = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+        .agg(count(lit(1)).as("c"))
+      val t = o.agg(sum("c").as("n"))
+      val r = o.groupBy("seg").agg(sum("c").as("rc"))
+      val k = o.groupBy("nat").agg(sum("c").as("cc"))
+      val grid = broadcast(r).crossJoin(broadcast(k))
+        .join(o, Seq("seg", "nat"), "left")
+        .select(col("rc"), col("cc"), coalesce(col("c"), lit(0L)).as("c"))
+      val cell = grid.crossJoin(broadcast(t))
+        .select(col("c"),
+          (col("rc").cast("double") * col("cc") / col("n")).as("ex"))
+      val chi = cell.agg(
+        sum(expr("CAST(round(1000000 * (c - ex) * (c - ex) / ex) AS BIGINT)"))
+          .cast("long").as("chi2_micro"))
+      val dd = r.agg((count(lit(1)) - 1).cast("long").as("dr"))
+        .crossJoin(k.agg((count(lit(1)) - 1).cast("long").as("dk")))
+      chi.crossJoin(broadcast(dd)).crossJoin(broadcast(t))
+        .select(col("chi2_micro"), col("n"),
+          expr("CASE WHEN dr < dk THEN dr ELSE dk END").as("dmin"),
+          expr("""CAST(round(1000000 * sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+            / (n * (CASE WHEN dr < dk THEN dr ELSE dk END)))) AS BIGINT)""")
+            .as("v_micro"))
+    },
+
     // two-sample KOLMOGOROV-SMIRNOV test: does account balance follow
     // the same distribution in the BUILDING and MACHINERY segments?
     // The third hypothesis test (chi2 = categorical independence,

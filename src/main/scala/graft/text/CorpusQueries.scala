@@ -77,6 +77,84 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // RECIPROCAL-RANK FUSION — the hybrid-retrieval combiner every
+    // RAG stack runs: two rankers score the same query, and a doc's
+    // fused score is sum(1/(60 + rank_i)) over the lists it appears
+    // in — rank-based, so incomparable score scales (BM25 logs vs
+    // integer tf-idf) fuse without calibration. ONE corpus pass
+    // computes both scores (the checkpointed matched-doc relation
+    // feeds both rank windows); ranks come from row_number over the
+    // MATCHED docs only (query-term selectivity, not the corpus);
+    // the fusion is a full outer join of two 50-row lists. 1e6/(60+r)
+    // in truncating integer division keeps the fused score hash-exact.
+    "text_rrf_fusion" -> QueryDef({
+      val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(t, x -> x = '$t')) AS tf${i + 1}"
+      }.mkString(",\n        |    ")
+      val idfSum = (1 to 3).map(i =>
+        s"tf$i * CAST(round(ln((n + 1.0)/(df$i + 1.0))*1000000) AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+         |d AS (
+         |  SELECT doc_id, len(t) AS dl,
+         |    $tfs
+         |  FROM toks),
+         |stats AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl,
+         |    CAST(SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |    CAST(SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         |    CAST(SUM(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+         |  FROM d),
+         |sc AS (
+         |  SELECT doc_id, $bm25Score AS s1, CAST($idfSum AS BIGINT) AS s2_micro
+         |  FROM d, stats WHERE tf1 + tf2 + tf3 > 0),
+         |r1 AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY s1 DESC, doc_id) AS BIGINT) AS r
+         |       FROM sc QUALIFY r <= 50),
+         |r2 AS (SELECT doc_id AS doc2,
+         |         CAST(row_number() OVER (ORDER BY s2_micro DESC, doc_id) AS BIGINT) AS r2
+         |       FROM sc QUALIFY r2 <= 50)
+         |SELECT COALESCE(doc_id, doc2) AS doc_id, r AS r_bm25, r2 AS r_tfidf,
+         |  COALESCE(1000000 // (60 + r), 0) + COALESCE(1000000 // (60 + r2), 0)
+         |    AS rrf_micro
+         |FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc2
+         |ORDER BY rrf_micro DESC, COALESCE(doc_id, doc2) LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("t"), x => x === t)).as(s"tf${i + 1}")
+      }
+      val idfSum = (1 to 3).map(i =>
+        s"tf$i * CAST(round(ln((n + 1.0)/(df$i + 1.0))*1000000) AS BIGINT)")
+        .mkString(" + ")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(Seq(col("doc_id"), size(col("t")).as("dl")) ++ tfCols: _*)
+      val stats = docs.agg(
+        count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+        sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+      val sc = docs.crossJoin(broadcast(stats))
+        .where(col("tf1") + col("tf2") + col("tf3") > 0)
+        .select(col("doc_id"), expr(bm25Score).as("s1"),
+          expr(s"CAST($idfSum AS BIGINT)").as("s2_micro"))
+        .localCheckpoint()
+      val w1 = Window.orderBy(col("s1").desc, col("doc_id"))
+      val w2 = Window.orderBy(col("s2_micro").desc, col("doc_id"))
+      val r1 = sc.select(col("doc_id"),
+        row_number().over(w1).cast("long").as("r")).where(col("r") <= 50)
+      val r2 = sc.select(col("doc_id").as("doc2"),
+        row_number().over(w2).cast("long").as("r2")).where(col("r2") <= 50)
+      r1.join(r2, col("doc_id") === col("doc2"), "full")
+        .select(coalesce(col("doc_id"), col("doc2")).as("doc_id"),
+          col("r").as("r_bm25"), col("r2").as("r_tfidf"),
+          (coalesce(expr("1000000 div (60 + r)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + r2)"), lit(0L))).as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+    },
+
     // unigram token entropy per document, in integer MICRO-NATS:
     // H = ln(n) - (sum c_i*ln(c_i))/n with each ln pre-rounded to a
     // 1e-6 integer grid. Makes the cross-partition sum exact (ints),

@@ -112,4 +112,38 @@ class R8WaveSpec extends SparkSpec {
       "revenue must be non-increasing")
     assert(revs.forall(_ > 0))
   }
+
+  test("Cramér's V agrees with stat_chi2 and lands in [0, 1]") {
+    val v = graft.SparkEntry.queries("stat_cramers_v")(spark, sf001)
+      .collect().head
+    val chi = graft.SparkEntry.queries("stat_chi2")(spark, sf001)
+      .collect().head
+    assert(v.getLong(0) == chi.getLong(0),
+      "both queries must report the identical micro-scaled chi2")
+    assert(v.getLong(1) == chi.getLong(2), "same N")
+    val vm = v.getLong(3)
+    assert(vm >= 0 && vm <= 1000000L, s"V=$vm outside [0, 1e6]")
+    // V == sqrt(chi2 / (N * dmin)) recomputed
+    val expect = math.round(1000000 * math.sqrt(
+      chi.getLong(0).toDouble / 1000000.0 / (v.getLong(1) * v.getLong(2))))
+    assert(vm == expect)
+  }
+
+  test("RRF fusion scores recompute from the two rank columns") {
+    val rows = graft.SparkEntry.queries("text_rrf_fusion")(spark, sf001)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val r1 = if (r.isNullAt(1)) 0L else 1000000L / (60 + r.getLong(1))
+      val r2 = if (r.isNullAt(2)) 0L else 1000000L / (60 + r.getLong(2))
+      assert(!(r.isNullAt(1) && r.isNullAt(2)),
+        "a fused doc must appear in at least one ranking")
+      assert(r.getLong(3) == r1 + r2, s"rrf mismatch for doc ${r.getLong(0)}")
+    }
+    val scores = rows.map(_.getLong(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // a doc ranked top by BOTH lists must outrank a doc on one list
+    assert(scores.head >= 2 * 1000000L / (60 + 50),
+      "top fused doc should plausibly draw from both rankers")
+  }
 }
