@@ -523,6 +523,51 @@ object EventQueries {
     // cohort retention: users bucketed by first-signup day, counted
     // per day-offset of any later activity (0..7). Two user-keyed
     // shuffles (first-day agg, distinct activity) + one count-distinct.
+    // COHORT LIFETIME VALUE — the revenue companion to
+    // events_retention's headcount triangle: users cohort by the WEEK
+    // they first appear, purchase revenue rolls up per (cohort, weeks
+    // since cohort), and a running sum per cohort yields the
+    // cumulative-LTV curves finance teams read. Scale shape: the
+    // first-seen aggregate and the purchase stream meet on ONE
+    // user-keyed equi-join (both partial-agg collapsed first); the
+    // running sum windows over the tiny (cohorts x offsets) triangle,
+    // never events. All integer cents, truncating week division
+    // identical on both engines.
+    "events_cohort_ltv" -> QueryDef(
+      """WITH u AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT cohort, datediff('day', cohort, wk) // 7 AS week_offset,
+        |    CAST(SUM(v) AS BIGINT) AS rev_cents
+        |  FROM r JOIN u ON r.user_id = u.user_id GROUP BY 1, 2)
+        |SELECT cohort, week_offset, rev_cents,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY week_offset
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        |FROM g ORDER BY cohort, week_offset""".stripMargin) { (sp, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.events(sp, d)
+      val u = ev.groupBy("user_id")
+        .agg(min(date_trunc("week", col("ts"))).cast("date").as("cohort"))
+      val r = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"),
+          expr("CAST(round(value*100) AS BIGINT)").as("v"))
+      val g = r.join(u, "user_id")
+        .groupBy(col("cohort"),
+          expr("CAST(datediff(wk, cohort) AS BIGINT) div 7").as("week_offset"))
+        .agg(sum("v").as("rev_cents"))
+      val w = Window.partitionBy("cohort").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("cohort"), col("week_offset"), col("rev_cents"),
+          sum("rev_cents").over(w).cast("long").as("cum_rev_cents"))
+        .orderBy("cohort", "week_offset")
+    },
+
     "events_retention" -> QueryDef(
       """WITH first_day AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort

@@ -89,6 +89,59 @@ object TickQueries {
         .orderBy("bucket")
     },
 
+    // AVERAGE TRUE RANGE — Wilder's volatility indicator over the
+    // daily OHLC frame, completing the indicator family (Bollinger =
+    // dispersion bands, RSI = momentum, ATR = range volatility).
+    // True range = max(H−L, |H−prevClose|, |L−prevClose|) — the gap
+    // between sessions counts, which plain H−L misses; the first day
+    // of each series falls back to H−L (Wilder's convention). The
+    // 7-day rolling total stays ×7 integer cents (the Bollinger
+    // trick: no division, no fp), and the lag + rolling-sum windows
+    // share ONE sort per series. Series = event types, days collapse
+    // first, so windows run over the (series, day) axis, never ticks.
+    "tick_atr" -> QueryDef(
+      """WITH o AS (
+        |  SELECT event_type AS series, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(round(MAX("value")*100) AS BIGINT) AS h,
+        |    CAST(round(MIN("value")*100) AS BIGINT) AS l,
+        |    CAST(round(MAX_BY("value", ts)*100) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT series, d, h, l,
+        |    lag(c) OVER (PARTITION BY series ORDER BY d) AS pc
+        |  FROM o),
+        |tr AS (
+        |  SELECT series, d,
+        |    CASE WHEN pc IS NULL THEN h - l
+        |         ELSE GREATEST(h - l, abs(h - pc), abs(l - pc)) END AS tr_cents
+        |  FROM t)
+        |SELECT series, d, tr_cents,
+        |  CAST(SUM(tr_cents) OVER (PARTITION BY series ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS atr7x_cents
+        |FROM tr ORDER BY series, d""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val src = EventsSource(s, d)
+      val o = src.frame
+        .groupBy(col("event_type").as("series"),
+          date_trunc("day", src.ts).cast("date").as("d"))
+        .agg(expr("CAST(round(MAX(value)*100) AS BIGINT)").as("h"),
+          expr("CAST(round(MIN(value)*100) AS BIGINT)").as("l"),
+          expr("CAST(round(MAX_BY(value, ts)*100) AS BIGINT)").as("c"))
+      val wo = Window.partitionBy("series").orderBy("d")
+      val t = o.select(col("series"), col("d"), col("h"), col("l"),
+        lag("c", 1).over(wo).as("pc"))
+      val tr = t.select(col("series"), col("d"),
+        when(col("pc").isNull, col("h") - col("l"))
+          .otherwise(greatest(col("h") - col("l"),
+            abs(col("h") - col("pc")), abs(col("l") - col("pc"))))
+          .as("tr_cents"))
+      val w7 = Window.partitionBy("series").orderBy("d").rowsBetween(-6, 0)
+      tr.select(col("series"), col("d"), col("tr_cents"),
+          sum("tr_cents").over(w7).cast("long").as("atr7x_cents"))
+        .orderBy("series", "d")
+    },
+
     // raw-level (no group): ordered point scan with projection
     "tick_raw_points" -> tickDef(
       """{"index":"signup","from":"2024-01-15T00:00:00Z","to":"2024-01-15T12:00:00Z",

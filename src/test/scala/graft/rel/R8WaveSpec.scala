@@ -146,4 +146,42 @@ class R8WaveSpec extends SparkSpec {
     assert(scores.head >= 2 * 1000000L / (60 + 50),
       "top fused doc should plausibly draw from both rankers")
   }
+
+  test("cohort LTV curves are monotone and conserve purchase revenue") {
+    val rows = graft.SparkEntry.queries("events_cohort_ltv")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getDate(0).toString)
+    byCohort.foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).forall(_ >= 0), s"negative offset in $c")
+      // running sum telescopes: cum(k) == sum of rev(0..k)
+      var acc = 0L
+      sorted.foreach { r =>
+        acc += r.getLong(2)
+        assert(r.getLong(3) == acc, s"cum mismatch at $c/${r.getLong(1)}")
+      }
+    }
+    // grand total equals all purchase revenue (every purchaser has a cohort)
+    val total = spark.read.parquet(s"$sf001/events.parquet")
+      .where("event_type = 'purchase'")
+      .selectExpr("CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)")
+      .collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == total,
+      "cohort triangle must partition total purchase revenue")
+  }
+
+  test("ATR: true range dominates H-L and the 7-day total telescopes") {
+    val rows = graft.SparkEntry.queries("tick_atr")(spark, sf0001).collect()
+    val bySeries = rows.groupBy(_.getString(0))
+    assert(bySeries.size == 5, "all five event-type series")
+    bySeries.foreach { case (s, rs) =>
+      val sorted = rs.sortBy(_.getDate(1).toString)
+      sorted.foreach(r => assert(r.getLong(2) >= 0, s"negative TR in $s"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val win = sorted.slice(math.max(0, i - 6), i + 1).map(_.getLong(2)).sum
+        assert(r.getLong(3) == win, s"ATR window mismatch $s@$i")
+      }
+    }
+  }
 }
