@@ -841,6 +841,37 @@ object AnalyticsQueries {
     // each rule ONE aggregate, unioned into a (rule, n_bad) report.
     // The synthetic data genuinely violates the lineitem PK rule, so
     // the audit is checked against a real nonzero count.
+    // FRESHNESS SLA AUDIT — the DataOps monitor run against every
+    // ingestion feed: per source stream (event type), when did data
+    // last arrive, how stale is it against the most recent arrival
+    // anywhere, and does it breach the SLA window? Staleness is
+    // truncating µs-epoch arithmetic (NOT datediff('second'), which
+    // counts boundary CROSSINGS and disagrees between engines on
+    // sub-second phases). One partial-aggregated pass + a broadcast
+    // 1-row "now"; the per-feed report is feed-sized.
+    "dq_freshness" -> QueryDef(
+      """WITH mx AS (SELECT MAX(ts) AS now FROM events),
+        |s AS (SELECT event_type, MAX(ts) AS last_ts,
+        |        CAST(COUNT(*) AS BIGINT) AS n_rows
+        |      FROM events GROUP BY 1)
+        |SELECT event_type, last_ts, n_rows,
+        |  (epoch_us(now) - epoch_us(last_ts)) // 1000000 AS staleness_s,
+        |  CASE WHEN (epoch_us(now) - epoch_us(last_ts)) // 1000000 > 3600
+        |       THEN 1 ELSE 0 END AS sla_breach
+        |FROM s, mx ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val mx = ev.agg(max("ts").as("now"))
+      ev.groupBy("event_type")
+        .agg(max("ts").as("last_ts"), count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(mx))
+        .select(col("event_type"), col("last_ts"), col("n_rows"),
+          expr("(unix_micros(now) - unix_micros(last_ts)) div 1000000")
+            .as("staleness_s"),
+          when(expr("(unix_micros(now) - unix_micros(last_ts)) div 1000000")
+            > 3600, 1).otherwise(0).as("sla_breach"))
+        .orderBy("event_type")
+    },
+
     "dq_audit" -> QueryDef(
       """SELECT 'dup_lineitem_pk' AS rule, CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_bad
         |  FROM (SELECT COUNT(*) AS c FROM lineitem

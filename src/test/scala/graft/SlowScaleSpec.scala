@@ -171,4 +171,30 @@ class SlowScaleSpec extends SparkSpec {
     val recall = (exact intersect ann).size.toDouble / exact.size
     assert(recall >= 0.4, s"ANN recall $recall at sf0.1 (${emb.count()} vectors)")
   }
+
+  test("HLL rollup merge commutes with direct aggregation at sf0.1", Slow) {
+    val merged = SparkEntry.queries("agg_hll_rollup")(spark, sf01)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val ev = Tables.events(spark, sf01)
+    val direct = ev
+      .groupBy(date_trunc("month", col("ts").cast("date")).cast("date").as("m"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    // merged and direct sketches may occupy different internal
+    // representations (sparse vs dense promotion happens at different
+    // input orders), so their ESTIMATES agree to sketch accuracy, not
+    // bit-for-bit
+    direct.foreach { case (m, d) =>
+      assert(math.abs(merged(m) - d) <= math.max(5.0, 0.02 * d),
+        s"month $m: merged ${merged(m)} far from direct $d")
+    }
+    val exact = ev
+      .groupBy(date_trunc("month", col("ts").cast("date")).cast("date").as("m"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    exact.foreach { case (m, n) =>
+      assert(math.abs(merged(m) - n) <= math.max(5.0, 3 * 0.0163 * n),
+        s"month $m at sf0.1: est ${merged(m)} vs exact $n")
+    }
+  }
 }

@@ -52,14 +52,20 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
     assert(rows.nonEmpty)
     val ev = graft.Tables.events(spark, sf001)
-    // direct per-month sketches, no daily tier — MUST be identical,
-    // not merely close: HLL union is exact over the sketch lattice
+    // direct per-month sketches, no daily tier: the merged and direct
+    // sketches can sit in different internal representations (sparse
+    // vs dense promotion depends on input order), so the pin is
+    // estimate-level agreement to sketch accuracy — not bit equality
+    // (which holds at sf0.01 but breaks at sf0.1, where the daily
+    // union promotes earlier than the direct build)
     val direct = ev
       .groupBy(date_trunc("month", col("ts").cast("date")).cast("date").as("month"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
       .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
-    assert(rows == direct,
-      s"sketch merge must commute with aggregation: $rows vs $direct")
+    direct.foreach { case (m, d) =>
+      assert(math.abs(rows(m) - d) <= math.max(5.0, 0.02 * d),
+        s"month $m: merged ${rows(m)} far from direct $d")
+    }
     // and the estimate tracks the exact distinct within 3 sigma
     // (lgConfigK=12 -> sigma ~ 1.04/sqrt(2^12) ~ 1.6%)
     val exact = ev
