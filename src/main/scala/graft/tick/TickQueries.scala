@@ -770,6 +770,89 @@ object TickQueries {
         .orderBy("pair", "bucket")
     },
 
+    // LJUNG-BOX Q — the portmanteau "is this series white noise?"
+    // test over the first 3 autocorrelations, the diagnostic run on
+    // model residuals before trusting a forecast. Builds on the
+    // tick_acf skeleton (same exact-BIGINT moment collapse, same
+    // demeaned-autocovariance closed form); the r_k doubles come from
+    // one fixed op sequence and Q = n(n+2)·Σ r_k²/(n−k) closes in one
+    // more, micro-scaled — hash-exact like the ACF itself. Windows
+    // run over the (series, day) axis, never ticks.
+    "tick_ljung_box" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_type, n,
+        |    lag(n, 1) OVER w AS n1, lag(n, 2) OVER w AS n2, lag(n, 3) OVER w AS n3
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+        |), m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q,
+        |    CAST(SUM(n * n1) AS BIGINT) AS p1, CAST(SUM(n * n2) AS BIGINT) AS p2,
+        |    CAST(SUM(n * n3) AS BIGINT) AS p3,
+        |    CAST(SUM(CASE WHEN n1 IS NOT NULL THEN n END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN n2 IS NOT NULL THEN n END) AS BIGINT) AS a2,
+        |    CAST(SUM(CASE WHEN n3 IS NOT NULL THEN n END) AS BIGINT) AS a3,
+        |    CAST(SUM(n1) AS BIGINT) AS b1, CAST(SUM(n2) AS BIGINT) AS b2,
+        |    CAST(SUM(n3) AS BIGINT) AS b3,
+        |    CAST(COUNT(n1) AS BIGINT) AS m1, CAST(COUNT(n2) AS BIGINT) AS m2,
+        |    CAST(COUNT(n3) AS BIGINT) AS m3
+        |  FROM l GROUP BY 1
+        |), f AS (
+        |  SELECT *, CAST(s AS DOUBLE) / nd AS mu,
+        |    CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nd AS den
+        |  FROM m
+        |), r AS (
+        |  SELECT event_type, nd,
+        |    CASE WHEN den = 0 THEN NULL
+        |         ELSE (CAST(p1 AS DOUBLE) - mu * a1 - mu * b1 + m1 * mu * mu) / den END AS r1,
+        |    CASE WHEN den = 0 THEN NULL
+        |         ELSE (CAST(p2 AS DOUBLE) - mu * a2 - mu * b2 + m2 * mu * mu) / den END AS r2,
+        |    CASE WHEN den = 0 THEN NULL
+        |         ELSE (CAST(p3 AS DOUBLE) - mu * a3 - mu * b3 + m3 * mu * mu) / den END AS r3
+        |  FROM f)
+        |SELECT event_type, nd,
+        |  CASE WHEN nd <= 3 THEN NULL
+        |       ELSE CAST(round(1000000 * nd * (nd + 2.0)
+        |         * (r1*r1/(nd-1) + r2*r2/(nd-2) + r3*r3/(nd-3))) AS BIGINT)
+        |  END AS q_micro
+        |FROM r ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val l = day.select(col("event_type"), col("n"),
+        lag("n", 1).over(w).as("n1"), lag("n", 2).over(w).as("n2"),
+        lag("n", 3).over(w).as("n3"))
+      val m = l.groupBy("event_type").agg(
+        count(lit(1)).as("nd"), sum("n").as("s"), sum(col("n") * col("n")).as("q"),
+        sum(col("n") * col("n1")).as("p1"), sum(col("n") * col("n2")).as("p2"),
+        sum(col("n") * col("n3")).as("p3"),
+        sum(when(col("n1").isNotNull, col("n"))).as("a1"),
+        sum(when(col("n2").isNotNull, col("n"))).as("a2"),
+        sum(when(col("n3").isNotNull, col("n"))).as("a3"),
+        sum("n1").as("b1"), sum("n2").as("b2"), sum("n3").as("b3"),
+        count(col("n1")).as("m1"), count(col("n2")).as("m2"), count(col("n3")).as("m3"))
+      val f = m
+        .withColumn("mu", col("s").cast("double") / col("nd"))
+        .withColumn("den",
+          col("q").cast("double") - col("s").cast("double") * col("s").cast("double") / col("nd"))
+      def r(k: Int) = when(col("den") === 0, lit(null)).otherwise(
+        (col(s"p$k").cast("double") - col("mu") * col(s"a$k") - col("mu") * col(s"b$k")
+          + col(s"m$k") * col("mu") * col("mu")) / col("den")).as(s"r$k")
+      f.select(col("event_type"), col("nd"), r(1), r(2), r(3))
+        .select(col("event_type"), col("nd"),
+          when(col("nd") <= 3, lit(null)).otherwise(
+            expr("""CAST(round(1000000 * nd * (nd + 2.0)
+              * (r1*r1/(nd-1) + r2*r2/(nd-2) + r3*r3/(nd-3))) AS BIGINT)"""))
+            .as("q_micro"))
+        .orderBy("event_type")
+    },
+
     "tick_acf" -> QueryDef(
       """WITH day AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
