@@ -1646,6 +1646,48 @@ object RelQueries {
     // digest prefix (1/16). Unlike TABLESAMPLE/rand this is stable
     // across runs, engines, and repartitioning — the reproducibility a
     // training-data pipeline needs for holdout splits at 100 TB.
+    // NEGATIVE SAMPLING — the contrastive-training data op: for each
+    // user in a bounded batch, the 5 catalog items they have NEVER
+    // interacted with, picked by a deterministic digest ranking
+    // (reproducible "random" negatives, the same md5 idiom as
+    // sample_hash). Production shape exactly: a BATCH of users
+    // broadcast against the catalog (the candidate grid is
+    // batch x catalog, never users x catalog), one anti-join on the
+    // interaction edges keyed (user, item), one per-user window over
+    // catalog-bounded candidates. All deterministic — hash-gated.
+    "sample_negatives" -> QueryDef(
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |u AS (SELECT DISTINCT c FROM e ORDER BY c LIMIT 20),
+        |cand AS (SELECT u.c, s_suppkey AS s FROM u CROSS JOIN supplier),
+        |neg AS (SELECT c, s FROM cand WHERE NOT EXISTS
+        |         (SELECT 1 FROM e WHERE e.c = cand.c AND e.s = cand.s)),
+        |r AS (SELECT c, s,
+        |        CAST(row_number() OVER (PARTITION BY c
+        |          ORDER BY md5(CAST(c AS VARCHAR) || ':' || CAST(s AS VARCHAR)), s)
+        |          AS BIGINT) AS neg_rank
+        |      FROM neg)
+        |SELECT c AS custkey, s AS suppkey, neg_rank
+        |FROM r WHERE neg_rank <= 5 ORDER BY custkey, neg_rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val u = e.select("c").distinct().orderBy("c").limit(20)
+      val cand = broadcast(u)
+        .crossJoin(Tables.supplier(s, d).select(col("s_suppkey").as("s")))
+      val neg = cand.join(e, Seq("c", "s"), "left_anti")
+      val w = Window.partitionBy("c").orderBy(
+        md5(concat(col("c").cast("string"), lit(":"), col("s").cast("string"))),
+        col("s"))
+      neg.select(col("c"), col("s"),
+          row_number().over(w).cast("long").as("neg_rank"))
+        .where(col("neg_rank") <= 5)
+        .select(col("c").as("custkey"), col("s").as("suppkey"), col("neg_rank"))
+        .orderBy("custkey", "neg_rank")
+    },
+
     "sample_hash" -> QueryDef(
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty

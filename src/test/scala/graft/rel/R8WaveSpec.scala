@@ -171,6 +171,41 @@ class R8WaveSpec extends SparkSpec {
       "cohort triangle must partition total purchase revenue")
   }
 
+  test("negative sampling: never a positive, 5 per user, run-deterministic") {
+    val q = graft.SparkEntry.queries("sample_negatives")
+    val rows = q(spark, sf0001).collect()
+    val interactions = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/lineitem.parquet"),
+        org.apache.spark.sql.functions.expr("l_orderkey = o_orderkey"))
+      .selectExpr("o_custkey", "l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(!interactions((r.getLong(0), r.getLong(1))),
+        s"sampled a POSITIVE pair ${(r.getLong(0), r.getLong(1))}")
+    }
+    // sf0.001 has only 10 suppliers, so a user's negative pool can be
+    // smaller than 5 (or empty) — each user must get min(5, pool) in
+    // consecutive rank order, where pool = catalog minus interactions
+    val catalog = spark.read.parquet(s"$sf0001/supplier.parquet")
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val batch = interactions.map(_._1).toSeq.sorted.take(20)
+    val perUser = rows.groupBy(_.getLong(0))
+    assert(perUser.keySet.subsetOf(batch.toSet))
+    batch.foreach { c =>
+      val pool = catalog.size - interactions.count(_._1 == c)
+      val got = perUser.get(c).map(_.length).getOrElse(0)
+      assert(got == math.min(5, pool), s"user $c: $got of pool $pool")
+      perUser.get(c).foreach { rs =>
+        assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to got).toSeq,
+          s"user $c ranks not consecutive")
+      }
+    }
+    // digest ranking is deterministic: a second run returns the identical set
+    val again = q(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("ATR: true range dominates H-L and the 7-day total telescopes") {
     val rows = graft.SparkEntry.queries("tick_atr")(spark, sf0001).collect()
     val bySeries = rows.groupBy(_.getString(0))
