@@ -400,6 +400,47 @@ object StreamingOps {
     * interval join the oracle runs; a production stream would use a
     * real delay and accept the late-data semantics.
     */
+  /** Stream-stream LEFT OUTER interval join — the semantics inner
+    * joins can't show: a click with NO purchase in its 10-minute
+    * window emits a null-padded row, but only once the watermark has
+    * moved past the click's entire join window (before that the match
+    * might still arrive, so the row sits in state). The 1-hour
+    * watermark delay is therefore part of the SEMANTICS: unmatched
+    * clicks inside the final watermark+window tail are still pending
+    * at drain and must NOT appear — the oracle reproduces exactly
+    * that boundary (min of both sides' ms-floored max event time,
+    * minus the delay). Returns per-user counts of matched pairs and
+    * emitted null rows.
+    */
+  def streamLeftOuterJoinOnce(spark: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, prefix: String) = eventsStream(spark, dir)
+      .where(col("event_type") === tpe && col("user_id") < 500)
+      .select(
+        col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        col("ts_t").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("click", "c").join(
+      side("purchase", "p"),
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
+      "leftOuter")
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(sum(when(col("p_id").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_null"))
+      .orderBy("user_id")
+  }
+
   def streamIntervalJoinOnce(spark: SparkSession, dir: String): DataFrame = {
     def side(tpe: String, prefix: String) = eventsStream(spark, dir)
       // user subset: bounds join state while proving the same semantics

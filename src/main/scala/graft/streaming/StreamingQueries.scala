@@ -132,6 +132,38 @@ object StreamingQueries {
 
     // stream-stream interval join == batch interval join (watermark set
     // beyond the data's span, so no rows are late-dropped)
+    // LEFT OUTER stream-stream join: unmatched clicks null-pad, but
+    // ONLY once the watermark passes their whole join window — the
+    // emission boundary is part of the gated semantics. The oracle
+    // recomputes the final watermark exactly as the engine does: min
+    // of both sides' max event time floored to MILLISECONDS (the
+    // watermark's native precision), minus the 1h delay; an unmatched
+    // click emits iff click_ts + 10min < that boundary. Clicks in the
+    // tail stay in state at drain and are absent from BOTH sides.
+    "streaming_join_outer" -> QueryDef(
+      """WITH c AS (SELECT user_id AS u, event_id AS id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click' AND user_id < 500),
+        |p AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase' AND user_id < 500),
+        |wm AS (SELECT (least((SELECT epoch_us(MAX(ts)) FROM c),
+        |                     (SELECT epoch_us(MAX(ts)) FROM p))
+        |          // 1000 - 3600000) * 1000 AS w_us),
+        |k AS (SELECT c.u, c.id, c.ts AS cts, COUNT(p.ts) AS nm
+        |      FROM c LEFT JOIN p ON p.u = c.u AND p.ts >= c.ts
+        |         AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |      GROUP BY 1, 2, 3)
+        |SELECT u AS user_id,
+        |  CAST(SUM(nm) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN nm = 0
+        |         AND epoch_us(cts) + 600000000 < (SELECT w_us FROM wm)
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |FROM k GROUP BY 1 HAVING SUM(nm) > 0 OR SUM(CASE WHEN nm = 0
+        |         AND epoch_us(cts) + 600000000 < (SELECT w_us FROM wm)
+        |       THEN 1 ELSE 0 END) > 0
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      StreamingOps.streamLeftOuterJoinOnce(s, d)
+    },
+
     "streaming_join" -> QueryDef(
       """SELECT c.user_id, COUNT(*) AS n_pairs
         |FROM events c JOIN events p
