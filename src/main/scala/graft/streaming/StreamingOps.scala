@@ -441,6 +441,40 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Stream-stream LEFT SEMI interval join: each click emits AT MOST
+    * ONCE — as soon as any purchase lands in its window — never
+    * null-pads, and never duplicates however many purchases match
+    * (the dedup the inner join can't give without a downstream
+    * distinct over re-keyed state). Same watermark bounds the state.
+    */
+  def streamSemiJoinOnce(spark: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, prefix: String) = eventsStream(spark, dir)
+      .where(col("event_type") === tpe && col("user_id") < 500)
+      .select(
+        col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        col("ts_t").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("click", "c").join(
+      side("purchase", "p"),
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
+      "leftSemi")
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_converted_clicks"))
+      .orderBy("user_id")
+  }
+
   def streamIntervalJoinOnce(spark: SparkSession, dir: String): DataFrame = {
     def side(tpe: String, prefix: String) = eventsStream(spark, dir)
       // user subset: bounds join state while proving the same semantics

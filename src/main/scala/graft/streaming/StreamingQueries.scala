@@ -164,6 +164,24 @@ object StreamingQueries {
       StreamingOps.streamLeftOuterJoinOnce(s, d)
     },
 
+    // LEFT SEMI stream-stream join: a click emits at most once — on
+    // its first arriving in-window purchase — so the count is
+    // CONVERTED CLICKS, not pairs: the dedup semantics the inner join
+    // can't express without re-aggregating its output. Oracle =
+    // clicks having at least one in-window purchase.
+    "streaming_join_semi" -> QueryDef(
+      """WITH c AS (SELECT user_id AS u, event_id AS id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click' AND user_id < 500),
+        |p AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase' AND user_id < 500)
+        |SELECT u AS user_id, CAST(COUNT(*) AS BIGINT) AS n_converted_clicks
+        |FROM c WHERE EXISTS
+        |  (SELECT 1 FROM p WHERE p.u = c.u AND p.ts >= c.ts
+        |     AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      StreamingOps.streamSemiJoinOnce(s, d)
+    },
+
     "streaming_join" -> QueryDef(
       """SELECT c.user_id, COUNT(*) AS n_pairs
         |FROM events c JOIN events p
