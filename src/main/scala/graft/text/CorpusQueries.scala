@@ -155,6 +155,91 @@ object CorpusQueries {
         .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
     },
 
+    // CROSS-MODAL HYBRID SEARCH — the production RAG retrieval stack
+    // end to end: a LEXICAL ranking (BM25 over the documents table)
+    // and a SEMANTIC ranking (exact cosine against a query embedding
+    // over the ALIGNED embeddings table — vec_id == doc_id) fuse by
+    // reciprocal rank. This is what text_rrf_fusion's lexical-only
+    // fusion exists to feed: two different MODALITIES, incomparable
+    // score scales, one rank-based combiner. Scale shape: the BM25
+    // side is one corpus pass + broadcast stats; the semantic side is
+    // the brute-force tier (1-row query vector broadcast into a
+    // corpus scan — the IVF/PQ machinery takes over when the corpus
+    // outgrows it); the fusion is a full outer join of two 50-row
+    // lists. Same deterministic 1e6 div (60+r) arithmetic.
+    "sim_hybrid_search" -> QueryDef({
+      val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(t, x -> x = '$t')) AS tf${i + 1}"
+      }.mkString(",\n        |    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+         |d AS (
+         |  SELECT doc_id, len(t) AS dl,
+         |    $tfs
+         |  FROM toks),
+         |stats AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl,
+         |    CAST(SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |    CAST(SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         |    CAST(SUM(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+         |  FROM d),
+         |lex AS (
+         |  SELECT doc_id, $bm25Score AS s1
+         |  FROM d, stats WHERE tf1 + tf2 + tf3 > 0 AND doc_id <> 0),
+         |r1 AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY s1 DESC, doc_id) AS BIGINT) AS r
+         |       FROM lex QUALIFY r <= 50),
+         |sem AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    ${graft.vec.VecFunctions.cosineSql("q.q_vec", "c.embedding")} AS sim
+         |  FROM embeddings c,
+         |    (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) q
+         |  WHERE c.vec_id <> 0),
+         |r2 AS (SELECT doc_id AS doc2,
+         |         CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r2
+         |       FROM sem QUALIFY r2 <= 50)
+         |SELECT COALESCE(doc_id, doc2) AS doc_id, r AS r_lex, r2 AS r_sem,
+         |  COALESCE(1000000 // (60 + r), 0) + COALESCE(1000000 // (60 + r2), 0)
+         |    AS rrf_micro
+         |FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc2
+         |ORDER BY rrf_micro DESC, COALESCE(doc_id, doc2) LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("t"), x => x === t)).as(s"tf${i + 1}")
+      }
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(Seq(col("doc_id"), size(col("t")).as("dl")) ++ tfCols: _*)
+      val stats = docs.agg(
+        count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+        sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+      val lex = docs.crossJoin(broadcast(stats))
+        .where(col("tf1") + col("tf2") + col("tf3") > 0 && col("doc_id") =!= 0)
+        .select(col("doc_id"), expr(bm25Score).as("s1"))
+      val w1 = Window.orderBy(col("s1").desc, col("doc_id"))
+      val r1 = lex.select(col("doc_id"),
+        row_number().over(w1).cast("long").as("r")).where(col("r") <= 50)
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val sem = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc2"),
+          graft.vec.VecFunctions.cosine(col("q_vec"), col("embedding")).as("sim"))
+      val w2 = Window.orderBy(col("sim").desc, col("doc2"))
+      val r2 = sem.select(col("doc2"),
+        row_number().over(w2).cast("long").as("r2")).where(col("r2") <= 50)
+      r1.join(r2, col("doc_id") === col("doc2"), "full")
+        .select(coalesce(col("doc_id"), col("doc2")).as("doc_id"),
+          col("r").as("r_lex"), col("r2").as("r_sem"),
+          (coalesce(expr("1000000 div (60 + r)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + r2)"), lit(0L))).as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+    },
+
     // unigram token entropy per document, in integer MICRO-NATS:
     // H = ln(n) - (sum c_i*ln(c_i))/n with each ln pre-rounded to a
     // 1e-6 integer grid. Makes the cross-partition sum exact (ints),

@@ -171,6 +171,23 @@ class R8WaveSpec extends SparkSpec {
       "cohort triangle must partition total purchase revenue")
   }
 
+  test("hybrid search fuses BOTH modalities and scores recompute") {
+    val rows = graft.SparkEntry.queries("sim_hybrid_search")(spark, sf001)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val r1 = if (r.isNullAt(1)) 0L else 1000000L / (60 + r.getLong(1))
+      val r2 = if (r.isNullAt(2)) 0L else 1000000L / (60 + r.getLong(2))
+      assert(!(r.isNullAt(1) && r.isNullAt(2)))
+      assert(r.getLong(3) == r1 + r2, s"rrf mismatch for doc ${r.getLong(0)}")
+    }
+    // the semantic list always has 50 entries (cosine ranks everything),
+    // so the fused top-10 must contain semantic-ranked docs; and the
+    // lexical modality must contribute too, or the fusion is vacuous
+    assert(rows.exists(!_.isNullAt(2)), "no semantic contribution")
+    assert(rows.exists(!_.isNullAt(1)), "no lexical contribution")
+  }
+
   test("negative sampling: never a positive, 5 per user, run-deterministic") {
     val q = graft.SparkEntry.queries("sample_negatives")
     val rows = q(spark, sf0001).collect()
