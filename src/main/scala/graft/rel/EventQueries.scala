@@ -523,6 +523,51 @@ object EventQueries {
     // cohort retention: users bucketed by first-signup day, counted
     // per day-offset of any later activity (0..7). Two user-keyed
     // shuffles (first-day agg, distinct activity) + one count-distinct.
+    // BOT-CADENCE DETECTION — the trust-and-safety screen over event
+    // streams: humans arrive with bursty, high-variance inter-event
+    // gaps; scripts tick on a clock. Per user, the coefficient of
+    // variation of inter-arrival gaps (std/mean, ppm) ranks accounts
+    // by regularity — the 20 most metronomic surface for review.
+    // Gap extraction is one lag window per user (the gap MULTISET is
+    // invariant to tie order among equal timestamps, so the window is
+    // deterministic); moments are exact BIGINTs in whole seconds
+    // (second-scaled so squares stay far from BIGINT range at any
+    // event volume); one fixed double-op close. Degenerate users
+    // (all-zero gaps, < 5 gaps) are excluded rather than emitting an
+    // infinity that engines format differently.
+    "events_bot_detection" -> QueryDef(
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |d AS (
+        |  SELECT user_id,
+        |    (t - lag(t) OVER (PARTITION BY user_id ORDER BY t)) // 1000000 AS gap_s
+        |  FROM g),
+        |m AS (
+        |  SELECT user_id, CAST(COUNT(gap_s) AS BIGINT) AS n,
+        |    CAST(SUM(gap_s) AS BIGINT) AS s,
+        |    CAST(SUM(gap_s * gap_s) AS BIGINT) AS q
+        |  FROM d WHERE gap_s IS NOT NULL
+        |  GROUP BY 1 HAVING COUNT(gap_s) >= 5 AND SUM(gap_s) > 0)
+        |SELECT user_id, n, s,
+        |  CAST(round(1000000 * sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+        |    / (CAST(s AS DOUBLE) / n)) AS BIGINT) AS cv_ppm
+        |FROM m ORDER BY cv_ppm, user_id LIMIT 20""".stripMargin) { (sp, d) =>
+      val g = graft.Tables.events(sp, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      val gaps = g.select(col("user_id"),
+        expr("CAST((t - lag(t) OVER (PARTITION BY user_id ORDER BY t)) div 1000000 AS BIGINT)")
+          .as("gap_s"))
+      val m = gaps.where(col("gap_s").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("gap_s").as("s"),
+          sum(col("gap_s") * col("gap_s")).as("q"))
+        .where(col("n") >= 5 && col("s") > 0)
+      m.select(col("user_id"), col("n"), col("s"),
+          expr("""CAST(round(1000000 * sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+            / (CAST(s AS DOUBLE) / n)) AS BIGINT)""").as("cv_ppm"))
+        .orderBy("cv_ppm", "user_id").limit(20)
+    },
+
     // COHORT LIFETIME VALUE — the revenue companion to
     // events_retention's headcount triangle: users cohort by the WEEK
     // they first appear, purchase revenue rolls up per (cohort, weeks
