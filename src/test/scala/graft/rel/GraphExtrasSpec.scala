@@ -74,6 +74,46 @@ class GraphExtrasSpec extends SparkSpec {
       (8L, 7L), (9L, 8L), (7L, 9L)))
   }
 
+  test("coreness h-index iteration matches a sequential reference and converges") {
+    import spark.implicits._
+    // path 1..7 + triangle 7-8-9: converged coreness is 1 on the path
+    // spine and 2 on the triangle
+    val dir = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (7L, 8L), (8L, 9L), (9L, 7L))
+    val und = dir ++ dir.map { case (a, b) => (b, a) }
+    val df = und.toDF("a", "b")
+    def hIndex(vals: Seq[Long]): Long = {
+      val sorted = vals.sorted.reverse
+      sorted.zipWithIndex.map { case (c, i) => math.min(i + 1L, c) }.max
+    }
+    def sequential(rounds: Int): Map[Long, Long] = {
+      val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var core = nbrs.view.mapValues(_.size.toLong).toMap
+      (1 to rounds).foreach { _ =>
+        core = nbrs.map { case (v, ns) => v -> hIndex(ns.map(core)) }
+      }
+      core
+    }
+    (1 to 4).foreach { rounds =>
+      val got = GraphExtras.corenessHIndex(df, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == sequential(rounds), s"divergence at rounds=$rounds")
+    }
+    val converged = GraphExtras.corenessHIndex(df, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 6L).forall(converged(_) == 1L), "path spine coreness 1")
+    assert(Seq(7L, 8L, 9L).forall(converged(_) == 2L), "triangle coreness 2")
+    // strategy parity on real data
+    val e = orderEdges(sf0001)
+      .select(col("u").as("a"), col("v").as("b"))
+    val undReal = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val bc = GraphExtras.corenessHIndex(undReal, 2, GraphLoops.Broadcast)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cp = GraphExtras.corenessHIndex(undReal, 2, GraphLoops.CoPartitioned)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bc == cp, "coreness strategies diverged")
+  }
+
   test("common neighbors: top pair matches a sequential recomputation") {
     val rows = graft.SparkEntry.queries("graph_common_neighbors")(spark, sf0001)
       .collect()
