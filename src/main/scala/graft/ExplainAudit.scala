@@ -59,7 +59,12 @@ object ExplainAudit {
       "feat_drift_psi",    // 10-row interval relation broadcast onto the fact
       "graph_common_neighbors", // wedge self-join reuses the c-keyed exchange
       "graph_hits",        // per-half-round state join + 1-row normalizer
-      "graph_kcore")       // per-round degree count + survivor semi-joins
+      "graph_kcore",       // per-round degree count + survivor semi-joins
+      "graph_coreness",    // per-round state join + per-node h-index window
+      "sim_hybrid_search", // BM25 pass + broadcast query vector + rank fusion
+      "events_bot_detection", // per-user lag window, whole-second moments
+      "sample_negatives",  // batch x catalog grid, interaction anti-join
+      "streaming_join_outer") // watermark-bounded outer state (batch explain)
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")
