@@ -356,6 +356,77 @@ object AnalyticsQueries {
         .select(col("chi2_micro"), col("df"), col("n"))
     },
 
+    // SPEARMAN RANK CORRELATION — the monotone-association member of
+    // the correlation family (agg_corr = linear Pearson, Theil-Sen =
+    // robust slope; Spearman answers "does balance RANK with spend?"
+    // immune to outliers and nonlinearity). Tie-averaged ranks stay
+    // integer by carrying 2x the rank (the Mann-Whitney trick), built
+    // from ONE cumsum per variable over its DISTINCT-value axis and
+    // joined back; Pearson over the doubled ranks closes in one fixed
+    // double-op sequence (the 2x factors cancel), micro-scaled —
+    // hash-exact. Windows touch distinct values, never rows.
+    "stat_spearman" -> QueryDef(
+      """WITH c AS (
+        |  SELECT c_custkey AS k, CAST(round(c_acctbal*100) AS BIGINT) AS x
+        |  FROM customer),
+        |o AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT c.k, c.x, o.y FROM c JOIN o ON c.k = o.k),
+        |dx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+        |cx AS (SELECT x, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      - cnt AS cb
+        |  FROM dx),
+        |rx AS (SELECT x, 2*cb + cnt + 1 AS rx2 FROM cx),
+        |dy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+        |cy AS (SELECT y, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      - cnt AS cb
+        |  FROM dy),
+        |ry AS (SELECT y, 2*cb + cnt + 1 AS ry2 FROM cy),
+        |j AS (SELECT rx.rx2, ry.ry2
+        |      FROM p JOIN rx ON p.x = rx.x JOIN ry ON p.y = ry.y),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
+        |        CAST(SUM(rx2*rx2) AS BIGINT) AS qx,
+        |        CAST(SUM(ry2*ry2) AS BIGINT) AS qy,
+        |        CAST(SUM(rx2*ry2) AS BIGINT) AS pxy
+        |      FROM j)
+        |SELECT n,
+        |  CAST(round(1000000 * (CAST(n AS DOUBLE)*pxy - CAST(sx AS DOUBLE)*sy)
+        |    / (sqrt(CAST(n AS DOUBLE)*qx - CAST(sx AS DOUBLE)*sx)
+        |       * sqrt(CAST(n AS DOUBLE)*qy - CAST(sy AS DOUBLE)*sy)))
+        |    AS BIGINT) AS rho_micro
+        |FROM m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        expr("CAST(round(c_acctbal*100) AS BIGINT)").as("x"))
+      val o = Tables.orders(s, d).groupBy(col("o_custkey").as("k2"))
+        .agg(sum(expr("CAST(round(o_totalprice*100) AS BIGINT)")).as("y"))
+      val p = c.join(o, col("k") === col("k2")).select(col("x"), col("y"))
+      def ranks(colName: String, rankName: String) = {
+        val w = Window.orderBy(colName)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        p.groupBy(colName).agg(count(lit(1)).as("cnt"))
+          .select(col(colName), col("cnt"),
+            (sum("cnt").over(w) - col("cnt")).as("cb"))
+          .select(col(colName),
+            (lit(2) * col("cb") + col("cnt") + 1).as(rankName))
+      }
+      val j = p.join(ranks("x", "rx2"), "x").join(ranks("y", "ry2"), "y")
+      val m = j.agg(count(lit(1)).as("n"), sum("rx2").as("sx"),
+        sum("ry2").as("sy"), sum(col("rx2") * col("rx2")).as("qx"),
+        sum(col("ry2") * col("ry2")).as("qy"),
+        sum(col("rx2") * col("ry2")).as("pxy"))
+      m.select(col("n"),
+        expr("""CAST(round(1000000 * (CAST(n AS DOUBLE)*pxy - CAST(sx AS DOUBLE)*sy)
+          / (sqrt(CAST(n AS DOUBLE)*qx - CAST(sx AS DOUBLE)*sx)
+             * sqrt(CAST(n AS DOUBLE)*qy - CAST(sy AS DOUBLE)*sy)))
+          AS BIGINT)""").as("rho_micro"))
+    },
+
     // CRAMÉR'S V — the EFFECT SIZE for stat_chi2's yes/no verdict:
     // V = sqrt(chi2 / (N * min(r-1, c-1))) in [0, 1] says how STRONG
     // the segment<->nation association is, comparable across tables

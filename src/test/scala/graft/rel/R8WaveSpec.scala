@@ -171,6 +171,42 @@ class R8WaveSpec extends SparkSpec {
       "cohort triangle must partition total purchase revenue")
   }
 
+  test("Spearman matches a sequential tie-averaged rank recomputation") {
+    val r = graft.SparkEntry.queries("stat_spearman")(spark, sf0001)
+      .collect().head
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .selectExpr("c_custkey", "CAST(round(c_acctbal*100) AS BIGINT) AS x")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toMap
+    val spend = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice*100) AS BIGINT) AS v")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sum)
+      .toMap
+    val pairs = cust.keySet.intersect(spend.keySet).toSeq
+      .map(k => (cust(k), spend(k)))
+    assert(r.getLong(0) == pairs.length)
+    def ranks2(vs: Seq[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val below = sorted.count(_ < v); val ties = sorted.count(_ == v)
+        v -> (2L * below + ties + 1)
+      }.toMap
+    }
+    val rx = ranks2(pairs.map(_._1)); val ry = ranks2(pairs.map(_._2))
+    val xs = pairs.map(p => rx(p._1).toDouble)
+    val ys = pairs.map(p => ry(p._2).toDouble)
+    val n = pairs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val (qx, qy) = (xs.map(v => v * v).sum, ys.map(v => v * v).sum)
+    val pxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val rho = 1000000 * (n * pxy - sx * sy) /
+      (math.sqrt(n * qx - sx * sx) * math.sqrt(n * qy - sy * sy))
+    // the engines sum exact BIGINTs; the sequential recompute uses
+    // doubles, so allow 1 micro-unit of fp slack in the check
+    assert(math.abs(r.getLong(1) - math.round(rho)) <= 1,
+      s"rho ${r.getLong(1)} vs sequential ${math.round(rho)}")
+    assert(math.abs(r.getLong(1)) <= 1000000L)
+  }
+
   test("hybrid search fuses BOTH modalities and scores recompute") {
     val rows = graft.SparkEntry.queries("sim_hybrid_search")(spark, sf001)
       .collect()
