@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
     tick.TickQueries.defs ++ tick.StoreQueries.defs ++ rel.RelQueries.defs ++
+      rel.TpchQueries.defs ++
       rel.EventQueries.defs ++ rel.AnalyticsQueries.defs ++
       rel.FeatureQueries.defs ++ rel.GraphExtras.defs ++
       text.TextQueries.defs ++ text.CorpusQueries.defs ++ vec.VecQueries.defs ++

@@ -633,6 +633,55 @@ object EventQueries {
         .groupBy("cohort", "day_offset")
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort", "day_offset")
+    },
+
+    // CONVERSION WINDOW — of users who ever viewed, how many
+    // purchased within one hour of their FIRST view, and how fast?
+    // The attribution-window primitive under every funnel SLA (" X%
+    // convert within the hour"). Two per-user aggregate passes (first
+    // view; earliest later purchase), both partial-aggregated
+    // map-side on user_id — the purchase pass reuses the same
+    // user-hash partitioning, so the fact shuffles once per pass and
+    // never pairwise. Delays stay in exact integer MICROSECONDS
+    // (epoch_us both engines) — no interval arithmetic, no
+    // boundary-crossing datediff semantics to mismatch.
+    "events_conversion_window" -> QueryDef(
+      """WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS tp
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > v.tv GROUP BY 1),
+        |j AS (SELECT v.user_id,
+        |        CAST(epoch_us(p.tp) - epoch_us(v.tv) AS BIGINT) AS delay_us
+        |      FROM v LEFT JOIN p ON v.user_id = p.user_id),
+        |c AS (SELECT delay_us FROM j
+        |      WHERE delay_us IS NOT NULL AND delay_us <= 3600000000)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewers,
+        |  CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM v) AS BIGINT)
+        |    AS conv_ppm,
+        |  CASE WHEN COUNT(*) = 0 THEN NULL
+        |       ELSE CAST(SUM(delay_us) // COUNT(*) // 1000 AS BIGINT)
+        |  END AS mean_delay_ms
+        |FROM c""".stripMargin) { (sp, d) =>
+      val ev = graft.Tables.events(sp, d)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+        .localCheckpoint() // used three times: purchase probe, join, count
+      val p = ev.where(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .where(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      val j = v.join(p, Seq("user_id"), "left")
+        .select(expr("CAST(unix_micros(tp) - unix_micros(tv) AS BIGINT)")
+          .as("delay_us"))
+      val c = j.where(col("delay_us").isNotNull && col("delay_us") <= 3600000000L)
+      c.agg(count(lit(1)).as("n_converted"), sum("delay_us").as("sd"))
+        .crossJoin(broadcast(v.agg(count(lit(1)).as("n_viewers"))))
+        .select(col("n_viewers"), col("n_converted"),
+          expr("n_converted * 1000000 div n_viewers").as("conv_ppm"),
+          when(col("n_converted") === 0, lit(null))
+            .otherwise(expr("sd div n_converted div 1000")).as("mean_delay_ms"))
     }
   )
 }

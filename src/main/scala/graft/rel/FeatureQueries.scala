@@ -327,6 +327,118 @@ object FeatureQueries {
       f.select(col("k"), col("n"), col("ssb_q"), col("ssw_q"),
         expr("""CAST(round(1000000.0 * ssb_q * (n - k)
           / (ssw_q * CAST(k - 1 AS DOUBLE))) AS BIGINT)""").as("f_micro"))
+    },
+
+    // JARQUE-BERA normality test — the moment-based gaussianity check
+    // run before every parametric assumption (JB = n/6*(S^2 +
+    // (K-3)^2/4) from sample skewness and kurtosis). One aggregate
+    // pass collects the four raw power sums EXACTLY — s4 in
+    // DECIMAL(38,0), because sum(y^4) clears BIGINT range at sf0.1
+    // and beyond — then ONE shared double-op sequence (identical
+    // text on both engines, sqrt not pow, so every fp step is
+    // IEEE-determined) closes the statistic. Map-side combinable,
+    // zero shuffles beyond the final 1-row reduce: the 100 TB plan.
+    "stat_jarque_bera" -> QueryDef(
+      """WITH y AS (
+        |  SELECT CAST(round(c_acctbal) AS BIGINT) AS y FROM customer),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(y) AS BIGINT) AS s1,
+        |        CAST(SUM(y*y) AS BIGINT) AS s2,
+        |        CAST(SUM(y*y*y) AS BIGINT) AS s3,
+        |        CAST(SUM(CAST(y*y*y*y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s4
+        |      FROM y),
+        |d AS (SELECT n,
+        |        CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS a1,
+        |        CAST(s2 AS DOUBLE) AS a2, CAST(s3 AS DOUBLE) AS a3,
+        |        CAST(s4 AS DOUBLE) AS a4 FROM g),
+        |m AS (SELECT n, nd, a1 / nd AS mu, a2, a3, a4 FROM d),
+        |c AS (SELECT n, nd,
+        |        a2 / nd - mu * mu AS m2,
+        |        a3 / nd - 3 * mu * (a2 / nd) + 2 * mu * mu * mu AS m3,
+        |        a4 / nd - 4 * mu * (a3 / nd) + 6 * mu * mu * (a2 / nd)
+        |          - 3 * mu * mu * mu * mu AS m4
+        |      FROM m),
+        |sk AS (SELECT n, nd, m3 / (m2 * sqrt(m2)) AS s, m4 / (m2 * m2) AS k
+        |       FROM c)
+        |SELECT n,
+        |  CAST(round(s * 1000000) AS BIGINT) AS skew_micro,
+        |  CAST(round(k * 1000000) AS BIGINT) AS kurt_micro,
+        |  CAST(round(nd / 6.0 * (s * s + (k - 3.0) * (k - 3.0) / 4.0) * 1000000)
+        |    AS BIGINT) AS jb_micro
+        |FROM sk""".stripMargin) { (s, d) =>
+      val y = Tables.customer(s, d)
+        .select(expr("CAST(round(c_acctbal) AS BIGINT)").as("y"))
+      val g = y.agg(count(lit(1)).as("n"), sum("y").as("s1"),
+        sum(expr("y*y")).as("s2"), sum(expr("y*y*y")).as("s3"),
+        sum(expr("CAST(y*y*y*y AS DECIMAL(38,0))")).cast("decimal(38,0)").as("s4"))
+      // the double-op sequence below is TEXT-IDENTICAL to the oracle
+      // CTE chain: same parenthesization => same IEEE result bits
+      g.selectExpr("n", "CAST(n AS DOUBLE) AS nd", "CAST(s1 AS DOUBLE) AS a1",
+          "CAST(s2 AS DOUBLE) AS a2", "CAST(s3 AS DOUBLE) AS a3",
+          "CAST(s4 AS DOUBLE) AS a4")
+        .selectExpr("n", "nd", "a1 / nd AS mu", "a2", "a3", "a4")
+        .selectExpr("n", "nd",
+          "a2 / nd - mu * mu AS m2",
+          "a3 / nd - 3 * mu * (a2 / nd) + 2 * mu * mu * mu AS m3",
+          """a4 / nd - 4 * mu * (a3 / nd) + 6 * mu * mu * (a2 / nd)
+             - 3 * mu * mu * mu * mu AS m4""")
+        .selectExpr("n", "nd", "m3 / (m2 * sqrt(m2)) AS s", "m4 / (m2 * m2) AS k")
+        .selectExpr("n",
+          "CAST(round(s * 1000000) AS BIGINT) AS skew_micro",
+          "CAST(round(k * 1000000) AS BIGINT) AS kurt_micro",
+          """CAST(round(nd / 6.0 * (s * s + (k - 3.0) * (k - 3.0) / 4.0) * 1000000)
+             AS BIGINT) AS jb_micro""")
+    },
+
+    // BROWN-FORSYTHE (median-centered Levene) — equal-variance test
+    // across segments, the robust gatekeeper before ANOVA trusts its
+    // pooled variance. Per-group medians come from the shared
+    // histogram-refinement RankStats (three tiny aggregate passes,
+    // no full-data shuffle); spreads are |2y - 2*median| so the
+    // half-integer median never leaves integer arithmetic, and the F
+    // statistic reuses stat_anova's exact BIGINT identity on those
+    // spreads. Groups are the 5 market segments — non-null, within
+    // RankStats' documented contract.
+    "stat_levene" -> QueryDef(
+      """WITH y AS (
+        |  SELECT c_mktsegment AS seg, CAST(round(c_acctbal) AS BIGINT) AS y
+        |  FROM customer),
+        |md AS (SELECT seg, CAST(round(2 * quantile_cont(y, 0.5)) AS BIGINT) AS med2
+        |       FROM y GROUP BY 1),
+        |z AS (SELECT y.seg, abs(2 * y.y - md.med2) AS z2
+        |      FROM y JOIN md ON y.seg = md.seg),
+        |g AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(z2) AS BIGINT) AS s,
+        |        CAST(SUM(z2*z2) AS BIGINT) AS q
+        |      FROM z GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |        CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(q) AS BIGINT) AS qt,
+        |        CAST(SUM((s * s) // n) AS BIGINT) AS tb
+        |      FROM g),
+        |f AS (SELECT k, n, tb - (st * st) // n AS ssb_q, qt - tb AS ssw_q FROM m)
+        |SELECT k, n, ssb_q, ssw_q,
+        |  CAST(round(1000000.0 * ssb_q * (n - k)
+        |    / (ssw_q * CAST(k - 1 AS DOUBLE))) AS BIGINT) AS f_micro
+        |FROM f""".stripMargin) { (s, d) =>
+      val y = Tables.customer(s, d).select(col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal) AS BIGINT)").as("y"))
+      val md = RankStats.percentiles(y.select(col("seg"), col("y")), "seg", "y",
+          Seq(0.5 -> "p50"))
+        .select(col("seg").as("mseg"),
+          expr("CAST(round(2 * p50) AS BIGINT)").as("med2"))
+      val z = y.join(broadcast(md), col("seg") === col("mseg"))
+        .select(col("seg"), expr("abs(2 * y - med2)").as("z2"))
+      val g = z.groupBy("seg").agg(count(lit(1)).as("n"),
+        sum("z2").as("s"), sum(expr("z2*z2")).as("q"))
+      val m = g.agg(count(lit(1)).as("k"), sum("n").as("n"),
+        sum("s").as("st"), sum("q").as("qt"),
+        sum(expr("(s * s) div n")).as("tb"))
+      val f = m.select(col("k"), col("n"),
+        expr("tb - (st * st) div n").as("ssb_q"),
+        expr("qt - tb").as("ssw_q"))
+      f.select(col("k"), col("n"), col("ssb_q"), col("ssw_q"),
+        expr("""CAST(round(1000000.0 * ssb_q * (n - k)
+          / (ssw_q * CAST(k - 1 AS DOUBLE))) AS BIGINT)""").as("f_micro"))
     }
   )
 }

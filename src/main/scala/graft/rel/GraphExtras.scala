@@ -298,6 +298,207 @@ object GraphExtras {
           expr("CAST(common * 1000000 div (d1 + d2 - common) AS BIGINT)")
             .as("jaccard_ppm"))
         .orderBy(col("common").desc, col("s1"), col("s2")).limit(20)
+    },
+
+    // LOCAL CLUSTERING COEFFICIENT — per-node "how interconnected is
+    // my neighborhood", the node-level refinement of graph_triangles
+    // (same supplier co-order graph) and the standard small-world /
+    // community-tightness feature. Triangles enumerate ONCE via the
+    // same degree-ordered orientation (wedge work ~sqrt(m)-bounded),
+    // then fan out to their three corners — an O(triangles) explode,
+    // never a per-node neighborhood self-join. cc_ppm =
+    // 2*t*1e6 div (d*(d-1)) in truncating integer ppm; deg-1 nodes
+    // get NULL (coefficient undefined), triangle-free nodes get 0
+    // via the left join's coalesce.
+    "graph_clustering_coeff" -> QueryDef(
+      """WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS s
+        |           FROM lineitem),
+        |e AS (SELECT a.s AS u, b.s AS v FROM p a
+        |      JOIN p b ON a.l_orderkey = b.l_orderkey AND a.s < b.s
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+        |          (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
+        |      JOIN e e2 ON e2.u = e1.v
+        |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM
+        |         (SELECT a AS n FROM t UNION ALL SELECT b FROM t
+        |          UNION ALL SELECT c FROM t)
+        |       GROUP BY 1)
+        |SELECT deg.n AS node, deg.d AS deg,
+        |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS tri,
+        |  CASE WHEN deg.d < 2 THEN NULL
+        |       ELSE CAST(2 * COALESCE(tc.t, 0) * 1000000
+        |                 // (deg.d * (deg.d - 1)) AS BIGINT) END AS cc_ppm
+        |FROM deg LEFT JOIN tc ON deg.n = tc.n
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      val p = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      val e = p.as("a").join(p.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 4)
+        .select("u", "v")
+        // deg, the orientation, and the closing-edge probe all read
+        // the edge list — pin it once or each re-runs the wedge agg
+        .localCheckpoint()
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      // degree-ordered orientation (Triangles.scala rationale): each
+      // triangle materializes exactly once, at its smallest corner,
+      // and per-node wedge fan-out is bounded by out-degree
+      def key(dc: String, nc: String) =
+        struct(col(dc).as("dg"), col(nc).as("id"))
+      val ed = e
+        .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+        .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+        .select(
+          when(key("du", "u") < key("dv", "v"), col("u")).otherwise(col("v")).as("src"),
+          when(key("du", "u") < key("dv", "v"), key("dv", "v"))
+            .otherwise(key("du", "u")).as("dstk"))
+      val wedges = ed.as("x").join(ed.as("y"),
+          col("x.src") === col("y.src") && col("x.dstk") < col("y.dstk"))
+        .select(col("x.src").as("corner0"),
+          col("x.dstk.id").as("wa"), col("y.dstk.id").as("wb"))
+      val closing = ed.select(col("src").as("wa"), col("dstk.id").as("wb"))
+      val tris = wedges.join(broadcast(closing), Seq("wa", "wb"))
+      val tc = tris.select(col("corner0").as("n"))
+        .unionAll(tris.select(col("wa").as("n")))
+        .unionAll(tris.select(col("wb").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("t"))
+      deg.join(tc.withColumnRenamed("n", "tn"), col("n") === col("tn"), "left")
+        .select(col("n").as("node"), col("d").as("deg"),
+          coalesce(col("t"), lit(0L)).as("tri"),
+          when(col("d") < 2, lit(null))
+            .otherwise(expr("2 * coalesce(t, 0L) * 1000000 div (d * (d - 1))"))
+            .as("cc_ppm"))
+        .orderBy("node")
+    },
+
+    // MODULARITY of the nation partition on the supplier co-order
+    // graph — Newman's Q per community, the metric every community-
+    // detection loop (Louvain/Leiden) climbs. Computed EXACTLY:
+    // contrib = 4m*e_c - D_c^2 is Q_c scaled by 4m^2, so no division
+    // happens at all until the reader divides — integer-exact, hash-
+    // gated, and safely within BIGINT at any graded scale (D_c <=
+    // 2m, m fits an INT even at 100 TB edge counts per community
+    // grouping). Plan: edge endpoints take nation via TWO broadcast
+    // joins of the supplier dim; e_c / D_c / m are three tiny
+    // aggregates off the same pinned edge list.
+    "graph_modularity" -> QueryDef(
+      """WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS s
+        |           FROM lineitem),
+        |e AS (SELECT a.s AS u, b.s AS v FROM p a
+        |      JOIN p b ON a.l_orderkey = b.l_orderkey AND a.s < b.s
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+        |en AS (SELECT su.s_nationkey AS cu, sv.s_nationkey AS cv FROM e
+        |       JOIN supplier su ON e.u = su.s_suppkey
+        |       JOIN supplier sv ON e.v = sv.s_suppkey),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM en),
+        |ein AS (SELECT cu AS c, CAST(COUNT(*) AS BIGINT) AS e_in
+        |        FROM en WHERE cu = cv GROUP BY 1),
+        |dsum AS (SELECT c, CAST(SUM(n) AS BIGINT) AS dtot FROM
+        |           (SELECT cu AS c, COUNT(*) AS n FROM en GROUP BY 1
+        |            UNION ALL SELECT cv, COUNT(*) FROM en GROUP BY cv)
+        |         GROUP BY 1)
+        |SELECT dsum.c AS nationkey, CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+        |  dsum.dtot, m.m,
+        |  CAST(4 * m.m * COALESCE(ein.e_in, 0) - dsum.dtot * dsum.dtot
+        |       AS BIGINT) AS q_contrib_4m2
+        |FROM dsum LEFT JOIN ein ON dsum.c = ein.c CROSS JOIN m
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      val p = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      val e = p.as("a").join(p.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 4)
+        .select("u", "v")
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("long").as("sk"), col("s_nationkey").as("nk"))
+      val en = e
+        .join(broadcast(sup.select(col("sk").as("u"), col("nk").as("cu"))), "u")
+        .join(broadcast(sup.select(col("sk").as("v"), col("nk").as("cv"))), "v")
+        .select("cu", "cv")
+        .localCheckpoint()
+      val m = en.agg(count(lit(1)).as("m"))
+      val ein = en.where(col("cu") === col("cv"))
+        .groupBy(col("cu").as("c")).agg(count(lit(1)).as("e_in"))
+      val dtot = en.groupBy(col("cu").as("c")).agg(count(lit(1)).as("n"))
+        .unionAll(en.groupBy(col("cv").as("c")).agg(count(lit(1)).as("n")))
+        .groupBy("c").agg(sum("n").as("dtot"))
+      dtot.join(ein.withColumnRenamed("c", "ce"), col("c") === col("ce"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("c").as("nationkey"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("dtot"), col("m"),
+          expr("4 * m * coalesce(e_in, 0L) - dtot * dtot").as("q_contrib_4m2"))
+        .orderBy("nationkey")
+    },
+
+    // PERSONALIZED PAGERANK — random-walk-with-restart mass from one
+    // seed customer over the customer<->supplier co-order graph: the
+    // standard "related entities" recommender primitive (vs global
+    // PageRank's one static ranking). 3 unrolled diffusion rounds in
+    // 1e-12 integer units, damping 85/100 with truncating division —
+    // hash-exact vs the oracle's 3-CTE unroll. The restart mass
+    // re-enters via a UNION of the constant seed row (not a join), so
+    // the update stays one state join + one partial agg per round on
+    // the pinned edge list; nodes the walk has not reached are absent
+    // rather than zero on BOTH engines.
+    "graph_ppr" -> QueryDef(
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |ed AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |dg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1),
+        |e AS (SELECT ed.a, ed.b, dg.d FROM ed JOIN dg ON ed.a = dg.a),
+        |p0 AS (SELECT CAST(2 AS BIGINT) AS node, CAST(1000000000000 AS BIGINT) AS r),
+        |c1 AS (SELECT e.b AS node, CAST((85 * SUM(p0.r // e.d)) // 100 AS BIGINT) AS r
+        |       FROM e JOIN p0 ON e.a = p0.node GROUP BY 1),
+        |r1 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
+        |         (SELECT node, r FROM c1
+        |          UNION ALL SELECT 2, 150000000000) GROUP BY 1),
+        |c2 AS (SELECT e.b AS node, CAST((85 * SUM(r1.r // e.d)) // 100 AS BIGINT) AS r
+        |       FROM e JOIN r1 ON e.a = r1.node GROUP BY 1),
+        |r2 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
+        |         (SELECT node, r FROM c2
+        |          UNION ALL SELECT 2, 150000000000) GROUP BY 1),
+        |c3 AS (SELECT e.b AS node, CAST((85 * SUM(r2.r // e.d)) // 100 AS BIGINT) AS r
+        |       FROM e JOIN r2 ON e.a = r2.node GROUP BY 1),
+        |r3 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
+        |         (SELECT node, r FROM c3
+        |          UNION ALL SELECT 2, 150000000000) GROUP BY 1)
+        |SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      val e0 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("a"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+        .distinct()
+      val ed = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      val dg = ed.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      val edges = GraphLoops.pinEdges(
+        ed.join(dg, ed("a") === dg("n")).select(col("a").as("u"), col("b").as("v"),
+          col("d")), "u", GraphLoops.Broadcast)
+      val seed = 2L
+      def oneRow(sp: org.apache.spark.sql.SparkSession, r: Long) = {
+        import sp.implicits._
+        Seq((seed, r)).toDF("node", "r")
+      }
+      var pr = oneRow(s, 1000000000000L) // all walk mass starts at the seed
+      for (_ <- 1 to 3) {
+        val contrib = GraphLoops.stateJoin(edges, pr, edges("u") === pr("node"),
+            GraphLoops.Broadcast)
+          .select(edges("v").as("node"), expr("r div d").as("c"))
+          .groupBy("node")
+          .agg(expr("(85 * sum(c)) div 100").as("r"))
+        pr = contrib.unionByName(oneRow(s, 150000000000L)).groupBy("node")
+          .agg(sum("r").as("r")).localCheckpoint()
+      }
+      pr.orderBy(col("r").desc, col("node")).limit(20)
     }
   )
 }

@@ -1,0 +1,151 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** The remaining classic TPC-H plan shapes beyond q1/q3/q5/q10 (in
+  * [[RelQueries]]): the pure scan-aggregate (Q6), the dim-predicate
+  * ratio (Q14), the having-semi-join (Q18), and the disjunctive
+  * multi-predicate join (Q19). Reference scope: tickdb's analytical
+  * surface is bucket group-bys over one index (query.go:20-59);
+  * these anchor the standard warehouse shapes the Spark engine adds.
+  *
+  * Each query's comment states the plan property that matters at
+  * 100 TB; PlanSpec pins the load-bearing ones (pushed filters for
+  * Q6, no fact-side shuffle before the Q18 aggregation). Money stays
+  * exact via the shared decimal-sum reducer or integer cents.
+  */
+object TpchQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    graft.tick.Reducers.exactColumn("sum", c, c)
+  private def dsumSql(e: String) = graft.tick.Reducers.exactSql("sum", e, e)
+
+  private[graft] val defs: Map[String, QueryDef] = Map(
+
+    // TPC-H Q6 — forecast revenue change: the purest scan shape in
+    // the suite. Every predicate (date window, discount band,
+    // quantity cap) is a scan-pushable conjunct and the aggregate is
+    // a single partial+final sum — at 100 TB this query is I/O-bound
+    // by design, and the plan must show PushedFilters on all three
+    // columns plus a 3-column ReadSchema (pinned in PlanSpec). The
+    // discount literals hit the same parquet doubles both engines
+    // read, so BETWEEN is fp-safe here.
+    "q6_agg" -> QueryDef(
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q14 — promotion effect: what share of a month's revenue
+    // came from promo parts? The fact side filters to one month
+    // BEFORE the part join (scan-pushed), the part dim rides a
+    // broadcast (20M parts at SF100k is still far under fact scale —
+    // the dim side of this join never drives a shuffle), and the
+    // CASE-filtered and total sums come out of ONE aggregate pass.
+    // Share in exact ppm: both sums are integer cents, the ratio is
+    // one truncating division both engines compute identically.
+    "q14_join" -> QueryDef(
+      """WITH j AS (
+        |  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           AS rev_c,
+        |         p_type
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00')
+        |SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
+        |         AS BIGINT) AS promo_c,
+        |       CAST(SUM(rev_c) AS BIGINT) AS total_c,
+        |       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
+        |         * 1000000 // SUM(rev_c) AS BIGINT) AS promo_ppm
+        |FROM j""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+      li.join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+        .select(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("rev_c"), col("p_type"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L)).as("promo_c"),
+          sum(col("rev_c")).as("total_c"))
+        .select(col("promo_c"), col("total_c"),
+          expr("promo_c * 1000000 div total_c").as("promo_ppm"))
+    },
+
+    // TPC-H Q18 — large-volume orders: find orders whose total
+    // quantity clears a threshold, then attach order + customer
+    // detail. The HAVING subquery is NOT a subquery in the plan: the
+    // per-order aggregate collapses the fact to |orders| rows FIRST
+    // (partial aggregation map-side, one shuffle on l_orderkey), the
+    // threshold filter then cuts that to a handful of rows, and both
+    // detail joins run on the tiny survivor set — orders meets it on
+    // its own key, customer joins after. At 100 TB the aggregate-
+    // then-filter order is the whole game: the naive IN-subquery
+    // form would carry the fact through two joins before filtering.
+    "q18_join" -> QueryDef(
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c,
+        |  o_orderdate, qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY totalprice_c DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+        .where(col("qty") > 300)
+      big.join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice*100) AS BIGINT)").as("totalprice_c"),
+          col("o_orderdate"), col("qty"))
+        .orderBy(col("totalprice_c").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q19 — discounted revenue under an OR-of-ANDs predicate:
+    // three (brand, size-band, quantity-band) branches. The shape
+    // exists to stress disjunction handling: no single conjunct
+    // filters the fact scan, but Catalyst still derives the COMMON
+    // bounds (l_quantity <= 30 here) as a pushable filter, prunes
+    // both scans to the referenced columns, and evaluates the
+    // residual OR once per joined row inside whole-stage codegen.
+    // Part rides a broadcast; revenue is decimal-exact.
+    "q19_join" -> QueryDef(
+      s"""SELECT ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+      val branch =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+        .where(branch)
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+    }
+  )
+}

@@ -1182,6 +1182,62 @@ object TextQueries {
         .agg(count(lit(1)).as("df"), min("doc_id").as("min_doc"),
           max("doc_id").as("max_doc"), sum("doc_id").as("sum_doc"))
         .orderBy("term")
+    },
+
+    // ZIPF RANK-FREQUENCY FIT — OLS slope of ln(freq) on ln(rank)
+    // over the top-200 vocabulary: the corpus-health fingerprint
+    // (natural text sits near slope -1; template/boilerplate-heavy or
+    // synthetic corpora bend away). All regression sums are EXACT
+    // BIGINT over micro-scaled logs (each ln() rounds to its 1e-6
+    // grid once, the ulp-safe idiom from text_entropy), so the
+    // partial-aggregated sums are order-independent and the final
+    // slope/intercept are one shared double-op sequence. The rank
+    // window runs over 200 aggregated vocabulary rows, not tokens.
+    "text_zipf_fit" -> QueryDef(
+      """WITH f AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |    FROM documents) t
+        |  WHERE length(term) >= 3 GROUP BY 1),
+        |r AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT)
+        |        AS rk FROM f),
+        |t AS (SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |        CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |      FROM r WHERE rk <= 200),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |        CAST(SUM(x*y) AS BIGINT) AS sxy
+        |      FROM t)
+        |SELECT n,
+        |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS slope_micro,
+        |  CAST(round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro
+        |FROM g""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .where(length(col("term")) >= 3)
+        .groupBy("term").agg(count(lit(1)).as("f"))
+      // top-k FIRST (TakeOrderedAndProject — per-partition heads, no
+      // global sort), then the rank window runs over just 200 rows
+      val top = f.orderBy(col("f").desc, col("term")).limit(200)
+      val t = top.withColumn("rk",
+          row_number().over(Window.orderBy(col("f").desc, col("term"))).cast("long"))
+        .select(
+          expr("CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT)").as("x"),
+          expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT)").as("y"))
+      t.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x*x")).as("sxx"), sum(expr("x*y")).as("sxy"))
+        .selectExpr("n",
+          """CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+             AS slope_micro""",
+          """CAST(round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro""")
     }
   )
 }

@@ -1083,6 +1083,68 @@ object TickQueries {
           when(col("sg") + col("sl") === 0, lit(null).cast("long"))
             .otherwise(expr("sg * 1000000 div (sg + sl)")).as("rsi_ppm"))
         .orderBy("event_type", "bucket")
+    },
+
+    // MACD — the fast-minus-slow EWMA momentum signal (classic quant
+    // crossover indicator), composed from tick_ewma's finite-window
+    // halving-weight machinery at two horizons (8 and 20 minute
+    // buckets). Both EWMAs read ONE ordered window pass over the
+    // minute series (two collect_list frames, same sort); weights are
+    // powers of two, so every per-row fold is the identical IEEE
+    // sequence on both engines — macd needs only a 9 dp round, no
+    // decimal scaffolding. Single filtered series -> one ordered
+    // partition; a multi-symbol caller partitions by the series key.
+    "tick_macd" -> QueryDef(
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
+        |    CAST(SUM(CAST("value" AS DECIMAL(20,4))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), l AS (
+        |  SELECT bucket, v,
+        |    list(v) OVER (ORDER BY bucket
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS xf,
+        |    list(v) OVER (ORDER BY bucket
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM m
+        |), e AS (
+        |  SELECT bucket, v,
+        |    list_reduce(list_transform(xf,
+        |        (x, i) -> x / CAST(1 << (len(xf) - i) AS DOUBLE)), (a, c) -> a + c)
+        |      / (2.0 - 1.0 / CAST(1 << (len(xf) - 1) AS DOUBLE)) AS fast,
+        |    list_reduce(list_transform(xs,
+        |        (x, i) -> x / CAST(1 << (len(xs) - i) AS DOUBLE)), (a, c) -> a + c)
+        |      / (2.0 - 1.0 / CAST(1 << (len(xs) - 1) AS DOUBLE)) AS slow
+        |  FROM l
+        |)
+        |SELECT bucket, round(fast, 9) AS fast, round(slow, 9) AS slow,
+        |  round(fast - slow, 9) AS macd
+        |FROM e ORDER BY bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val minute = graft.Tables.events(s, d)
+        .where(col("event_type") === "click")
+        .groupBy(date_trunc("minute", col("ts")).as("bucket"))
+        .agg((sum(col("value").cast("decimal(20,4)")).cast("double")
+          / count(lit(1)).cast("double")).as("v"))
+      val wf = Window.orderBy("bucket").rowsBetween(-7, 0)
+      val ws = Window.orderBy("bucket").rowsBetween(-19, 0)
+      def ewma(xs: String) = expr(
+        s"""aggregate(
+           |  zip_with($xs, sequence(1, size($xs)),
+           |    (x, i) -> x / CAST(shiftleft(1L, size($xs) - i) AS DOUBLE)),
+           |  0D, (acc, c) -> acc + c)
+           | / (2.0D - 1.0D / CAST(shiftleft(1L, size($xs) - 1) AS DOUBLE))""".stripMargin)
+      minute
+        .withColumn("xf", collect_list(col("v")).over(wf))
+        .withColumn("xs", collect_list(col("v")).over(ws))
+        .select(col("bucket"), col("v"),
+          ewma("xf").as("fast_raw"), ewma("xs").as("slow_raw"))
+        .select(col("bucket"),
+          round(col("fast_raw"), 9).as("fast"),
+          round(col("slow_raw"), 9).as("slow"),
+          round(col("fast_raw") - col("slow_raw"), 9).as("macd"))
+        .orderBy("bucket")
     }
   )
 }

@@ -1,0 +1,189 @@
+package graft.rel
+
+import graft.SparkSpec
+
+/** Invariant pins for the round-8 continuation wave (q6/q14/q18/q19,
+  * clustering coefficient, modularity, personalized PageRank,
+  * Jarque-Bera, Brown-Forsythe, Zipf fit, conversion window, MACD).
+  * Hash-correctness is the driver's DuckDB gate; these pin the
+  * mathematical identities the hashes can't express, plus sequential
+  * reference recomputations at sf0.001.
+  */
+class R8bWaveSpec extends SparkSpec {
+
+  private def q(name: String, sf: String = sf001) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q14: promo revenue is a sub-sum and the ppm share is consistent") {
+    val r = q("q14_join").collect().head
+    val (promo, total, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(promo >= 0 && promo <= total)
+    assert(ppm == promo * 1000000L / total)
+  }
+
+  test("q18: every order clears the 300-quantity bar, sorted by price desc") {
+    val rows = q("q18_join").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getLong(5) > 300))
+    val prices = rows.map(_.getLong(3)).toSeq
+    assert(prices == prices.sortBy(-_), "totalprice_c must be non-increasing")
+  }
+
+  test("q6 and q19 both report non-empty matched row counts") {
+    assert(q("q6_agg").collect().head.getLong(1) > 0)
+    assert(q("q19_join").collect().head.getLong(1) > 0)
+  }
+
+  test("clustering coefficient matches a sequential adjacency-set reference") {
+    // the edge-list DEFINITION is already oracle-gated; what this pin
+    // verifies is the distributed per-node triangle/cc machinery, so
+    // build the same edge set via SQL and recompute cc sequentially
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val p = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
+      .distinct()
+    val edges = p.as("a").join(p.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 4)
+      .select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val expected = adj.map { case (n, nb) =>
+      val d = nb.size.toLong
+      val t = nb.toSeq.combinations(2).count {
+        case Seq(a, b) => adj(a).contains(b)
+      }.toLong
+      val cc = if (d < 2) None else Some(2L * t * 1000000L / (d * (d - 1)))
+      n -> ((d, t, cc))
+    }.toMap
+    val got = q("graph_clustering_coeff", sf0001).collect()
+    assert(got.length == expected.size, "node spine must match")
+    got.foreach { r =>
+      val (d, t, cc) = expected(r.getLong(0))
+      assert(r.getLong(1) == d, s"deg mismatch at node ${r.getLong(0)}")
+      assert(r.getLong(2) == t, s"tri mismatch at node ${r.getLong(0)}")
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == cc,
+        s"cc_ppm mismatch at node ${r.getLong(0)}")
+    }
+  }
+
+  test("modularity: degree and edge identities tie out against m") {
+    val rows = q("graph_modularity").collect()
+    val m = rows.head.getLong(3)
+    assert(rows.forall(_.getLong(3) == m), "m is a graph constant")
+    assert(rows.map(_.getLong(1)).sum <= m, "within-edges can't exceed m")
+    assert(rows.map(_.getLong(2)).sum == 2 * m, "sum of D_c = 2m")
+    rows.foreach { r =>
+      assert(r.getLong(4) == 4 * m * r.getLong(1) - r.getLong(2) * r.getLong(2),
+        "contrib = 4m*e_c - D_c^2")
+    }
+  }
+
+  test("personalized PageRank: seed leads, mass is bounded, ranks positive") {
+    val rows = q("graph_ppr").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.head.getLong(0) == 2L,
+      "with 3 diffusion rounds the seed keeps the top rank")
+    assert(rows.forall(_.getLong(1) > 0))
+    // total mass never exceeds initial + 3 restarts (truncation only loses)
+    assert(rows.map(_.getLong(1)).sum <= 1000000000000L + 3 * 150000000000L)
+  }
+
+  test("Jarque-Bera matches a sequential moment computation bit-for-bit") {
+    val ys = spark.read.parquet(s"$sf0001/customer.parquet")
+      .selectExpr("CAST(round(c_acctbal) AS BIGINT) AS y").collect()
+      .map(_.getLong(0))
+    val n = ys.length.toLong
+    val s1 = ys.sum
+    val s2 = ys.map(y => y * y).sum
+    val s3 = ys.map(y => y * y * y).sum
+    val s4 = ys.map(y => BigInt(y * y) * BigInt(y * y)).sum
+    val nd = n.toDouble
+    val (a1, a2, a3, a4) =
+      (s1.toDouble, s2.toDouble, s3.toDouble, s4.toDouble)
+    val mu = a1 / nd
+    val m2 = a2 / nd - mu * mu
+    val m3 = a3 / nd - 3 * mu * (a2 / nd) + 2 * mu * mu * mu
+    val m4 = a4 / nd - 4 * mu * (a3 / nd) + 6 * mu * mu * (a2 / nd) -
+      3 * mu * mu * mu * mu
+    val sk = m3 / (m2 * math.sqrt(m2))
+    val ku = m4 / (m2 * m2)
+    val jb = nd / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0)
+    val r = q("stat_jarque_bera", sf0001).collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == math.round(sk * 1000000))
+    assert(r.getLong(2) == math.round(ku * 1000000))
+    assert(r.getLong(3) == math.round(jb * 1000000))
+  }
+
+  test("Brown-Forsythe matches a sequential median-spread reference") {
+    val rows = spark.read.parquet(s"$sf0001/customer.parquet")
+      .selectExpr("c_mktsegment AS seg", "CAST(round(c_acctbal) AS BIGINT) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val z2s = rows.groupBy(_._1).values.flatMap { grp =>
+      val vs = grp.map(_._2).sorted
+      val n = vs.length
+      // doubled interpolated median: exact integer for both parities
+      val med2 =
+        if (n % 2 == 1) 2 * vs(n / 2) else vs(n / 2 - 1) + vs(n / 2)
+      grp.map { case (seg, y) => (seg, math.abs(2 * y - med2)) }
+    }.toSeq
+    val g = z2s.groupBy(_._1).view.mapValues { grp =>
+      val z = grp.map(_._2)
+      (z.size.toLong, z.sum, z.map(v => v * v).sum)
+    }.values.toSeq
+    val k = g.size.toLong
+    val nn = g.map(_._1).sum
+    val st = g.map(_._2).sum
+    val qt = g.map(_._3).sum
+    val tb = g.map { case (n, s, _) => s * s / n }.sum
+    val ssb = tb - st * st / nn
+    val ssw = qt - tb
+    val f = math.round(1000000.0 * ssb * (nn - k) / (ssw * (k - 1).toDouble))
+    val r = q("stat_levene", sf0001).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((k, nn)))
+    assert((r.getLong(2), r.getLong(3)) == ((ssb, ssw)))
+    assert(r.getLong(4) == f)
+  }
+
+  test("Zipf fit: full small vocabulary enters the fit, slope is negative") {
+    // the synthetic corpus has a ~30-term vocabulary, well under the
+    // top-200 cap — every term participates
+    val vocab = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("explode(split(lower(text), '[^a-z]+')) AS term")
+      .where("length(term) >= 3").select("term").distinct().count()
+    val r = q("text_zipf_fit").collect().head
+    assert(r.getLong(0) == math.min(vocab, 200L))
+    assert(r.getLong(1) < 0, "rank-frequency slope must be negative")
+    assert(r.getLong(2) > 0, "intercept (ln f at rank 1) must be positive")
+  }
+
+  test("conversion window: counts and ratio are internally consistent") {
+    val r = q("events_conversion_window").collect().head
+    val (nv, nc, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nc >= 0 && nc <= nv)
+    assert(ppm == nc * 1000000L / nv)
+    if (nc > 0) {
+      assert(!r.isNullAt(3) && r.getLong(3) >= 0 && r.getLong(3) <= 3600000L,
+        "mean delay must sit inside the one-hour window")
+    }
+  }
+
+  test("MACD: first bucket is flat and macd is the rounded ewma spread") {
+    val rows = q("tick_macd").collect()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    // a single-element window makes fast = slow = v, so macd = 0
+    assert(first.getDouble(3) == 0.0, "first-row macd must be 0")
+    rows.foreach { r =>
+      val spread = r.getDouble(1) - r.getDouble(2)
+      assert(math.abs(r.getDouble(3) - spread) < 2e-9,
+        "macd must equal fast - slow up to the 9dp rounding step")
+    }
+  }
+}
