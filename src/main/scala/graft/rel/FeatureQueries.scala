@@ -439,6 +439,79 @@ object FeatureQueries {
       f.select(col("k"), col("n"), col("ssb_q"), col("ssw_q"),
         expr("""CAST(round(1000000.0 * ssb_q * (n - k)
           / (ssw_q * CAST(k - 1 AS DOUBLE))) AS BIGINT)""").as("f_micro"))
+    },
+
+    // WELCH'S T-TEST — two-sample mean comparison WITHOUT the equal-
+    // variance assumption (the practitioner default; stat_levene is
+    // exactly the check that decides pooled-t vs this). One grouped
+    // pass collects exact (n, sum, sum-sq) per segment, a conditional
+    // pivot lands both groups on one row, and a single shared
+    // double-op sequence (identical text both engines) closes t and
+    // the Welch-Satterthwaite df. Map-side combinable; no shuffle
+    // beyond the 2-row aggregate.
+    "stat_welch_ttest" -> QueryDef(
+      """WITH y AS (
+        |  SELECT c_mktsegment AS seg, CAST(round(c_acctbal) AS BIGINT) AS y
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |g AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(y) AS BIGINT) AS s, CAST(SUM(y*y) AS BIGINT) AS q
+        |      FROM y GROUP BY 1),
+        |w AS (SELECT
+        |        MAX(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+        |        MAX(CASE WHEN seg = 'BUILDING' THEN s END) AS s1,
+        |        MAX(CASE WHEN seg = 'BUILDING' THEN q END) AS q1,
+        |        MAX(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+        |        MAX(CASE WHEN seg = 'MACHINERY' THEN s END) AS s2,
+        |        MAX(CASE WHEN seg = 'MACHINERY' THEN q END) AS q2
+        |      FROM g),
+        |d AS (SELECT n1, n2,
+        |        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |        CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |        (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |        (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |          / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |      FROM w),
+        |e AS (SELECT n1, n2,
+        |        v1 / CAST(n1 AS DOUBLE) AS a, v2 / CAST(n2 AS DOUBLE) AS b,
+        |        m1 - m2 AS dm FROM d)
+        |SELECT n1, n2,
+        |  CAST(round(dm / sqrt(a + b) * 1000000) AS BIGINT) AS t_micro,
+        |  CAST(round((a + b) * (a + b)
+        |    / (a * a / (CAST(n1 AS DOUBLE) - 1.0)
+        |       + b * b / (CAST(n2 AS DOUBLE) - 1.0)) * 1000000) AS BIGINT)
+        |    AS df_micro
+        |FROM e""".stripMargin) { (s, d) =>
+      val y = Tables.customer(s, d)
+        .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal) AS BIGINT)").as("y"))
+      val g = y.groupBy("seg").agg(count(lit(1)).as("n"),
+        sum("y").as("s"), sum(expr("y*y")).as("q"))
+      g.agg(
+          max(when(col("seg") === "BUILDING", col("n"))).as("n1"),
+          max(when(col("seg") === "BUILDING", col("s"))).as("s1"),
+          max(when(col("seg") === "BUILDING", col("q"))).as("q1"),
+          max(when(col("seg") === "MACHINERY", col("n"))).as("n2"),
+          max(when(col("seg") === "MACHINERY", col("s"))).as("s2"),
+          max(when(col("seg") === "MACHINERY", col("q"))).as("q2"))
+        // double-op chain text-identical to the oracle CTEs
+        .selectExpr("n1", "n2",
+          "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1",
+          "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2",
+          """(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1""",
+          """(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+             / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2""")
+        .selectExpr("n1", "n2",
+          "v1 / CAST(n1 AS DOUBLE) AS a", "v2 / CAST(n2 AS DOUBLE) AS b",
+          "m1 - m2 AS dm")
+        .selectExpr("n1", "n2",
+          "CAST(round(dm / sqrt(a + b) * 1000000) AS BIGINT) AS t_micro",
+          """CAST(round((a + b) * (a + b)
+             / (a * a / (CAST(n1 AS DOUBLE) - 1.0)
+                + b * b / (CAST(n2 AS DOUBLE) - 1.0)) * 1000000) AS BIGINT)
+             AS df_micro""")
     }
   )
 }

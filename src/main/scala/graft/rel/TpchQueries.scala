@@ -146,6 +146,118 @@ object TpchQueries {
         .where(branch)
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q7 — volume shipping between two trading nations, by
+    // direction and year. The plan property that matters: the nation
+    // predicate filters the supplier and customer DIMS before either
+    // fact join (a handful of suppliers/customers survive), so both
+    // fact scans reduce to near-semi-joins against tiny broadcast
+    // sides and the only real shuffle is orders<->lineitem. Grouping
+    // lands on a years x 2 directions spine; revenue in exact cents.
+    "q7_join" -> QueryDef(
+      """WITH sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |            JOIN nation ON s_nationkey = n_nationkey
+        |            WHERE n_name IN ('NATION_9', 'NATION_11')),
+        |cn AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+        |       JOIN nation ON c_nationkey = n_nationkey
+        |       WHERE n_name IN ('NATION_9', 'NATION_11'))
+        |SELECT supp_nation, cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN sn ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN cn ON c_custkey = o_custkey
+        |WHERE supp_nation <> cust_nation
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val nations = Seq("NATION_9", "NATION_11")
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin(nations: _*))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cn = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin(nations: _*))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cn), col("c_custkey") === col("o_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_c"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q15 — top supplier by quarterly revenue via an =MAX
+    // scalar subquery (the original's view formulation). The revenue
+    // relation collapses the filtered fact to |suppliers| rows FIRST,
+    // the max rides back as a broadcast-of-one-row, and only then
+    // does the supplier dim join the (usually single-row) winner set
+    // — the aggregate-then-probe order that keeps the fact out of
+    // every dim join. Ties all surface, deterministically ordered.
+    "q15_join" -> QueryDef(
+      """WITH rev AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) AS total_rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_c
+        |FROM supplier JOIN rev ON suppkey = s_suppkey
+        |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("total_rev_c"))
+        .localCheckpoint() // read twice: winner filter + max probe
+      val mx = rev.agg(max("total_rev_c").as("mx"))
+      rev.crossJoin(broadcast(mx)).where(col("total_rev_c") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q17 — small-quantity revenue loss: lineitems of one brand
+    // whose quantity sits under 20% of their part's average quantity.
+    // The correlated AVG subquery decorrelates into one per-part
+    // aggregate joined back to the fact — and because quantities are
+    // integral, the 20% threshold becomes the EXACT integer cross-
+    // multiplication 5*qty*n(part) < sum(part): no fp average, no
+    // rounding ambiguity at the boundary on either engine. The brand
+    // filter prunes the fact scan before the join; the per-part
+    // aggregate stays unfiltered, as Q17's semantics require.
+    "q17_subquery" -> QueryDef(
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS loss_c
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN pa ON pk = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND 5 * CAST(l_quantity AS BIGINT) * n < sq""".stripMargin) { (s, d) =>
+      val pa = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sq"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).where(col("p_brand") === "Brand#23")),
+          col("p_partkey") === col("l_partkey"))
+        .join(pa, col("pk") === col("l_partkey"))
+        .where(expr("5 * CAST(l_quantity AS BIGINT) * n < sq"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("loss_c"))
     }
   )
 }

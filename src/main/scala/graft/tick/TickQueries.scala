@@ -1145,6 +1145,91 @@ object TickQueries {
           round(col("slow_raw"), 9).as("slow"),
           round(col("fast_raw") - col("slow_raw"), 9).as("macd"))
         .orderBy("bucket")
+    },
+
+    // STOCHASTIC OSCILLATOR %K — where today's close sits inside the
+    // 14-day high/low channel, the range-position momentum indicator
+    // (Bollinger = dispersion, RSI = gain share, ATR = range size;
+    // %K completes the set with POSITION in range). Daily closes are
+    // last-by-timestamp (the established OHLC semantics), channel
+    // extremes are rolling MAX/MIN windows over the per-day frame —
+    // all integer cents, %K in truncating ppm, degenerate flat
+    // channels yield NULL. Window runs on the tiny daily frame, never
+    // raw events.
+    "tick_stochastic" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    MAX_BY(CAST(round(value*100) AS BIGINT), ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |ch AS (
+        |  SELECT event_type, bucket, close,
+        |    MAX(close) OVER w AS hi, MIN(close) OVER w AS lo,
+        |    COUNT(*) OVER w AS wn
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, close, hi, lo,
+        |  CASE WHEN hi = lo THEN NULL
+        |       ELSE (close - lo) * 1000000 // (hi - lo) END AS k_ppm
+        |FROM ch WHERE wn = 14 ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(-13, 0)
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(max_by(expr("CAST(round(value*100) AS BIGINT)"), col("ts")).as("close"))
+      day
+        .withColumn("hi", max("close").over(w))
+        .withColumn("lo", min("close").over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .where(col("wn") === 14)
+        .select(col("event_type"), col("bucket"), col("close"), col("hi"), col("lo"),
+          when(col("hi") === col("lo"), lit(null).cast("long"))
+            .otherwise(expr("(close - lo) * 1000000 div (hi - lo)")).as("k_ppm"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // ON-BALANCE VOLUME — cumulative volume signed by the close-to-
+    // close direction: volume flows "in" on up days, "out" on down
+    // days, the classic accumulation/distribution divergence signal.
+    // Close = last-by-timestamp cents, volume = daily event count;
+    // sign and running sum are exact integers, so the whole series is
+    // hash-gated. Two ordered windows over the daily frame (lag +
+    // running sum), partitioned per series — the raw events collapse
+    // to days in the one grouped pass before any window runs.
+    "tick_obv" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    MAX_BY(CAST(round(value*100) AS BIGINT), ts) AS close,
+        |    CAST(COUNT(*) AS BIGINT) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |sg AS (
+        |  SELECT event_type, bucket, vol,
+        |    CASE WHEN close > lag(close) OVER w THEN vol
+        |         WHEN close < lag(close) OVER w THEN -vol
+        |         ELSE 0 END AS flow
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        |SELECT event_type, bucket,
+        |  CAST(SUM(flow) OVER (PARTITION BY event_type ORDER BY bucket
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+        |FROM sg ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy("event_type").orderBy("bucket")
+      val wRun = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(max_by(expr("CAST(round(value*100) AS BIGINT)"), col("ts")).as("close"),
+          count(lit(1)).as("vol"))
+      day
+        .withColumn("flow",
+          when(col("close") > lag("close", 1).over(wLag), col("vol"))
+            .when(col("close") < lag("close", 1).over(wLag), -col("vol"))
+            .otherwise(lit(0L)))
+        .select(col("event_type"), col("bucket"),
+          sum("flow").over(wRun).cast("long").as("obv"))
+        .orderBy("event_type", "bucket")
     }
   )
 }

@@ -356,6 +356,48 @@ object VecQueries {
             lit(0.0), (acc, x) => acc + x)).as("l2"),
           size(filter(col("embedding"), x => x > lit(0f))).cast("long").as("n_pos"))
         .orderBy("vec_id")
+    },
+
+    // MUTUAL k-NN GRAPH — undirected edges (a, b) where each vector
+    // sits in the OTHER's exact cosine top-5: the symmetric-neighbor
+    // graph that seeds density clustering (HDBSCAN-style) and
+    // semantic-dedup communities, and the natural bridge from the
+    // vec family into the graph family. Bounded to vec_id < 300 —
+    // the brute-force verify-tier convention (the LSH/IVF tiers are
+    // the candidate generators at scale; this is the exact method a
+    // bucketed candidate set feeds). One broadcast of the bounded
+    // query set into a corpus scan, one per-query top-k window, then
+    // a self-join on reversed (q, id) pairs keeps mutual edges once
+    // (a < b).
+    "sim_mutual_knn" -> QueryDef(
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |           FROM embeddings WHERE vec_id < 300),
+         |scored AS (
+         |  SELECT q.q_id, c.vec_id AS id,
+         |    ${VecFunctions.cosineSql("q.q_vec", "c.embedding")} AS sim
+         |  FROM embeddings c, q
+         |  WHERE c.vec_id < 300 AND q.q_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, id) AS rank
+         |  FROM scored),
+         |knn AS (SELECT q_id, id, sim FROM ranked WHERE rank <= 5)
+         |SELECT x.q_id AS a, x.id AS b, round(x.sim, 9) AS sim
+         |FROM knn x JOIN knn y ON y.q_id = x.id AND y.id = x.q_id
+         |WHERE x.q_id < x.id
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).where(col("vec_id") < 300)
+      val queries = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val knn = VecFunctions.bruteForceTopK(queries, corpus, k = 5)
+        .select("q_id", "id", "sim")
+        .localCheckpoint() // both sides of the mutual self-join
+      knn.as("x").join(knn.as("y"),
+          col("y.q_id") === col("x.id") && col("y.id") === col("x.q_id"))
+        .where(col("x.q_id") < col("x.id"))
+        .select(col("x.q_id").as("a"), col("x.id").as("b"),
+          round(col("x.sim"), 9).as("sim"))
+        .orderBy("a", "b")
     }
   )
 }

@@ -174,6 +174,133 @@ class R8bWaveSpec extends SparkSpec {
     }
   }
 
+  test("q7: both trade directions report, revenue positive, no self-trade") {
+    val rows = q("q7_join").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0) != r.getString(1)))
+    assert(rows.forall(_.getLong(3) > 0))
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
+      Seq("NATION_11", "NATION_9"), "both directions must appear")
+  }
+
+  test("q15: all reported suppliers tie at the quarterly maximum") {
+    val rows = q("q15_join").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).distinct.length == 1,
+      "every winner carries the same (maximal) revenue")
+  }
+
+  test("q17 matches a sequential small-quantity reference") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_partkey", "CAST(l_quantity AS BIGINT) AS q",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brandParts = spark.read.parquet(s"$sf0001/part.parquet")
+      .where("p_brand = 'Brand#23'").select("p_partkey").collect()
+      .map(_.getLong(0)).toSet
+    val perPart = li.groupBy(_._1).map { case (pk, xs) =>
+      pk -> ((xs.length.toLong, xs.map(_._2).sum))
+    }
+    val smalls = li.filter { case (pk, qty, _) =>
+      brandParts.contains(pk) && {
+        val (n, sq) = perPart(pk); 5 * qty * n < sq
+      }
+    }
+    val r = q("q17_subquery", sf0001).collect().head
+    assert(r.getLong(0) == smalls.length.toLong)
+    assert(r.getLong(1) == smalls.map(_._3).sum)
+  }
+
+  test("Welch t-test matches a sequential computation bit-for-bit") {
+    val rows = spark.read.parquet(s"$sf0001/customer.parquet")
+      .where("c_mktsegment IN ('BUILDING', 'MACHINERY')")
+      .selectExpr("c_mktsegment", "CAST(round(c_acctbal) AS BIGINT) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def stats(seg: String) = {
+      val ys = rows.filter(_._1 == seg).map(_._2)
+      (ys.length.toLong, ys.sum, ys.map(v => v * v).sum)
+    }
+    val (n1, s1, q1) = stats("BUILDING")
+    val (n2, s2, q2) = stats("MACHINERY")
+    val m1 = s1.toDouble / n1.toDouble
+    val m2 = s2.toDouble / n2.toDouble
+    val v1 = (q1.toDouble - s1.toDouble * s1.toDouble / n1.toDouble) /
+      (n1.toDouble - 1.0)
+    val v2 = (q2.toDouble - s2.toDouble * s2.toDouble / n2.toDouble) /
+      (n2.toDouble - 1.0)
+    val a = v1 / n1.toDouble
+    val b = v2 / n2.toDouble
+    val t = (m1 - m2) / math.sqrt(a + b)
+    val df = (a + b) * (a + b) /
+      (a * a / (n1.toDouble - 1.0) + b * b / (n2.toDouble - 1.0))
+    val r = q("stat_welch_ttest", sf0001).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((n1, n2)))
+    assert(r.getLong(2) == math.round(t * 1000000))
+    assert(r.getLong(3) == math.round(df * 1000000))
+  }
+
+  test("stochastic %K stays inside its channel and the channel brackets close") {
+    val rows = q("tick_stochastic").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (close, hi, lo) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo <= close && close <= hi)
+      if (!r.isNullAt(5)) {
+        val k = r.getLong(5)
+        assert(k >= 0 && k <= 1000000)
+        assert(k == (close - lo) * 1000000 / (hi - lo))
+      } else assert(hi == lo)
+    }
+  }
+
+  test("OBV: series are time-ordered and bounded by cumulative volume") {
+    val rows = q("tick_obv").collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$sf001/events.parquet").count()
+    rows.foreach(r => assert(math.abs(r.getLong(2)) <= total))
+    // per-series buckets strictly increase in output order
+    rows.groupBy(_.getString(0)).values.foreach { grp =>
+      val ts = grp.map(_.getTimestamp(1).getTime)
+      assert(ts.toSeq == ts.sorted.toSeq)
+    }
+  }
+
+  test("mutual kNN edges match a sequential cosine reference at sf0.001") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .where("vec_id < 300").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      // identical left-to-right fold as the engine expression
+      var dxy = 0.0; var dxx = 0.0; var dyy = 0.0
+      var i = 0
+      while (i < x.length) {
+        dxy += x(i).toDouble * y(i).toDouble
+        dxx += x(i).toDouble * x(i).toDouble
+        dyy += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      val den = math.sqrt(dxx) * math.sqrt(dyy)
+      if (den == 0.0) 0.0 else dxy / den
+    }
+    val knn = vecs.map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, sim) => (-sim, id) }.take(5)
+    }.toMap
+    val expected = (for {
+      (a, nbrs) <- knn.toSeq
+      (b, sim) <- nbrs
+      if a < b && knn(b).exists(_._1 == a)
+    } yield (a, b, sim)).sortBy(e => (e._1, e._2))
+    val got = q("sim_mutual_knn", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expected.length, "edge count must match")
+    got.zip(expected).foreach { case ((ga, gb, gs), (ea, eb, es)) =>
+      assert(ga == ea && gb == eb, s"edge mismatch: ($ga,$gb) vs ($ea,$eb)")
+      assert(math.abs(gs - es) < 2e-9, "sim must match to the 9dp round")
+    }
+  }
+
   test("MACD: first bucket is flat and macd is the rounded ewma spread") {
     val rows = q("tick_macd").collect()
     assert(rows.nonEmpty)
