@@ -512,6 +512,70 @@ object FeatureQueries {
              / (a * a / (CAST(n1 AS DOUBLE) - 1.0)
                 + b * b / (CAST(n2 AS DOUBLE) - 1.0)) * 1000000) AS BIGINT)
              AS df_micro""")
+    },
+
+    // POISSON BOOTSTRAP CI — a 95% confidence interval on the mean
+    // account balance from 50 deterministic resamples. The classic
+    // bootstrap draws n-with-replacement PER resample, which doesn't
+    // distribute; the Poisson bootstrap (each row enters resample b
+    // with weight ~ Poisson(1)) is the standard streaming/map-side
+    // reformulation — and here the weights are DERIVED, not drawn:
+    // md5(custkey-b) maps to a uniform in [0, 1e6) that thresholds
+    // through the exact Poisson(1) CDF grid. Zero RNG state, so both
+    // engines build bit-identical resamples and the CI is hash-gated.
+    // One explode (x50) + one partial-agged groupBy; the 50-row mean
+    // frame ranks on a single partition. CI bounds are the 2nd and
+    // 49th order statistics (2.5%/97.5% of 50).
+    "stat_bootstrap_ci" -> QueryDef(
+      """WITH y AS (
+        |  SELECT c_custkey AS ck, CAST(round(c_acctbal) AS BIGINT) AS y
+        |  FROM customer),
+        |w AS (SELECT ck, y, b,
+        |        CAST(concat('0x', substr(md5(concat(CAST(ck AS VARCHAR), '-',
+        |          CAST(b AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS u
+        |      FROM y, generate_series(1, 50) g(b)),
+        |p AS (SELECT b, y,
+        |        CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |             WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |             WHEN u < 996340 THEN 4 ELSE 5 END AS wt
+        |      FROM w),
+        |m AS (SELECT b,
+        |        CAST(SUM(wt * y) * 1000000 // GREATEST(SUM(wt), 1) AS BIGINT)
+        |          AS mean_micro
+        |      FROM p GROUP BY 1),
+        |r AS (SELECT mean_micro, CAST(row_number() OVER
+        |        (ORDER BY mean_micro, b) AS BIGINT) AS rk FROM m),
+        |f AS (SELECT CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS full_micro
+        |      FROM y)
+        |SELECT CAST(50 AS BIGINT) AS n_resamples, f.full_micro,
+        |  MAX(CASE WHEN rk = 2 THEN mean_micro END) AS ci_lo_micro,
+        |  MAX(CASE WHEN rk = 49 THEN mean_micro END) AS ci_hi_micro
+        |FROM r, f GROUP BY f.full_micro""".stripMargin) { (s, d) =>
+      val y = Tables.customer(s, d).select(col("c_custkey").as("ck"),
+        expr("CAST(round(c_acctbal) AS BIGINT)").as("y"))
+      val w = y.select(col("ck"), col("y"),
+          explode(sequence(lit(1), lit(50))).as("b"))
+        .withColumn("u", expr(
+          """CAST(conv(substring(md5(concat(CAST(ck AS STRING), '-',
+             CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000"""))
+      val p = w.select(col("b"), col("y"),
+        expr("""CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                WHEN u < 996340 THEN 4 ELSE 5 END""").as("wt"))
+      val m = p.groupBy("b")
+        .agg(expr("CAST(SUM(wt * y) * 1000000 div GREATEST(SUM(wt), 1) AS BIGINT)")
+          .as("mean_micro"))
+      val r = m.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("mean_micro", "b"))
+        .cast("long"))
+      val f = y.agg(expr("CAST(SUM(y) * 1000000 div COUNT(*) AS BIGINT)")
+        .as("full_micro"))
+      r.crossJoin(broadcast(f)).groupBy("full_micro")
+        .agg(
+          max(when(col("rk") === 2, col("mean_micro"))).as("ci_lo_micro"),
+          max(when(col("rk") === 49, col("mean_micro"))).as("ci_hi_micro"))
+        .select(lit(50L).as("n_resamples"), col("full_micro"),
+          col("ci_lo_micro"), col("ci_hi_micro"))
     }
   )
 }

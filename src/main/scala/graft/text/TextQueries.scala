@@ -1238,6 +1238,86 @@ object TextQueries {
           """CAST(round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
              / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro""")
+    },
+
+    // RAKE KEYWORD EXTRACTION — candidate phrases are maximal runs of
+    // non-stopword tokens; each word scores degree/frequency (degree
+    // = summed length of phrases it appears in — favors words that
+    // live in long collocations), and a phrase scores the sum of its
+    // words. The stopword split is NOT a regex: tokens take positions
+    // and a running stopword-count window assigns phrase ids (the
+    // gaps-and-islands idiom), so both engines segment identically
+    // with no regex-dialect risk. Scores are integer ppm (truncating
+    // degree*1e6/freq), phrase strings assemble position-ordered —
+    // everything hash-gated. Two token-keyed shuffles (freq, deg) +
+    // one per-(doc, phrase) aggregate; identical phrase text always
+    // scores identically, so the global top-15 is well-defined.
+    "text_rake" -> QueryDef(
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(u.p[1] AS BIGINT) AS pos, u.p[2] AS term
+        |  FROM (SELECT doc_id,
+        |          list_zip(range(1, len(regexp_split_to_array(lower(text),
+        |            '[^a-z]+'))+1),
+        |            regexp_split_to_array(lower(text), '[^a-z]+')) AS z
+        |        FROM documents), unnest(z) AS u(p)),
+        |mk AS (SELECT doc_id, pos, term,
+        |         CASE WHEN term IN ('a', 'the', 'and', 'of', 'to', 'in',
+        |                            'on', 'is') OR length(term) < 2
+        |              THEN 1 ELSE 0 END AS brk
+        |       FROM tok),
+        |pid AS (SELECT doc_id, pos, term, brk,
+        |          CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pid
+        |        FROM mk),
+        |mem AS (SELECT doc_id, pid, pos, term FROM pid WHERE brk = 0),
+        |plen AS (SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen
+        |         FROM mem GROUP BY 1, 2),
+        |freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        |         FROM mem GROUP BY 1),
+        |deg AS (SELECT m.term, CAST(SUM(p.plen) AS BIGINT) AS deg
+        |        FROM mem m JOIN plen p ON m.doc_id = p.doc_id AND m.pid = p.pid
+        |        GROUP BY 1),
+        |ws AS (SELECT freq.term, CAST(deg.deg * 1000000 // freq.freq AS BIGINT)
+        |         AS wscore FROM freq JOIN deg ON freq.term = deg.term),
+        |ph AS (SELECT m.doc_id, m.pid,
+        |         string_agg(m.term, ' ' ORDER BY m.pos) AS phrase,
+        |         CAST(SUM(ws.wscore) AS BIGINT) AS pscore
+        |       FROM mem m JOIN ws ON m.term = ws.term
+        |       GROUP BY 1, 2)
+        |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur, pscore AS score_micro
+        |FROM ph GROUP BY phrase, pscore
+        |ORDER BY score_micro DESC, phrase LIMIT 15""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("p", "term")))
+        .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("term"))
+      val mk = tok.withColumn("brk",
+        when(col("term").isin("a", "the", "and", "of", "to", "in", "on", "is") ||
+          length(col("term")) < 2, lit(1)).otherwise(lit(0)))
+      val wPid = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val mem = mk.withColumn("pid", sum("brk").over(wPid).cast("long"))
+        .where(col("brk") === 0)
+        .select("doc_id", "pid", "pos", "term")
+        .localCheckpoint() // read by plen, freq, deg, and the phrase agg
+      val plen = mem.groupBy("doc_id", "pid").agg(count(lit(1)).as("plen"))
+      val freq = mem.groupBy("term").agg(count(lit(1)).as("freq"))
+      val deg = mem.join(plen, Seq("doc_id", "pid"))
+        .groupBy("term").agg(sum("plen").as("deg"))
+      val ws = freq.join(deg, "term")
+        .select(col("term"), expr("deg * 1000000 div freq").as("wscore"))
+      val ph = mem.join(broadcast(ws), "term")
+        .groupBy("doc_id", "pid")
+        .agg(
+          expr("""concat_ws(' ', transform(array_sort(
+                  collect_list(struct(pos, term))), x -> x.term))""").as("phrase"),
+          sum("wscore").as("pscore"))
+      ph.groupBy("phrase", "pscore")
+        .agg(count(lit(1)).as("n_occur"))
+        .select(col("phrase"), col("n_occur"), col("pscore").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase"))
+        .limit(15)
     }
   )
 }

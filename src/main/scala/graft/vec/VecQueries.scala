@@ -398,6 +398,92 @@ object VecQueries {
         .select(col("x.q_id").as("a"), col("x.id").as("b"),
           round(col("x.sim"), 9).as("sim"))
         .orderBy("a", "b")
+    },
+
+    // PCA TOP COMPONENT by distributed covariance + power iteration —
+    // the whitening / dimensionality-reduction primitive (Matryoshka
+    // truncation keeps prefix dims; PCA finds the BEST single
+    // direction). Everything is exact integer fixed point, so the
+    // whole pipeline is hash-gated, not pinned: coordinates quantize
+    // to 2^-10, the covariance assembles from one (i, j) co-moment
+    // aggregate via the computational identity n*E[xy] - E[x]E[y]
+    // (per-term truncating division, identical both engines), and
+    // five unrolled power-iteration rounds renormalize by the
+    // infinity norm — a pure-integer normalizer (u div (max|u| div
+    // 1e6 + 1)) chosen so no intermediate clears 2^60. Scale shape:
+    // the co-moment aggregate is ONE shuffle of n*d^2 partial-agged
+    // products; the 4096-row covariance and 64-row state vector then
+    // iterate entirely in broadcast land. Bound sanity at 100x data:
+    // sum f_i*f_j <= (4*2^10)^2 * n — BIGINT-safe past 1e11 vectors.
+    "vec_pca_power" -> QueryDef(
+      """WITH fx AS (
+        |  SELECT vec_id, CAST(u.p[1] - 1 AS BIGINT) AS i,
+        |         CAST(round(CAST(u.p[2] AS DOUBLE) * 1024) AS BIGINT) AS f
+        |  FROM (SELECT vec_id, list_zip(range(1, len(embedding)+1), embedding) AS z
+        |        FROM embeddings), unnest(z) AS u(p)),
+        |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM fx),
+        |s AS (SELECT i, CAST(SUM(f) AS BIGINT) AS s FROM fx GROUP BY 1),
+        |pp AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.f * b.f) AS BIGINT) AS p
+        |       FROM fx a JOIN fx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |c AS (SELECT pp.i, pp.j,
+        |        CAST(pp.p // nn.n - (s1.s // nn.n) * (s2.s // nn.n) AS BIGINT) AS c
+        |      FROM pp CROSS JOIN nn
+        |      JOIN s s1 ON pp.i = s1.i JOIN s s2 ON pp.j = s2.i),
+        |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS x FROM fx),
+        |u1 AS (SELECT c.i, CAST(SUM(c.c * v0.x) AS BIGINT) AS u
+        |       FROM c JOIN v0 ON c.j = v0.i GROUP BY 1),
+        |m1 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u1),
+        |v1 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u1, m1),
+        |u2 AS (SELECT c.i, CAST(SUM(c.c * v1.x) AS BIGINT) AS u
+        |       FROM c JOIN v1 ON c.j = v1.i GROUP BY 1),
+        |m2 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u2),
+        |v2 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u2, m2),
+        |u3 AS (SELECT c.i, CAST(SUM(c.c * v2.x) AS BIGINT) AS u
+        |       FROM c JOIN v2 ON c.j = v2.i GROUP BY 1),
+        |m3 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u3),
+        |v3 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u3, m3),
+        |u4 AS (SELECT c.i, CAST(SUM(c.c * v3.x) AS BIGINT) AS u
+        |       FROM c JOIN v3 ON c.j = v3.i GROUP BY 1),
+        |m4 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u4),
+        |v4 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u4, m4),
+        |u5 AS (SELECT c.i, CAST(SUM(c.c * v4.x) AS BIGINT) AS u
+        |       FROM c JOIN v4 ON c.j = v4.i GROUP BY 1),
+        |m5 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd,
+        |              CAST(MAX(ABS(u)) AS BIGINT) AS mx FROM u5),
+        |v5 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u5, m5)
+        |SELECT v5.i AS dim, v5.x AS v_munit, m5.mx AS growth
+        |FROM v5, m5 ORDER BY dim""".stripMargin) { (s, d) =>
+      val fx = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("vec_id"), col("p").cast("long").as("i"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)").as("f"))
+        .localCheckpoint() // feeds nn, s, pp, v0 — pin the quantized frame
+      val nn = fx.agg(countDistinct("vec_id").as("n"))
+      val sS = fx.groupBy("i").agg(sum("f").as("s"))
+      val pp = fx.as("a").join(fx.as("b"), "vec_id")
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.f") * col("b.f")).as("p"))
+      val c = pp.crossJoin(broadcast(nn))
+        .join(broadcast(sS.select(col("i"), col("s").as("si"))), "i")
+        .join(broadcast(sS.select(col("i").as("j"), col("s").as("sj"))), "j")
+        .select(col("i"), col("j"),
+          expr("p div n - (si div n) * (sj div n)").as("c"))
+        .localCheckpoint() // 4096 rows drive all three iterations
+      var v = fx.select("i").distinct().withColumn("x", lit(1000000L))
+      var lastU: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 5) {
+        val u = c.join(broadcast(v.select(col("i").as("j"), col("x"))), "j")
+          .groupBy("i").agg(sum(expr("c * x")).as("u"))
+          .localCheckpoint()
+        val nd = u.agg(expr("CAST(max(abs(u)) div 1000000 + 1 AS BIGINT)").as("nd"),
+          max(abs(col("u"))).as("mx"))
+        lastU = nd
+        v = u.crossJoin(broadcast(nd)).select(col("i"),
+          expr("u div nd").as("x"))
+      }
+      v.crossJoin(broadcast(lastU.select(col("mx").as("growth"))))
+        .select(col("i").as("dim"), col("x").as("v_munit"), col("growth"))
+        .orderBy("dim")
     }
   )
 }

@@ -301,6 +301,83 @@ class R8bWaveSpec extends SparkSpec {
     }
   }
 
+  test("PCA power iteration converges to a near-eigenvector at sf0.001") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray.map(x =>
+        math.round(x.toDouble * 1024)))
+    val n = vecs.length.toLong
+    val dim = vecs.head.length
+    // sequential covariance with the SAME truncating-integer identity
+    val sS = Array.tabulate(dim)(i => vecs.map(_(i)).sum)
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      val p = vecs.map(v => v(i) * v(j)).sum
+      p / n - (sS(i) / n) * (sS(j) / n)
+    }
+    val got = graft.SparkEntry.queries("vec_pca_power")(spark, sf0001)
+      .collect().sortBy(_.getLong(0))
+    assert(got.length == dim)
+    val v = got.map(_.getLong(1).toDouble)
+    // the normalizer keeps the max component near 1e6
+    assert(v.map(math.abs).max >= 500000 && v.map(math.abs).max <= 1000000)
+    // applying C should (near-)scale v. The convergence rate per
+    // round is the spectral ratio lambda2/lambda1, and the label-
+    // clustered synthetic embeddings keep the top eigenvalues close
+    // (measured: cos 0.988 at 3 rounds, 0.995 at 5) — so the pin is
+    // 0.99: a wrong covariance or a broken iteration lands far below
+    // (a random direction in 64-dim is ~0.12), while the honest
+    // limit of 5 rounds sits just above.
+    val cv = Array.tabulate(dim)(i =>
+      (0 until dim).map(j => c(i)(j).toDouble * v(j)).sum)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cos = dot(cv, v) / (math.sqrt(dot(cv, cv)) * math.sqrt(dot(v, v)))
+    assert(cos > 0.99, s"cosine(Cv, v) was $cos")
+  }
+
+  test("bootstrap CI matches a sequential md5-weight reference") {
+    val rows = spark.read.parquet(s"$sf0001/customer.parquet")
+      .selectExpr("c_custkey", "CAST(round(c_acctbal) AS BIGINT) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(ck: Long, b: Int): Long = {
+      val hex = md.digest(s"$ck-$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000
+    }
+    def wt(x: Long): Long =
+      if (x < 367879) 0 else if (x < 735759) 1 else if (x < 919699) 2
+      else if (x < 981012) 3 else if (x < 996340) 4 else 5
+    val means = (1 to 50).map { b =>
+      var sw = 0L; var swy = 0L
+      rows.foreach { case (ck, y) =>
+        val w = wt(u(ck, b)); sw += w; swy += w * y
+      }
+      (swy * 1000000L / math.max(sw, 1L), b)
+    }.sorted
+    val full = rows.map(_._2).sum * 1000000L / rows.length
+    val r = graft.SparkEntry.queries("stat_bootstrap_ci")(spark, sf0001)
+      .collect().head
+    assert(r.getLong(0) == 50L)
+    assert(r.getLong(1) == full)
+    assert(r.getLong(2) == means(1)._1, "ci_lo = 2nd order statistic")
+    assert(r.getLong(3) == means(48)._1, "ci_hi = 49th order statistic")
+  }
+
+  test("RAKE phrases exclude stopwords and rank by score") {
+    val stops = Set("a", "the", "and", "of", "to", "in", "on", "is")
+    val rows = q("text_rake").collect()
+    assert(rows.length == 15)
+    val scores = rows.map(_.getLong(2)).toSeq
+    assert(scores == scores.sortBy(-_), "ordered by score desc")
+    rows.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.nonEmpty && words.forall(w =>
+        w.length >= 2 && !stops.contains(w)))
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
   test("MACD: first bucket is flat and macd is the rounded ewma spread") {
     val rows = q("tick_macd").collect()
     assert(rows.nonEmpty)
