@@ -297,4 +297,56 @@ class PlanSpec extends SparkSpec {
     // degree attach at the end is a broadcast, not a shuffle of pairs
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q6 pushes all three predicates into the scan and prunes columns") {
+    val p = plan("q6_agg")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
+    assert(p.contains("l_shipdate") && p.contains("l_discount"), p)
+    // the scan must read only the referenced columns — a ReadSchema
+    // carrying l_partkey would mean pruning broke
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_extendedprice"), p)
+    assert(!readSchema.contains("l_partkey"), p)
+  }
+
+  test("q14 and q17 broadcast the part dim; q17 pushes the brand filter") {
+    val p14 = plan("q14_join")
+    assert(p14.contains("BroadcastHashJoin"), p14)
+    val p17 = plan("q17_subquery")
+    assert(p17.contains("BroadcastHashJoin"), p17)
+    // the brand equality must reach the part scan, not run post-join
+    assert(p17.contains("p_brand"), p17)
+    assert(p17.linesIterator.filter(_.contains("PushedFilters"))
+      .exists(_.contains("p_brand")), p17)
+  }
+
+  test("q18 prunes the fact scan to the aggregate's two columns") {
+    val p = plan("q18_join")
+    // the per-order aggregate runs FIRST, so the lineitem scan needs
+    // only (l_orderkey, l_quantity); any wider schema means the
+    // aggregate-then-join order regressed
+    val liScan = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("l_quantity")).mkString
+    assert(liScan.nonEmpty, p)
+    assert(!liScan.contains("l_extendedprice"), p)
+  }
+
+  test("the new graph/vec/text waves never go cartesian") {
+    // strict tier: these have NO cross join of any kind — a nested-
+    // loop join appearing means a pair space materialized
+    Seq("graph_clustering_coeff", "graph_ppr", "text_rake",
+        "sim_mutual_knn").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+    // these intentionally cross-join a BROADCAST single-row aggregate
+    // (m for modularity, n / the normalizer for PCA) — the plan may
+    // show BroadcastNestedLoopJoin for that one-row side, but a true
+    // CartesianProduct (shuffled pair space) must never appear
+    Seq("graph_modularity", "vec_pca_power").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
 }
