@@ -88,6 +88,26 @@ object AnalyticsQueries {
           .withColumn("vc", col("vc") + 1000L)))
   }
 
+  /** Three-version store for store_delete_vectors: v1 = all clicks,
+    * v2 = DELETION-VECTOR delete of every key%3==0 row (no data dir
+    * rewritten — the manifest gains a (key, part) sidecar), v3 = a
+    * commit re-inserting the key%6==0 half with +5000 cents (which
+    * must CLEAR those keys from the DV so the new rows surface).
+    */
+  private def ensureDvStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.SnapshotStore
+    val base = storeBase(d, "snapdv")
+    ensureVersions(s, base)(
+      () => SnapshotStore.commit(s, base, clicksOf(s, d)),
+      () => { SnapshotStore.deleteRowsDv(s, base,
+        clicksOf(s, d).where(col("key").cast("long") % 3 === 0)
+          .select("key", "part")); () },
+      () => SnapshotStore.commit(s, base,
+        clicksOf(s, d).where(col("key").cast("long") % 6 === 0)
+          .withColumn("seq", lit(1L))
+          .withColumn("vc", col("vc") + 5000L)))
+  }
+
   /** Two-version store for store_schema_evolution: v2's day-5 upsert
     * CARRIES A COLUMN v1 NEVER HAD (`quality`) — the schema evolves in
     * place, no historical rewrite.
@@ -191,9 +211,38 @@ object AnalyticsQueries {
       : Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
     "store_scd2" -> ((s, d) => { ensureDimStore(s, d); () }),
     "store_incremental_join" -> ((s, d) => { ensureFactStore(s, d); () }),
-    "store_replicate_cdf" -> ((s, d) => { ensureReplicaStore(s, d); () }))
+    "store_replicate_cdf" -> ((s, d) => { ensureReplicaStore(s, d); () }),
+    "store_delete_vectors" -> ((s, d) => { ensureDvStore(s, d); () }))
 
   val defs: Map[String, QueryDef] = Map(
+
+    // DELETION-VECTOR lifecycle under the oracle gate: v1 all clicks,
+    // v2 deletes every key%3==0 row via a (key, part) sidecar with NO
+    // data dir rewritten, v3 re-inserts the key%6==0 half (+5000
+    // cents), which must clear those keys from the DV. The read is
+    // the scale point: one broadcast anti-join of a deletes-sized
+    // sidecar against the snapshot scan — a scattered-key delete on a
+    // 100 TB store costs one tiny file, where [[SnapshotStore.delete]]
+    // would rewrite every touched partition. The oracle reconstructs
+    // the surviving-row algebra from raw events.
+    "store_delete_vectors" -> QueryDef(
+      """WITH c AS (
+        |  SELECT event_id AS id, strftime(ts, '%Y-%m-%d') AS part,
+        |    CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT part,
+        |        CASE WHEN id % 6 = 0 THEN vc + 5000 ELSE vc END AS vc
+        |      FROM c WHERE id % 3 <> 0 OR id % 6 = 0)
+        |SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(vc) AS BIGINT) AS total
+        |FROM r GROUP BY part ORDER BY part""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureDvStore(s, d)
+      SnapshotStore.readVersion(s, base, 3)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+        .orderBy("part")
+    },
 
     // SCD TYPE-2 dimension build — the warehouse-standard "what did
     // this dimension row look like on any past day" table — from the

@@ -499,6 +499,61 @@ object GraphExtras {
           .agg(sum("r").as("r")).localCheckpoint()
       }
       pr.orderBy(col("r").desc, col("node")).limit(20)
+    },
+
+    // LANDMARK CLOSENESS — per-landmark mean BFS distance over the
+    // 3-hop reachable set, the sampled stand-in for exact closeness
+    // centrality (all-pairs BFS is quadratic; production closeness is
+    // always landmark-sampled, e.g. web-graph centrality estimates).
+    // Three frontier loops share the [[GraphLoops.bfsHops]] machinery
+    // (hash-gated there and in graph_bfs_hops); the per-landmark
+    // summary is an exact integer (n_reached, hop_sum, truncating
+    // mean-micro). Oracle: three recursive CTEs with min-hop
+    // grouping, unioned.
+    "graph_closeness" -> QueryDef(
+      """WITH RECURSIVE eh AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+        |        -CAST(l_suppkey AS BIGINT) AS b
+        |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |ed AS (SELECT a, b FROM eh UNION ALL SELECT b, a FROM eh),
+        |b1(node, hop) AS (
+        |  SELECT CAST(1 AS BIGINT), 0 UNION ALL
+        |  SELECT ed.b, MIN(b1.hop) + 1 FROM b1 JOIN ed ON ed.a = b1.node
+        |  WHERE b1.hop < 3 GROUP BY ed.b),
+        |b2(node, hop) AS (
+        |  SELECT CAST(2 AS BIGINT), 0 UNION ALL
+        |  SELECT ed.b, MIN(b2.hop) + 1 FROM b2 JOIN ed ON ed.a = b2.node
+        |  WHERE b2.hop < 3 GROUP BY ed.b),
+        |b3(node, hop) AS (
+        |  SELECT CAST(3 AS BIGINT), 0 UNION ALL
+        |  SELECT ed.b, MIN(b3.hop) + 1 FROM b3 JOIN ed ON ed.a = b3.node
+        |  WHERE b3.hop < 3 GROUP BY ed.b),
+        |hops AS (
+        |  SELECT CAST(1 AS BIGINT) AS landmark, node, MIN(hop) AS hop
+        |  FROM b1 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), node, MIN(hop) FROM b2 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), node, MIN(hop) FROM b3 GROUP BY 1, 2)
+        |SELECT landmark, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(SUM(hop) AS BIGINT) AS hop_sum,
+        |  CAST(SUM(hop) * 1000000 // COUNT(*) AS BIGINT) AS mean_hop_micro
+        |FROM hops GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val eh = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("a"),
+          (-col("l_suppkey")).cast("long").as("b"))
+        .distinct()
+        .localCheckpoint() // shared by all three frontier loops
+      val ed = eh.unionAll(eh.select(col("b").as("a"), col("a").as("b")))
+      val perLandmark = Seq(1L, 2L, 3L).map { src =>
+        GraphLoops.bfsHops(ed, source = src, rounds = 3)
+          .select(lit(src).as("landmark"), col("node"), col("hop"))
+      }.reduce(_ unionByName _)
+      perLandmark.groupBy("landmark")
+        .agg(count(lit(1)).as("n_reached"), sum("hop").as("hop_sum"),
+          expr("CAST(SUM(hop) * 1000000 div COUNT(*) AS BIGINT)")
+            .as("mean_hop_micro"))
+        .orderBy("landmark")
     }
   )
 }

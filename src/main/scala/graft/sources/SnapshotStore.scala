@@ -41,6 +41,15 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotStore {
 
+  /** Manifest key for a version's DELETION-VECTOR sidecar (see
+    * [[deleteRowsDv]]). The NUL prefix keeps it out of the partition-
+    * value namespace: partition values come from data and could
+    * collide with any printable sentinel, but a NUL inside a real
+    * partition value would have to survive Hive path escaping AND be
+    * deliberate — documented as unsupported.
+    */
+  private[sources] val DvKey = "\u0000dv"
+
   private def fs(spark: SparkSession, base: String) =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -162,7 +171,23 @@ object SnapshotStore {
 
     // new manifest: touched partitions point at this attempt's dirs,
     // untouched ones inherit (physical sharing between snapshots)
-    val manifest = prev ++ writtenParts(spark, base, dataDir)
+    val manifest0 = prev ++ writtenParts(spark, base, dataDir)
+    // a deletion vector (deleteRowsDv) carries forward — EXCEPT for
+    // keys this batch re-inserts: their new physical row must surface,
+    // so they leave the DV (DVs are small; the rewrite is one tiny file)
+    val manifest = prev.get(DvKey) match {
+      case None => manifest0
+      case Some(oldDv) =>
+        val remaining = spark.read.parquet(oldDv)
+          .join(batch.select("key", "part").distinct(),
+            Seq("key", "part"), "left_anti")
+        if (remaining.isEmpty) manifest0 - DvKey
+        else {
+          val dvDir = s"$dataDir-dv"
+          remaining.coalesce(1).write.mode("overwrite").parquet(dvDir)
+          manifest0 + (DvKey -> dvDir)
+        }
+    }
     publish(spark, base, next, manifest, dataDir)
     next
   }
@@ -198,6 +223,43 @@ object SnapshotStore {
     // fully-deleted partitions drop out of the manifest entirely
     val manifest = (prev -- touched.map(_._1)) ++ written
     publish(spark, base, next, manifest, dataDir)
+    next
+  }
+
+  /** ROW-LEVEL DELETE WITHOUT REWRITING DATA — deletion vectors, the
+    * lakehouse answer to "delete 10 rows from a 1 GB file" (Delta DVs /
+    * Iceberg positional deletes). [[delete]] rewrites every touched
+    * partition; at 100 TB a GDPR-style scattered key delete would
+    * rewrite the whole store. This commits a new version whose data
+    * dirs are UNCHANGED and whose manifest adds a tiny (key, part)
+    * sidecar; readers anti-join it (a broadcast — DVs are deletes, not
+    * data). The sidecar is cumulative per version, so a read applies
+    * exactly one DV regardless of delete history.
+    *
+    * Lifecycle: [[commit]] of a batch re-inserting a deleted key
+    * CLEARS that key from the DV (the new physical row must surface);
+    * [[compact]] materializes deletes and drops the DV; [[vacuum]]
+    * keeps referenced DV dirs and sweeps unreferenced ones; time
+    * travel to a pre-delete version sees the rows (its manifest has no
+    * — or an older — DV). [[merge]] keeps its own partition-rewrite
+    * delete semantics; composing merge-insert with a DV'd key is
+    * unsupported (the DV wins until a commit() clears it).
+    */
+  def deleteRowsDv(spark: SparkSession, base: String, keys: DataFrame): Int = {
+    val v = currentVersion(spark, base)
+    require(v > 0, "cannot delete from an empty store")
+    require(Seq("key", "part").forall(keys.columns.contains),
+      s"DV keys need (key, part), got ${keys.columns.mkString(",")}")
+    val next = v + 1
+    val prev = readManifest(spark, base, v)
+    val add = keys.select("key", "part")
+    val newDv = prev.get(DvKey) match {
+      case Some(old) => spark.read.parquet(old).unionByName(add).distinct()
+      case None      => add.distinct()
+    }
+    val dvDir = s"${attemptDir(base, next)}-dv"
+    newDv.coalesce(1).write.mode("overwrite").parquet(dvDir)
+    publish(spark, base, next, prev + (DvKey -> dvDir), dvDir)
     next
   }
 
@@ -280,7 +342,15 @@ object SnapshotStore {
     val ma = readManifest(spark, base, fromV)
     val mb = readManifest(spark, base, toV)
     require(ma.nonEmpty && mb.nonEmpty, s"versions $fromV and $toV must both exist")
-    val changed = (ma.keySet ++ mb.keySet).filter(p => ma.get(p) != mb.get(p))
+    // a changed DV sidecar can delete rows in ANY partition, so the
+    // manifest-diff shortcut widens to every partition for that span —
+    // the documented DV trade-off (compaction rematerializes and
+    // restores O(changed-partition) diffs)
+    val maD = ma - DvKey
+    val mbD = mb - DvKey
+    val changed =
+      if (ma.get(DvKey) != mb.get(DvKey)) maD.keySet ++ mbD.keySet
+      else (maD.keySet ++ mbD.keySet).filter(p => maD.get(p) != mbD.get(p))
     val core = Seq("key", "part", "seq", "vc")
     // schema evolution: align both sides on the UNION of value columns
     // (NULL where a side's schema predates the column), exactly like a
@@ -371,8 +441,14 @@ object SnapshotStore {
     */
   def readVersionWhere(spark: SparkSession, base: String, version: Int,
       partFilter: String => Boolean): DataFrame = {
-    val m = readManifest(spark, base, version)
-    require(m.nonEmpty, s"version $version does not exist (or store is empty)")
+    val m0 = readManifest(spark, base, version)
+    require(m0.nonEmpty, s"version $version does not exist (or store is empty)")
+    // the DV sidecar is metadata, not a partition — strip it from the
+    // scan set, apply it as a broadcast anti-join at the end
+    val dvDir = m0.get(DvKey)
+    val m = m0 - DvKey
+    def applyDv(df: DataFrame): DataFrame = dvDir.fold(df)(dd =>
+      df.join(broadcast(spark.read.parquet(dd)), Seq("key", "part"), "left_anti"))
     import spark.implicits._
     val entries = m.toSeq.filter { case (p, _) => partFilter(p) }.sorted
     if (entries.isEmpty)
@@ -395,7 +471,7 @@ object SnapshotStore {
       .join(broadcast(lookup), segCol)
     val core = Seq("key", "part", "seq", "vc")
     val extras = df.columns.filterNot(c => core.contains(c) || c == segCol).sorted
-    df.select((core ++ extras).map(col): _*)
+    applyDv(df.select((core ++ extras).map(col): _*))
   }
 
   private def clonesDir(base: String) = new Path(s"$base/_versions/_clones")
@@ -531,15 +607,23 @@ object SnapshotStore {
     val dataRoot = new Path(s"$base/data")
     if (!f.exists(dataRoot)) return
     f.listStatus(dataRoot).filter(_.isDirectory).foreach { attempt =>
-      f.listStatus(attempt.getPath)
-        .filter(st => st.getPath.getName.startsWith("part="))
-        .foreach { st =>
-          if (!referenced.contains(st.getPath.toUri.getPath))
-            f.delete(st.getPath, true)
-        }
-      val left = f.listStatus(attempt.getPath)
-        .filterNot(_.getPath.getName.startsWith("_")) // writer metadata (_SUCCESS)
-      if (left.isEmpty) f.delete(attempt.getPath, true)
+      // deletion-vector sidecars are whole attempt-level dirs (no
+      // part= children): referenced ones survive via the manifest
+      // entry, unreferenced ones sweep as a unit
+      if (attempt.getPath.getName.endsWith("-dv")) {
+        if (!referenced.contains(attempt.getPath.toUri.getPath))
+          f.delete(attempt.getPath, true)
+      } else {
+        f.listStatus(attempt.getPath)
+          .filter(st => st.getPath.getName.startsWith("part="))
+          .foreach { st =>
+            if (!referenced.contains(st.getPath.toUri.getPath))
+              f.delete(st.getPath, true)
+          }
+        val left = f.listStatus(attempt.getPath)
+          .filterNot(_.getPath.getName.startsWith("_")) // writer metadata (_SUCCESS)
+        if (left.isEmpty) f.delete(attempt.getPath, true)
+      }
     }
   }
 }

@@ -1318,6 +1318,70 @@ object TextQueries {
         .select(col("phrase"), col("n_occur"), col("pscore").as("score_micro"))
         .orderBy(col("score_micro").desc, col("phrase"))
         .limit(15)
+    },
+
+    // KNESER-NEY SMOOTHED BIGRAM LM — the classic n-gram language
+    // model estimator (absolute discount d = 3/4 plus a continuation
+    // back-off weighted by how many distinct contexts a word follows)
+    // — the pre-neural LM the surprisal/perplexity quality filters
+    // idealize. EVERYTHING is integer: with d = 3/4 the probability
+    // over the common denominator 4*c(w1)*T is
+    //   [max(4*c12 - 3, 0)*T + 3*N1a(w1)*N1b(w2)] / (4*c1*T)
+    // where N1a = distinct successors of w1, N1b = distinct
+    // predecessors of w2, T = distinct bigram types — so p_ppm is one
+    // truncating division and the whole model is hash-gated. Plan:
+    // one adjacent-pair window per doc, then three partial-agged
+    // shuffles on the bigram/word keys; top-20 by probability.
+    "text_kneser_ney" -> QueryDef(
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(u.p[1] AS BIGINT) AS pos, u.p[2] AS term
+        |  FROM (SELECT doc_id,
+        |          list_zip(range(1, len(regexp_split_to_array(lower(text),
+        |            '[^a-z]+'))+1),
+        |            regexp_split_to_array(lower(text), '[^a-z]+')) AS z
+        |        FROM documents), unnest(z) AS u(p)
+        |  WHERE length(u.p[2]) >= 2),
+        |bg AS (SELECT doc_id, pos, term AS w1,
+        |         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |       FROM tok),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |         CAST(COUNT(*) AS BIGINT) AS n1a
+        |       FROM c12 GROUP BY 1),
+        |n1b AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c12 GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c12)
+        |SELECT c12.w1 AS w1, c12.w2 AS w2, c12.c12 AS c12,
+        |  CAST((GREATEST(4 * c12.c12 - 3, 0) * t.t + 3 * c1.n1a * n1b.n1b)
+        |       * 1000000 // (4 * c1.c1 * t.t) AS BIGINT) AS p_ppm
+        |FROM c12 JOIN c1 ON c12.w1 = c1.w1
+        |JOIN n1b ON c12.w2 = n1b.w2 CROSS JOIN t
+        |ORDER BY 4 DESC, 1, 2 LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("p", "term")))
+        .where(length(col("term")) >= 2)
+        .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("term"))
+      val wNext = Window.partitionBy("doc_id").orderBy("pos")
+      val c12 = tok
+        .withColumn("w2", lead("term", 1).over(wNext))
+        .where(col("w2").isNotNull)
+        .groupBy(col("term").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .localCheckpoint() // feeds c1, n1b, t, and the final join
+      val c1 = c12.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n1a"))
+      val n1b = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val t = c12.agg(count(lit(1)).as("t"))
+      c12.join(broadcast(c1), "w1")
+        .join(broadcast(n1b), "w2")
+        .crossJoin(broadcast(t))
+        .select(col("w1"), col("w2"), col("c12"),
+          expr("""CAST((GREATEST(4 * c12 - 3, 0L) * t + 3 * n1a * n1b)
+                  * 1000000 div (4 * c1 * t) AS BIGINT)""").as("p_ppm"))
+        .orderBy(col("p_ppm").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 }

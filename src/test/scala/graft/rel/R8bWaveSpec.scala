@@ -378,6 +378,40 @@ class R8bWaveSpec extends SparkSpec {
     }
   }
 
+  test("landmark closeness: three landmarks, self-hop included, ratios exact") {
+    val rows = q("graph_closeness").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { r =>
+      val (n, hs, mean) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1 && hs >= 0 && hs <= 3 * n,
+        "hops bounded by the 3-round horizon")
+      assert(mean == hs * 1000000L / n)
+    }
+  }
+
+  test("Kneser-Ney top-20 matches a sequential bigram model at sf0.001") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val bigrams = docs.flatMap { t =>
+      val toks = t.toLowerCase.split("[^a-z]+").filter(_.length >= 2)
+      toks.sliding(2).collect { case Array(a, b) => (a, b) }
+    }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap // (c1, n1a)
+    val n1b = c12.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val t = c12.size.toLong
+    val expected = c12.toSeq.map { case ((w1, w2), c) =>
+      val (cc1, n1a) = c1(w1)
+      val p = (math.max(4 * c - 3, 0) * t + 3 * n1a * n1b(w2)) * 1000000L /
+        (4 * cc1 * t)
+      (w1, w2, c, p)
+    }.sortBy { case (w1, w2, _, p) => (-p, w1, w2) }.take(20)
+    val got = q("text_kneser_ney", sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected, s"\ngot  ${got.toSeq}\nwant $expected")
+  }
+
   test("MACD: first bucket is flat and macd is the rounded ewma spread") {
     val rows = q("tick_macd").collect()
     assert(rows.nonEmpty)

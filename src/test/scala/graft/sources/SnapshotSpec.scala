@@ -488,4 +488,97 @@ class SnapshotSpec extends SparkSpec {
       SnapshotStore.readVersion(spark, base, 2)
     }
   }
+
+  private def kv(base: String, v: Int): Set[(String, Long)] =
+    SnapshotStore.readVersion(spark, base, v)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+
+  test("deletion vector hides rows without rewriting any data dir") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 1L), ("b", "p1", 0L, 2L), ("c", "p2", 0L, 3L))
+        .toDF("key", "part", "seq", "vc"))
+    val m1 = SnapshotStore.readManifest(spark, base, 1)
+    assert(SnapshotStore.deleteRowsDv(spark, base,
+      Seq(("a", "p1"), ("c", "p2")).toDF("key", "part")) == 2)
+    val m2 = SnapshotStore.readManifest(spark, base, 2)
+    // every DATA pointer identical — the delete wrote only the sidecar
+    assert((m2 - SnapshotStore.DvKey) == m1,
+      "a DV delete must not move any partition directory")
+    assert(m2.contains(SnapshotStore.DvKey))
+    assert(kv(base, 2) == Set(("b", 2L)))
+    // time travel to v1 still sees everything
+    assert(kv(base, 1) == Set(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
+  test("a commit re-inserting a DV'd key clears it from the vector") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p", 0L, 1L), ("b", "p", 0L, 2L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.deleteRowsDv(spark, base,
+      Seq(("a", "p"), ("b", "p")).toDF("key", "part"))
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p", 1L, 100L)).toDF("key", "part", "seq", "vc"))
+    // a resurfaces with its new value; b stays deleted
+    assert(kv(base, 3) == Set(("a", 100L)))
+    // clearing the LAST key drops the DV entry entirely
+    SnapshotStore.commit(spark, base,
+      Seq(("b", "p", 2L, 200L)).toDF("key", "part", "seq", "vc"))
+    val m4 = SnapshotStore.readManifest(spark, base, 4)
+    assert(!m4.contains(SnapshotStore.DvKey),
+      "an emptied deletion vector must leave the manifest")
+    assert(kv(base, 4) == Set(("a", 100L), ("b", 200L)))
+  }
+
+  test("compact materializes DV deletes and drops the sidecar") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 1L), ("b", "p1", 0L, 2L), ("c", "p2", 0L, 3L))
+        .toDF("key", "part", "seq", "vc"))
+    SnapshotStore.deleteRowsDv(spark, base, Seq(("a", "p1")).toDF("key", "part"))
+    val v3 = SnapshotStore.compact(spark, base)
+    val m3 = SnapshotStore.readManifest(spark, base, v3)
+    assert(!m3.contains(SnapshotStore.DvKey),
+      "compaction must rematerialize deletes physically")
+    assert(kv(base, v3) == Set(("b", 2L), ("c", 3L)))
+  }
+
+  test("CDF across a DV delete reports the deletions") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 1L), ("b", "p1", 0L, 2L), ("c", "p2", 0L, 3L))
+        .toDF("key", "part", "seq", "vc"))
+    SnapshotStore.deleteRowsDv(spark, base, Seq(("a", "p1")).toDF("key", "part"))
+    val ch = SnapshotStore.changes(spark, base, 1, 2)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(ch == Set(("a", "delete")), s"got $ch")
+  }
+
+  test("vacuum keeps a referenced DV sidecar and sweeps an orphaned one") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p", 0L, 1L), ("b", "p", 0L, 2L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.deleteRowsDv(spark, base, Seq(("a", "p")).toDF("key", "part"))
+    val dvDir1 = SnapshotStore.readManifest(spark, base, 2)(SnapshotStore.DvKey)
+    SnapshotStore.deleteRowsDv(spark, base, Seq(("b", "p")).toDF("key", "part"))
+    val dvDir2 = SnapshotStore.readManifest(spark, base, 3)(SnapshotStore.DvKey)
+    SnapshotStore.vacuum(spark, base, keepVersions = 1)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dvDir2)),
+      "the current version's DV must survive vacuum")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dvDir1)),
+      "an unreferenced DV sidecar must be swept")
+    assert(kv(base, 3) == Set.empty)
+  }
+
+  test("a shallow clone of a DV'd store applies the vector") {
+    val base = freshBase()
+    val cloneBase = freshBase() + "_clone"
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p", 0L, 1L), ("b", "p", 0L, 2L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.deleteRowsDv(spark, base, Seq(("a", "p")).toDF("key", "part"))
+    SnapshotStore.shallowClone(spark, base, cloneBase)
+    assert(kv(cloneBase, 1) == Set(("b", 2L)))
+  }
 }
