@@ -576,6 +576,120 @@ object FeatureQueries {
           max(when(col("rk") === 49, col("mean_micro"))).as("ci_hi_micro"))
         .select(lit(50L).as("n_resamples"), col("full_micro"),
           col("ci_lo_micro"), col("ci_hi_micro"))
+    },
+
+    // RANDOMIZATION (permutation) TEST — the distribution-free
+    // significance test for a two-group mean difference: re-randomize
+    // the group labels 99 times, count how often the permuted |diff|
+    // reaches the observed one. Labels re-draw via the same md5
+    // uniform as the bootstrap (exchangeability under H0 — the
+    // Monte-Carlo randomization variant), so both engines build
+    // bit-identical permutations and the p-value is hash-gated; all
+    // means stay in truncating integer micro units. One explode
+    // (x99) + one partial-agged groupBy; the 99-row diff frame
+    // reduces against the broadcast observed diff.
+    "stat_permutation_test" -> QueryDef(
+      """WITH y AS (
+        |  SELECT c_custkey AS ck, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal) AS BIGINT) AS y
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |obs AS (
+        |  SELECT CAST(SUM(CASE WHEN seg = 'BUILDING' THEN y END) * 1000000
+        |           // COUNT(CASE WHEN seg = 'BUILDING' THEN 1 END)
+        |         - SUM(CASE WHEN seg = 'MACHINERY' THEN y END) * 1000000
+        |           // COUNT(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS BIGINT)
+        |    AS d FROM y),
+        |perm AS (SELECT p, y,
+        |    CAST(concat('0x', substr(md5(concat(CAST(ck AS VARCHAR), '#',
+        |      CAST(p AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 < 500000 AS g1
+        |  FROM y, generate_series(1, 99) g(p)),
+        |pd AS (
+        |  SELECT p,
+        |    CAST(SUM(CASE WHEN g1 THEN y END) * 1000000
+        |           // GREATEST(COUNT(CASE WHEN g1 THEN 1 END), 1)
+        |         - SUM(CASE WHEN NOT g1 THEN y END) * 1000000
+        |           // GREATEST(COUNT(CASE WHEN NOT g1 THEN 1 END), 1) AS BIGINT)
+        |      AS d
+        |  FROM perm GROUP BY 1)
+        |SELECT obs.d AS obs_diff_micro,
+        |  CAST(COUNT(CASE WHEN ABS(pd.d) >= ABS(obs.d) THEN 1 END) AS BIGINT)
+        |    AS n_extreme,
+        |  CAST((1 + COUNT(CASE WHEN ABS(pd.d) >= ABS(obs.d) THEN 1 END))
+        |       * 1000000 // 100 AS BIGINT) AS p_value_ppm
+        |FROM pd, obs GROUP BY obs.d""".stripMargin) { (s, d) =>
+      val y = Tables.customer(s, d)
+        .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal) AS BIGINT)").as("y"))
+        .localCheckpoint() // observed diff + 99 permutations read it
+      val obs = y.agg(expr(
+        """CAST(SUM(CASE WHEN seg = 'BUILDING' THEN y END) * 1000000
+           div COUNT(CASE WHEN seg = 'BUILDING' THEN 1 END)
+           - SUM(CASE WHEN seg = 'MACHINERY' THEN y END) * 1000000
+           div COUNT(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS BIGINT)""")
+        .as("d"))
+      val perm = y.select(col("y"), col("ck"),
+          explode(sequence(lit(1), lit(99))).as("p"))
+        .withColumn("g1", expr(
+          """CAST(conv(substring(md5(concat(CAST(ck AS STRING), '#',
+             CAST(p AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000 < 500000"""))
+      val pd = perm.groupBy("p").agg(expr(
+        """CAST(SUM(CASE WHEN g1 THEN y END) * 1000000
+           div GREATEST(COUNT(CASE WHEN g1 THEN 1 END), 1)
+           - SUM(CASE WHEN NOT g1 THEN y END) * 1000000
+           div GREATEST(COUNT(CASE WHEN NOT g1 THEN 1 END), 1) AS BIGINT)""")
+        .as("d"))
+      pd.crossJoin(broadcast(obs.withColumnRenamed("d", "od")))
+        .groupBy("od")
+        .agg(count(when(abs(col("d")) >= abs(col("od")), 1)).as("n_extreme"))
+        .select(col("od").as("obs_diff_micro"), col("n_extreme"),
+          expr("CAST((1 + n_extreme) * 1000000 div 100 AS BIGINT)")
+            .as("p_value_ppm"))
+    },
+
+    // NEYMAN ALLOCATION — how to split a fixed sampling budget across
+    // strata: n_h proportional to N_h * S_h (big AND variable strata
+    // deserve more samples), the survey-sampling optimum and the
+    // principled version of the balanced/stratified samplers already
+    // in the family. Per-stratum variance comes from the exact
+    // (n, sum, sum-sq) identity; the single sqrt rounds once to a
+    // 1e-3 grid (IEEE-exact both engines), after which the
+    // allocation of 1000 units is pure truncating integer arithmetic
+    // — hash-gated, and the allocations sum to <= 1000 with the
+    // documented remainder (no largest-remainder redistribution, so
+    // the rule is one line on both engines).
+    "sample_neyman_allocation" -> QueryDef(
+      """WITH y AS (
+        |  SELECT c_mktsegment AS seg, CAST(round(c_acctbal) AS BIGINT) AS y
+        |  FROM customer),
+        |g AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(y) AS BIGINT) AS s, CAST(SUM(y*y) AS BIGINT) AS q
+        |      FROM y GROUP BY 1),
+        |v AS (SELECT seg, n,
+        |        CAST(round(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+        |          * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - 1.0)) * 1000) AS BIGINT) AS s_milli
+        |      FROM g),
+        |w AS (SELECT seg, n, s_milli, n * s_milli AS wt FROM v),
+        |tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w)
+        |SELECT seg, n, s_milli,
+        |  CAST(1000 * wt // tw AS BIGINT) AS alloc
+        |FROM w, tw ORDER BY seg""".stripMargin) { (s, d) =>
+      val y = Tables.customer(s, d).select(col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal) AS BIGINT)").as("y"))
+      val g = y.groupBy("seg").agg(count(lit(1)).as("n"),
+        sum("y").as("s"), sum(expr("y*y")).as("q"))
+      val v = g.select(col("seg"), col("n"), expr(
+        """CAST(round(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+           * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0)) * 1000) AS BIGINT)""").as("s_milli"))
+      val w = v.select(col("seg"), col("n"), col("s_milli"),
+        expr("n * s_milli").as("wt"))
+      val tw = w.agg(sum("wt").as("tw"))
+      w.crossJoin(broadcast(tw))
+        .select(col("seg"), col("n"), col("s_milli"),
+          expr("CAST(1000 * wt div tw AS BIGINT)").as("alloc"))
+        .orderBy("seg")
     }
   )
 }

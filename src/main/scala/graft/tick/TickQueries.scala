@@ -1230,6 +1230,55 @@ object TickQueries {
         .select(col("event_type"), col("bucket"),
           sum("flow").over(wRun).cast("long").as("obv"))
         .orderBy("event_type", "bucket")
+    },
+
+    // ULCER INDEX — RMS of the percentage drawdown from the rolling
+    // 14-day high: where tick_drawdown reports the single WORST dip,
+    // the ulcer index integrates how deep and how long the series sat
+    // below its peak (the denominator of the Martin ratio). Drawdown
+    // ppm is exact integer against the window max; the RMS closes
+    // with one sqrt of an integer mean (truncating // 14), rounded
+    // once — hash-gated. Two window passes over the tiny daily frame.
+    "tick_ulcer_index" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    MAX_BY(CAST(round(value*100) AS BIGINT), ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type, bucket,
+        |    CAST((MAX(close) OVER w - close) * 1000000
+        |         // MAX(close) OVER w AS BIGINT) AS dd_ppm,
+        |    COUNT(*) OVER w AS wn
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |sq AS (
+        |  SELECT event_type, bucket, dd_ppm,
+        |    CAST(SUM(dd_ppm * dd_ppm) OVER w // 14 AS BIGINT) AS msq
+        |  FROM dd WHERE wn = 14
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, dd_ppm,
+        |  CAST(round(sqrt(CAST(msq AS DOUBLE))) AS BIGINT) AS ulcer_ppm
+        |FROM sq ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(-13, 0)
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(max_by(expr("CAST(round(value*100) AS BIGINT)"), col("ts")).as("close"))
+      val dd = day
+        .withColumn("mx", max("close").over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .select(col("event_type"), col("bucket"),
+          expr("CAST((mx - close) * 1000000 div mx AS BIGINT)").as("dd_ppm"),
+          col("wn"))
+        .where(col("wn") === 14)
+      dd.withColumn("msq", sum(expr("dd_ppm * dd_ppm")).over(w).cast("long"))
+        .select(col("event_type"), col("bucket"), col("dd_ppm"),
+          expr("CAST(round(sqrt(CAST(msq div 14 AS DOUBLE))) AS BIGINT)")
+            .as("ulcer_ppm"))
+        .orderBy("event_type", "bucket")
     }
   )
 }

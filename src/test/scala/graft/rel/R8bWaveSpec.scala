@@ -412,6 +412,61 @@ class R8bWaveSpec extends SparkSpec {
     assert(got.toSeq == expected, s"\ngot  ${got.toSeq}\nwant $expected")
   }
 
+  test("permutation test matches a sequential md5-relabel reference") {
+    val rows = spark.read.parquet(s"$sf0001/customer.parquet")
+      .where("c_mktsegment IN ('BUILDING', 'MACHINERY')")
+      .selectExpr("c_custkey", "c_mktsegment", "CAST(round(c_acctbal) AS BIGINT) AS y")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(ck: Long, p: Int): Long = {
+      val hex = md.digest(s"$ck#$p".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000
+    }
+    def meanDiff(groups: Array[(Boolean, Long)]): Long = {
+      val g1 = groups.filter(_._1).map(_._2)
+      val g2 = groups.filterNot(_._1).map(_._2)
+      g1.sum * 1000000L / math.max(g1.length, 1) -
+        g2.sum * 1000000L / math.max(g2.length, 1)
+    }
+    val obs = meanDiff(rows.map { case (_, seg, y) => (seg == "BUILDING", y) })
+    val nExtreme = (1 to 99).count { p =>
+      val d = meanDiff(rows.map { case (ck, _, y) => (u(ck, p) < 500000, y) })
+      math.abs(d) >= math.abs(obs)
+    }
+    val r = q("stat_permutation_test", sf0001).collect().head
+    assert(r.getLong(0) == obs)
+    assert(r.getLong(1) == nExtreme.toLong)
+    assert(r.getLong(2) == (1 + nExtreme) * 1000000L / 100)
+  }
+
+  test("Neyman allocation spends the budget modulo truncation, monotonically") {
+    val rows = q("sample_neyman_allocation").collect()
+    assert(rows.length == 5)
+    val total = rows.map(_.getLong(3)).sum
+    assert(total <= 1000 && total >= 1000 - 5,
+      s"truncating allocation loses < 1 unit per stratum, got $total")
+    val byWt = rows.map(r => (r.getLong(1) * r.getLong(2), r.getLong(3)))
+    byWt.sortBy(_._1).sliding(2).foreach {
+      case Array((_, a1), (_, a2)) => assert(a1 <= a2,
+        "bigger N_h * S_h must never get fewer samples")
+      case _ =>
+    }
+  }
+
+  test("ulcer index is an RMS: bounded by the window's worst drawdown") {
+    val rows = q("tick_ulcer_index").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dd, ui) = (r.getLong(2), r.getLong(3))
+      assert(dd >= 0 && dd <= 1000000)
+      assert(ui >= 0 && ui <= 1000000)
+    }
+    // RMS over the window can't exceed the global max drawdown
+    val maxDd = rows.map(_.getLong(2)).max
+    assert(rows.map(_.getLong(3)).max <= maxDd + 1)
+  }
+
   test("MACD: first bucket is flat and macd is the rounded ewma spread") {
     val rows = q("tick_macd").collect()
     assert(rows.nonEmpty)
