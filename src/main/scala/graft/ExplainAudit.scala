@@ -64,7 +64,16 @@ object ExplainAudit {
       "sim_hybrid_search", // BM25 pass + broadcast query vector + rank fusion
       "events_bot_detection", // per-user lag window, whole-second moments
       "sample_negatives",  // batch x catalog grid, interaction anti-join
-      "streaming_join_outer") // watermark-bounded outer state (batch explain)
+      "streaming_join_outer", // watermark-bounded outer state (batch explain)
+      "q6_agg",            // all predicates pushed, 4-col ReadSchema
+      "q17_subquery",      // decorrelated per-part AVG, brand pushed to part
+      "q18_join",          // aggregate-before-join, 2-col fact scan
+      "graph_clustering_coeff", // oriented wedges + corner explode, no self-join
+      "graph_ppr",         // per-round state join + seed-row union
+      "vec_pca_power",     // one n*d^2 co-moment shuffle, broadcast iterations
+      "text_kneser_ney",   // one adjacency window + bigram-keyed partial aggs
+      "stat_bootstrap_ci", // map-local x50 explode, partial-agged resample means
+      "store_delete_vectors") // snapshot scan + ONE broadcast DV anti-join
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

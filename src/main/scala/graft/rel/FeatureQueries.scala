@@ -690,6 +690,53 @@ object FeatureQueries {
         .select(col("seg"), col("n"), col("s_milli"),
           expr("CAST(1000 * wt div tw AS BIGINT)").as("alloc"))
         .orderBy("seg")
+    },
+
+    // HORVITZ-THOMPSON ESTIMATOR — unbiased population-total estimate
+    // from an UNEQUAL-probability sample: each unit enters with
+    // inclusion probability proportional to its (absolute) size, and
+    // the estimator re-weights every sampled value by 1/pi. This is
+    // the pps-sampling counterpart to the equal-probability samplers
+    // in the family — the design that makes a 0.1% sample of a
+    // heavy-tailed 100 TB fact table estimate totals the uniform
+    // sample cannot. Inclusion draws from the shared md5 uniform
+    // (bit-identical both engines), pi in exact milli units with a
+    // 20-milli floor (no unbounded 1/pi weights), and the HT sum is
+    // pure truncating integer arithmetic — hash-gated, alongside the
+    // true total for an honest accuracy read.
+    "sample_horvitz_thompson" -> QueryDef(
+      """WITH y AS (
+        |  SELECT c_custkey AS ck, CAST(round(c_acctbal) AS BIGINT) AS y
+        |  FROM customer),
+        |mx AS (SELECT CAST(MAX(ABS(y)) AS BIGINT) AS mx FROM y),
+        |p AS (SELECT ck, y,
+        |        GREATEST(1000 * ABS(y) // mx.mx, 20) AS pi_milli
+        |      FROM y, mx),
+        |s AS (SELECT ck, y, pi_milli FROM p
+        |      WHERE CAST(concat('0x', substr(md5(concat('ht-',
+        |        CAST(ck AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 < pi_milli)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM y) AS n_pop,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sample,
+        |  CAST(SUM(y * 1000 // pi_milli) AS BIGINT) AS ht_total_est,
+        |  (SELECT CAST(SUM(y) AS BIGINT) FROM y) AS true_total
+        |FROM s""".stripMargin) { (s, d) =>
+      val y = Tables.customer(s, d).select(col("c_custkey").as("ck"),
+          expr("CAST(round(c_acctbal) AS BIGINT)").as("y"))
+        .localCheckpoint() // max probe, sample filter, and the two totals
+      val mx = y.agg(max(abs(col("y"))).as("mx"))
+      val p = y.crossJoin(broadcast(mx))
+        .select(col("ck"), col("y"),
+          expr("GREATEST(1000 * ABS(y) div mx, 20)").as("pi_milli"))
+      val sm = p.where(expr(
+        """CAST(conv(substring(md5(concat('ht-', CAST(ck AS STRING))), 1, 15),
+           16, 10) AS BIGINT) % 1000""") < col("pi_milli"))
+      sm.agg(count(lit(1)).as("n_sample"),
+          sum(expr("y * 1000 div pi_milli")).as("ht_total_est"))
+        .crossJoin(broadcast(y.agg(count(lit(1)).as("n_pop"),
+          sum("y").as("true_total"))))
+        .select(col("n_pop"), col("n_sample"), col("ht_total_est"),
+          col("true_total"))
     }
   )
 }

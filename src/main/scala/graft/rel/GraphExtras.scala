@@ -123,6 +123,41 @@ object GraphExtras {
     core
   }
 
+  /** Personalized PageRank over undirected edges `(a, b)` (both
+    * orientations present): `rounds` diffusion steps of 1e-12 integer
+    * walk mass from `seed`, damping 85/100 with truncating division.
+    * The restart mass re-enters via a UNION of one constant row (not
+    * a join), so each round is one state join onto the pinned edge
+    * list + one partial-aggregated groupBy; unreached nodes stay
+    * absent rather than zero. Broadcast and CoPartitioned tiers are
+    * hash-identical (pinned in R8bWaveSpec) — the same two-tier
+    * posture as [[PageRank.run]].
+    */
+  def pprRounds(und: DataFrame, seed: Long, rounds: Int,
+                strategy: GraphLoops.Strategy = GraphLoops.Broadcast)
+      : DataFrame = {
+    val s = und.sparkSession
+    val dg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val edges = GraphLoops.pinEdges(
+      und.join(dg, und("a") === dg("n")).select(col("a").as("u"),
+        col("b").as("v"), col("d")), "u", strategy)
+    def oneRow(r: Long) = {
+      import s.implicits._
+      Seq((seed, r)).toDF("node", "r")
+    }
+    var pr = oneRow(1000000000000L) // all walk mass starts at the seed
+    for (_ <- 1 to rounds) {
+      val contrib = GraphLoops.stateJoin(edges, pr, edges("u") === pr("node"),
+          strategy)
+        .select(edges("v").as("node"), expr("r div d").as("c"))
+        .groupBy("node")
+        .agg(expr("(85 * sum(c)) div 100").as("r"))
+      pr = contrib.unionByName(oneRow(150000000000L)).groupBy("node")
+        .agg(sum("r").as("r")).localCheckpoint()
+    }
+    pr
+  }
+
   private[graft] val defs: Map[String, QueryDef] = Map(
 
     // CORENESS — every node's k-core number in one run (graph_kcore
@@ -479,26 +514,8 @@ object GraphExtras {
           (col("l_suppkey") * 2 + 1).cast("long").as("b"))
         .distinct()
       val ed = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-      val dg = ed.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
-      val edges = GraphLoops.pinEdges(
-        ed.join(dg, ed("a") === dg("n")).select(col("a").as("u"), col("b").as("v"),
-          col("d")), "u", GraphLoops.Broadcast)
-      val seed = 2L
-      def oneRow(sp: org.apache.spark.sql.SparkSession, r: Long) = {
-        import sp.implicits._
-        Seq((seed, r)).toDF("node", "r")
-      }
-      var pr = oneRow(s, 1000000000000L) // all walk mass starts at the seed
-      for (_ <- 1 to 3) {
-        val contrib = GraphLoops.stateJoin(edges, pr, edges("u") === pr("node"),
-            GraphLoops.Broadcast)
-          .select(edges("v").as("node"), expr("r div d").as("c"))
-          .groupBy("node")
-          .agg(expr("(85 * sum(c)) div 100").as("r"))
-        pr = contrib.unionByName(oneRow(s, 150000000000L)).groupBy("node")
-          .agg(sum("r").as("r")).localCheckpoint()
-      }
-      pr.orderBy(col("r").desc, col("node")).limit(20)
+      pprRounds(ed, seed = 2L, rounds = 3)
+        .orderBy(col("r").desc, col("node")).limit(20)
     },
 
     // LANDMARK CLOSENESS — per-landmark mean BFS distance over the

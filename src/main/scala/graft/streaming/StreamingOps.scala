@@ -214,6 +214,57 @@ object StreamingOps {
     (base, TickVersioned.currentVersion(spark, base))
   }
 
+  /** Streamed GDPR-style deletion: v1 commits all clicks into a
+    * snapshot store, then a 4-file key stream drains through
+    * foreachBatch -> [[graft.sources.SnapshotStore.deleteRowsDv]] —
+    * each micro-batch of delete keys becomes one DV version with NO
+    * data dir rewritten (the production right-to-be-forgotten shape:
+    * deletion requests arrive continuously; each lands as a tiny
+    * sidecar commit). Returns (store base, final version).
+    */
+  def dvDeleteStreamOnce(spark: SparkSession, dir: String): (String, Int) = synchronized {
+    import graft.sources.SnapshotStore
+    val root = s"${sys.props("java.io.tmpdir")}/graft_dvstream_v1_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(root, "_done")
+    val base = s"$root/store"
+    if (!fs.exists(done)) {
+      fs.delete(rootPath, true)
+      val clicks = graft.Tables.events(spark, dir)
+        .where(col("event_type") === "click")
+        .select(col("event_id").cast("string").as("key"),
+          date_format(col("ts"), "yyyy-MM-dd").as("part"),
+          lit(0L).as("seq"),
+          expr("CAST(round(value*100) AS BIGINT)").as("vc"))
+      SnapshotStore.commit(spark, base, clicks) // v1: the full table
+      val srcDir = s"$root/incoming"
+      clicks.where(col("key").cast("long") % 5 === 0)
+        .select("key", "part")
+        .repartition(4) // four files -> four delete micro-batches
+        .write.parquet(srcDir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part-*")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/_chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            SnapshotStore.deleteRowsDv(batch.sparkSession, base,
+              batch.select("key", "part"))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      fs.create(done, true).close()
+    }
+    (base, graft.sources.SnapshotStore.currentVersion(spark, base))
+  }
+
   /** Watermarked append-mode aggregation (for the unit suite): with a
     * `delay` watermark, only windows older than max(event time) - delay
     * are finalized and emitted — late rows beyond the watermark are

