@@ -258,6 +258,67 @@ object TpchQueries {
         .where(expr("5 * CAST(l_quantity AS BIGINT) * n < sq"))
         .agg(count(lit(1)).as("n_small"),
           sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("loss_c"))
+    },
+
+    // TPC-H Q13 — customer order-count distribution: how many
+    // customers placed 0, 1, 2, ... qualifying orders? The double
+    // aggregation over a LEFT join (customers with no qualifying
+    // orders must land in the 0 bucket, which an inner join silently
+    // drops). Plan order: the orders side filters at the scan, the
+    // per-customer count collapses the join output before the tiny
+    // distribution aggregate — two shuffles, the second over
+    // |customers| rows. The filter stands in for the original's
+    // comment-pattern exclusion with an equality the scan can push.
+    "q13_join" -> QueryDef(
+      """WITH oc AS (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM oc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      val oc = Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_orderpriority") =!= "5-LOW"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      oc.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q22 — dormant high-value accounts: customers whose
+    // balance beats the positive-balance average yet who never placed
+    // an urgent order. The two classic decorrelations in one query:
+    // the scalar AVG subquery broadcasts as one row, and the NOT
+    // EXISTS becomes a left-anti join against the (scan-filtered,
+    // collapsed-to-distinct) urgent-customer set. Grouped by nation
+    // band; balance sums in exact cents. The original's phone-prefix
+    // grouping maps to the nation key this schema carries instead.
+    "q22_join" -> QueryDef(
+      """WITH avg_bal AS (
+        |  SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0),
+        |urgent AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT')
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM urgent WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      val avgBal = Tables.customer(s, d).where(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("a"))
+      val urgent = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").distinct()
+      Tables.customer(s, d)
+        .crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("a"))
+        .join(urgent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(expr("CAST(round(c_acctbal*100) AS BIGINT)")).as("totacctbal_c"))
+        .orderBy("c_nationkey")
     }
   )
 }

@@ -17,6 +17,84 @@ object VecQueries {
     */
   val PlantedIdOffset: Long = 1L << 40
 
+  /** Shared oracle prefix for the PCA pair: quantized coordinates,
+    * exact co-moment covariance, and five integer power-iteration
+    * rounds (see vec_pca_power's comment for the arithmetic bounds).
+    */
+  private val PcaCteSql: String =
+    """WITH fx AS (
+      |  SELECT vec_id, CAST(u.p[1] - 1 AS BIGINT) AS i,
+      |         CAST(round(CAST(u.p[2] AS DOUBLE) * 1024) AS BIGINT) AS f
+      |  FROM (SELECT vec_id, list_zip(range(1, len(embedding)+1), embedding) AS z
+      |        FROM embeddings), unnest(z) AS u(p)),
+      |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM fx),
+      |s AS (SELECT i, CAST(SUM(f) AS BIGINT) AS s FROM fx GROUP BY 1),
+      |pp AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.f * b.f) AS BIGINT) AS p
+      |       FROM fx a JOIN fx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |c AS (SELECT pp.i, pp.j,
+      |        CAST(pp.p // nn.n - (s1.s // nn.n) * (s2.s // nn.n) AS BIGINT) AS c
+      |      FROM pp CROSS JOIN nn
+      |      JOIN s s1 ON pp.i = s1.i JOIN s s2 ON pp.j = s2.i),
+      |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS x FROM fx),
+      |u1 AS (SELECT c.i, CAST(SUM(c.c * v0.x) AS BIGINT) AS u
+      |       FROM c JOIN v0 ON c.j = v0.i GROUP BY 1),
+      |m1 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u1),
+      |v1 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u1, m1),
+      |u2 AS (SELECT c.i, CAST(SUM(c.c * v1.x) AS BIGINT) AS u
+      |       FROM c JOIN v1 ON c.j = v1.i GROUP BY 1),
+      |m2 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u2),
+      |v2 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u2, m2),
+      |u3 AS (SELECT c.i, CAST(SUM(c.c * v2.x) AS BIGINT) AS u
+      |       FROM c JOIN v2 ON c.j = v2.i GROUP BY 1),
+      |m3 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u3),
+      |v3 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u3, m3),
+      |u4 AS (SELECT c.i, CAST(SUM(c.c * v3.x) AS BIGINT) AS u
+      |       FROM c JOIN v3 ON c.j = v3.i GROUP BY 1),
+      |m4 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u4),
+      |v4 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u4, m4),
+      |u5 AS (SELECT c.i, CAST(SUM(c.c * v4.x) AS BIGINT) AS u
+      |       FROM c JOIN v4 ON c.j = v4.i GROUP BY 1),
+      |m5 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd,
+      |              CAST(MAX(ABS(u)) AS BIGINT) AS mx FROM u5),
+      |v5 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u5, m5)""".stripMargin
+
+  /** Spark side of the same pipeline: returns (fx quantized frame,
+    * final 64-row component (i, x), 1-row (nd, mx) of the last round).
+    */
+  private def pcaPower(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val fx = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), col("p").cast("long").as("i"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)").as("f"))
+      .localCheckpoint() // feeds nn, s, pp, v0 — pin the quantized frame
+    val nn = fx.agg(countDistinct("vec_id").as("n"))
+    val sS = fx.groupBy("i").agg(sum("f").as("s"))
+    val pp = fx.as("a").join(fx.as("b"), "vec_id")
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.f") * col("b.f")).as("p"))
+    val c = pp.crossJoin(broadcast(nn))
+      .join(broadcast(sS.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(sS.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .select(col("i"), col("j"),
+        expr("p div n - (si div n) * (sj div n)").as("c"))
+      .localCheckpoint() // 4096 rows drive all five iterations
+    var v = fx.select("i").distinct().withColumn("x", lit(1000000L))
+    var lastU: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 5) {
+      val u = c.join(broadcast(v.select(col("i").as("j"), col("x"))), "j")
+        .groupBy("i").agg(sum(expr("c * x")).as("u"))
+        .localCheckpoint()
+      val nd = u.agg(expr("CAST(max(abs(u)) div 1000000 + 1 AS BIGINT)").as("nd"),
+        max(abs(col("u"))).as("mx"))
+      lastU = nd
+      v = u.crossJoin(broadcast(nd)).select(col("i"),
+        expr("u div nd").as("x"))
+    }
+    (fx, v, lastU)
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // exact cosine top-5 for 10 query vectors, oracle-checked: the
@@ -416,74 +494,41 @@ object VecQueries {
     // iterate entirely in broadcast land. Bound sanity at 100x data:
     // sum f_i*f_j <= (4*2^10)^2 * n — BIGINT-safe past 1e11 vectors.
     "vec_pca_power" -> QueryDef(
-      """WITH fx AS (
-        |  SELECT vec_id, CAST(u.p[1] - 1 AS BIGINT) AS i,
-        |         CAST(round(CAST(u.p[2] AS DOUBLE) * 1024) AS BIGINT) AS f
-        |  FROM (SELECT vec_id, list_zip(range(1, len(embedding)+1), embedding) AS z
-        |        FROM embeddings), unnest(z) AS u(p)),
-        |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM fx),
-        |s AS (SELECT i, CAST(SUM(f) AS BIGINT) AS s FROM fx GROUP BY 1),
-        |pp AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.f * b.f) AS BIGINT) AS p
-        |       FROM fx a JOIN fx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-        |c AS (SELECT pp.i, pp.j,
-        |        CAST(pp.p // nn.n - (s1.s // nn.n) * (s2.s // nn.n) AS BIGINT) AS c
-        |      FROM pp CROSS JOIN nn
-        |      JOIN s s1 ON pp.i = s1.i JOIN s s2 ON pp.j = s2.i),
-        |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS x FROM fx),
-        |u1 AS (SELECT c.i, CAST(SUM(c.c * v0.x) AS BIGINT) AS u
-        |       FROM c JOIN v0 ON c.j = v0.i GROUP BY 1),
-        |m1 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u1),
-        |v1 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u1, m1),
-        |u2 AS (SELECT c.i, CAST(SUM(c.c * v1.x) AS BIGINT) AS u
-        |       FROM c JOIN v1 ON c.j = v1.i GROUP BY 1),
-        |m2 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u2),
-        |v2 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u2, m2),
-        |u3 AS (SELECT c.i, CAST(SUM(c.c * v2.x) AS BIGINT) AS u
-        |       FROM c JOIN v2 ON c.j = v2.i GROUP BY 1),
-        |m3 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u3),
-        |v3 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u3, m3),
-        |u4 AS (SELECT c.i, CAST(SUM(c.c * v3.x) AS BIGINT) AS u
-        |       FROM c JOIN v3 ON c.j = v3.i GROUP BY 1),
-        |m4 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd FROM u4),
-        |v4 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u4, m4),
-        |u5 AS (SELECT c.i, CAST(SUM(c.c * v4.x) AS BIGINT) AS u
-        |       FROM c JOIN v4 ON c.j = v4.i GROUP BY 1),
-        |m5 AS (SELECT CAST(MAX(ABS(u)) // 1000000 + 1 AS BIGINT) AS nd,
-        |              CAST(MAX(ABS(u)) AS BIGINT) AS mx FROM u5),
-        |v5 AS (SELECT i, CAST(u // nd AS BIGINT) AS x FROM u5, m5)
-        |SELECT v5.i AS dim, v5.x AS v_munit, m5.mx AS growth
-        |FROM v5, m5 ORDER BY dim""".stripMargin) { (s, d) =>
-      val fx = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
-        .select(col("vec_id"), col("p").cast("long").as("i"),
-          expr("CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)").as("f"))
-        .localCheckpoint() // feeds nn, s, pp, v0 — pin the quantized frame
-      val nn = fx.agg(countDistinct("vec_id").as("n"))
-      val sS = fx.groupBy("i").agg(sum("f").as("s"))
-      val pp = fx.as("a").join(fx.as("b"), "vec_id")
-        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-        .agg(sum(col("a.f") * col("b.f")).as("p"))
-      val c = pp.crossJoin(broadcast(nn))
-        .join(broadcast(sS.select(col("i"), col("s").as("si"))), "i")
-        .join(broadcast(sS.select(col("i").as("j"), col("s").as("sj"))), "j")
-        .select(col("i"), col("j"),
-          expr("p div n - (si div n) * (sj div n)").as("c"))
-        .localCheckpoint() // 4096 rows drive all three iterations
-      var v = fx.select("i").distinct().withColumn("x", lit(1000000L))
-      var lastU: org.apache.spark.sql.DataFrame = null
-      for (_ <- 1 to 5) {
-        val u = c.join(broadcast(v.select(col("i").as("j"), col("x"))), "j")
-          .groupBy("i").agg(sum(expr("c * x")).as("u"))
-          .localCheckpoint()
-        val nd = u.agg(expr("CAST(max(abs(u)) div 1000000 + 1 AS BIGINT)").as("nd"),
-          max(abs(col("u"))).as("mx"))
-        lastU = nd
-        v = u.crossJoin(broadcast(nd)).select(col("i"),
-          expr("u div nd").as("x"))
-      }
+      s"""$PcaCteSql
+         |SELECT v5.i AS dim, v5.x AS v_munit, m5.mx AS growth
+         |FROM v5, m5 ORDER BY dim""".stripMargin) { (s, d) =>
+      val (_, v, lastU) = pcaPower(s, d)
       v.crossJoin(broadcast(lastU.select(col("mx").as("growth"))))
         .select(col("i").as("dim"), col("x").as("v_munit"), col("growth"))
         .orderBy("dim")
+    },
+
+    // PCA PROJECTION — every embedding scored along the learned top
+    // component: the dimensionality-reduction APPLICATION (1-D
+    // semantic axis for binning, drift monitoring, or coarse
+    // clustering), proving the component is usable, not just
+    // computable. Projection = one broadcast of the 64-row component
+    // onto the quantized frame + a per-vector partial-agg dot product
+    // — exact integers end to end, so the full train-then-apply
+    // pipeline is hash-gated. Top-20 by projection with the label
+    // riding along.
+    "vec_pca_project" -> QueryDef(
+      s"""$PcaCteSql,
+         |proj AS (
+         |  SELECT fx.vec_id, CAST(SUM(fx.f * v5.x) AS BIGINT) AS pr
+         |  FROM fx JOIN v5 ON fx.i = v5.i GROUP BY 1)
+         |SELECT e.vec_id, e.label, CAST(proj.pr // 1024 AS BIGINT) AS proj_munit
+         |FROM proj JOIN embeddings e ON e.vec_id = proj.vec_id
+         |ORDER BY proj_munit DESC, e.vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      val (fx, v, _) = pcaPower(s, d)
+      val proj = fx
+        .join(broadcast(v.select(col("i"), col("x"))), "i")
+        .groupBy("vec_id").agg(sum(expr("f * x")).as("pr"))
+      proj.join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+        .select(col("vec_id"), col("label"),
+          expr("CAST(pr div 1024 AS BIGINT)").as("proj_munit"))
+        .orderBy(col("proj_munit").desc, col("vec_id"))
+        .limit(20)
     }
   )
 }

@@ -518,6 +518,42 @@ class R8bWaveSpec extends SparkSpec {
       s"HT estimate $est too far from $truth")
   }
 
+  test("q13: the distribution partitions the customer population") {
+    val rows = q("q13_join").collect()
+    val nCust = spark.read.parquet(s"$sf001/customer.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nCust,
+      "custdist counts must sum to the customer population")
+    assert(rows.forall(_.getLong(0) >= 0))
+  }
+
+  test("q22: dormant accounts exist and every group sums positive balances") {
+    val rows = q("q22_join").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) > 0))
+    // above-the-positive-average balances are necessarily positive
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("PCA projection: scores agree with a dot product of the published component") {
+    val comp = q("vec_pca_power", sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(x => math.round(x.toDouble * 1024)))
+      .toMap
+    val got = q("vec_pca_project", sf0001).collect()
+    assert(got.length == 20)
+    val scores = got.map(_.getLong(2)).toSeq
+    assert(scores == scores.sortBy(-_), "ordered by projection desc")
+    got.foreach { r =>
+      val expected = vecs(r.getLong(0)).zipWithIndex
+        .map { case (f, i) => f * comp(i.toLong) }.sum / 1024
+      assert(r.getLong(2) == expected,
+        s"projection mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
   test("MACD: first bucket is flat and macd is the rounded ewma spread") {
     val rows = q("tick_macd").collect()
     assert(rows.nonEmpty)
