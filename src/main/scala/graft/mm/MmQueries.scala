@@ -120,6 +120,47 @@ object MmQueries {
         Multimodal.withFakeMedia(Tables.documents(s, d)), frameBytes = 4, stride = 2)
         .select(col("doc_id"), col("frame_idx"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // BYTE-BUDGET BATCH PACKING — assemble media examples into
+    // training batches under a per-batch byte budget, sharded so the
+    // packing parallelizes: the media twin of pack_sequences (which
+    // budgets tokens). Assignment is the deterministic LINEAR pack —
+    // batch = (bytes before me, in doc order within my shard) div
+    // budget — one running-sum window per shard, no sequential
+    // bin-packing state, so the same layout computes on any number of
+    // executors. Media sizes are stub-derived (1000..9999 bytes from
+    // an md5 draw — the decode seam is stubbed, the plumbing is real)
+    // and the oracle re-derives them identically; every batch except
+    // a shard's last lands within budget of full (pinned in the
+    // suite).
+    "mm_pack_batches" -> QueryDef(
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    1000 + CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 9000
+        |      AS bytes
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, bytes,
+        |        SUM(bytes) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) - bytes AS before
+        |      FROM m)
+        |SELECT shard, CAST(before // 65536 AS BIGINT) AS batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val m = Tables.documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        expr("""1000 + CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)
+                % 9000""").as("bytes"))
+      m.withColumn("before", sum("bytes").over(w) - col("bytes"))
+        .groupBy(col("shard"), expr("CAST(before div 65536 AS BIGINT)").as("batch_id"))
+        .agg(count(lit(1)).as("n_items"), sum("bytes").as("total_bytes"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard", "batch_id")
     }
   )
 }

@@ -108,6 +108,24 @@ object AnalyticsQueries {
           .withColumn("vc", col("vc") + 5000L)))
   }
 
+  /** One-version store for store_zone_skip: clicks keyed by event_id,
+    * day-partitioned, with vc = EPOCH MICROSECONDS — a value axis that
+    * correlates with the partition axis, exactly the layout where
+    * zone-map stats turn a value-range query into a few-partition
+    * read without the reader knowing the partition semantics.
+    */
+  private def ensureZoneStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.SnapshotStore
+    val base = storeBase(d, "snapzone")
+    ensureVersions(s, base)(
+      () => SnapshotStore.commit(s, base,
+        Tables.events(s, d).where(col("event_type") === "click")
+          .select(col("event_id").cast("string").as("key"),
+            date_format(col("ts"), "yyyy-MM-dd").as("part"),
+            lit(0L).as("seq"),
+            expr("unix_micros(ts)").as("vc"))))
+  }
+
   /** Two-version store for store_schema_evolution: v2's day-5 upsert
     * CARRIES A COLUMN v1 NEVER HAD (`quality`) — the schema evolves in
     * place, no historical rewrite.
@@ -212,9 +230,40 @@ object AnalyticsQueries {
     "store_scd2" -> ((s, d) => { ensureDimStore(s, d); () }),
     "store_incremental_join" -> ((s, d) => { ensureFactStore(s, d); () }),
     "store_replicate_cdf" -> ((s, d) => { ensureReplicaStore(s, d); () }),
-    "store_delete_vectors" -> ((s, d) => { ensureDvStore(s, d); () }))
+    "store_delete_vectors" -> ((s, d) => { ensureDvStore(s, d); () }),
+    "store_zone_skip" -> ((s, d) => { ensureZoneStore(s, d); () }))
 
   val defs: Map[String, QueryDef] = Map(
+
+    // ZONE-MAP DATA SKIPPING — a value-range query answered by
+    // manifest-level stats pruning: commit() records each partition's
+    // (min vc, max vc), and readVersionVcRange scans ONLY partitions
+    // whose band intersects the range (here vc = epoch micros, which
+    // correlates with the day partitioning — the Iceberg/Delta
+    // file-skipping pattern that makes "last 3 days of a 100 TB
+    // store" a 3-partition read). Stats are optional metadata:
+    // unindexed partitions read conservatively and the residual
+    // filter keeps the result exact either way; SnapshotSpec pins
+    // that the pruned scan actually touches only the overlapping
+    // partitions' files.
+    "store_zone_skip" -> QueryDef(
+      """WITH c AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS part, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(us) AS BIGINT) AS total_us
+        |FROM c
+        |WHERE us >= 1704672000000000 AND us <= 1704931199999999
+        |GROUP BY part ORDER BY part""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val base = ensureZoneStore(s, d)
+      SnapshotStore.readVersionVcRange(s, base,
+          SnapshotStore.currentVersion(s, base),
+          lo = 1704672000000000L, hi = 1704931199999999L)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n"), sum("vc").as("total_us"))
+        .orderBy("part")
+    },
 
     // DELETION-VECTOR lifecycle under the oracle gate: v1 all clicks,
     // v2 deletes every key%3==0 row via a (key, part) sidecar with NO

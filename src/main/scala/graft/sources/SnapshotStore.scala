@@ -56,6 +56,9 @@ object SnapshotStore {
   private def manifestPath(base: String, v: Int) =
     new Path(s"$base/_versions/v$v.manifest")
 
+  private def statsPath(base: String, v: Int) =
+    new Path(s"$base/_versions/v$v.stats")
+
   /** Partition-dir name -> partition value. Spark writes Hive-style
     * escaping (`a/b` -> `a%2Fb`); java.net.URLDecoder is NOT its
     * inverse (it turns '+' into a space, which escapePathName never
@@ -189,7 +192,69 @@ object SnapshotStore {
         }
     }
     publish(spark, base, next, manifest, dataDir)
+    // ZONE MAP upkeep (optional metadata — see readVersionVcRange):
+    // touched partitions get fresh (min vc, max vc) from the merged
+    // frame; untouched ones inherit. Written only AFTER a successful
+    // publish, so a losing committer never plants stats for a version
+    // it did not write; a crash in between just loses the skip index
+    // for this version (reads stay correct, only less prunable).
+    val touchedStats = merged.where(col("vc").isNotNull).groupBy("part")
+      .agg(min("vc").as("mn"), max("vc").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    writeStats(spark, base, next,
+      (readStats(spark, base, v) -- touchedStats.keys) ++ touchedStats)
     next
+  }
+
+  /** Per-partition (min vc, max vc) zone map of a version — Iceberg/
+    * Delta-style file-skipping stats reduced to the store's manifest
+    * model. OPTIONAL metadata: a missing file (or missing entry)
+    * means "cannot skip, must read", never an error — so only
+    * [[commit]] maintains it, and rewriting operations (delete,
+    * merge, compact) simply leave the rewritten version unindexed
+    * until the next commit touches it.
+    */
+  private[sources] def readStats(spark: SparkSession, base: String, v: Int)
+      : Map[String, (Long, Long)] = {
+    val f = fs(spark, base)
+    if (v == 0 || !f.exists(statsPath(base, v))) Map.empty
+    else {
+      val in = f.open(statsPath(base, v))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(part, mn, mx) = line.split("\t", 3)
+        part -> (mn.toLong, mx.toLong)
+      }.toMap
+    }
+  }
+
+  private def writeStats(spark: SparkSession, base: String, v: Int,
+      stats: Map[String, (Long, Long)]): Unit = {
+    val f = fs(spark, base)
+    val tmp = new Path(s"$base/_versions/.v$v.stats.tmp")
+    val out = f.create(tmp, true)
+    try out.write(stats.toSeq.sorted.map { case (p, (mn, mx)) => s"$p\t$mn\t$mx" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // only-if-absent: in a commit race the winner's stats stand
+    if (!f.rename(tmp, statsPath(base, v))) f.delete(tmp, false)
+  }
+
+  /** Snapshot read pruned by the ZONE MAP: partitions whose stored
+    * [min vc, max vc] band cannot intersect `[lo, hi]` never reach
+    * the scan — manifest-level data skipping, the pattern that turns
+    * a value-range query on a time-correlated 100 TB store into a
+    * few-partition read. Partitions WITHOUT stats are conservatively
+    * read; the residual row filter applies either way, so the result
+    * is always exactly the range — skipping only changes I/O.
+    */
+  def readVersionVcRange(spark: SparkSession, base: String, version: Int,
+      lo: Long, hi: Long): DataFrame = {
+    val stats = readStats(spark, base, version)
+    readVersionWhere(spark, base, version, p => stats.get(p) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None           => true
+    }).where(col("vc") >= lo && col("vc") <= hi)
   }
 
   /** Delete by key predicate as a new version: the touched partitions
@@ -603,7 +668,10 @@ object SnapshotStore {
     val referenced = kept.flatMap(v => readManifest(spark, base, v).values)
       .map(d => new Path(d).toUri.getPath).toSet ++
       (if (force) Set.empty else registeredCloneRefs(spark, base))
-    (1 until cutoff).foreach(v => f.delete(manifestPath(base, v), false))
+    (1 until cutoff).foreach { v =>
+      f.delete(manifestPath(base, v), false)
+      f.delete(statsPath(base, v), false) // zone map dies with its manifest
+    }
     val dataRoot = new Path(s"$base/data")
     if (!f.exists(dataRoot)) return
     f.listStatus(dataRoot).filter(_.isDirectory).foreach { attempt =>

@@ -581,4 +581,60 @@ class SnapshotSpec extends SparkSpec {
     SnapshotStore.shallowClone(spark, base, cloneBase)
     assert(kv(cloneBase, 1) == Set(("b", 2L)))
   }
+
+  test("zone map prunes non-overlapping partitions at the manifest level") {
+    val base = freshBase()
+    // three partitions with disjoint vc bands
+    SnapshotStore.commit(spark, base, Seq(
+      ("a", "p1", 0L, 100L), ("b", "p1", 0L, 199L),
+      ("c", "p2", 0L, 200L), ("d", "p2", 0L, 299L),
+      ("e", "p3", 0L, 300L), ("f", "p3", 0L, 399L))
+      .toDF("key", "part", "seq", "vc"))
+    val stats = SnapshotStore.readStats(spark, base, 1)
+    assert(stats == Map("p1" -> (100L, 199L), "p2" -> (200L, 299L),
+      "p3" -> (300L, 399L)))
+    val df = SnapshotStore.readVersionVcRange(spark, base, 1, 200L, 250L)
+    // pre-scan pruning: the relation itself excludes p1/p3 dirs, so
+    // even the PRE-pruning file listing shows only p2's files
+    assert(df.inputFiles.forall(_.contains("part=p2")),
+      s"files: ${df.inputFiles.mkString(",")}")
+    assert(df.collect().map(_.getString(0)).toSet == Set("c"))
+  }
+
+  test("zone map inherits untouched partitions and refreshes touched ones") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base, Seq(
+      ("a", "p1", 0L, 10L), ("b", "p2", 0L, 20L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.commit(spark, base, Seq(
+      ("a2", "p1", 0L, 15L)).toDF("key", "part", "seq", "vc"))
+    val s2 = SnapshotStore.readStats(spark, base, 2)
+    assert(s2("p2") == (20L, 20L), "untouched partition stats inherit")
+    assert(s2("p1") == (10L, 15L),
+      "touched partition stats cover old AND carried-forward rows")
+  }
+
+  test("a version without stats reads conservatively but correctly") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base, Seq(
+      ("a", "p1", 0L, 10L), ("b", "p2", 0L, 20L)).toDF("key", "part", "seq", "vc"))
+    // delete() rewrites and does not maintain stats
+    SnapshotStore.delete(spark, base, Seq("p1"), col("key") === "zzz")
+    assert(SnapshotStore.readStats(spark, base, 2).isEmpty ||
+      !SnapshotStore.readStats(spark, base, 2).contains("p1"))
+    val got = SnapshotStore.readVersionVcRange(spark, base, 2, 15L, 25L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(got == Set(("b", 20L)), "unindexed partitions still filter exactly")
+  }
+
+  test("vacuum sweeps stats files with their manifests") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p", 0L, 1L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p", 1L, 2L)).toDF("key", "part", "seq", "vc"))
+    SnapshotStore.vacuum(spark, base, keepVersions = 1)
+    assert(SnapshotStore.readStats(spark, base, 1).isEmpty,
+      "v1 stats must die with the v1 manifest")
+    assert(SnapshotStore.readStats(spark, base, 2)("p") == (2L, 2L))
+  }
 }
