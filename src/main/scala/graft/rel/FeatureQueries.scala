@@ -737,6 +737,121 @@ object FeatureQueries {
           sum("y").as("true_total"))))
         .select(col("n_pop"), col("n_sample"), col("ht_total_est"),
           col("true_total"))
+    },
+
+    // MULTIPLE LINEAR REGRESSION — price ~ quantity + discount via the
+    // closed-form normal equations: ONE partial-aggregated pass
+    // collects the nine exact integer moments, then Cramer's rule on
+    // the 3x3 system closes the coefficients in a shared double-op
+    // sequence (the same identical-text discipline as Jarque-Bera; no
+    // iterative solver, no per-row residual pass). This is the
+    // multi-feature extension of agg_regression's simple OLS — the
+    // map-side-combinable shape that fits a 100 TB regression in one
+    // shuffle of nine numbers.
+    "stat_ols_multi" -> QueryDef(
+      """WITH r AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+        |        CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x1*x1) AS BIGINT) AS s11,
+        |        CAST(SUM(x1*x2) AS BIGINT) AS s12,
+        |        CAST(SUM(x2*x2) AS BIGINT) AS s22,
+        |        CAST(SUM(x1*y) AS BIGINT) AS s1y,
+        |        CAST(SUM(x2*y) AS BIGINT) AS s2y
+        |      FROM r),
+        |d AS (SELECT n,
+        |        CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b,
+        |        CAST(s2 AS DOUBLE) AS c, CAST(s11 AS DOUBLE) AS dd,
+        |        CAST(s12 AS DOUBLE) AS e, CAST(s22 AS DOUBLE) AS f,
+        |        CAST(sy AS DOUBLE) AS gy, CAST(s1y AS DOUBLE) AS h,
+        |        CAST(s2y AS DOUBLE) AS k
+        |      FROM g),
+        |m AS (SELECT n, gy, h, k, a, b, c, dd, e, f,
+        |        a * (dd * f - e * e) - b * (b * f - c * e)
+        |          + c * (b * e - c * dd) AS det
+        |      FROM d)
+        |SELECT n,
+        |  CAST(round((gy * (dd * f - e * e) - b * (h * f - k * e)
+        |    + c * (h * e - k * dd)) / det * 1000000) AS BIGINT) AS b0_micro,
+        |  CAST(round((a * (h * f - k * e) - gy * (b * f - c * e)
+        |    + c * (b * k - c * h)) / det * 1000000) AS BIGINT) AS b1_micro,
+        |  CAST(round((a * (dd * k - e * h) - b * (b * k - c * h)
+        |    + gy * (b * e - c * dd)) / det * 1000000) AS BIGINT) AS b2_micro
+        |FROM m""".stripMargin) { (s, d) =>
+      val r = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("x1"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("x2"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      r.agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+          sum("y").as("sy"), sum(expr("x1*x1")).as("s11"),
+          sum(expr("x1*x2")).as("s12"), sum(expr("x2*x2")).as("s22"),
+          sum(expr("x1*y")).as("s1y"), sum(expr("x2*y")).as("s2y"))
+        .selectExpr("n",
+          "CAST(n AS DOUBLE) AS a", "CAST(s1 AS DOUBLE) AS b",
+          "CAST(s2 AS DOUBLE) AS c", "CAST(s11 AS DOUBLE) AS dd",
+          "CAST(s12 AS DOUBLE) AS e", "CAST(s22 AS DOUBLE) AS f",
+          "CAST(sy AS DOUBLE) AS gy", "CAST(s1y AS DOUBLE) AS h",
+          "CAST(s2y AS DOUBLE) AS k")
+        .selectExpr("n", "gy", "h", "k", "a", "b", "c", "dd", "e", "f",
+          """a * (dd * f - e * e) - b * (b * f - c * e)
+             + c * (b * e - c * dd) AS det""")
+        .selectExpr("n",
+          """CAST(round((gy * (dd * f - e * e) - b * (h * f - k * e)
+             + c * (h * e - k * dd)) / det * 1000000) AS BIGINT) AS b0_micro""",
+          """CAST(round((a * (h * f - k * e) - gy * (b * f - c * e)
+             + c * (b * k - c * h)) / det * 1000000) AS BIGINT) AS b1_micro""",
+          """CAST(round((a * (dd * k - e * h) - b * (b * k - c * h)
+             + gy * (b * e - c * dd)) / det * 1000000) AS BIGINT) AS b2_micro""")
+    },
+
+    // DIFFERENCE-IN-DIFFERENCES — the panel-data causal estimator:
+    // (treated post − treated pre) − (control post − control pre)
+    // cancels both the group baseline and the common time trend. The
+    // assignment here is the deterministic user-id parity (a stand-in
+    // for a rollout flag), the cutover is Jan 15, and every cell mean
+    // is an exact truncating micro-cents integer off one grouped pass
+    // — the whole 2x2 panel plus the estimate is hash-gated and
+    // map-side combinable at any event volume.
+    "events_did" -> QueryDef(
+      """WITH p AS (
+        |  SELECT user_id % 2 = 0 AS treated,
+        |    ts >= TIMESTAMP '2024-01-15 00:00:00' AS post,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(vc) * 1000000 // COUNT(*) AS BIGINT) AS mean_micro
+        |      FROM p GROUP BY 1, 2),
+        |w AS (SELECT
+        |        MAX(CASE WHEN treated AND post THEN mean_micro END) AS tp,
+        |        MAX(CASE WHEN treated AND NOT post THEN mean_micro END) AS tq,
+        |        MAX(CASE WHEN NOT treated AND post THEN mean_micro END) AS cp,
+        |        MAX(CASE WHEN NOT treated AND NOT post THEN mean_micro END) AS cq,
+        |        CAST(SUM(n) AS BIGINT) AS n_total
+        |      FROM g)
+        |SELECT n_total, tp, tq, cp, cq,
+        |  CAST((tp - tq) - (cp - cq) AS BIGINT) AS did_micro
+        |FROM w""".stripMargin) { (s, d) =>
+      val p = graft.Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select((col("user_id") % 2 === 0).as("treated"),
+          (col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+            .as("post"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      val g = p.groupBy("treated", "post")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(vc) * 1000000 div COUNT(*) AS BIGINT)").as("mean_micro"))
+      g.agg(
+          max(when(col("treated") && col("post"), col("mean_micro"))).as("tp"),
+          max(when(col("treated") && !col("post"), col("mean_micro"))).as("tq"),
+          max(when(!col("treated") && col("post"), col("mean_micro"))).as("cp"),
+          max(when(!col("treated") && !col("post"), col("mean_micro"))).as("cq"),
+          sum("n").as("n_total"))
+        .select(col("n_total"), col("tp"), col("tq"), col("cp"), col("cq"),
+          expr("CAST((tp - tq) - (cp - cq) AS BIGINT)").as("did_micro"))
     }
   )
 }

@@ -571,6 +571,36 @@ object GraphExtras {
           expr("CAST(SUM(hop) * 1000000 div COUNT(*) AS BIGINT)")
             .as("mean_hop_micro"))
         .orderBy("landmark")
+    },
+
+    // DEGREE DISTRIBUTION — the first diagnostic run on ANY graph:
+    // how many nodes carry each degree (hub detection, power-law
+    // sanity, super-node budgeting before join planning — the number
+    // that told graph_common_neighbors where to cap). Two partial-
+    // aggregated reductions: edges -> per-node degree -> per-degree
+    // node count; never more than O(nodes) intermediate. Runs on the
+    // customer<->supplier bipartite co-order graph (the coreness/BFS
+    // family's graph), whose two sides carry genuinely different
+    // degree profiles — the supplier co-order projection is
+    // near-complete at small SF and would collapse to one row.
+    "graph_degree_dist" -> QueryDef(
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |u0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM u0 GROUP BY 1)
+        |SELECT CASE WHEN a % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+        |  d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e0 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val u0 = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      u0.groupBy("a").agg(count(lit(1)).as("d"))
+        .groupBy(when(col("a") % 2 === 0, "customer").otherwise("supplier")
+          .as("side"), col("d").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("side", "degree")
     }
   )
 }

@@ -554,6 +554,61 @@ class R8bWaveSpec extends SparkSpec {
     }
   }
 
+  test("multiple OLS matches a sequential normal-equations solve bit-for-bit") {
+    val rows = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT) AS x1",
+        "CAST(round(l_discount * 100) AS BIGINT) AS x2",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length.toLong
+    def s(f: ((Long, Long, Long)) => Long) = rows.map(f).sum
+    val (a, b, c) = (n.toDouble, s(_._1).toDouble, s(_._2).toDouble)
+    val dd = s(t => t._1 * t._1).toDouble
+    val e = s(t => t._1 * t._2).toDouble
+    val f = s(t => t._2 * t._2).toDouble
+    val gy = s(_._3).toDouble
+    val h = s(t => t._1 * t._3).toDouble
+    val k = s(t => t._2 * t._3).toDouble
+    val det = a * (dd * f - e * e) - b * (b * f - c * e) + c * (b * e - c * dd)
+    val b0 = (gy * (dd * f - e * e) - b * (h * f - k * e) +
+      c * (h * e - k * dd)) / det
+    val b1 = (a * (h * f - k * e) - gy * (b * f - c * e) +
+      c * (b * k - c * h)) / det
+    val b2 = (a * (dd * k - e * h) - b * (b * k - c * h) +
+      gy * (b * e - c * dd)) / det
+    val r = q("stat_ols_multi", sf0001).collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == math.round(b0 * 1000000))
+    assert(r.getLong(2) == math.round(b1 * 1000000))
+    assert(r.getLong(3) == math.round(b2 * 1000000))
+    // (no sign assertion: the synthetic extendedprice is not
+    // quantity-linked, so the coefficients are data, not economics)
+  }
+
+  test("DiD: the estimate is the double difference of the published cells") {
+    val r = q("events_did").collect().head
+    val (tp, tq, cp, cq, did) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(did == (tp - tq) - (cp - cq))
+    val nPurch = graft.Tables.events(spark, sf001)
+      .where("event_type = 'purchase'").count()
+    assert(r.getLong(0) == nPurch, "cells must partition all purchases")
+  }
+
+  test("degree distribution conserves nodes and edge endpoints") {
+    val rows = q("graph_degree_dist").collect()
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
+      Seq("customer", "supplier"))
+    val endpointSum = rows.map(r => r.getLong(1) * r.getLong(2)).sum
+    import org.apache.spark.sql.functions.col
+    val nEdges = spark.read.parquet(s"$sf001/orders.parquet")
+      .join(spark.read.parquet(s"$sf001/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().count()
+    assert(endpointSum == 2 * nEdges,
+      "sum of degree*count must equal twice the edge count")
+  }
+
   test("MACD: first bucket is flat and macd is the rounded ewma spread") {
     val rows = q("tick_macd").collect()
     assert(rows.nonEmpty)
