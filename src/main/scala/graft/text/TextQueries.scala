@@ -1382,6 +1382,60 @@ object TextQueries {
                   * 1000000 div (4 * c1 * t) AS BIGINT)""").as("p_ppm"))
         .orderBy(col("p_ppm").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // N-GRAM NOVELTY — per held-out document, what fraction of its
+    // bigrams never occur in the training split? The memorization /
+    // train-val-overlap metric that complements decontamination
+    // (which asks "is the benchmark in the corpus"; this asks "how
+    // derivative is each document"). The train vocabulary collapses
+    // to DISTINCT bigrams before the membership probe, and the probe
+    // is a left-anti equi-join keyed on the bigram — at 100 TB the
+    // vocabulary shards across the cluster and the join stays
+    // key-partitioned (no broadcast assumption). Exact integer
+    // counts + truncating ppm; per-doc rows for the 10% held-out.
+    "text_ngram_novelty" -> QueryDef(
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(u.p[1] AS BIGINT) AS pos, u.p[2] AS term
+        |  FROM (SELECT doc_id,
+        |          list_zip(range(1, len(regexp_split_to_array(lower(text),
+        |            '[^a-z]+'))+1),
+        |            regexp_split_to_array(lower(text), '[^a-z]+')) AS z
+        |        FROM documents), unnest(z) AS u(p)
+        |  WHERE length(u.p[2]) >= 2),
+        |bg AS (SELECT doc_id, concat(term, ' ',
+        |         lead(term) OVER (PARTITION BY doc_id ORDER BY pos)) AS b
+        |       FROM tok QUALIFY
+        |         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+        |train AS (SELECT DISTINCT b FROM bg WHERE doc_id % 10 <> 0),
+        |val AS (SELECT doc_id, b FROM bg WHERE doc_id % 10 = 0)
+        |SELECT val.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(COUNT(CASE WHEN train.b IS NULL THEN 1 END) AS BIGINT) AS n_novel,
+        |  CAST(COUNT(CASE WHEN train.b IS NULL THEN 1 END) * 1000000
+        |       // COUNT(*) AS BIGINT) AS novelty_ppm
+        |FROM val LEFT JOIN train ON val.b = train.b
+        |GROUP BY val.doc_id ORDER BY val.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wNext = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("p", "term")))
+        .where(length(col("term")) >= 2)
+        .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("term"))
+        .withColumn("nxt", lead("term", 1).over(wNext))
+        .where(col("nxt").isNotNull)
+        .select(col("doc_id"), concat(col("term"), lit(" "), col("nxt")).as("b"))
+        .localCheckpoint() // train vocab and the val probe both read it
+      val train = bg.where(col("doc_id") % 10 =!= 0).select("b").distinct()
+      val valSide = bg.where(col("doc_id") % 10 === 0)
+      valSide.join(train.withColumnRenamed("b", "tb"),
+          col("b") === col("tb"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("tb").isNull, 1)).as("n_novel"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+          expr("n_novel * 1000000 div n_bigrams").as("novelty_ppm"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -609,6 +609,30 @@ class R8bWaveSpec extends SparkSpec {
       "sum of degree*count must equal twice the edge count")
   }
 
+  test("blocking audit: ratios are consistent and completeness is non-trivial") {
+    val r = q("er_blocking_quality").collect().head
+    val (names, ap, cp, tm, cm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(ap == names * (names - 1) / 2, "all-pairs must be n-choose-2")
+    assert(cp < ap, "blocking must reduce the pair space")
+    assert(cm <= tm && cm > 0)
+    assert(r.getLong(5) == (ap - cp) * 1000000L / ap)
+    assert(r.getLong(6) == cm * 1000000L / tm)
+    assert(r.getLong(6) < 1000000L,
+      "the whole-name truth must expose missed matches, not a tautology")
+  }
+
+  test("n-gram novelty: held-out docs only, ratios exact, bounded") {
+    val rows = q("text_ngram_novelty").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 0, "only held-out docs report")
+      val (nb, nn, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nn >= 0 && nn <= nb)
+      assert(ppm == nn * 1000000L / nb)
+    }
+  }
+
   test("MACD: first bucket is flat and macd is the rounded ewma spread") {
     val rows = q("tick_macd").collect()
     assert(rows.nonEmpty)
