@@ -682,6 +682,97 @@ object EventQueries {
           expr("n_converted * 1000000 div n_viewers").as("conv_ppm"),
           when(col("n_converted") === 0, lit(null))
             .otherwise(expr("sd div n_converted div 1000")).as("mean_delay_ms"))
+    },
+
+    // KAPLAN-MEIER SURVIVAL — the product-limit estimator over
+    // right-censored durations, the standard for time-to-convert /
+    // time-to-churn with incomplete observation. Durations are days
+    // from first view to first purchase; censoring is a deterministic
+    // md5 draw (3..10 days — an administrative-cutoff stand-in that
+    // EXERCISES shrinking risk sets, the part naive ECDFs get wrong).
+    // The life table is exact integers (at-risk via a suffix-sum
+    // window, per-time deaths/censorings, hazard ppm); the cumulative
+    // product rides in LOG SPACE as a running sum of per-factor
+    // micro-rounded ln(1 - d/n) terms (the ulp-safe grid idiom), one
+    // exp at the end. Two shuffles: per-user durations, then the tiny
+    // per-time table.
+    "events_survival_km" -> QueryDef(
+      """WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS tp
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > v.tv GROUP BY 1),
+        |u AS (SELECT v.user_id,
+        |        CAST(date_diff('day', v.tv, p.tp) AS BIGINT) AS conv_days,
+        |        3 + CAST(concat('0x', substr(md5(concat('km-',
+        |          CAST(v.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS cens_days
+        |      FROM v JOIN p ON v.user_id = p.user_id),
+        |o AS (SELECT user_id, LEAST(conv_days, cens_days) AS t,
+        |        conv_days <= cens_days AS ev FROM u),
+        |lt AS (SELECT t, CAST(COUNT(CASE WHEN ev THEN 1 END) AS BIGINT) AS d,
+        |         CAST(COUNT(CASE WHEN NOT ev THEN 1 END) AS BIGINT) AS c,
+        |         CAST(SUM(COUNT(*)) OVER (ORDER BY t DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS n_risk
+        |       FROM o GROUP BY t),
+        |km AS (SELECT t, n_risk, d, c,
+        |         CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_ppm,
+        |         CAST(SUM(CASE WHEN d > 0 AND d < n_risk
+        |           THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+        |                / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+        |           ELSE 0 END) OVER (ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cum_ln_micro,
+        |         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |       FROM lt)
+        |SELECT t, n_risk, d, c, hazard_ppm, cum_ln_micro,
+        |  CASE WHEN dead = 1 THEN 0
+        |       ELSE CAST(round(exp(CAST(cum_ln_micro AS DOUBLE) / 1000000)
+        |            * 1000000) AS BIGINT) END AS survival_ppm
+        |FROM km ORDER BY t""".stripMargin) { (sp, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.events(sp, d)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+        .localCheckpoint() // purchase probe + duration join
+      val p = ev.where(col("event_type") === "purchase")
+        .join(v, "user_id").where(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      val u = v.join(p, "user_id")
+        .select(col("user_id"),
+          datediff(col("tp").cast("date"), col("tv").cast("date")).cast("long")
+            .as("conv_days"),
+          expr("""3 + CAST(conv(substring(md5(concat('km-',
+                  CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 8""")
+            .as("cens_days"))
+      val o = u.select(least(col("conv_days"), col("cens_days")).as("t"),
+        (col("conv_days") <= col("cens_days")).as("ev"))
+      val wRisk = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val lt = o.groupBy("t")
+        .agg(count(when(col("ev"), 1)).as("d"),
+          count(when(!col("ev"), 1)).as("c"),
+          count(lit(1)).as("n_here"))
+        .withColumn("n_risk", sum("n_here").over(wRisk).cast("long"))
+        .drop("n_here")
+      val wCum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      lt.withColumn("hazard_ppm", expr("d * 1000000 div n_risk"))
+        .withColumn("cum_ln_micro", sum(
+          when(col("d") > 0 && col("d") < col("n_risk"),
+            expr("""CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                    / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)"""))
+            .otherwise(lit(0L))).over(wCum).cast("long"))
+        .withColumn("dead", max(when(col("d") === col("n_risk"), 1)
+          .otherwise(0)).over(wCum))
+        .select(col("t"), col("n_risk"), col("d"), col("c"), col("hazard_ppm"),
+          col("cum_ln_micro"),
+          when(col("dead") === 1, lit(0L))
+            .otherwise(expr("""CAST(round(exp(CAST(cum_ln_micro AS DOUBLE)
+                               / 1000000) * 1000000) AS BIGINT)"""))
+            .as("survival_ppm"))
+        .orderBy("t")
     }
   )
 }

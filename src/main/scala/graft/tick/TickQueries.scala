@@ -1330,6 +1330,121 @@ object TickQueries {
                      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
              * sqrt(252.0) * 1000) AS BIGINT) AS sharpe_milli""")
         .orderBy("event_type")
+    },
+
+    // VALUE-AT-RISK + EXPECTED SHORTFALL — the tail-risk pair: VaR95
+    // is the 5th percentile of daily ppm returns (how bad a 1-in-20
+    // day gets), ES the mean of the days at or below it (how bad the
+    // bad days are — the coherent measure Basel moved to). Percentile
+    // via the shared histogram-refinement RankStats (no per-group
+    // value maps, no full shuffle); the tail mean is exact integer
+    // over the <= VaR cut — the interpolated threshold is a
+    // half-integer-safe double on both engines. Completes the risk
+    // family: sharpe (reward/vol), ulcer (drawdown RMS), VaR/ES (tail).
+    "tick_var_es" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    MAX_BY(CAST(round(value*100) AS BIGINT), ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST((close - lag(close) OVER w) * 1000000
+        |         // lag(close) OVER w AS BIGINT) AS r
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |rr AS (SELECT event_type, r FROM r WHERE r IS NOT NULL),
+        |v AS (SELECT event_type, quantile_cont(r, 0.05) AS var95 FROM rr
+        |      GROUP BY 1)
+        |SELECT rr.event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(round(v.var95) AS BIGINT) AS var95_ppm,
+        |  CAST(SUM(CASE WHEN rr.r <= v.var95 THEN rr.r END)
+        |       // COUNT(CASE WHEN rr.r <= v.var95 THEN 1 END) AS BIGINT)
+        |    AS es_ppm
+        |FROM rr JOIN v ON rr.event_type = v.event_type
+        |GROUP BY rr.event_type, v.var95 ORDER BY rr.event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy("event_type").orderBy("bucket")
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(max_by(expr("CAST(round(value*100) AS BIGINT)"), col("ts")).as("close"))
+      val rr = day
+        .withColumn("prev", lag("close", 1).over(wLag))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"),
+          expr("CAST((close - prev) * 1000000 div prev AS BIGINT)").as("r"))
+        .localCheckpoint() // percentile pass + tail aggregate
+      val v = graft.rel.RankStats.percentiles(rr, "event_type", "r",
+          Seq(0.05 -> "var95"))
+        .select(col("event_type").as("vet"), col("var95"))
+      rr.join(broadcast(v), col("event_type") === col("vet"))
+        .groupBy("event_type", "var95")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("r") <= col("var95"), col("r"))).as("tail_sum"),
+          count(when(col("r") <= col("var95"), 1)).as("tail_n"))
+        .select(col("event_type"), col("n_days"),
+          expr("CAST(round(var95) AS BIGINT)").as("var95_ppm"),
+          expr("CAST(tail_sum div tail_n AS BIGINT)").as("es_ppm"))
+        .orderBy("event_type")
+    },
+
+    // DFT POWER SPECTRUM — an 8-bin discrete Fourier transform of
+    // each series' daily closes: the frequency-domain seasonality
+    // detector (a weekly cycle concentrates power at k = n/7). The
+    // twiddle factors pre-round to the 1e-6 grid (the ulp-safe ln()
+    // idiom applied to cos/sin), so the correlation sums are exact
+    // BIGINT — scaled back by 1e6 before squaring to keep power in
+    // range — and the whole spectrum is hash-gated. One tiny
+    // day-frame cross join with the 8-row frequency axis, partial-
+    // aggregated per (series, k); no FFT recursion needed at this
+    // bin count, and the shape stays one aggregate at any series
+    // length.
+    "tick_dft_power" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    MAX_BY(CAST(round(value*100) AS BIGINT), ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, close,
+        |          CAST(row_number() OVER (PARTITION BY event_type
+        |            ORDER BY bucket) - 1 AS BIGINT) AS t,
+        |          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |        FROM day),
+        |k AS (SELECT UNNEST(range(1, 9)) AS k),
+        |corr AS (
+        |  SELECT event_type, k, n,
+        |    CAST(SUM(close * CAST(round(cos(2 * pi() * k * t
+        |      / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) // 1000000 AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(close * CAST(round(sin(2 * pi() * k * t
+        |      / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) // 1000000 AS BIGINT)
+        |      AS b
+        |  FROM idx CROSS JOIN k GROUP BY 1, 2, 3)
+        |SELECT event_type, k, a, b, CAST(a * a + b * b AS BIGINT) AS power
+        |FROM corr ORDER BY event_type, k""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val wIdx = Window.partitionBy("event_type").orderBy("bucket")
+      val wN = Window.partitionBy("event_type")
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(max_by(expr("CAST(round(value*100) AS BIGINT)"), col("ts")).as("close"))
+      val idx = day
+        .withColumn("t", (row_number().over(wIdx) - 1).cast("long"))
+        .withColumn("n", count(lit(1)).over(wN).cast("long"))
+        .select("event_type", "close", "t", "n")
+      val ks = idx.sparkSession.range(1, 9).toDF("k")
+      idx.crossJoin(broadcast(ks))
+        .groupBy("event_type", "k", "n")
+        .agg(
+          expr("""CAST(SUM(close * CAST(round(cos(2 * pi() * k * t
+                  / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) div 1000000
+                  AS BIGINT)""").as("a"),
+          expr("""CAST(SUM(close * CAST(round(sin(2 * pi() * k * t
+                  / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) div 1000000
+                  AS BIGINT)""").as("b"))
+        .select(col("event_type"), col("k"), col("a"), col("b"),
+          expr("CAST(a * a + b * b AS BIGINT)").as("power"))
+        .orderBy("event_type", "k")
     }
   )
 }

@@ -633,6 +633,44 @@ class R8bWaveSpec extends SparkSpec {
     }
   }
 
+  test("Kaplan-Meier: risk sets shrink, survival is monotone, censoring real") {
+    val rows = q("events_survival_km").collect()
+    assert(rows.length >= 3)
+    val risks = rows.map(_.getLong(1)).toSeq
+    assert(risks == risks.sortBy(-_), "at-risk counts shrink over time")
+    val surv = rows.map(_.getLong(6)).toSeq
+    assert(surv == surv.sortBy(-_), "survival is non-increasing")
+    assert(surv.head <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) <= r.getLong(1),
+        "deaths + censorings bounded by the risk set")
+    }
+    assert(rows.map(_.getLong(3)).sum > 0,
+      "the md5 censoring must actually censor someone")
+  }
+
+  test("VaR/ES: expected shortfall sits at or below the VaR threshold") {
+    val rows = q("tick_var_es").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(3) <= r.getLong(2),
+        "the tail mean cannot exceed its threshold")
+    }
+  }
+
+  test("DFT spectrum: full frequency axis per series, power = a^2 + b^2") {
+    val rows = q("tick_dft_power").collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { grp =>
+      assert(grp.map(_.getLong(1)).sorted.toSeq == (1L to 8L))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(4) ==
+        r.getLong(2) * r.getLong(2) + r.getLong(3) * r.getLong(3))
+    }
+  }
+
   test("MACD: first bucket is flat and macd is the rounded ewma spread") {
     val rows = q("tick_macd").collect()
     assert(rows.nonEmpty)
