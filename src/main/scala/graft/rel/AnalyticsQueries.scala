@@ -126,6 +126,27 @@ object AnalyticsQueries {
             expr("unix_micros(ts)").as("vc"))))
   }
 
+  /** Branch store for store_branch_diff: a shallow clone of the click
+    * store (zero-copy v1) that then DIVERGES — one commit upserting
+    * the day-7 rows (+777) and inserting fresh keys on day 3. The
+    * clone's evolution never touches the source's dirs.
+    */
+  private def ensureBranchStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.SnapshotStore
+    val src = ensureClickStore(s, d)
+    val base = storeBase(d, "snapbranch")
+    ensureVersions(s, base)(
+      () => { SnapshotStore.shallowClone(s, src, base); () },
+      () => SnapshotStore.commit(s, base,
+        clicksOf(s, d).where(col("part") === "2024-01-07")
+          .withColumn("seq", lit(2L))
+          .withColumn("vc", col("vc") + 777L)
+          .unionByName(clicksOf(s, d)
+            .where(col("part") === "2024-01-03" && col("key").cast("long") % 3 === 0)
+            .withColumn("key", (col("key").cast("long") + 900000L).cast("string"))
+            .withColumn("seq", lit(2L)))))
+  }
+
   /** Two-version store for store_schema_evolution: v2's day-5 upsert
     * CARRIES A COLUMN v1 NEVER HAD (`quality`) — the schema evolves in
     * place, no historical rewrite.
@@ -231,7 +252,8 @@ object AnalyticsQueries {
     "store_incremental_join" -> ((s, d) => { ensureFactStore(s, d); () }),
     "store_replicate_cdf" -> ((s, d) => { ensureReplicaStore(s, d); () }),
     "store_delete_vectors" -> ((s, d) => { ensureDvStore(s, d); () }),
-    "store_zone_skip" -> ((s, d) => { ensureZoneStore(s, d); () }))
+    "store_zone_skip" -> ((s, d) => { ensureZoneStore(s, d); () }),
+    "store_branch_diff" -> ((s, d) => { ensureBranchStore(s, d); () }))
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -1649,6 +1671,59 @@ object AnalyticsQueries {
           .write.mode("overwrite").parquet(mvPath)
       refreshCountSumView(s, base, s.read.parquet(mvPath), 1, 2)
         .orderBy("part")
+    },
+
+    // BRANCH DIFF — the git-workflow read over shallow clones: a
+    // zero-copy branch of the click store diverges (day-7 upsert +
+    // 20 inserted keys), and the diff between branch head and source
+    // head classifies every (key, part) as added / changed / same by
+    // a full-outer join of the two snapshot reads. Cross-STORE diff
+    // complements the within-store CDF: changes() walks one commit
+    // chain; this compares two chains that share physical history.
+    // Only the per-class counts and the changed-rows vc delta come
+    // back — the join stays distributed on (key, part).
+    "store_branch_diff" -> QueryDef(
+      """WITH c AS (
+        |  SELECT event_id AS id, strftime(ts, '%Y-%m-%d') AS part,
+        |    CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'click'),
+        |src AS (SELECT CAST(id AS VARCHAR) AS key, part,
+        |          vc + CASE WHEN part = '2024-01-05' THEN 1000 ELSE 0 END AS vc
+        |        FROM c),
+        |br AS (SELECT key, part,
+        |         vc + CASE WHEN part = '2024-01-07' THEN 777 ELSE 0 END AS vc
+        |       FROM src
+        |       UNION ALL
+        |       SELECT CAST(id + 900000 AS VARCHAR), part, vc FROM c
+        |       WHERE part = '2024-01-03' AND id % 3 = 0),
+        |j AS (SELECT
+        |        CASE WHEN src.key IS NULL THEN 'added'
+        |             WHEN br.vc <> src.vc THEN 'changed'
+        |             ELSE 'same' END AS class,
+        |        COALESCE(br.vc, 0) - COALESCE(src.vc, 0) AS dv
+        |      FROM br LEFT JOIN src
+        |        ON br.key = src.key AND br.part = src.part)
+        |SELECT class, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(dv) AS BIGINT) AS vc_delta
+        |FROM j GROUP BY class ORDER BY class""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotStore
+      val srcBase = ensureClickStore(s, d)
+      val brBase = ensureBranchStore(s, d)
+      val src = SnapshotStore.readVersion(s, srcBase,
+        SnapshotStore.currentVersion(s, srcBase))
+        .select(col("key"), col("part"), col("vc").as("svc"))
+      val br = SnapshotStore.readVersion(s, brBase,
+        SnapshotStore.currentVersion(s, brBase))
+        .select(col("key"), col("part"), col("vc").as("bvc"))
+      br.join(src, Seq("key", "part"), "left")
+        .select(
+          when(col("svc").isNull, "added")
+            .when(col("bvc") =!= col("svc"), "changed")
+            .otherwise("same").as("class"),
+          (coalesce(col("bvc"), lit(0L)) - coalesce(col("svc"), lit(0L))).as("dv"))
+        .groupBy("class")
+        .agg(count(lit(1)).as("n"), sum("dv").as("vc_delta"))
+        .orderBy("class")
     },
 
     // triangle counting on the supplier co-order graph (edge = two

@@ -852,6 +852,128 @@ object FeatureQueries {
           sum("n").as("n_total"))
         .select(col("n_total"), col("tp"), col("tq"), col("cp"), col("cq"),
           expr("CAST((tp - tq) - (cp - cq) AS BIGINT)").as("did_micro"))
+    },
+
+    // KENDALL'S TAU-B — rank correlation by concordant/discordant
+    // pair counting, with the tie correction (the third rank statistic
+    // after Spearman and Pearson: pair-order agreement, robust to any
+    // monotone transform). Exact O(n^2) pair enumeration is the
+    // verify-tier choice here because the series COLLAPSES to the
+    // ~30-row daily frame first (click vs view daily maxima, aligned)
+    // — the bounded-self-join convention; the scalable path for raw
+    // rows is the mergesort inversion count, which this gates. All
+    // counts exact BIGINT; one sqrt closes tau-b.
+    "stat_kendall_tau" -> QueryDef(
+      """WITH day AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    MAX(CASE WHEN event_type = 'click'
+        |        THEN CAST(round(value*100) AS BIGINT) END) AS x,
+        |    MAX(CASE WHEN event_type = 'view'
+        |        THEN CAST(round(value*100) AS BIGINT) END) AS y
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1 HAVING x IS NOT NULL AND y IS NOT NULL),
+        |p AS (SELECT
+        |        CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS con,
+        |        CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS dis,
+        |        CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+        |        CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty
+        |      FROM day a JOIN day b ON a.bucket < b.bucket),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |        CAST(SUM(con) AS BIGINT) AS c, CAST(SUM(dis) AS BIGINT) AS d,
+        |        CAST(SUM(tx) AS BIGINT) AS tx, CAST(SUM(ty) AS BIGINT) AS ty
+        |      FROM p)
+        |SELECT np, c, d, tx, ty,
+        |  CAST(round(CAST(c - d AS DOUBLE)
+        |    / sqrt(CAST((c + d + tx) AS DOUBLE) * CAST((c + d + ty) AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS tau_b_micro
+        |FROM g""".stripMargin) { (s, d) =>
+      val day = graft.Tables.events(s, d)
+        .where(col("event_type").isin("click", "view"))
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(
+          max(when(col("event_type") === "click",
+            expr("CAST(round(value*100) AS BIGINT)"))).as("x"),
+          max(when(col("event_type") === "view",
+            expr("CAST(round(value*100) AS BIGINT)"))).as("y"))
+        .where(col("x").isNotNull && col("y").isNotNull)
+        .localCheckpoint() // both sides of the bounded pair join
+      val p = day.as("a").join(day.as("b"), col("a.bucket") < col("b.bucket"))
+        .select(
+          when((col("a.x") - col("b.x")) * (col("a.y") - col("b.y")) > 0, 1)
+            .otherwise(0).as("con"),
+          when((col("a.x") - col("b.x")) * (col("a.y") - col("b.y")) < 0, 1)
+            .otherwise(0).as("dis"),
+          when(col("a.x") === col("b.x") && col("a.y") =!= col("b.y"), 1)
+            .otherwise(0).as("tx"),
+          when(col("a.y") === col("b.y") && col("a.x") =!= col("b.x"), 1)
+            .otherwise(0).as("ty"))
+      p.agg(count(lit(1)).as("np"), sum("con").as("c"), sum("dis").as("d"),
+          sum("tx").as("tx"), sum("ty").as("ty"))
+        .selectExpr("np", "c", "d", "tx", "ty",
+          """CAST(round(CAST(c - d AS DOUBLE)
+             / sqrt(CAST((c + d + tx) AS DOUBLE) * CAST((c + d + ty) AS DOUBLE))
+             * 1000000) AS BIGINT) AS tau_b_micro""")
+    },
+
+    // WALD-WOLFOWITZ RUNS TEST — is the up/down day sequence random,
+    // or does it trend/mean-revert? Counts maximal runs of same-sign
+    // daily moves per series and closes the normal-approximation z
+    // against the run count a random ordering expects. Sign changes
+    // come from one lag window over the daily frame; every count is
+    // exact BIGINT and one shared double sequence (sqrt only) closes
+    // z — the sequence-randomness diagnostic next to Ljung-Box's
+    // autocorrelation portmanteau.
+    "stat_runs_test" -> QueryDef(
+      """WITH day AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |    MAX_BY(CAST(round(value*100) AS BIGINT), ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |sg AS (
+        |  SELECT event_type, bucket,
+        |    CASE WHEN close > lag(close) OVER w THEN 1
+        |         WHEN close < lag(close) OVER w THEN -1 END AS s
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |nz AS (SELECT event_type, bucket, s,
+        |         lag(s) OVER (PARTITION BY event_type ORDER BY bucket) AS ps
+        |       FROM sg WHERE s IS NOT NULL),
+        |g AS (SELECT event_type,
+        |        CAST(COUNT(CASE WHEN s = 1 THEN 1 END) AS BIGINT) AS n1,
+        |        CAST(COUNT(CASE WHEN s = -1 THEN 1 END) AS BIGINT) AS n2,
+        |        CAST(1 + COUNT(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 END)
+        |          AS BIGINT) AS runs
+        |      FROM nz GROUP BY 1)
+        |SELECT event_type, n1, n2, runs,
+        |  CAST(round((CAST(runs AS DOUBLE)
+        |    - (1.0 + 2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2)))
+        |    / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        |           / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+        |              * (CAST(n1 AS DOUBLE) + n2 - 1.0)))
+        |    * 1000000) AS BIGINT) AS z_micro
+        |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy("event_type").orderBy("bucket")
+      val day = graft.Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(max_by(expr("CAST(round(value*100) AS BIGINT)"), col("ts")).as("close"))
+      val sg = day
+        .withColumn("s",
+          when(col("close") > lag("close", 1).over(wLag), 1)
+            .when(col("close") < lag("close", 1).over(wLag), -1))
+        .where(col("s").isNotNull)
+        .withColumn("ps", lag("s", 1).over(wLag))
+      sg.groupBy("event_type")
+        .agg(count(when(col("s") === 1, 1)).as("n1"),
+          count(when(col("s") === -1, 1)).as("n2"),
+          (lit(1) + count(when(col("ps").isNotNull && col("s") =!= col("ps"), 1)))
+            .cast("long").as("runs"))
+        .selectExpr("event_type", "n1", "n2", "runs",
+          """CAST(round((CAST(runs AS DOUBLE)
+             - (1.0 + 2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2)))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+                       * (CAST(n1 AS DOUBLE) + n2 - 1.0)))
+             * 1000000) AS BIGINT) AS z_micro""")
+        .orderBy("event_type")
     }
   )
 }

@@ -671,6 +671,44 @@ class R8bWaveSpec extends SparkSpec {
     }
   }
 
+  test("Kendall tau-b: pair accounting closes and tau stays in range") {
+    val r = q("stat_kendall_tau").collect().head
+    val (np, c, dd, tx, ty, tau) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(c + dd + tx + ty <= np,
+      "concordant/discordant/tie classes partition (with both-ties) the pairs")
+    assert(tau >= -1000000 && tau <= 1000000)
+    // n-choose-2 of the aligned day frame
+    val days = graft.Tables.events(spark, sf001)
+      .where("event_type IN ('click','view')")
+      .selectExpr("date_trunc('day', ts) AS b", "event_type")
+      .groupBy("b").agg(org.apache.spark.sql.functions.countDistinct("event_type")
+        .as("k"))
+      .where("k = 2").count()
+    assert(np == days * (days - 1) / 2)
+  }
+
+  test("runs test: run counts bounded by sign counts") {
+    val rows = q("stat_runs_test").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, n2, runs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(runs >= 1 && runs <= n1 + n2)
+      assert(runs <= 2 * math.min(n1, n2) + 1,
+        "alternation is capped by the rarer sign")
+    }
+  }
+
+  test("branch diff: all three classes live, deltas carry the edit algebra") {
+    val rows = q("store_branch_diff").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set("added", "changed", "same"))
+    val (nc, dc) = rows("changed")
+    assert(dc == 777 * nc, "every changed row moved by exactly +777")
+    assert(rows("same")._2 == 0)
+    assert(rows("added")._1 > 0 && rows("added")._2 > 0)
+  }
+
   test("MACD: first bucket is flat and macd is the rounded ewma spread") {
     val rows = q("tick_macd").collect()
     assert(rows.nonEmpty)
