@@ -773,6 +773,46 @@ object EventQueries {
                                / 1000000) * 1000000) AS BIGINT)"""))
             .as("survival_ppm"))
         .orderBy("t")
+    },
+
+    // AUDIENCE OVERLAP — exact pairwise user-set intersection and
+    // Jaccard across event types: the segmentation question ("do
+    // purchasers come from viewers?") and the EXACT twin the
+    // HLL-sketch overlap estimators approximate at 100 TB. The
+    // per-type user sets collapse to DISTINCT (user, type) FIRST, so
+    // the pair join runs on audience-sized relations keyed by user —
+    // intersection counts fall out of one partial-aggregated
+    // self-join, never a cross of raw events. Jaccard in truncating
+    // ppm off the inclusion-exclusion identity.
+    "events_audience_overlap" -> QueryDef(
+      """WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a GROUP BY 1),
+        |ix AS (SELECT x.event_type AS t1, y.event_type AS t2,
+        |         CAST(COUNT(*) AS BIGINT) AS both
+        |       FROM a x JOIN a y
+        |         ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |       GROUP BY 1, 2)
+        |SELECT ix.t1, ix.t2, s1.n AS n1, s2.n AS n2, ix.both,
+        |  CAST(ix.both * 1000000 // (s1.n + s2.n - ix.both) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM ix JOIN sz s1 ON ix.t1 = s1.event_type
+        |JOIN sz s2 ON ix.t2 = s2.event_type
+        |ORDER BY t1, t2""".stripMargin) { (sp, d) =>
+      val a = graft.Tables.events(sp, d)
+        .select("event_type", "user_id").distinct()
+        .localCheckpoint() // sizes + both sides of the pair join
+      val sz = a.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val ix = a.as("x").join(a.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("t1"), col("y.event_type").as("t2"))
+        .agg(count(lit(1)).as("both"))
+      ix.join(broadcast(sz.select(col("event_type").as("t1"), col("n").as("n1"))), "t1")
+        .join(broadcast(sz.select(col("event_type").as("t2"), col("n").as("n2"))), "t2")
+        .select(col("t1"), col("t2"), col("n1"), col("n2"), col("both"),
+          expr("both * 1000000 div (n1 + n2 - both)").as("jaccard_ppm"))
+        .orderBy("t1", "t2")
     }
   )
 }

@@ -1436,6 +1436,79 @@ object TextQueries {
         .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
           expr("n_novel * 1000000 div n_bigrams").as("novelty_ppm"))
         .orderBy("doc_id")
+    },
+
+    // JENSEN-SHANNON DIVERGENCE — how far the held-out split's
+    // unigram distribution drifted from the training split's: the
+    // symmetric, bounded ([0, ln 2]) divergence used for corpus-drift
+    // and mixture-rebalancing monitors (text_ngram_novelty measures
+    // UNSEEN mass; JS measures reweighted SEEN mass). Each
+    // term-level contribution p*ln(p/m) rounds its ln to the 1e-6
+    // grid once (probabilities are exact count ratios, folded in as
+    // integer counts: c_p * ln-term summed BEFORE the n_p division),
+    // so the two KL halves are order-independent exact sums. One
+    // term-keyed full-outer join of the two count vectors.
+    "text_js_divergence" -> QueryDef(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+        |    AS term
+        |  FROM documents),
+        |t AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cp FROM tok
+        |      WHERE length(term) >= 2 AND doc_id % 10 <> 0 GROUP BY 1),
+        |v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cq FROM tok
+        |      WHERE length(term) >= 2 AND doc_id % 10 = 0 GROUP BY 1),
+        |j AS (SELECT COALESCE(t.term, v.term) AS term,
+        |        COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq
+        |      FROM t FULL OUTER JOIN v ON t.term = v.term),
+        |n AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq
+        |      FROM j),
+        |terms AS (
+        |  SELECT
+        |    CASE WHEN cp > 0 THEN cp * CAST(round(ln(
+        |      (CAST(cp AS DOUBLE) / np) /
+        |      (0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq)))
+        |      * 1000000) AS BIGINT) ELSE 0 END AS kp,
+        |    CASE WHEN cq > 0 THEN cq * CAST(round(ln(
+        |      (CAST(cq AS DOUBLE) / nq) /
+        |      (0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq)))
+        |      * 1000000) AS BIGINT) ELSE 0 END AS kq
+        |  FROM j, n)
+        |SELECT (SELECT np FROM n) AS n_train, (SELECT nq FROM n) AS n_val,
+        |  CAST(SUM(kp) // (SELECT np FROM n) AS BIGINT) AS kl_p_micro,
+        |  CAST(SUM(kq) // (SELECT nq FROM n) AS BIGINT) AS kl_q_micro,
+        |  CAST((SUM(kp) // (SELECT np FROM n)
+        |        + SUM(kq) // (SELECT nq FROM n)) // 2 AS BIGINT) AS js_micro
+        |FROM terms""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .where(length(col("term")) >= 2)
+      val t = tok.where(col("doc_id") % 10 =!= 0)
+        .groupBy("term").agg(count(lit(1)).as("cp"))
+      val v = tok.where(col("doc_id") % 10 === 0)
+        .groupBy("term").agg(count(lit(1)).as("cq"))
+      val j = t.join(v, Seq("term"), "full_outer")
+        .select(coalesce(col("cp"), lit(0L)).as("cp"),
+          coalesce(col("cq"), lit(0L)).as("cq"))
+        .localCheckpoint() // totals + term contributions
+      val n = j.agg(sum("cp").as("np"), sum("cq").as("nq"))
+      j.crossJoin(broadcast(n))
+        .select(
+          expr("""CASE WHEN cp > 0 THEN cp * CAST(round(ln(
+                  (CAST(cp AS DOUBLE) / np) /
+                  (0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq)))
+                  * 1000000) AS BIGINT) ELSE 0 END""").as("kp"),
+          expr("""CASE WHEN cq > 0 THEN cq * CAST(round(ln(
+                  (CAST(cq AS DOUBLE) / nq) /
+                  (0.5 * (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq)))
+                  * 1000000) AS BIGINT) ELSE 0 END""").as("kq"),
+          col("np"), col("nq"))
+        .groupBy("np", "nq")
+        .agg(sum("kp").as("skp"), sum("kq").as("skq"))
+        .select(col("np").as("n_train"), col("nq").as("n_val"),
+          expr("CAST(skp div np AS BIGINT)").as("kl_p_micro"),
+          expr("CAST(skq div nq AS BIGINT)").as("kl_q_micro"),
+          expr("CAST((skp div np + skq div nq) div 2 AS BIGINT)").as("js_micro"))
     }
   )
 }

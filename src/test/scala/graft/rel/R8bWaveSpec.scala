@@ -709,6 +709,27 @@ class R8bWaveSpec extends SparkSpec {
     assert(rows("added")._1 > 0 && rows("added")._2 > 0)
   }
 
+  test("audience overlap: all type pairs, intersections bounded, Jaccard exact") {
+    val rows = q("events_audience_overlap").collect()
+    assert(rows.length == 10, "5 event types give 10 unordered pairs")
+    rows.foreach { r =>
+      val (n1, n2, both, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(both <= math.min(n1, n2))
+      assert(j == both * 1000000L / (n1 + n2 - both))
+    }
+  }
+
+  test("JS divergence: symmetric average of the halves, inside [0, ln 2]") {
+    val r = q("text_js_divergence").collect().head
+    val (kp, kq, js) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    // KL halves are sums of per-term grid-rounded contributions; the
+    // true value is >= 0 and rounding noise stays under the grid
+    assert(kp >= -10 && kq >= -10)
+    assert(js == (kp + kq) / 2)
+    assert(js <= 693148, "JS is bounded by ln 2")
+  }
+
   test("MACD: first bucket is flat and macd is the rounded ewma spread") {
     val rows = q("tick_macd").collect()
     assert(rows.nonEmpty)
