@@ -158,6 +158,42 @@ object GraphExtras {
     pr
   }
 
+  /** Shared customer<->supplier bipartite edge derivation and oracle
+    * for the graph_ppr / graph_ppr_copart strategy twins.
+    */
+  private def pprEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e0 = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("a"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+      .distinct()
+    e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+  }
+
+  private val PprOracleSql: String =
+    """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+      |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |ed AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      |dg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1),
+      |e AS (SELECT ed.a, ed.b, dg.d FROM ed JOIN dg ON ed.a = dg.a),
+      |p0 AS (SELECT CAST(2 AS BIGINT) AS node, CAST(1000000000000 AS BIGINT) AS r),
+      |c1 AS (SELECT e.b AS node, CAST((85 * SUM(p0.r // e.d)) // 100 AS BIGINT) AS r
+      |       FROM e JOIN p0 ON e.a = p0.node GROUP BY 1),
+      |r1 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
+      |         (SELECT node, r FROM c1
+      |          UNION ALL SELECT 2, 150000000000) GROUP BY 1),
+      |c2 AS (SELECT e.b AS node, CAST((85 * SUM(r1.r // e.d)) // 100 AS BIGINT) AS r
+      |       FROM e JOIN r1 ON e.a = r1.node GROUP BY 1),
+      |r2 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
+      |         (SELECT node, r FROM c2
+      |          UNION ALL SELECT 2, 150000000000) GROUP BY 1),
+      |c3 AS (SELECT e.b AS node, CAST((85 * SUM(r2.r // e.d)) // 100 AS BIGINT) AS r
+      |       FROM e JOIN r2 ON e.a = r2.node GROUP BY 1),
+      |r3 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
+      |         (SELECT node, r FROM c3
+      |          UNION ALL SELECT 2, 150000000000) GROUP BY 1)
+      |SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
+
   private[graft] val defs: Map[String, QueryDef] = Map(
 
     // CORENESS — every node's k-core number in one run (graph_kcore
@@ -485,36 +521,20 @@ object GraphExtras {
     // the update stays one state join + one partial agg per round on
     // the pinned edge list; nodes the walk has not reached are absent
     // rather than zero on BOTH engines.
-    "graph_ppr" -> QueryDef(
-      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
-        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        |ed AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
-        |dg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1),
-        |e AS (SELECT ed.a, ed.b, dg.d FROM ed JOIN dg ON ed.a = dg.a),
-        |p0 AS (SELECT CAST(2 AS BIGINT) AS node, CAST(1000000000000 AS BIGINT) AS r),
-        |c1 AS (SELECT e.b AS node, CAST((85 * SUM(p0.r // e.d)) // 100 AS BIGINT) AS r
-        |       FROM e JOIN p0 ON e.a = p0.node GROUP BY 1),
-        |r1 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
-        |         (SELECT node, r FROM c1
-        |          UNION ALL SELECT 2, 150000000000) GROUP BY 1),
-        |c2 AS (SELECT e.b AS node, CAST((85 * SUM(r1.r // e.d)) // 100 AS BIGINT) AS r
-        |       FROM e JOIN r1 ON e.a = r1.node GROUP BY 1),
-        |r2 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
-        |         (SELECT node, r FROM c2
-        |          UNION ALL SELECT 2, 150000000000) GROUP BY 1),
-        |c3 AS (SELECT e.b AS node, CAST((85 * SUM(r2.r // e.d)) // 100 AS BIGINT) AS r
-        |       FROM e JOIN r2 ON e.a = r2.node GROUP BY 1),
-        |r3 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
-        |         (SELECT node, r FROM c3
-        |          UNION ALL SELECT 2, 150000000000) GROUP BY 1)
-        |SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin) { (s, d) =>
-      val e0 = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).cast("long").as("a"),
-          (col("l_suppkey") * 2 + 1).cast("long").as("b"))
-        .distinct()
-      val ed = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-      pprRounds(ed, seed = 2L, rounds = 3)
+    "graph_ppr" -> QueryDef(PprOracleSql) { (s, d) =>
+      pprRounds(pprEdges(s, d), seed = 2L, rounds = 3)
+        .orderBy(col("r").desc, col("node")).limit(20)
+    },
+
+    // the SAME personalized PageRank through the CoPartitioned tier —
+    // the plan for vertex sets past broadcast limits (edge list
+    // hash-pinned once; only the O(nodes) walk state shuffles per
+    // round) — under the full driver gate with the identical oracle,
+    // proving tier hash-equality end-to-end the way graph_bfs_copart
+    // does for BFS.
+    "graph_ppr_copart" -> QueryDef(PprOracleSql) { (s, d) =>
+      pprRounds(pprEdges(s, d), seed = 2L, rounds = 3,
+          strategy = GraphLoops.CoPartitioned)
         .orderBy(col("r").desc, col("node")).limit(20)
     },
 
