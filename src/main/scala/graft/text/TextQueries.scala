@@ -224,92 +224,138 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // brute-force 3-gram Jaccard near-dup pairs on a bounded subset —
-    // the exact verifier the LSH tier delegates to, oracle-checked.
-    // Bound 300 (not 100): the corpus's planted near-dup pairs all
-    // straddle id 100, so the tighter bound verified an empty set
+    // exact 3-gram Jaccard near-dup pairs over the FULL corpus as a
+    // shingle-keyed equi-join: explode distinct shingles -> self-join
+    // on the shingle -> count per (a,b) pair = |A∩B| -> join set sizes
+    // back for the union term. Identical output to the brute-force
+    // all-pairs form (a zero-intersection pair can never pass a
+    // positive threshold), but the pair space never materializes: work
+    // is Σ_shingle df² (2.8M rows at sf0.1, max df 25), an equi-join
+    // shuffle, not O(docs²). At 100 TB the same plan holds; if a
+    // pathological stop-shingle appears, cap df (drop shingles with
+    // df > D) — that tier becomes approximate and lives with the LSH
+    // variants. Integer-compared 0.3 threshold as before.
     "dedup_ngram_jaccard" -> QueryDef(
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS shset
-         |  FROM documents WHERE doc_id < 300)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
-         |    (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.shset, b.shset)) * 10 >=
-         |      3 * (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)))
-         |  AND len(a.shset) + len(b.shset) > 0
+         |  FROM documents),
+         |sz AS (SELECT doc_id, len(shset) AS n FROM sh),
+         |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |      FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM p JOIN sz sa ON p.a_id = sa.doc_id
+         |       JOIN sz sb ON p.b_id = sb.doc_id
+         |WHERE inter * 10 >= 3 * (sa.n + sb.n - inter)
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val sh = Tables.documents(s, d).where(col("doc_id") < 300)
+      val sh = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("shset"))
-      val a = sh.toDF("a_id", "a_sh")
-      val b = sh.toDF("b_id", "b_sh")
-      a.crossJoin(b).where(col("a_id") < col("b_id"))
-        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
-        .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+      val sz = sh.select(col("doc_id"), size(col("shset")).cast("long").as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("shset")).as("s"))
+      val p = ex.toDF("a_id", "s").join(ex.toDF("b_id", "s"), "s")
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      p.join(sz.toDF("a_id", "na"), "a_id")
+        .join(sz.toDF("b_id", "nb"), "b_id")
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
         // integer-compare the 0.3 threshold: no fp boundary ambiguity;
-        // uni > 0 excludes empty-vs-empty (0 >= 0 would pass, then 0/0)
-        .where(col("inter") * 10 >= col("uni") * 3 && col("uni") > 0)
+        // inter >= 1 by construction, so uni >= 1 (no 0/0)
+        .where(col("inter") * 10 >= col("uni") * 3)
         .select(col("a_id"), col("b_id"),
           (col("inter").cast("double") / col("uni")).as("jaccard"))
         .orderBy("a_id", "b_id")
     },
 
-    // character-level edit-distance near-dup pairs: the verifier tier
-    // OCR/typo-corrupted duplicates need, where shingle Jaccard decays
-    // but levenshtein stays tiny (planted pairs sit at <= 8 edits vs
-    // >= 39 for the closest background pair). Spark computes the
-    // BANDED O(len*k) variant (threshold arg -> -1 above 20), so each
-    // candidate costs ~20x less than the full DP the oracle runs; the
-    // length-band prefilter is the cheap pair cut. Bounded twin like
-    // dedup_ngram_jaccard — the scale tier feeds LSH candidates
-    // through the same verifier.
+    // character-level edit-distance near-dup pairs over the FULL
+    // corpus: the verifier tier OCR/typo-corrupted duplicates need,
+    // where shingle Jaccard decays but levenshtein stays tiny (planted
+    // pairs sit at <= 8 edits vs >= 39 for the closest background
+    // pair). Candidate generation is a LENGTH-BAND EQUI-JOIN, not a
+    // crossJoin: lev(a,b) >= |len(a)-len(b)|, so lev <= 20 forces the
+    // pair into adjacent width-20 n_chars buckets — each doc probes 3
+    // bucket keys {q-1,q,q+1}, a plain shuffle join. Candidates then
+    // pass an exact char-histogram prefilter before the DP: every edit
+    // op changes the character multiset by at most 2 in L1, so
+    // lev <= 20 implies L1(hist_a, hist_b) <= 40 — zero false
+    // negatives, ~10x fewer DPs (875k band pairs -> 92k at sf0.1).
+    // Spark's DP is the BANDED O(len*k) variant (threshold arg -> -1
+    // above 20). At 100 TB the same three-stage cascade holds:
+    // band join is O(docs * band_occupancy), histograms are 26 longs.
     "text_levenshtein_pairs" -> QueryDef(
-      """WITH d AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 300)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE abs(a.n_chars - b.n_chars) <= 40
-        |  AND levenshtein(a.text, b.text) <= 20
+      """WITH d0 AS (SELECT doc_id, text, n_chars, lower(text) AS lt,
+        |              CAST(floor(n_chars / 20) AS BIGINT) AS q FROM documents),
+        |d AS (SELECT doc_id, text, n_chars, q,
+        |        list_transform(range(97, 123), c ->
+        |          CAST(length(lt) - length(replace(lt, chr(CAST(c AS INT)), '')) AS BIGINT)) AS h
+        |      FROM d0),
+        |a AS (SELECT doc_id, text, n_chars, h, unnest([q-1, q, q+1]) AS k FROM d),
+        |b AS (SELECT doc_id, text, n_chars, h, q AS k FROM d),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         a.text AS a_text, b.text AS b_text
+        |  FROM a JOIN b USING (k)
+        |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+        |    AND list_reduce(list_transform(list_zip(a.h, b.h),
+        |          p -> abs(p[1] - p[2])), (x, y) -> x + y) <= 40)
+        |SELECT a_id, b_id, CAST(levenshtein(a_text, b_text) AS BIGINT) AS lev
+        |FROM cand WHERE levenshtein(a_text, b_text) <= 20
         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val dd = Tables.documents(s, d).where(col("doc_id") < 300)
-        .select("doc_id", "text", "n_chars")
-      val a = dd.toDF("a_id", "a_text", "a_n")
-      val b = dd.toDF("b_id", "b_text", "b_n")
-      a.crossJoin(b)
-        .where(col("a_id") < col("b_id") && abs(col("a_n") - col("b_n")) <= 40)
+      val base = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("n_chars"),
+        // 26 longs per doc, computed once before the join
+        expr("transform(sequence(97, 122), c -> " +
+          "CAST(length(lower(text)) - length(replace(lower(text), char(c))) AS BIGINT))").as("h"),
+        floor(col("n_chars") / 20).cast("long").as("q"))
+      val a = base.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+          col("n_chars").as("a_n"), col("h").as("a_h"),
+          explode(array(col("q") - 1, col("q"), col("q") + 1)).as("k"))
+      val b = base.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+          col("n_chars").as("b_n"), col("h").as("b_h"), col("q").as("k"))
+      a.join(b, "k")
+        .where(col("a_id") < col("b_id") && abs(col("a_n") - col("b_n")) <= 20 &&
+          aggregate(zip_with(col("a_h"), col("b_h"), (x, y) => abs(x - y)),
+            lit(0L), (acc, v) => acc + v) <= 40)
         .withColumn("lev", levenshtein(col("a_text"), col("b_text"), 20).cast("long"))
         .where(col("lev") >= 0)
         .select("a_id", "b_id", "lev")
         .orderBy("a_id", "b_id")
     },
 
-    // asymmetric containment pairs: |A∩B| / |A| ≥ 0.8 flags doc A as a
-    // near-SUBSET of B (quote/excerpt detection — Jaccard misses these
-    // when B is much longer). Directional, so both orientations can
-    // fire for true near-dups. Bounded brute-force verifier twin (like
-    // dedup_ngram_jaccard); the scale tier feeds LSH candidates through
-    // the same integer-compared predicate.
+    // asymmetric containment pairs over the FULL corpus: |A∩B| / |A| ≥
+    // 0.8 flags doc A as a near-SUBSET of B (quote/excerpt detection —
+    // Jaccard misses these when B is much longer). Directional, so both
+    // orientations can fire for true near-dups. Same shingle-keyed
+    // equi-join topology as dedup_ngram_jaccard (a pair with zero
+    // shared shingles can never reach a positive containment when
+    // |A| > 0, so only joined pairs matter); the equi-join keeps both
+    // directions because the join emits (a,b) and (b,a) rows.
     "text_containment" -> QueryDef(
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS shset
-         |  FROM documents WHERE doc_id < 300)
-         |SELECT a.doc_id AS sub_id, b.doc_id AS super_id,
-         |  CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) / len(a.shset) AS containment
-         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-         |WHERE len(a.shset) > 0
-         |  AND len(list_intersect(a.shset, b.shset)) * 10 >= 8 * len(a.shset)
+         |  FROM documents),
+         |sz AS (SELECT doc_id, len(shset) AS n FROM sh),
+         |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+         |p AS (SELECT a.doc_id AS sub_id, b.doc_id AS super_id, count(*) AS inter
+         |      FROM ex a JOIN ex b USING (s) WHERE a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT sub_id, super_id,
+         |  CAST(inter AS DOUBLE) / sa.n AS containment
+         |FROM p JOIN sz sa ON p.sub_id = sa.doc_id
+         |WHERE inter * 10 >= 8 * sa.n
          |ORDER BY sub_id, super_id""".stripMargin) { (s, d) =>
-      val sh = Tables.documents(s, d).where(col("doc_id") < 300)
+      val sh = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("shset"))
-      val a = sh.toDF("sub_id", "a_sh")
-      val b = sh.toDF("super_id", "b_sh")
-      a.crossJoin(b).where(col("sub_id") =!= col("super_id"))
-        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
-        .where(size(col("a_sh")) > 0 &&
-          col("inter") * 10 >= size(col("a_sh")) * 8)
+      val sz = sh.select(col("doc_id"), size(col("shset")).cast("long").as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("shset")).as("s"))
+      val p = ex.toDF("sub_id", "s").join(ex.toDF("super_id", "s"), "s")
+        .where(col("sub_id") =!= col("super_id"))
+        .groupBy("sub_id", "super_id").agg(count(lit(1)).as("inter"))
+      p.join(sz.toDF("sub_id", "na"), "sub_id")
+        .where(col("inter") * 10 >= col("na") * 8)
         .select(col("sub_id"), col("super_id"),
-          (col("inter").cast("double") / size(col("a_sh"))).as("containment"))
+          (col("inter").cast("double") / col("na")).as("containment"))
         .orderBy("sub_id", "super_id")
     },
 
