@@ -331,6 +331,78 @@ class PlanSpec extends SparkSpec {
     assert(!liScan.contains("l_extendedprice"), p)
   }
 
+  test("q8 star flake runs on ONE fact shuffle; every dim broadcasts") {
+    val p = plan("q8_join")
+    // seven joins: part, supplier+nation, customer+nation+region all
+    // ride broadcasts; the single allowed shuffle join is
+    // lineitem<->orders on the order key
+    val shuffleJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffleJoins <= 1, s"q8 grew a second fact shuffle:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q9 profit join keeps one shuffle; the %widget% filter cuts the broadcast") {
+    val p = plan("q9_join")
+    val shuffleJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffleJoins <= 1, s"q9 grew a second fact shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the name LIKE filter must run under the part scan (before the
+    // broadcast build), not post-join on the fact
+    assert(p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("p_name")), p)
+  }
+
+  test("q4 and q21 decorrelate EXISTS into semi/anti joins, never duplicating") {
+    val p4 = plan("q4_exists")
+    assert(p4.contains("LeftSemi"), p4)
+    // the quarter filter prunes the orders scan
+    assert(p4.linesIterator.filter(_.contains("PushedFilters"))
+      .exists(_.contains("o_orderdate")), p4)
+    val p21 = plan("q21_exists")
+    // the double correlation: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti,
+    // both on the l_orderkey equi-key (a CartesianProduct here would be
+    // the decorrelation failing back to nested loops)
+    assert(p21.contains("LeftSemi"), p21)
+    assert(p21.contains("LeftAnti"), p21)
+    assert(!p21.contains("CartesianProduct"), p21)
+    assert(p21.contains("BroadcastHashJoin"), p21) // NATION_2 dim
+  }
+
+  test("q16 anti-joins the flagged set as a broadcast; q20 stacks aggregates") {
+    val p16 = plan("q16_join")
+    assert(p16.contains("LeftAnti"), p16)
+    assert(!p16.contains("CartesianProduct"), p16)
+    val p20 = plan("q20_nested")
+    // nested correlated aggregate = per-(part,supp) then per-part
+    // aggregates joined back (the year-filtered scan lives inside the
+    // localCheckpoint, so pushdown isn't visible in this plan); the IN
+    // must decorrelate to a LeftSemi and the dominance probe must
+    // never go cartesian
+    assert(p20.contains("LeftSemi"), p20)
+    assert(p20.contains("HashAggregate"), p20)
+    assert(!p20.contains("CartesianProduct"), p20)
+  }
+
+  test("q2 and q11 broadcast their dims; the one-row total rides a broadcast") {
+    val p2 = plan("q2_join")
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+    val p11 = plan("q11_having")
+    // the grand total is a broadcast-of-one-row nested loop, never a
+    // shuffled cartesian
+    assert(!p11.contains("CartesianProduct"), p11)
+  }
+
+  test("q12 pushes the ship-year filter and prunes both scans") {
+    val p = plan("q12_join")
+    assert(p.linesIterator.filter(_.contains("PushedFilters"))
+      .exists(_.contains("l_shipdate")), p)
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(_.split(",").length <= 3),
+      s"unpruned scan: $reads\n$p")
+  }
+
   test("the new graph/vec/text waves never go cartesian") {
     // strict tier: these have NO cross join of any kind — a nested-
     // loop join appearing means a pair space materialized
