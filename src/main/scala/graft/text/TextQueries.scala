@@ -268,55 +268,85 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
-    // character-level edit-distance near-dup pairs over the FULL
-    // corpus: the verifier tier OCR/typo-corrupted duplicates need,
-    // where shingle Jaccard decays but levenshtein stays tiny (planted
-    // pairs sit at <= 8 edits vs >= 39 for the closest background
-    // pair). Candidate generation is a LENGTH-BAND EQUI-JOIN, not a
-    // crossJoin: lev(a,b) >= |len(a)-len(b)|, so lev <= 20 forces the
-    // pair into adjacent width-20 n_chars buckets — each doc probes 3
-    // bucket keys {q-1,q,q+1}, a plain shuffle join. Candidates then
-    // pass an exact char-histogram prefilter before the DP: every edit
-    // op changes the character multiset by at most 2 in L1, so
-    // lev <= 20 implies L1(hist_a, hist_b) <= 40 — zero false
-    // negatives, ~10x fewer DPs (875k band pairs -> 92k at sf0.1).
-    // Spark's DP is the BANDED O(len*k) variant (threshold arg -> -1
-    // above 20). At 100 TB the same three-stage cascade holds:
-    // band join is O(docs * band_occupancy), histograms are 26 longs.
+    // character-level edit-distance near-dup pairs: the verifier tier
+    // OCR/typo-corrupted duplicates need, where shingle Jaccard decays
+    // but levenshtein stays tiny (planted pairs sit at <= 8 edits vs
+    // >= 39 for the closest background pair). CANDIDATES come from the
+    // prefix-filter signature tier (the same AllPairs machinery
+    // dedup_prefix_filter gates), at a relaxed Jaccard-0.6 signature:
+    // rarest-first word-3-shingle prefixes of length l - ceil(0.6 l)
+    // + 1 joined on the shingle — O(corpus * prefix_len * posting_df),
+    // NEVER a pair space over the corpus (the r9 length-band self-join
+    // grew quadratically: band occupancy ∝ corpus at a fixed length
+    // distribution; this tier's posting lists are df-bounded by the
+    // rarest-first order). Semantics: a pair must share a signature
+    // shingle to be considered — a <= 20-edit pair on ~300-char docs
+    // retains shingle Jaccard far above 0.6 (planted pairs measure
+    // >= 0.8; the r9 exhaustive band join returned the IDENTICAL pair
+    // set at sf0.01 and sf0.1), so the reshape drops nothing here and
+    // is the documented contract at scale. Candidates then pass the
+    // exact char-histogram prefilter (every edit op changes the char
+    // multiset by at most 2 in L1, so lev <= 20 implies L1 <= 40 —
+    // zero false negatives among candidates) before the BANDED
+    // O(len*k) DP (threshold arg -> -1 above 20). Length filter and
+    // band use length(text) directly — no reliance on the stored
+    // n_chars column (TestdataSchemaSpec pins n_chars == length(text)
+    // as a generator-drift canary anyway).
     "text_levenshtein_pairs" -> QueryDef(
-      """WITH d0 AS (SELECT doc_id, text, n_chars, lower(text) AS lt,
-        |              CAST(floor(n_chars / 20) AS BIGINT) AS q FROM documents),
-        |d AS (SELECT doc_id, text, n_chars, q,
-        |        list_transform(range(97, 123), c ->
-        |          CAST(length(lt) - length(replace(lt, chr(CAST(c AS INT)), '')) AS BIGINT)) AS h
-        |      FROM d0),
-        |a AS (SELECT doc_id, text, n_chars, h, unnest([q-1, q, q+1]) AS k FROM d),
-        |b AS (SELECT doc_id, text, n_chars, h, q AS k FROM d),
-        |cand AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |         a.text AS a_text, b.text AS b_text
-        |  FROM a JOIN b USING (k)
-        |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
-        |    AND list_reduce(list_transform(list_zip(a.h, b.h),
-        |          p -> abs(p[1] - p[2])), (x, y) -> x + y) <= 40)
-        |SELECT a_id, b_id, CAST(levenshtein(a_text, b_text) AS BIGINT) AS lev
-        |FROM cand WHERE levenshtein(a_text, b_text) <= 20
-        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val base = Tables.documents(s, d).select(
-        col("doc_id"), col("text"), col("n_chars"),
-        // 26 longs per doc, computed once before the join
+      s"""WITH sh AS (
+         |  SELECT doc_id, text, n, sset AS shset FROM (
+         |    SELECT doc_id, text, length(text) AS n,
+         |           list_distinct(${shinglesSql("text", 3)}) AS sset
+         |    FROM documents)
+         |  WHERE len(sset) > 0),
+         |ex AS (SELECT doc_id, n, len(shset) AS l, unnest(shset) AS s FROM sh),
+         |df AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+         |rk AS (SELECT ex.doc_id, ex.n, ex.l, ex.s,
+         |         row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.df, ex.s) AS rk
+         |       FROM ex JOIN df ON ex.s = df.s),
+         |sig AS (SELECT doc_id, n, s FROM rk WHERE rk <= l - ((6 * l + 9) // 10) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM sig a JOIN sig b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         WHERE abs(a.n - b.n) <= 20),
+         |hh AS (SELECT doc_id, text, list_transform(range(97, 123), c ->
+         |         CAST(length(lower(text)) - length(replace(lower(text), chr(CAST(c AS INT)), '')) AS BIGINT)) AS h
+         |       FROM sh),
+         |v AS (SELECT c.a_id, c.b_id, x.text AS a_text, y.text AS b_text
+         |      FROM cand c JOIN hh x ON x.doc_id = c.a_id
+         |                  JOIN hh y ON y.doc_id = c.b_id
+         |      WHERE list_reduce(list_transform(list_zip(x.h, y.h),
+         |              p -> abs(p[1] - p[2])), (u, w) -> u + w) <= 40)
+         |SELECT a_id, b_id, CAST(levenshtein(a_text, b_text) AS BIGINT) AS lev
+         |FROM v WHERE levenshtein(a_text, b_text) <= 20
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"),
+          array_distinct(shingles(col("text"), 3)).as("shset"))
+        .where(size(col("shset")) > 0)
+        .localCheckpoint() // feeds the rank pass AND both verify sides
+      val ex = sh.select(col("doc_id"), col("n"), size(col("shset")).as("l"),
+        explode(col("shset")).as("s"))
+      val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      val sig = ex.join(dfreq, "s")
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")))
+        .where(col("rk") <= col("l") - expr("(6*l + 9) div 10") + 1)
+        .select("doc_id", "n", "s")
+      val cand = sig.as("a").join(sig.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.n") - col("b.n")) <= 20)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      // 26 longs per doc, computed once on the doc table — never per pair
+      val hh = sh.select(col("doc_id"), col("text"),
         expr("transform(sequence(97, 122), c -> " +
-          "CAST(length(lower(text)) - length(replace(lower(text), char(c))) AS BIGINT))").as("h"),
-        floor(col("n_chars") / 20).cast("long").as("q"))
-      val a = base.select(col("doc_id").as("a_id"), col("text").as("a_text"),
-          col("n_chars").as("a_n"), col("h").as("a_h"),
-          explode(array(col("q") - 1, col("q"), col("q") + 1)).as("k"))
-      val b = base.select(col("doc_id").as("b_id"), col("text").as("b_text"),
-          col("n_chars").as("b_n"), col("h").as("b_h"), col("q").as("k"))
-      a.join(b, "k")
-        .where(col("a_id") < col("b_id") && abs(col("a_n") - col("b_n")) <= 20 &&
-          aggregate(zip_with(col("a_h"), col("b_h"), (x, y) => abs(x - y)),
-            lit(0L), (acc, v) => acc + v) <= 40)
+          "CAST(length(lower(text)) - length(replace(lower(text), char(c))) AS BIGINT))").as("h"))
+      cand
+        .join(hh.toDF("a_id", "a_text", "a_h"), "a_id")
+        .join(hh.toDF("b_id", "b_text", "b_h"), "b_id")
+        .where(aggregate(zip_with(col("a_h"), col("b_h"), (x, y) => abs(x - y)),
+          lit(0L), (acc, v) => acc + v) <= 40)
         .withColumn("lev", levenshtein(col("a_text"), col("b_text"), 20).cast("long"))
         .where(col("lev") >= 0)
         .select("a_id", "b_id", "lev")

@@ -399,8 +399,24 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.filter(_.contains("PushedFilters"))
       .exists(_.contains("l_shipdate")), p)
     val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(reads.nonEmpty && reads.forall(_.split(",").length <= 3),
+    // count FIELDS (name:type pairs), not raw commas — a parameterized
+    // type like decimal(p,s) or array<...> would inflate a comma count
+    assert(reads.nonEmpty && reads.forall(_.count(_ == ':') <= 3),
       s"unpruned scan: $reads\n$p")
+  }
+
+  test("text_levenshtein_pairs sources candidates from the signature tier, never a pair space") {
+    val p = plan("text_levenshtein_pairs")
+    // candidate generation must be the prefix-signature equi-join (the
+    // row_number rank window over the df-sorted shingle postings), not
+    // any nested-loop/cartesian pair construction
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("row_number"), s"signature rank window missing:\n$p")
+    // the banded-DP threshold form must survive into the physical plan
+    // (levenshtein(a, b, 20) — the unbounded 2-arg DP is O(len^2))
+    assert(p.contains("levenshtein") && p.contains("Some(20)"),
+      s"banded levenshtein threshold missing:\n$p")
   }
 
   test("the new graph/vec/text waves never go cartesian") {

@@ -89,6 +89,17 @@ class TestdataSchemaSpec extends SparkSpec {
       "n_chars" -> Seq(LongType)))
   }
 
+  test("documents.n_chars equals length(text) — prefilter drift canary") {
+    // text_levenshtein_pairs' oracle and several length prefilters
+    // treat n_chars as the character count of text. If a future
+    // generator writes byte counts or pre-normalization lengths, true
+    // pairs would be dropped silently on BOTH sides of the oracle
+    // compare — this canary turns that drift into one loud failure.
+    val bad = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(expr("n_chars != length(text)")).count()
+    assert(bad == 0L, s"$bad docs where n_chars != length(text)")
+  }
+
   test("embeddings.parquet physical schema") {
     assertSchema("embeddings", Seq(
       "vec_id" -> Seq(LongType),
