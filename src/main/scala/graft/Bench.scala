@@ -53,9 +53,15 @@ object Bench {
     }
     // warm-up lap (codegen + JIT + parquet footer cache) is timed too:
     // the cold/warm spread per query is the variance evidence for
-    // judging official-bench swings on untouched code
-    val cold = lap(recordFailures = false)
-    val results = lap(recordFailures = true)
+    // judging official-bench swings on untouched code.
+    // GRAFT_BENCH_LAPS=1 is the mid-round iteration fast path: one lap
+    // (~half the wall clock), every query still exercised end-to-end,
+    // failures still recorded — but single-lap times carry this
+    // sandbox's 6-20x phantom swings, so CLOSING evidence (the numbers
+    // a round is judged on) must stay the default two-lap pair.
+    val singleLap = sys.env.get("GRAFT_BENCH_LAPS").contains("1")
+    val cold = lap(recordFailures = singleLap)
+    val results = if (singleLap) cold else lap(recordFailures = true)
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

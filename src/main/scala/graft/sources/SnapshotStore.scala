@@ -38,6 +38,29 @@ import org.apache.spark.sql.functions._
   * upsert semantics are last-writer-wins per (key, part) with higher
   * `seq` winning inside a batch — resolved distributed, one shuffle
   * over the touched partitions only.
+  *
+  * ==Concurrency contract==
+  *
+  * Readers are always safe: every published version is an immutable
+  * file set. Writers serialize on the MANIFEST CAS in [[publish]] —
+  * exactly one attempt can create `v<N>.manifest`, the loser removes
+  * its private attempt directory and throws (SnapshotSpec pins the
+  * loser's cleanup). The CAS is only as atomic as the filesystem's
+  * create-if-absent rename: HDFS rename refuses an existing
+  * destination, but POSIX rename OVERWRITES one, so the local-FS
+  * `exists || !rename` check narrows the race without closing it.
+  * Deployments therefore assume ONE writer per store (the reference's
+  * model too — its HTTP daemon owns the file exclusively,
+  * `/root/reference/database.go`); multi-writer needs a rename-atomic FS or
+  * an external lock/catalog providing the CAS, exactly the role a
+  * Delta LogStore or an Iceberg catalog plays.
+  *
+  * Driver-side footprint: commit/merge/delete collect only PARTITION
+  * VALUES and per-partition stats — O(touched partitions) strings,
+  * never rows. A store with millions of rows per partition costs the
+  * driver the same as an empty one; what must stay bounded is the
+  * partition-value cardinality itself, the same contract Hive-style
+  * partitioning already imposes on any metastore.
   */
 object SnapshotStore {
 
@@ -102,7 +125,7 @@ object SnapshotStore {
     * The attempt token in `dataDir` is what makes the cleanup safe:
     * the loser deletes only files no published manifest can reference.
     */
-  private def publish(spark: SparkSession, base: String, next: Int,
+  private[sources] def publish(spark: SparkSession, base: String, next: Int,
       manifest: Map[String, String], dataDir: String): Unit = {
     val f = fs(spark, base)
     val tmp = new Path(s"$base/_versions/.v$next.${new Path(dataDir).getName}.tmp")

@@ -234,7 +234,9 @@ object TextQueries {
     // shuffle, not O(docs²). At 100 TB the same plan holds; if a
     // pathological stop-shingle appears, cap df (drop shingles with
     // df > D) — that tier becomes approximate and lives with the LSH
-    // variants. Integer-compared 0.3 threshold as before.
+    // variants. DedupSpec's "shingle df stays bounded" canary makes a
+    // df blowup observable (one loud failure, not a silent quadratic
+    // bench regression). Integer-compared 0.3 threshold as before.
     "dedup_ngram_jaccard" -> QueryDef(
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS shset

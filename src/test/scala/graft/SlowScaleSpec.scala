@@ -197,4 +197,79 @@ class SlowScaleSpec extends SparkSpec {
         s"month $m at sf0.1: est ${merged(m)} vs exact $n")
     }
   }
+
+  // ---- CoPartitioned graph tier at sf0.1 --------------------------------
+  // GraphLoopsSpec pins Broadcast == CoPartitioned at sf0.01; these
+  // re-pin at the bench scale (40k-node / 1.2M-edge graph), where an
+  // AQE/statistics-driven plan change would actually show up. Integer
+  // arithmetic makes the tiers bit-identical, so hash equality — not a
+  // tolerance — is the assertion.
+
+  private lazy val und01 = {
+    val e = Tables.orders(spark, sf01)
+      .join(Tables.lineitem(spark, sf01), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("u"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("v"))
+      .distinct()
+    e.union(e.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
+  }
+
+  test("pagerank: CoPartitioned is hash-identical to Broadcast at sf0.1", Slow) {
+    val (bc, itB) = rel.PageRank.run(und01, maxIter = 10)
+    val (cp, itC) = rel.PageRank.run(und01, maxIter = 10,
+      strategy = rel.GraphLoops.CoPartitioned)
+    assert(itB == itC, s"iteration counts diverged: $itB vs $itC")
+    val a = bc.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = cp.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.length > 1000 && a.sameElements(b),
+      s"rank vectors differ at sf0.1: ${a.length} vs ${b.length} rows")
+  }
+
+  test("bfs: CoPartitioned is hash-identical to Broadcast at sf0.1", Slow) {
+    val edges = und01.select(col("u").as("a"), col("v").as("b"))
+    val bc = rel.GraphLoops.bfsHops(edges, 2L, 3)
+    val cp = rel.GraphLoops.bfsHops(edges, 2L, 3, rel.GraphLoops.CoPartitioned)
+    val a = bc.collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val b = cp.collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(a.length > 1000 && a.sameElements(b),
+      s"bfs hop sets differ at sf0.1: ${a.length} vs ${b.length} rows")
+  }
+
+  test("ppr: CoPartitioned is hash-identical to Broadcast at sf0.1", Slow) {
+    val edges = und01.select(col("u").as("a"), col("v").as("b"))
+    val bc = rel.GraphExtras.pprRounds(edges, 2L, 3)
+    val cp = rel.GraphExtras.pprRounds(edges, 2L, 3, rel.GraphLoops.CoPartitioned)
+    val a = bc.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = cp.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.length > 1000 && a.sameElements(b),
+      s"ppr mass vectors differ at sf0.1: ${a.length} vs ${b.length} rows")
+  }
+
+  test("CoPartitioned step at sf0.1: zero edge exchange in the EXECUTED plan", Slow) {
+    // the sf0.01 pin reads the static plan; at bench scale AQE replans
+    // at runtime, so assert on the plan that actually ran: after the
+    // one build-time pin, the edge branch must carry no Exchange and
+    // the state side must arrive as a shuffled-hash build, not a
+    // broadcast demotion or a sort-merge that would re-sort the edges.
+    val edges = und01.select(col("u").as("a"), col("v").as("b"))
+    val pinned = rel.GraphLoops.pinEdges(edges, "a", rel.GraphLoops.CoPartitioned)
+    val state = spark.range(100).select((col("id") * 2 + 2).as("node"))
+    val step = rel.GraphLoops.stepPlanProbe(pinned, state,
+      rel.GraphLoops.CoPartitioned)
+    step.write.format("noop").mode("overwrite").save()
+    val p = step.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+    // executed tree: one exchange for the O(nodes) state reaching the
+    // pinned edges + one for the post-probe aggregation — a third
+    // means the 1.2M-edge list moved
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"edge list re-shuffled at sf0.1 ($exchanges exchanges):\n$p")
+    val edgeBranch = p.linesIterator
+      .filter(l => l.contains(":-") || l.contains(":  ")).toSeq
+    assert(edgeBranch.exists(_.contains("Scan ExistingRDD")),
+      s"pinned edge RDD missing from the left branch:\n$p")
+    assert(edgeBranch.forall(!_.contains("Exchange")),
+      s"exchange on the pinned edge branch at sf0.1:\n$p")
+  }
 }

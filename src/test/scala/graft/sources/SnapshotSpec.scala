@@ -42,6 +42,38 @@ class SnapshotSpec extends SparkSpec {
     assert(m1("p1") != m2("p1"), "touched partition must move to the new commit's dir")
   }
 
+  test("a concurrent committer losing the version race cleans up and leaves the winner intact") {
+    // deterministic replay of the race's decided state: the winner has
+    // already published v1 when the loser (which computed next=1 from
+    // the stale empty store) reaches publish. The loser must (a) throw,
+    // (b) remove ITS OWN attempt dir — and only that — and (c) leave
+    // the winner's version byte-identical.
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 10L)).toDF("key", "part", "seq", "vc")) // the winner's v1
+    val winner = SnapshotStore.readManifest(spark, base, 1)
+    val loserDir = s"$base/data/v1-loser000"
+    Seq(("z", "p1", 0L, 99L)).toDF("key", "part", "seq", "vc")
+      .write.mode("overwrite").partitionBy("part").parquet(loserDir)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[IllegalStateException] {
+      SnapshotStore.publish(spark, base, 1,
+        Map("p1" -> s"$loserDir/part=p1"), loserDir)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(loserDir)),
+      "the loser's private attempt dir must be removed")
+    assert(SnapshotStore.readManifest(spark, base, 1) == winner,
+      "the winner's manifest must be untouched")
+    val v1 = SnapshotStore.readVersion(spark, base, 1)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(v1 == Set(("a", 10L)), "the winner's rows must be untouched")
+    // and the store keeps working for the loser's NEXT attempt (retry
+    // against the refreshed current version is the documented recovery)
+    assert(SnapshotStore.commit(spark, base,
+      Seq(("z", "p1", 1L, 99L)).toDF("key", "part", "seq", "vc")) == 2)
+  }
+
   test("within-batch duplicates resolve by highest seq") {
     val base = freshBase()
     SnapshotStore.commit(spark, base,

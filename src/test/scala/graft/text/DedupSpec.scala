@@ -19,6 +19,28 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 3L), (3L, 2L), (6L, 1L)))
   }
 
+  test("shingle df stays bounded — the Σ df² dedup equi-joins' blowup canary") {
+    // dedup_ngram_jaccard / text_containment / text_levenshtein_pairs
+    // candidates cost Σ_shingle df² — quadratic in the HOTTEST shingle,
+    // not the corpus. This pin makes a pathological stop-shingle (mass
+    // boilerplate) observable as one loud failure instead of a silent
+    // bench blowup; the remedy documented at the query sites is a df
+    // cap (drop shingles with df > D, demoting the tier to approximate
+    // alongside LSH). Observed max df: 8 at sf0.001, 13 at sf0.01, 25
+    // at sf0.1 — the bound below is ~20x the observed sf0.01 value.
+    val docs = graft.Tables.documents(spark, sf001)
+    val nDocs = docs.count()
+    val maxDf = docs
+      .select(explode(array_distinct(
+        TextFunctions.shingles(col("text"), 3))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(max("df")).head().getLong(0)
+    info(s"max 3-shingle df = $maxDf over $nDocs docs")
+    assert(maxDf <= math.max(50L, nDocs / 2),
+      s"hot shingle df=$maxDf over $nDocs docs — the Σ df² dedup joins " +
+        "need a df cap before this corpus is safe")
+  }
+
   test("minhash+LSH finds planted near-duplicates, spares distinct docs") {
     // docA ~ docB (one token changed out of 80), docC unrelated
     val docA = base
