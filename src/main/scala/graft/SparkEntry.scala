@@ -16,7 +16,8 @@ object SparkEntry {
       rel.TpchQueries.defs ++
       rel.EventQueries.defs ++ rel.AnalyticsQueries.defs ++
       rel.FeatureQueries.defs ++ rel.GraphExtras.defs ++
-      text.TextQueries.defs ++ text.CorpusQueries.defs ++ vec.VecQueries.defs ++
+      text.TextQueries.defs ++ text.CorpusQueries.defs ++
+      text.QualityClassifier.defs ++ vec.VecQueries.defs ++
       vec.VecAnalytics.defs ++ mm.MmQueries.defs ++ streaming.StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
