@@ -38,5 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the JVM default zone, and only both pins together make wall-clock
   // literals mean UTC everywhere
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g measured as the GC sweet spot for the 32-thread bench JVM on
+  // this 128 GiB box: the 15 most expensive queries' min-lap total is
+  // 65.1 s at 8g, 46.0 s at 24g, 48.4 s at 48g (BASELINE.md round-10
+  // variance section) — the 8g default both slowed the official lap
+  // ~30% and injected most of its 4-10x per-query swings
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

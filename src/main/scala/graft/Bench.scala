@@ -23,7 +23,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_BENCH_ONLY=a,b,c restricts the lap to named queries — for
+    // targeted variance experiments; the driver's official run never
+    // sets it (an unset var is the full surface)
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // store-building entries split fixture construction from the
     // measured query: setups run (and are timed) ONCE here, so both
     // laps below time query plans — a regression in a store read can

@@ -429,10 +429,12 @@ class PlanSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
     }
     // these intentionally cross-join a BROADCAST single-row aggregate
-    // (m for modularity, n / the normalizer for PCA) — the plan may
-    // show BroadcastNestedLoopJoin for that one-row side, but a true
+    // (m for modularity, n / the normalizer for PCA, the 1-row betas
+    // frame for the IRLS classifier) — the plan may show
+    // BroadcastNestedLoopJoin for that one-row side, but a true
     // CartesianProduct (shuffled pair space) must never appear
-    Seq("graph_modularity", "vec_pca_power").foreach { name =>
+    Seq("graph_modularity", "vec_pca_power",
+        "text_quality_classifier").foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }
