@@ -73,7 +73,9 @@ object ExplainAudit {
       "vec_pca_power",     // one n*d^2 co-moment shuffle, broadcast iterations
       "text_kneser_ney",   // one adjacency window + bigram-keyed partial aggs
       "stat_bootstrap_ci", // map-local x50 explode, partial-agged resample means
-      "store_delete_vectors") // snapshot scan + ONE broadcast DV anti-join
+      "store_delete_vectors", // snapshot scan + ONE broadcast DV anti-join
+      "text_levenshtein_pairs", // signature-tier candidates, banded DP verify
+      "text_quality_classifier") // per-round stats agg + broadcast 1-row betas
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

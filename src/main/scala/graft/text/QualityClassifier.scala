@@ -181,7 +181,11 @@ object QualityClassifier {
 
   // ---- DuckDB oracle --------------------------------------------------
 
-  private def oracleSql(rounds: Int): String = {
+  /** Shared oracle prefix: the full 4-round fit + final scoring pass,
+    * ending at the `pf` CTE (doc_id, y, x0..x3, b0..b3, zn, p). Both
+    * gate queries append their own final SELECT.
+    */
+  private def oraclePrefix(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""z$r AS (SELECT fx.*, b.b0, b.b1, b.b2, b.b3, ${znExpr(duck = true)}
          |        FROM fx, b${r - 1}r b),
@@ -204,9 +208,26 @@ object QualityClassifier {
        |$roundCtes,
        |zf AS (SELECT fx.*, b.b0, b.b1, b.b2, b.b3, ${znExpr(duck = true)}
        |       FROM fx, b${rounds}r b),
-       |pf AS (SELECT *, $pExpr FROM zf)
-       |SELECT ${scoreCols.mkString(", ")} FROM pf ORDER BY doc_id""".stripMargin
+       |pf AS (SELECT *, $pExpr FROM zf)""".stripMargin
   }
+
+  private def oracleSql(rounds: Int): String =
+    s"""${oraclePrefix(rounds)}
+       |SELECT ${scoreCols.mkString(", ")} FROM pf ORDER BY doc_id""".stripMargin
+
+  /** Decile reliability table over the fitted probabilities — all
+    * integer (counts and micro-sums), so ratios derive exactly.
+    */
+  private def calibExprs(duck: Boolean): Seq[String] = Seq(
+    s"least(p ${I(duck)} 100000, 9) AS bin",
+    "CAST(count(*) AS BIGINT) AS n_docs",
+    "CAST(sum(y) AS BIGINT) AS n_keep",
+    "CAST(sum(p) AS BIGINT) AS p_micro_sum")
+
+  private def calibrationSql(rounds: Int): String =
+    s"""${oraclePrefix(rounds)}
+       |SELECT ${calibExprs(duck = true).mkString(", ")}
+       |FROM pf GROUP BY 1 ORDER BY bin""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     // trained quality gate: 4 IRLS rounds from zero betas on the
@@ -223,5 +244,22 @@ object QualityClassifier {
       score(fx, train(fx, rounds = 4))
         .selectExpr(scoreCols: _*)
         .orderBy("doc_id")
+    },
+
+    // CALIBRATION of the trained gate: decile reliability bins over
+    // the fitted probability — the diagnostic that turns a classifier
+    // into a usable threshold policy (a miscalibrated p=0.9 bin with a
+    // 0.5 keep rate means the cut must move). One extra partial-agged
+    // 10-row aggregate after the shared fit; everything stays integer
+    // (doc counts, label sums, micro-probability sums), so the table
+    // is hash-exact and the empirical rates derive exactly.
+    "text_quality_calibration" -> QueryDef(calibrationSql(rounds = 4)) { (s, d) =>
+      val fx = featsDf(s, d)
+      score(fx, train(fx, rounds = 4))
+        .selectExpr(calibExprs(duck = false).head, "y", "p")
+        .groupBy("bin")
+        .agg(expr(calibExprs(duck = false)(1)), expr(calibExprs(duck = false)(2)),
+          expr(calibExprs(duck = false)(3)))
+        .orderBy("bin")
     })
 }

@@ -168,6 +168,57 @@ object VecQueries {
         .orderBy("q_id", "rank")
     },
 
+    // HARD-NEGATIVE MINING for contrastive training: for each anchor
+    // vector, the top-3 most-similar vectors with a DIFFERENT label —
+    // the negatives that actually move an embedding model (random
+    // negatives are trivially separable; the hard ones sit at the
+    // decision boundary). Exact BIGINT inner products (2^-20 fixed
+    // point, same overflow headroom as sim_mips_topk), deterministic
+    // (score DESC, id) ties — ranking AND scores hash-exact. Scale
+    // shape: the anchor set broadcasts into one streamed corpus scan
+    // (label filter applied before the rank window cuts the pair
+    // stream, never materializing it); when the corpus outgrows the
+    // scan, the IVF/PQ candidate tiers feed the same label-filtered
+    // verifier.
+    "sim_hard_negatives" -> QueryDef(
+      s"""WITH f AS (SELECT vec_id, label,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, fv AS qv
+         |      FROM f WHERE vec_id < 50),
+         |scored AS (
+         |  SELECT q.q_id, q.q_label, c.vec_id AS id, c.label AS neg_label,
+         |    CAST(list_sum(list_transform(range(64),
+         |      i -> q.qv[i+1] * c.fv[i+1])) AS BIGINT) AS score
+         |  FROM f c, q WHERE c.label <> q.q_label),
+         |ranked AS (
+         |  SELECT q_id, q_label, id, neg_label, score,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(q_label AS BIGINT) AS q_label, id,
+         |  CAST(neg_label AS BIGINT) AS neg_label, score, rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fx = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+      val q = fx.where(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("fv").as("qv"))
+      fx.crossJoin(broadcast(q))
+        .where(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("vec_id").as("id"), col("label").cast("long").as("neg_label"),
+          aggregate(zip_with(col("qv"), col("fv"), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))))
+        .where(col("rank") <= 3)
+        .orderBy("q_id", "rank")
+    },
+
     // BINARY-QUANTIZED retrieval: embeddings collapse to their sign
     // bits (64 dims -> 64 bits, a 32x compression — the third rung of
     // the quantization ladder after int8 and PQ) and candidates rank
