@@ -349,6 +349,53 @@ object StreamingOps {
     spark.table(name).orderBy(col("n").desc, col("user_id"))
   }
 
+  /** Streamed model inference: the IRLS quality gate's betas are fit
+    * OFFLINE on the batch corpus (training is a batch job), then the
+    * documents arrive as a file stream and every micro-batch scores
+    * against the broadcast 1-row coefficient frame — the standard
+    * train-batch/serve-stream split. The join key is a constant
+    * (stream-static equi-join; a literal crossJoin is rejected on
+    * streaming plans), so the static side broadcasts once and the
+    * scoring itself is row-local — state exists only in the per-source
+    * complete-mode aggregate (O(sources) rows). At 100 TB/day this is
+    * the shape of a continuous ingest-quality monitor: the stream
+    * never shuffles except into the tiny monitor aggregate.
+    */
+  def qualityGateOnce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.QualityClassifier
+    val betas = QualityClassifier
+      .train(QualityClassifier.featsDf(spark, dir), rounds = 4)
+      .withColumn("jk", lit(1))
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val scored = QualityClassifier.featsOf(src, extra = Seq("source"))
+      .withColumn("jk", lit(1))
+      .join(broadcast(betas), "jk")
+      .selectExpr("*", QualityClassifier.znSpark)
+      .selectExpr("*", QualityClassifier.pSpark)
+    val agg = scored.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("p") >= 500000L, 1L).otherwise(0L)).as("n_pred_keep"),
+      sum("p").as("p_micro_sum"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name).orderBy("source")
+  }
+
   /** Streaming deduplication: emit each (user_id, event_type) key once,
     * drained with AvailableNow, then count survivors per type in batch.
     * `dropDuplicates` keys state exactly like the batch distinct the

@@ -76,6 +76,15 @@ object StreamingQueries {
       StreamingOps.streamStaticJoinOnce(s, d)
     },
 
+    // train-batch/serve-stream: the IRLS quality gate fit offline,
+    // scoring the document stream per micro-batch against broadcast
+    // coefficients, monitored as a per-source keep-rate aggregate ==
+    // the batch fit + score + group-by the oracle runs
+    "streaming_quality_gate" -> QueryDef(
+      graft.text.QualityClassifier.gateOracleSql) { (s, d) =>
+      StreamingOps.qualityGateOnce(s, d)
+    },
+
     // complete-mode streaming leaderboard: sort+limit over the running
     // per-user aggregate == the batch top-k
     "streaming_topk" -> QueryDef(

@@ -133,22 +133,39 @@ object QualityClassifier {
 
   // ---- Spark side -----------------------------------------------------
 
-  /** (doc_id, y, x0..x3) integer feature frame. */
-  def featsDf(s: SparkSession, d: String): DataFrame = {
+  /** Feature frame from a raw documents frame (batch OR stream — the
+    * expressions are all row-local, so the same plan streams).
+    * `extra` names passthrough columns (e.g. `source` for the
+    * streaming per-source gate).
+    */
+  def featsOf(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val ins = InScopeMarkers.map(lit(_))
     val es = EsMarkers.map(lit(_))
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
+    val base = docs
+      .select(Seq(col("doc_id"), col("lang"),
+        TextFunctions.tokens(col("text")).as("toks")) ++ extra.map(col): _*)
+      .select(Seq(col("doc_id"),
         size(col("toks")).cast("long").as("nt"),
         size(array_distinct(col("toks"))).cast("long").as("nu"),
         size(filter(col("toks"), x => x.isin(ins: _*))).cast("long").as("ni"),
         size(filter(col("toks"), x => x.isin(es: _*))).cast("long").as("ne"),
         (size(col("toks")) >= 30 &&
           size(array_distinct(col("toks"))) * 100 >= size(col("toks")) * 35 &&
-          col("lang").isin("en", "de", "fr")).cast("long").as("y"))
-    base.selectExpr(Seq("doc_id", "y") ++ featExprs(duck = false): _*)
+          col("lang").isin("en", "de", "fr")).cast("long").as("y")) ++
+        extra.map(col): _*)
+    base.selectExpr(Seq("doc_id", "y") ++ extra ++ featExprs(duck = false): _*)
   }
+
+  /** (doc_id, y, x0..x3) integer feature frame over a testdata dir. */
+  def featsDf(s: SparkSession, d: String): DataFrame =
+    featsOf(Tables.documents(s, d))
+
+  /** Spark-dialect logit/probability expression strings, for callers
+    * that must attach scoring to a STREAMING plan (score() itself
+    * cross-joins, which stream-static plans reject).
+    */
+  private[graft] val znSpark: String = znExpr(duck = false)
+  private[graft] val pSpark: String = pExpr
 
   /** IRLS fit from zero betas; returns the 1-row (b0..b3) pico-grid
     * coefficient frame. The betas never land on the driver — each
@@ -228,6 +245,17 @@ object QualityClassifier {
     s"""${oraclePrefix(rounds)}
        |SELECT ${calibExprs(duck = true).mkString(", ")}
        |FROM pf GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** Oracle for the STREAMED per-source gate (StreamingOps
+    * .qualityGateOnce): same fit, scores grouped by the doc's source.
+    */
+  private[graft] def gateOracleSql: String =
+    s"""${oraclePrefix(4)}
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN pf.p >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_keep,
+       |  CAST(SUM(pf.p) AS BIGINT) AS p_micro_sum
+       |FROM pf JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     // trained quality gate: 4 IRLS rounds from zero betas on the
