@@ -335,6 +335,77 @@ object RelQueries {
           count(lit(1)).as("n_names"), sum("n_parts").as("n_parts"))
         .select("noun", "entity", "n_names", "n_parts")
         .orderBy("noun", "entity")
+    },
+
+    // GOLDEN-RECORD SURVIVORSHIP — the step after er_clusters that MDM
+    // pipelines actually ship: every resolved entity gets ONE record
+    // with field-level survivorship rules over its member rows
+    // (most-frequent value for brand with deterministic ties, max for
+    // size, min key as the stable golden id). Scale shape: the
+    // name->entity mapping is vocabulary-sized (broadcastable), the
+    // member rows partial-aggregate per entity, and the mode rule runs
+    // as a window over the (entity, brand) AGGREGATE — O(entities x
+    // brands) rows, never a row-level sort. Oracle closes the same
+    // match graph with a recursive CTE and applies identical rules.
+    "er_survivorship" -> QueryDef(
+      """WITH RECURSIVE n AS (
+        |  SELECT p_name, split_part(p_name,' ',1) AS adj,
+        |         split_part(p_name,' ',2) AS noun
+        |  FROM part GROUP BY 1, 2, 3),
+        |e AS (SELECT a.p_name AS x, b.p_name AS y FROM n a JOIN n b
+        |      ON a.noun = b.noun AND a.adj < b.adj
+        |     AND levenshtein(a.adj, b.adj) <= 2),
+        |und AS (SELECT x, y FROM e UNION SELECT y, x FROM e),
+        |r AS (SELECT p_name AS s, p_name AS t FROM n
+        |      UNION
+        |      SELECT r.s, und.y FROM r JOIN und ON und.x = r.t),
+        |c AS (SELECT s AS p_name, MIN(t) AS entity FROM r GROUP BY 1),
+        |p AS (SELECT part.*, c.entity FROM part JOIN c USING (p_name)),
+        |bf AS (SELECT entity, p_brand, COUNT(*) AS bf FROM p GROUP BY 1, 2),
+        |gb AS (SELECT entity, p_brand AS golden_brand,
+        |         CAST(bf AS BIGINT) AS brand_n,
+        |         ROW_NUMBER() OVER (PARTITION BY entity
+        |                            ORDER BY bf DESC, p_brand) AS rk
+        |       FROM bf),
+        |a AS (SELECT entity,
+        |        CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_variants,
+        |        CAST(COUNT(*) AS BIGINT) AS n_members,
+        |        CAST(MAX(p_size) AS BIGINT) AS max_size,
+        |        CAST(MIN(p_partkey) AS BIGINT) AS golden_key
+        |      FROM p GROUP BY 1)
+        |SELECT a.entity, n_variants, n_members, max_size, golden_key,
+        |       golden_brand, brand_n
+        |FROM a JOIN gb ON a.entity = gb.entity AND gb.rk = 1
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val n = partNames(s, d)
+        .withColumn("id",
+          expr("CAST(conv(substring(md5(p_name),1,15),16,10) AS BIGINT)"))
+      val edges = n.as("a").join(n.as("b"), erPairCond("a", "b"))
+        .select(col("a.id").as("a"), col("b.id").as("b"))
+      val assign = graft.text.Cluster.connectedComponents(n.select("id"), edges)
+      val nameEnt = n.join(assign, "id").select("p_name", "cluster_id")
+      val mapping = nameEnt
+        .join(nameEnt.groupBy("cluster_id").agg(min("p_name").as("entity")),
+          "cluster_id")
+        .select("p_name", "entity")
+      val parts = Tables.part(s, d).join(broadcast(mapping), "p_name")
+      val goldenBrand = parts.groupBy("entity", "p_brand")
+        .agg(count(lit(1)).as("bf"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("entity").orderBy(col("bf").desc, col("p_brand"))))
+        .where(col("rk") === 1)
+        .select(col("entity"), col("p_brand").as("golden_brand"),
+          col("bf").as("brand_n"))
+      parts.groupBy("entity").agg(
+          countDistinct("p_name").as("n_variants"),
+          count(lit(1)).as("n_members"),
+          max("p_size").cast("long").as("max_size"),
+          min("p_partkey").as("golden_key"))
+        .join(goldenBrand, "entity")
+        .select("entity", "n_variants", "n_members", "max_size",
+          "golden_key", "golden_brand", "brand_n")
+        .orderBy("entity")
     })
 
   /** Materialize the bucketed orders/lineitem tables for
