@@ -270,6 +270,50 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // SIMILARITY-THRESHOLD PROFILE — the diagnostic a dedup pipeline
+    // runs BEFORE committing to a cutoff: the full pairwise-Jaccard
+    // histogram (decile bins) over every pair sharing at least one
+    // shingle. The 0.3/0.8/0.9 thresholds the dedup tiers use are
+    // policy; this table shows where the corpus's similarity mass
+    // actually sits (a fat 0.2-0.4 band means a 0.3 cutoff deletes
+    // aggressively; an empty one means it's free). Same Σ df²
+    // shingle-keyed equi-join as dedup_ngram_jaccard — zero-overlap
+    // pairs are absent by construction (they'd all land in bin 0 of a
+    // quadratic pair space nobody should materialize), and the same
+    // df canary bounds the hot-shingle risk. All-integer output.
+    "dedup_threshold_profile" -> QueryDef(
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS shset
+         |  FROM documents),
+         |sz AS (SELECT doc_id, len(shset) AS n FROM sh),
+         |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |      FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT inter, sa.n + sb.n - inter AS uni
+         |      FROM p JOIN sz sa ON p.a_id = sa.doc_id
+         |             JOIN sz sb ON p.b_id = sb.doc_id)
+         |SELECT CAST(least((inter * 10) // uni, 9) AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(inter) AS BIGINT) AS inter_sum,
+         |  CAST(SUM(uni) AS BIGINT) AS uni_sum
+         |FROM j GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("shset"))
+      val sz = sh.select(col("doc_id"), size(col("shset")).cast("long").as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("shset")).as("s"))
+      val p = ex.toDF("a_id", "s").join(ex.toDF("b_id", "s"), "s")
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      p.join(sz.toDF("a_id", "na"), "a_id")
+        .join(sz.toDF("b_id", "nb"), "b_id")
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .groupBy(least(expr("(inter * 10) div uni"), lit(9L)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("inter").as("inter_sum"), sum("uni").as("uni_sum"))
+        .orderBy("bin")
+    },
+
     // character-level edit-distance near-dup pairs: the verifier tier
     // OCR/typo-corrupted duplicates need, where shingle Jaccard decays
     // but levenshtein stays tiny (planted pairs sit at <= 8 edits vs

@@ -80,4 +80,34 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(removed.size.toLong == canonical,
       s"member-level removal ${removed.size} != query n_removed total $canonical")
   }
+
+  test("classifier, calibration, audit, and threshold profile interlock") {
+    // cross-query conservation laws: the per-doc classifier output,
+    // its calibration rollup, the rule audit it was trained on, and
+    // the pairwise threshold profile must all describe the SAME
+    // corpus — each equality below fails if any one of them drops,
+    // duplicates, or re-labels rows the others keep.
+    val docs = Tables.documents(spark, dir).count()
+    val scored = SparkEntry.queries("text_quality_classifier")(spark, dir)
+      .select("y", "p_micro").collect()
+    assert(scored.length.toLong == docs, "classifier must score every doc")
+    val calib = SparkEntry.queries("text_quality_calibration")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(calib.map(_._1).sum == docs, "calibration bins must partition the corpus")
+    assert(calib.map(_._2).sum == scored.map(_.getLong(0)).sum,
+      "calibration keep totals must equal the classifier's label sum")
+    assert(calib.map(_._3).sum == scored.map(_.getLong(1)).sum,
+      "calibration probability mass must equal the classifier's")
+    val auditKeeps = SparkEntry.queries("text_filter_audit")(spark, dir)
+      .where(col("keep")).count()
+    assert(scored.map(_.getLong(0)).sum == auditKeeps,
+      "classifier labels must be exactly the audit's keep verdicts")
+    // the threshold profile's >= 0.3 mass must equal the jaccard
+    // query's pair count (same join, same integer threshold)
+    val profHigh = SparkEntry.queries("dedup_threshold_profile")(spark, dir)
+      .where(col("bin") >= 3).agg(sum("n_pairs")).collect()(0).getLong(0)
+    val jacPairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).count()
+    assert(profHigh == jacPairs,
+      s"profile bins >= 3 hold $profHigh pairs, dedup_ngram_jaccard reports $jacPairs")
+  }
 }
