@@ -80,8 +80,19 @@ object Bench {
     val minTotal = if (minLap.nonEmpty) minLap.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val setupTotal = if (setups.nonEmpty) setups.map(_._2).sum else 0.0
+    // provenance stamps: (i) "partial":true marks any GRAFT_BENCH_ONLY /
+    // single-lap run so an experimental BENCH_LAST.json can never be
+    // mistaken for (or silently overwrite the meaning of) closing
+    // evidence — the driver and humans reject partial files on sight;
+    // (ii) the ACTUAL heap ceiling the JVM ran with, because the 24g
+    // build.sbt default is overridable via SPARK_DRIVER_MEM and an 8g
+    // run GC-thrashes local[32] into 3-10x per-query phantom swings
+    // (round-10 root cause) — any future variance excursion is
+    // attributable, or ruled out, from the artifact alone
+    val partial = only.nonEmpty || singleLap
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":$failedJson,"sf":"$sfDir","lap1_total":$coldTotal,"lap1_queries":${json(cold)},"min_total":$minTotal,"min_queries":${json(minLap)},"setup_total":$setupTotal,"setup_sec":${json(setups)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":$failedJson,"sf":"$sfDir","lap1_total":$coldTotal,"lap1_queries":${json(cold)},"min_total":$minTotal,"min_queries":${json(minLap)},"setup_total":$setupTotal,"setup_sec":${json(setups)},"partial":$partial,"laps":${if (singleLap) 1 else 2},"cpus":"$cpus","heap_max_mb":$heapMb}"""
     // stop FIRST so the JSON is this process's final stdout line (a
     // launcher that reads the tail shouldn't trip over shutdown noise),
     // and drop a file copy as a parse-proof fallback

@@ -25,8 +25,9 @@ import TextFunctions.tokensSql
   *    1e-6 grid (`round`), the same ln/exp-grid treatment the
   *    surprisal/JS-divergence oracles established
   *  - the IRLS normal equations X'WX δ = X'(y−p) are built from
-  *    INTEGER sums (micro-unit weights; every term < 2^53, so the
-  *    aggregation is order-free — no fp-addition-order hazard), then
+  *    INTEGER sums (micro-unit weights; integer addition is order-free
+  *    — no fp-addition-order hazard; see the headroom note below for
+  *    where the integer discipline itself runs out), then
   *    solved per round by Cramer's rule on the 4×4 system with a
   *    TEXT-IDENTICAL double expression in both engines (IEEE ops on
   *    exact inputs in a fixed parse order are bit-deterministic)
@@ -36,9 +37,23 @@ import TextFunctions.tokensSql
   * feature table producing a 24-column single row (the normal
   * equations), crossed back in as a broadcast — the classic
   * sufficient-statistics layout. Nothing driver-side, nothing O(n²);
-  * at 100 TB the fit costs `rounds` scans. The 2^53 headroom holds to
-  * ~4e12 rows at these feature scales; past that the sums move to
-  * DECIMAL(38,0) (still exact, still order-free).
+  * at 100 TB the fit costs `rounds` scans.
+  *
+  * Arithmetic headroom (corrected r11 — the old "~4e12 rows" claim was
+  * off by orders of magnitude): a single X'WX term |x_j·x_k·w| is
+  * bounded by 1500² · 250000 ≈ 5.6e11 (hinge features cap at |x|≤1500
+  * milli; w = p(1-p)/1e6 ≤ 250000 micro), so
+  *  - the SUM stays below 2^53 (cast-to-double exact to the ulp) only
+  *    to ~1.6e4 rows. Past that the final double rounds to 53 bits —
+  *    harmless to the fit AND to engine agreement, because both
+  *    engines still hold the identical mathematical integer (DuckDB as
+  *    HUGEINT, Spark as BIGINT) and round-to-nearest casts it the same
+  *    way;
+  *  - real divergence starts when Spark's non-ANSI BIGINT sum silently
+  *    WRAPS at 2^63 ≈ 9.2e18, i.e. ≈1.6e7 rows worst-case, while
+  *    DuckDB promotes to HUGEINT. [[train]] guards this loudly
+  *    (require < 8e6 rows); past the guard the statsExprs sums move to
+  *    DECIMAL(38,0) in both engines (still exact, still order-free).
   */
 object QualityClassifier {
 
@@ -91,8 +106,9 @@ object QualityClassifier {
 
   /** The normal-equation sufficient statistics: X'WX (16 entries) and
     * X'(y-p) (4), summed EXACTLY as integers then cast to double
-    * (< 2^53, so the cast is exact too), plus the betas carried
-    * through the aggregate.
+    * (identical in both engines while the sum fits BIGINT — see the
+    * object-level headroom note; [[train]] guards the wrap point),
+    * plus the betas carried through the aggregate.
     */
   private val statsExprs: Seq[String] = {
     val a = for (j <- 0 to 3; k <- 0 to 3)
@@ -178,6 +194,19 @@ object QualityClassifier {
     var betas = s.range(1).selectExpr(
       (0 to 3).map(j => s"CAST(0 AS BIGINT) AS b$j"): _*)
     val fx = feats.localCheckpoint()
+    // loud BIGINT-wrap guard (see object scaladoc): Spark's non-ANSI
+    // sum wraps silently at ≈1.6e7 rows worst-case while the DuckDB
+    // oracle promotes to HUGEINT — fail the fit here, with the fix
+    // named, instead of corrupting the normal equations at scale. The
+    // count scans the already-checkpointed feature table once per fit
+    // (no lineage recompute), a rounding error next to `rounds` full
+    // aggregate passes.
+    val n = fx.count()
+    require(n < 8000000L,
+      s"QualityClassifier.train: $n rows would overflow the BIGINT " +
+        "normal-equation sums (wrap at ~1.6e7 worst-case); switch " +
+        "statsExprs to DECIMAL(38,0) sums in both engines before " +
+        "fitting a corpus this size")
     for (_ <- 1 to rounds) {
       val scored = fx.crossJoin(broadcast(betas))
         .selectExpr("*", znExpr(duck = false))
