@@ -93,6 +93,55 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** The Σ df² shingle-pair space behind the exact verifiers
+    * (dedup_ngram_jaccard / dedup_threshold_profile / text_containment
+    * all build this shape inline), with the designed df-CAP
+    * degradation tier: `maxDf = Some(cap)` drops every shingle whose
+    * document frequency exceeds `cap` BEFORE the self-join, bounding
+    * the join's work at Σ_{df≤cap} df² ≤ cap · (corpus shingle mass)
+    * — linear in the corpus for a fixed cap — where the uncapped join
+    * is corpus-quadratic on any head shingle (at 100 TB of real web
+    * text, common 3-shingles have corpus-linear df; the uncapped tier
+    * would die on them). Capping redefines each document's shingle
+    * set as its capped subset (hot shingles leave the intersection
+    * AND the set sizes), the standard stop-shingle-dropped
+    * approximation: Jaccard over capped sets, exact for every pair
+    * whose shingles all sit under the cap. The uncapped form remains
+    * available as `maxDf = None` (identical output when
+    * cap > max observed df — pinned in DedupSpec).
+    *
+    * Returns (a_id, b_id, inter, na, nb) for every pair sharing ≥1
+    * surviving shingle: inter = |A∩B|, na/nb = capped set sizes.
+    */
+  def shinglePairStats(
+      docs: DataFrame, text: Column, id: Column,
+      shingleN: Int, maxDf: Option[Long]): DataFrame = {
+    val sh = docs.select(id.as("doc_id"),
+      array_distinct(TextFunctions.shingles(text, shingleN)).as("shset"))
+    val ex0 = sh.select(col("doc_id"), explode(col("shset")).as("s"))
+    val ex = maxDf match {
+      case Some(cap) =>
+        // df pass first: one extra shuffle on the shingle key, the
+        // price of the bounded join. The keep-set join is shingle-
+        // keyed (same key as the pair join), so AQE coalesces the
+        // exchanges; no row ever fans out before the cap applies.
+        val keep = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select("s")
+        // re-fix column ORDER: the equi-join hoists the key column
+        // first, and the positional toDF renames below depend on
+        // (doc_id, s)
+        ex0.join(keep, "s").select("doc_id", "s")
+      case None => ex0
+    }
+    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val p = ex.toDF("a_id", "s").join(ex.toDF("b_id", "s"), "s")
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    p.join(sz.toDF("a_id", "na"), "a_id")
+      .join(sz.toDF("b_id", "nb"), "b_id")
+      .select("a_id", "b_id", "inter", "na", "nb") // stable order (joins hoist keys)
+  }
+
   /** Full near-dup pipeline: docs minus every doc that has a verified
     * near-duplicate with a smaller id. Returns surviving ids.
     */

@@ -231,12 +231,15 @@ object TextQueries {
     // all-pairs form (a zero-intersection pair can never pass a
     // positive threshold), but the pair space never materializes: work
     // is Σ_shingle df² (2.8M rows at sf0.1, max df 25), an equi-join
-    // shuffle, not O(docs²). At 100 TB the same plan holds; if a
-    // pathological stop-shingle appears, cap df (drop shingles with
-    // df > D) — that tier becomes approximate and lives with the LSH
-    // variants. DedupSpec's "shingle df stays bounded" canary makes a
-    // df blowup observable (one loud failure, not a silent quadratic
-    // bench regression). Integer-compared 0.3 threshold as before.
+    // shuffle, not O(docs²). At 100 TB the same plan holds UNTIL a
+    // head shingle's df tracks the corpus; the designed degradation is
+    // the df-cap tier (Dedup.shinglePairStats with maxDf — exercised
+    // oracle-green as dedup_jaccard_capped below, identical-to-uncapped
+    // pinned in DedupSpec), which bounds the join at cap·shingle-mass.
+    // DedupSpec's "shingle df stays bounded" canary makes a df blowup
+    // on THIS uncapped form observable (one loud failure, not a silent
+    // quadratic bench regression) and names the capped tier as the
+    // fix. Integer-compared 0.3 threshold as before.
     "dedup_ngram_jaccard" -> QueryDef(
       s"""WITH sh AS (
          |  SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS shset
@@ -264,6 +267,43 @@ object TextQueries {
         .withColumn("uni", col("na") + col("nb") - col("inter"))
         // integer-compare the 0.3 threshold: no fp boundary ambiguity;
         // inter >= 1 by construction, so uni >= 1 (no 0/0)
+        .where(col("inter") * 10 >= col("uni") * 3)
+        .select(col("a_id"), col("b_id"),
+          (col("inter").cast("double") / col("uni")).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // The df-CAPPED tier of the exact-Jaccard verifier — the 100 TB
+    // degradation path the uncapped Σ df² queries name: shingles with
+    // document frequency > 200 are dropped BEFORE the pair join
+    // (Dedup.shinglePairStats), so a corpus-linear head shingle costs
+    // one filtered df pass instead of a df² pair blowup; Jaccard is
+    // then exact over the CAPPED shingle sets. On this corpus max df
+    // is ~25, so the cap is inert and the output is IDENTICAL to
+    // dedup_ngram_jaccard (pinned in DedupSpec at sf0.001 alongside a
+    // synthetic hot-shingle corpus where the cap cuts the candidate
+    // space 19900 → 1); the ORACLE applies the same cap, so the gate
+    // checks the capped semantics themselves, not just the overlap.
+    "dedup_jaccard_capped" -> QueryDef(
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS shset
+         |  FROM documents),
+         |ex0 AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+         |keep AS (SELECT s FROM ex0 GROUP BY 1 HAVING count(*) <= 200),
+         |ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN keep USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |      FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM p JOIN sz sa ON p.a_id = sa.doc_id
+         |       JOIN sz sb ON p.b_id = sb.doc_id
+         |WHERE inter * 10 >= 3 * (sa.n + sb.n - inter)
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      Dedup.shinglePairStats(Tables.documents(s, d), col("text"),
+          col("doc_id"), shingleN = 3, maxDf = Some(200L))
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
         .where(col("inter") * 10 >= col("uni") * 3)
         .select(col("a_id"), col("b_id"),
           (col("inter").cast("double") / col("uni")).as("jaccard"))

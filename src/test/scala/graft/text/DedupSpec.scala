@@ -41,6 +41,55 @@ class DedupSpec extends SparkSpec {
         "need a df cap before this corpus is safe")
   }
 
+  test("df-cap tier is inert above the observed max df — capped == uncapped") {
+    // the designed degradation for the Σ df² family: with cap > every
+    // observed df (200 vs ~8 at sf0.001, and vs 25 at sf0.1), the
+    // capped pair space must be IDENTICAL to the uncapped one — same
+    // pairs, same intersections, same set sizes. This is the contract
+    // that lets dedup_jaccard_capped (cap=200) double as a regression
+    // pin on dedup_ngram_jaccard's semantics: a testdata regeneration
+    // that pushes a shingle past the cap breaks this equality loudly
+    // instead of silently shifting the capped query's output.
+    val docs = graft.Tables.documents(spark, sf001)
+    def pairs(maxDf: Option[Long]) =
+      Dedup.shinglePairStats(docs, col("text"), col("doc_id"), 3, maxDf)
+        .orderBy("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val capped = pairs(Some(200L))
+    val uncapped = pairs(None)
+    assert(capped.nonEmpty, "pair space empty — vacuous equality")
+    assert(capped == uncapped)
+  }
+
+  test("df cap bounds the candidate space on a hot-shingle corpus") {
+    // the scenario the uncapped tier cannot survive: 200 docs all
+    // opening with the same boilerplate phrase (one shingle with
+    // df = corpus) plus unique tails. Uncapped, that single shingle
+    // alone yields C(200,2) = 19900 candidate pairs — df², corpus-
+    // quadratic. With cap=100 the boilerplate shingle drops and only
+    // the one genuinely duplicated tail pair survives. At 100 TB this
+    // is the difference between a bounded equi-join and a job that
+    // cannot finish.
+    val hot = (0 until 200).map(i => (i.toLong, s"hot hot hot u$i v$i w$i"))
+    val dup = Seq((1000L, "alpha beta gamma delta epsilon"),
+      (1001L, "alpha beta gamma delta epsilon"))
+    val docs = (hot ++ dup).toDF("doc_id", "text")
+    val uncapped = Dedup.shinglePairStats(
+      docs, col("text"), col("doc_id"), 3, None)
+    val capped = Dedup.shinglePairStats(
+      docs, col("text"), col("doc_id"), 3, Some(100L))
+    // every hot doc shares exactly the "hot hot hot" shingle with
+    // every other (tails are unique), plus the planted dup pair
+    assert(uncapped.count() == 199L * 200L / 2 + 1)
+    val cp = capped.collect()
+    assert(cp.length == 1)
+    assert((cp(0).getLong(0), cp(0).getLong(1)) == (1000L, 1001L))
+    // and the surviving pair's stats are exact over capped sets: the
+    // dup docs' 3 shingles all have df=2 <= cap, so inter = na = nb = 3
+    assert((cp(0).getLong(2), cp(0).getLong(3), cp(0).getLong(4)) == ((3L, 3L, 3L)))
+  }
+
   test("minhash+LSH finds planted near-duplicates, spares distinct docs") {
     // docA ~ docB (one token changed out of 80), docC unrelated
     val docA = base
