@@ -16,19 +16,44 @@ import org.apache.spark.sql.functions.udaf
   * Estimates never undercount (one-sided error); overcount is bounded
   * by e*N/width per the standard CM bound, pinned in SketchSpec.
   *
-  * Hashing reuses Bloom.scramble (splitmix64) with a per-row seed, so
-  * the rows are pairwise-independent enough in practice and the whole
-  * scheme is public-constant, RNG-free arithmetic.
+  * Hashing (r11): the per-row cell index is md5-derived — the first
+  * 15 hex chars of md5("d:key") taken as a 60-bit integer, mod Width —
+  * the repo's engine-portable digest discipline. That makes the WHOLE
+  * sketch expressible in ANSI SQL (a cell's counter is Σ counts of
+  * the keys hashing to it), so sketch_heavy_hitters carries a real
+  * chained-CTE DuckDB oracle instead of a rows-only check. md5 per
+  * (row, depth) costs ~2x a splitmix round trip at the JVM level;
+  * the sketch build stays one partial-aggregated pass either way.
   */
 object CountMin {
 
   val Depth = 4
   val Width = 2048
 
-  private def cell(d: Int, key: Long): Int =
-    java.lang.Long.remainderUnsigned(
-      graft.rel.Bloom.scramble(key ^ (0x9e3779b97f4a7c15L * (d + 1))),
-      Width.toLong).toInt + d * Width
+  /** DuckDB mirror of [[cell]]'s intra-row index (without the
+    * `d * Width` flattening offset, which is a buffer-layout detail).
+    */
+  def cellSql(d: String, key: String): String =
+    s"CAST(concat('0x', substr(md5(concat($d, ':', $key)), 1, 15)) AS BIGINT) % $Width"
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def cell(d: Int, key: Long): Int = {
+    val dig = md5.get()
+    dig.reset()
+    val bytes = dig.digest(
+      s"$d:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars of the digest = the first 8 bytes' big-endian
+    // unsigned value >> 4 (60 bits, non-negative) — bit-identical to
+    // CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    ((v >>> 4) % Width).toInt + d * Width
+  }
 
   /** The aggregator: IN = key, BUF = flat counter matrix, OUT = same. */
   val agg: Aggregator[Long, Array[Long], Array[Long]] =

@@ -1241,11 +1241,30 @@ object AnalyticsQueries {
     // counter sketch via the custom typed Aggregator (partial-agg
     // friendly: fixed 64 KB buffer, element-wise-sum merge), the exact
     // top-10 keys probe it driver-side (a 64 KB array lookup, not a
-    // data pass). Estimates are sums of per-row increments, so they
-    // are IDENTICAL under any partitioning — deterministic row values,
-    // rows-only only because DuckDB has no CM twin; the no-undercount
-    // and error-bound properties are pinned in SketchSpec.
-    "sketch_heavy_hitters" -> QueryDef.rowsOnly { (s, d) =>
+    // data pass). ORACLE-EXACT since r11: the cell hash is the
+    // md5-15-hex digest (CountMin.cellSql), so the oracle rebuilds
+    // each probed counter as Σ counts of the keys that hash to its
+    // cell and takes the min over the 4 depth rows — the sketch's
+    // exact math, engine-independently. Estimates are sums of per-row
+    // increments (identical under any partitioning); no-undercount
+    // and the e·N/width error bound stay pinned in SketchSpec.
+    "sketch_heavy_hitters" -> QueryDef({
+      import graft.functions.CountMin
+      s"""WITH c AS (SELECT l_partkey AS k, count(*) AS n
+         |           FROM lineitem GROUP BY 1),
+         |top AS (SELECT k, n FROM c ORDER BY n DESC, k LIMIT 10),
+         |dd AS (SELECT unnest(range(0, ${CountMin.Depth})) AS d),
+         |kc AS (SELECT c.k, c.n, dd.d,
+         |         ${CountMin.cellSql("dd.d", "c.k")} AS cell
+         |       FROM c CROSS JOIN dd),
+         |cs AS (SELECT d, cell, SUM(n) AS cn FROM kc GROUP BY 1, 2)
+         |SELECT t.k, CAST(t.n AS BIGINT) AS exact_n,
+         |  CAST(MIN(cs.cn) AS BIGINT) AS cm_estimate
+         |FROM top t
+         |JOIN kc ON kc.k = t.k
+         |JOIN cs ON cs.d = kc.d AND cs.cell = kc.cell
+         |GROUP BY 1, 2 ORDER BY 2 DESC, 1""".stripMargin
+    }) { (s, d) =>
       import graft.functions.CountMin
       val keys = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
       val sketch = keys.agg(CountMin.sketchCol(col("k")).as("sk"))
@@ -1256,6 +1275,7 @@ object AnalyticsQueries {
       import s.implicits._
       top.map { case (k, n) => (k, n, CountMin.estimate(sketch, k)) }
         .toSeq.toDF("k", "exact_n", "cm_estimate")
+        .orderBy(col("exact_n").desc, col("k"))
     },
 
     // salted skew join surfaced as a driver query: events (5 hot keys,

@@ -484,12 +484,43 @@ object TextQueries {
         .orderBy("id")
     },
 
-    // SimHash fingerprint per document (near-pair search is bounded in
-    // the unit suite where the dup structure is controlled — on this
-    // shared-vocabulary corpus the pair set is degenerate)
-    "dedup_simhash" -> QueryDef.rowsOnly { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simhash(tokens(col("text"))).as("sh"))
+    // SimHash fingerprint per document — ORACLE-EXACT since r11: the
+    // per-token hash is the engine-portable md5-15-hex digest (the
+    // same discipline dedup_incremental's identity column and the
+    // hashed-features query established), so the ENTIRE simhash —
+    // 60 per-bit majority votes over the token multiset — is a plain
+    // aggregate both engines compute identically: explode tokens,
+    // one groupBy(doc_id) with 60 bit-count sums + n (map-side
+    // partial-agg, one shuffle of 62-column rows), majority vote
+    // 2*c_j > n mirrors the ±1 sign sum being > 0. The xxhash64
+    // fused-Expression variant (Dedup.simhash) remains the faster
+    // engine tier for pair search and keeps its DedupSpec pins; this
+    // query pins the ALGORITHM itself against an independent engine.
+    // Near-pair search stays in the unit suite where the dup
+    // structure is controlled — on this shared-vocabulary corpus the
+    // pair set is degenerate.
+    "dedup_simhash" -> QueryDef(
+      s"""WITH t AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok
+         |           FROM documents),
+         |h AS (SELECT doc_id,
+         |        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+         |      FROM t),
+         |a AS (SELECT doc_id, count(*) AS n,
+         |        ${(0 until 60).map(j => s"sum((h >> $j) & 1) AS c$j").mkString(", ")}
+         |      FROM h GROUP BY 1)
+         |SELECT doc_id, CAST(${(0 until 60).map(j =>
+               s"(CASE WHEN 2 * c$j > n THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS sh
+         |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .selectExpr("doc_id",
+          "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h")
+      val aggs = count(lit(1)).as("n") +:
+        (0 until 60).map(j => expr(s"sum((shiftright(h, $j) & 1))").as(s"c$j"))
+      tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .selectExpr("doc_id",
+          s"CAST(${(0 until 60).map(j =>
+            s"(CASE WHEN 2 * c$j > n THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS sh")
         .orderBy("doc_id")
     },
 

@@ -66,16 +66,28 @@ object VecFunctions {
     */
   def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 0L): Column = {
     val masks = (0 until nBits).map(b => lit(1L << b))
-    val planes = (0 until nBits).map { b =>
-      array((0 until dim).map { j =>
-        // hash (seed, b, j) -> [-1, 1): splitmix-scrambled, scaled
-        lit(scrambleToUnit(seed * 1000003L + b.toLong * 997L + j.toLong))
-      }: _*)
-    }
+    val planes = planeComponents(dim, nBits, seed).map(p =>
+      array(p.map(lit(_)): _*))
     planes.zip(masks).map { case (plane, mask) =>
       when(dot(vec, plane) > 0, mask).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
+
+  /** The hyperplane constants behind [[lshBucket]], exposed so an
+    * oracle can re-derive the identical bucketing: component (b, j) is
+    * the splitmix scramble of (seed, plane, dim) scaled to [-1, 1).
+    * `java.lang.Double.toString` of each value is a shortest
+    * round-trip literal — any correctly-rounding SQL parser
+    * reconstructs the exact double, so a dot-product fold in the same
+    * order reproduces the sign (and so the bucket) bit-for-bit.
+    */
+  private[graft] def planeComponents(
+      dim: Int, nBits: Int, seed: Long): IndexedSeq[IndexedSeq[Double]] =
+    (0 until nBits).map { b =>
+      (0 until dim).map { j =>
+        scrambleToUnit(seed * 1000003L + b.toLong * 997L + j.toLong)
+      }
+    }
 
   private def scrambleToUnit(x: Long): Double = {
     var z = x + 0x9e3779b97f4a7c15L

@@ -409,22 +409,67 @@ object VecQueries {
 
     // the UNBOUNDED scale tier of embedding dedup: LSH-bucketed pair
     // search (no vec_id cap, no pair space — candidates come from the
-    // bucket join). Engine-hash bucketing → rows-only; recall vs the
-    // planted-duplicate ground truth pinned in VecSpec. The entry
-    // plants deterministic near-copies (id | 2^40, ≈0.9996 cosine) so
-    // the pair structure is non-trivial at any SF — a high-bit id
-    // space, not a fixed additive offset, so planted ids stay disjoint
-    // from real ones up to a 10^12-row corpus (VecSpec pins the
-    // disjointness against the test parquet).
-    "dedup_embedding_lsh" -> QueryDef.rowsOnly { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val planted = emb.where(col("vec_id") < 250)
-        .select((col("vec_id") + VecQueries.PlantedIdOffset).as("id"),
-          transform(col("embedding"), (x, i) =>
-            x + (pmod(i, lit(5)) - lit(2)).cast("float") * lit(0.003f)).as("vec"))
+    // bucket join). ORACLE-EXACT since r11: the sign-LSH planes are
+    // public splitmix constants (VecFunctions.planeComponents), the
+    // vectors are cast to DOUBLE up front, and every dot product is
+    // the same left-to-right fold in both engines — so the oracle
+    // re-derives the identical buckets from shortest-round-trip plane
+    // literals, replays the Hamming-1 multi-probe join per table, and
+    // exact-cosine-verifies the same candidates. The gate now checks
+    // the LSH pipeline's OUTPUT, not just row counts; recall vs the
+    // planted ground truth stays pinned in VecSpec. Planted
+    // near-copies (id | 2^40, ≈0.9996 cosine) keep the pair structure
+    // non-trivial at any SF — a high-bit id space, so planted ids stay
+    // disjoint from real ones up to a 10^12-row corpus (VecSpec pins
+    // the disjointness against the test parquet).
+    "dedup_embedding_lsh" -> QueryDef({
+      def dotLit(vec: String, plane: Seq[Double]): String = {
+        val lits = plane.map(x =>
+          s"CAST(${java.lang.Double.toString(x)} AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+          s"list_zip($vec, $lits), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+      }
+      def bucket(vec: String, seed: Long): String =
+        VecFunctions.planeComponents(dim = 64, nBits = 8, seed)
+          .zipWithIndex.map { case (p, b) =>
+            s"(CASE WHEN ${dotLit(vec, p)} > 0 THEN ${1L << b} ELSE 0 END)"
+          }.mkString("(", " + ", ")")
+      def cands(t: String): String =
+        s"""SELECT a.id AS a_id, b.id AS b_id,
+           |    ${VecFunctions.cosineSql("a.v", "b.v")} AS sim
+           |  FROM $t a, mm, $t b
+           |  WHERE xor(a.bucket, mm.m) = b.bucket AND a.id < b.id""".stripMargin
+      s"""WITH base AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |aug AS (
+         |  SELECT id, v FROM base
+         |  UNION ALL
+         |  SELECT id + ${VecQueries.PlantedIdOffset} AS id,
+         |    list_transform(list_zip(v, range(0, 64)),
+         |      p -> p[1] + CAST((p[2] % 5) - 2 AS DOUBLE) * 0.003) AS v
+         |  FROM base WHERE id < 250),
+         |t0 AS (SELECT id, v, ${bucket("v", 0L)} AS bucket FROM aug),
+         |t1 AS (SELECT id, v, ${bucket("v", 1L)} AS bucket FROM aug),
+         |mm AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m),
+         |cand AS (
+         |  ${cands("t0")}
+         |  UNION ALL
+         |  ${cands("t1")})
+         |SELECT a_id, b_id, max(sim) AS sim FROM cand WHERE sim > 0.98
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val planted = base.where(col("id") < 250)
+        .select((col("id") + VecQueries.PlantedIdOffset).as("id"),
+          zip_with(col("vec"), sequence(lit(0L), lit(63L)), (x, i) =>
+            x + (i % 5 - 2).cast("double") * lit(0.003)).as("vec"))
       VecFunctions.embeddingNearDupPairs(
-          corpus.unionByName(planted), dim = 64, nBits = 8,
+          base.unionByName(planted), dim = 64, nBits = 8,
           threshold = 0.98, probeHamming = 1, nTables = 2)
         .orderBy("a_id", "b_id")
     },
