@@ -50,6 +50,75 @@ object TextQueries {
       base
     }
 
+  /** The text_levenshtein_pairs pipeline over an arbitrary (doc_id,
+    * text) corpus — extracted so LevenshteinContractSpec can exercise
+    * the CANDIDATE CONTRACT on synthetic corpora and pin equivalence
+    * with the exhaustive length-band form (the r9 shape) at sf0.001:
+    * the signature tier drops, BY DESIGN, (i) pairs whose 3-shingle
+    * Jaccard falls below the 0.6 prefix bound (edits smeared across
+    * >~40% of the words) and (ii) docs with <3 tokens (empty shingle
+    * set); the spec makes both boundaries explicit and turns any
+    * corpus drift that violates "drops nothing on THIS corpus" into a
+    * loud failure instead of a silent recall regression the
+    * same-scheme oracle cannot see.
+    */
+  private[graft] def levenshteinPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"),
+        array_distinct(shingles(col("text"), 3)).as("shset"))
+      .where(size(col("shset")) > 0)
+      .localCheckpoint() // feeds the rank pass AND both verify sides
+    val ex = sh.select(col("doc_id"), col("n"), size(col("shset")).as("l"),
+      explode(col("shset")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val sig = ex.join(dfreq, "s")
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")))
+      .where(col("rk") <= col("l") - expr("(6*l + 9) div 10") + 1)
+      .select("doc_id", "n", "s")
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n") - col("b.n")) <= 20)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // 26 longs per doc, computed once on the doc table — never per pair
+    val hh = sh.select(col("doc_id"), col("text"),
+      expr("transform(sequence(97, 122), c -> " +
+        "CAST(length(lower(text)) - length(replace(lower(text), char(c))) AS BIGINT))").as("h"))
+    cand
+      .join(hh.toDF("a_id", "a_text", "a_h"), "a_id")
+      .join(hh.toDF("b_id", "b_text", "b_h"), "b_id")
+      .where(aggregate(zip_with(col("a_h"), col("b_h"), (x, y) => abs(x - y)),
+        lit(0L), (acc, v) => acc + v) <= 40)
+      .withColumn("lev", levenshtein(col("a_text"), col("b_text"), 20).cast("long"))
+      .where(col("lev") >= 0)
+      .select("a_id", "b_id", "lev")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The r9 EXHAUSTIVE length-band form of the same verifier — every
+    * pair within 20 chars of length is a candidate, no signature
+    * pruning. Corpus-quadratic (band occupancy ∝ corpus at a fixed
+    * length distribution), so it is NOT registered as a query; it
+    * exists as the reference implementation the contract spec compares
+    * the signature tier against on bounded corpora.
+    */
+  private[graft] def levenshteinPairsExhaustive(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("n"))
+    val a = base.toDF("a_id", "a_text", "a_n")
+    val b = base.toDF("b_id", "b_text", "b_n")
+    a.join(b, col("a_id") < col("b_id") &&
+        abs(col("a_n") - col("b_n")) <= 20)
+      .withColumn("lev", levenshtein(col("a_text"), col("b_text"), 20).cast("long"))
+      .where(col("lev") >= 0)
+      .select("a_id", "b_id", "lev")
+      .orderBy("a_id", "b_id")
+  }
+
   /** See [[graft.tick.StoreQueries.benchSetups]]. */
   private[graft] val benchSetups
       : Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
@@ -405,38 +474,7 @@ object TextQueries {
          |SELECT a_id, b_id, CAST(levenshtein(a_text, b_text) AS BIGINT) AS lev
          |FROM v WHERE levenshtein(a_text, b_text) <= 20
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"),
-          array_distinct(shingles(col("text"), 3)).as("shset"))
-        .where(size(col("shset")) > 0)
-        .localCheckpoint() // feeds the rank pass AND both verify sides
-      val ex = sh.select(col("doc_id"), col("n"), size(col("shset")).as("l"),
-        explode(col("shset")).as("s"))
-      val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      val sig = ex.join(dfreq, "s")
-        .withColumn("rk",
-          row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")))
-        .where(col("rk") <= col("l") - expr("(6*l + 9) div 10") + 1)
-        .select("doc_id", "n", "s")
-      val cand = sig.as("a").join(sig.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-            abs(col("a.n") - col("b.n")) <= 20)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      // 26 longs per doc, computed once on the doc table — never per pair
-      val hh = sh.select(col("doc_id"), col("text"),
-        expr("transform(sequence(97, 122), c -> " +
-          "CAST(length(lower(text)) - length(replace(lower(text), char(c))) AS BIGINT))").as("h"))
-      cand
-        .join(hh.toDF("a_id", "a_text", "a_h"), "a_id")
-        .join(hh.toDF("b_id", "b_text", "b_h"), "b_id")
-        .where(aggregate(zip_with(col("a_h"), col("b_h"), (x, y) => abs(x - y)),
-          lit(0L), (acc, v) => acc + v) <= 40)
-        .withColumn("lev", levenshtein(col("a_text"), col("b_text"), 20).cast("long"))
-        .where(col("lev") >= 0)
-        .select("a_id", "b_id", "lev")
-        .orderBy("a_id", "b_id")
+      levenshteinPairs(Tables.documents(s, d))
     },
 
     // asymmetric containment pairs over the FULL corpus: |A∩B| / |A| ≥
