@@ -46,5 +46,5 @@ object SparkEntry {
     tick.StoreQueries.benchSetups ++ rel.RelQueries.benchSetups ++
       rel.AnalyticsQueries.benchSetups ++
       streaming.StreamingQueries.benchSetups ++ vec.VecAnalytics.benchSetups ++
-      text.TextQueries.benchSetups
+      text.TextQueries.benchSetups ++ text.QualityClassifier.benchSetups
 }

@@ -286,7 +286,101 @@ object QualityClassifier {
        |FROM pf JOIN documents d USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Model-REGISTRY fixture: the trained betas versioned through the
+    * snapshot store, proving the model artifact survives the store's
+    * commit/time-travel path (VERDICT r10 #6). v1 = the 4-round fit;
+    * v2 = the ops follow-up — the intercept tightened by 0.5 logit
+    * (b0 − 5e8 pico), the "recalibrate the keep threshold without
+    * refitting" move a production registry exists for. Store row
+    * model: key = coefficient name, part = 'model', vc = the pico-grid
+    * integer beta (the vc column IS the payload — betas are integers
+    * by construction, so the registry round-trip is lossless by type,
+    * not by fp luck). Fingerprint-keyed /tmp cache like docStoreBase.
+    */
+  private def modelStoreBase(s: SparkSession, d: String): String =
+    synchronized {
+      val fp = {
+        val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+        val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+        s"${st.getLen}_${st.getModificationTime}"
+      }
+      val base = s"${sys.props("java.io.tmpdir")}/graft_modelreg_v1_${fp}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      import graft.sources.SnapshotStore
+      if (SnapshotStore.currentVersion(s, base) < 2) {
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        def rows(b: DataFrame) = b.selectExpr(
+          "stack(4, 'b0', b0, 'b1', b1, 'b2', b2, 'b3', b3) AS (key, vc)")
+          .select(col("key"), lit("model").as("part"), lit(0L).as("seq"), col("vc"))
+        val fitted = train(featsDf(s, d), rounds = 4)
+        SnapshotStore.commit(s, base, rows(fitted))
+        SnapshotStore.commit(s, base,
+          rows(fitted.selectExpr("b0 - 500000000 AS b0", "b1", "b2", "b3")))
+      }
+      base
+    }
+
+  private[graft] val benchSetups
+      : Map[String, (SparkSession, String) => Unit] = Map(
+    "store_model_registry" -> ((s, d) => { modelStoreBase(s, d); () }))
+
+  /** Betas read back from registry version `v`, reshaped to the 1-row
+    * (b0..b3) frame score() expects.
+    */
+  private def readBackBetas(s: SparkSession, base: String, v: Int): DataFrame =
+    graft.sources.SnapshotStore.readVersion(s, base, v)
+      .groupBy()
+      .agg(
+        max(when(col("key") === "b0", col("vc"))).as("b0"),
+        max(when(col("key") === "b1", col("vc"))).as("b1"),
+        max(when(col("key") === "b2", col("vc"))).as("b2"),
+        max(when(col("key") === "b3", col("vc"))).as("b3"))
+
+  private def registryOracleSql: String =
+    s"""${oraclePrefix(4)},
+       |k1 AS (SELECT CAST(SUM(CASE WHEN p >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS nk
+       |       FROM pf),
+       |regz AS (SELECT fx.*, b.b0 - 500000000 AS b0, b.b1, b.b2, b.b3
+       |       FROM fx, b4r b),
+       |regzn AS (SELECT *, ${znExpr(duck = true)} FROM regz),
+       |regp AS (SELECT *, $pExpr FROM regzn),
+       |k2 AS (SELECT CAST(SUM(CASE WHEN p >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS nk
+       |       FROM regp)
+       |SELECT CAST(1 AS BIGINT) AS version, b.b0, b.b1, b.b2, b.b3, k1.nk AS n_keep
+       |FROM b4r b, k1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), b.b0 - 500000000, b.b1, b.b2, b.b3, k2.nk
+       |FROM b4r b, k2
+       |ORDER BY version""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+
+    // MODEL REGISTRY round-trip: fit → commit betas as snapshot v1 →
+    // commit the intercept-tightened recalibration as v2 → score the
+    // corpus from the READ-BACK betas of each version. The output row
+    // per version carries the read-back coefficients AND the keep
+    // count they produce, so the hash breaks if the store mangles a
+    // single pico-unit anywhere in commit/manifest/time-travel — the
+    // oracle knows nothing about the store and re-derives both
+    // versions from the fit CTE alone, which is exactly the point:
+    // green means store-out == fit-out. Composes two independently
+    // green subsystems (QualityClassifier fit, SnapshotStore
+    // versioning); at 100 TB the registry read is a 4-row manifest
+    // scan, the scoring pass the same broadcast-betas scan as
+    // text_quality_classifier.
+    "store_model_registry" -> QueryDef(registryOracleSql) { (s, d) =>
+      val base = modelStoreBase(s, d)
+      val fx = featsDf(s, d)
+      def row(v: Int): DataFrame =
+        score(fx, readBackBetas(s, base, v))
+          .groupBy()
+          .agg(max("b0").as("b0"), max("b1").as("b1"),
+            max("b2").as("b2"), max("b3").as("b3"),
+            sum(when(col("p") >= 500000L, 1L).otherwise(0L)).as("n_keep"))
+          .select(lit(v.toLong).as("version"), col("b0"), col("b1"),
+            col("b2"), col("b3"), col("n_keep"))
+      row(1).unionByName(row(2)).orderBy("version")
+    },
     // trained quality gate: 4 IRLS rounds from zero betas on the
     // text_filter_audit labels, then score every doc. Output carries
     // the integer logit, the grid-anchored probability, and the
