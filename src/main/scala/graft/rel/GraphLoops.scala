@@ -38,6 +38,20 @@ object GraphLoops {
     * pre-hash-partitions on `key` first so the pinned RDD's
     * HashPartitioning satisfies every later state join's
     * ClusteredDistribution outright — no per-round edge exchange.
+    *
+    * MATERIALIZATION POLICY (localCheckpoint contract): the pin holds
+    * the FULL edge list in executor block storage for the loop's
+    * lifetime — O(edges) memory/disk, no lineage fallback (a lost
+    * executor kills the job; rounds would otherwise silently recompute
+    * a re-randomized source upstream, which is worse). That is the
+    * right trade at bench scale and on a cluster whose edge list fits
+    * aggregate block storage. At 100 TB substitute a reliable
+    * materialization with the SAME partitioning contract: write
+    * edges BUCKETED BY key to scratch parquet (bucket join keeps the
+    * no-exchange property) or persist(DISK_ONLY, replicated) —
+    * anything that survives executor loss while still presenting
+    * HashPartitioning(key) to EnsureRequirements. The AQE-off planning
+    * requirement below applies to any in-memory substitute too.
     */
   def pinEdges(edges: DataFrame, key: String, strategy: Strategy): DataFrame =
     strategy match {

@@ -193,6 +193,16 @@ object QualityClassifier {
     val s = feats.sparkSession
     var betas = s.range(1).selectExpr(
       (0 to 3).map(j => s"CAST(0 AS BIGINT) AS b$j"): _*)
+    // MATERIALIZATION POLICY: fx pins the O(corpus) feature table for
+    // `rounds` re-reads (localCheckpoint: block storage, no lineage
+    // fallback — acceptable for a 4-pass fit at bench scale; at
+    // 100 TB use persist(DISK_ONLY) or recompute-per-round, both of
+    // which only change wall clock, not the fit — the features are
+    // deterministic integers). The per-round betas checkpoint below
+    // is different in kind: a 1-ROW frame pinned purely to cut plan
+    // lineage (round r would otherwise embed round r-1's whole
+    // 24-term determinant tree, nesting exponentially) — size is
+    // O(1), so it carries no 100 TB concern at all.
     val fx = feats.localCheckpoint()
     // loud BIGINT-wrap guard (see object scaladoc): Spark's non-ANSI
     // sum wraps silently at ≈1.6e7 rows worst-case while the DuckDB

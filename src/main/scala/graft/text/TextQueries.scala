@@ -63,13 +63,26 @@ object TextQueries {
     * same-scheme oracle cannot see.
     */
   private[graft] def levenshteinPairs(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint()): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs
+    // MATERIALIZATION POLICY: the shingled doc table feeds THREE
+    // consumers (the df-rank pass and both sides of the verify join);
+    // without a pin each consumer re-runs the shingle explode. The
+    // default localCheckpoint holds O(corpus) rows x (text + shingle
+    // set) in executor block storage with NO lineage fallback — fine
+    // at bench scale, but at 100x it competes with shuffle memory and
+    // an executor loss kills the job. The 100 TB substitute is
+    // persist(StorageLevel.DISK_ONLY) (recompute-on-loss, spills off
+    // heap) or a scratch-parquet write; the pipeline's OUTPUT is
+    // materialization-invariant — LevenshteinContractSpec pins
+    // checkpoint == persist(DISK_ONLY) — so the swap is a deployment
+    // choice, not a semantics change.
+    val sh = materialize(docs
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"),
         array_distinct(shingles(col("text"), 3)).as("shset"))
-      .where(size(col("shset")) > 0)
-      .localCheckpoint() // feeds the rank pass AND both verify sides
+      .where(size(col("shset")) > 0))
     val ex = sh.select(col("doc_id"), col("n"), size(col("shset")).as("l"),
       explode(col("shset")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))

@@ -34,6 +34,26 @@ class LevenshteinContractSpec extends SparkSpec {
     assert(sig == exh)
   }
 
+  test("output is materialization-invariant: localCheckpoint == persist(DISK_ONLY)") {
+    // the 100 TB deployment swap the materialization policy names:
+    // localCheckpoint (block storage, no lineage fallback) vs
+    // persist(DISK_ONLY) (recompute-on-loss). The pipeline's output
+    // must not depend on which one pins the shingled doc table.
+    import org.apache.spark.storage.StorageLevel
+    val docs = graft.Tables.documents(spark, sf001)
+    val viaCheckpoint = pairs(TextQueries.levenshteinPairs(docs))
+    val persisted = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val viaPersist = pairs(TextQueries.levenshteinPairs(docs, df => {
+      val p = df.persist(StorageLevel.DISK_ONLY)
+      persisted += p
+      p
+    }))
+    persisted.foreach(_.unpersist())
+    assert(viaCheckpoint.nonEmpty)
+    assert(viaPersist == viaCheckpoint)
+  }
+
   test("contract boundaries: concentrated edits kept, spread edits and short docs dropped by design") {
     // pair (1,2): 3 edits inside ONE word of 40 — kills <=3 of 38
     // shingles, Jaccard ~0.85 >> 0.6 -> the tier MUST find it
