@@ -14,6 +14,15 @@ object TimeOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // queries with registered fixtures (cached index artifacts, store
+    // builds) get them ONCE up front, exactly like the official bench,
+    // so laps time the query path rather than fixture construction
+    SparkEntry.benchSetups.filter { case (n, _) => args.contains(n) }
+      .toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        try fn(spark, "/root/testdata/sf0.1") catch { case e: Throwable =>
+          System.err.println(s"[timeone] setup $n failed: ${e.getMessage}")
+        }
+      }
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val laps = (1 to 3).map { i =>
