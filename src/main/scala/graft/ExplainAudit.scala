@@ -75,7 +75,10 @@ object ExplainAudit {
       "stat_bootstrap_ci", // map-local x50 explode, partial-agged resample means
       "store_delete_vectors", // snapshot scan + ONE broadcast DV anti-join
       "text_levenshtein_pairs", // signature-tier candidates, banded DP verify
-      "text_quality_classifier") // per-round stats agg + broadcast 1-row betas
+      "text_quality_classifier", // per-round stats agg + broadcast 1-row betas
+      "dedup_span_removal", // span-keyed dup agg + (doc,pos) anti-join rebuild
+      "text_dsir",         // 256-bucket stats + broadcast log-ratio model
+      "dedup_semantic")    // broadcast centroid argmin + cluster-keyed pairs
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

@@ -266,6 +266,68 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw
+    // document by how target-like its hashed-n-gram profile is —
+    // weight = Σ_b n_doc(b) · ln(p_target(b) / p_raw(b)) under
+    // add-1-smoothed bag-of-hashed-unigrams models (256 md5 buckets,
+    // the text_hashed_features vocabulary-free feature space; target
+    // = the lang='en' slice, raw = the whole corpus). The per-bucket
+    // log-ratio is ONE ln over an exactly-representable integer ratio
+    // (counts < 2^26 so the cross-products stay < 2^53), pre-rounded
+    // to the 1e-6 grid; per-doc weights are then pure BIGINT dot
+    // products — partition-order free, hash-exact. Scale shape: one
+    // tokenize+hash pass, one (doc,bucket) partial agg, one 256-row
+    // bucket-stats agg with its totals attached as a broadcast
+    // one-row frame, and a broadcast join back onto the per-doc
+    // counts: scan-bound at any corpus size, nothing quadratic, and
+    // the model itself is 256 integers — the whole "train the
+    // importance sampler" step ships as a closure.
+    "text_dsir" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+         |  FROM (SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok
+         |        FROM documents)),
+         |dc AS (SELECT doc_id, lang, bucket, COUNT(*) AS n FROM w GROUP BY 1, 2, 3),
+         |bs AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS rc,
+         |         CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS tc
+         |       FROM dc GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rtot,
+         |               CAST(SUM(tc) AS BIGINT) AS ttot FROM bs),
+         |lr AS (SELECT bucket,
+         |         CAST(round(ln(
+         |           (CAST(tc + 1 AS DOUBLE) * CAST(rtot + 256 AS DOUBLE)) /
+         |           (CAST(rc + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE))
+         |         ) * 1000000) AS BIGINT) AS lr_micro
+         |       FROM bs, tot)
+         |SELECT dc.doc_id,
+         |  CAST(SUM(dc.n) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(dc.n * lr.lr_micro) AS BIGINT) AS w_micro
+         |FROM dc JOIN lr USING (bucket)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 256").as("bucket"))
+      val dc = w.groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
+      val bs = dc.groupBy("bucket").agg(
+        sum("n").as("rc"),
+        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tc"))
+      val tot = bs.agg(sum("rc").as("rtot"), sum("tc").as("ttot"))
+      val lr = bs.crossJoin(broadcast(tot))
+        .select(col("bucket"), expr(
+          """CAST(round(ln(
+            |  (CAST(tc + 1 AS DOUBLE) * CAST(rtot + 256 AS DOUBLE)) /
+            |  (CAST(rc + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE))
+            |) * 1000000) AS BIGINT)""".stripMargin).as("lr_micro"))
+      dc.join(broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_tokens"),
+          sum(col("n") * col("lr_micro")).as("w_micro"))
+        .orderBy("doc_id")
+    },
+
     // sequence packing, pretraining style: concatenate each source's
     // docs in doc_id order and cut the stream into fixed 4096-char
     // windows; a doc's bin = the window its first char lands in.

@@ -306,6 +306,79 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // SPAN REMOVAL — the ACTION step after dedup_duplicate_spans'
+    // detection (Lee et al. 2022 remove the duplicated substring, not
+    // the whole document): every token position covered by a 10-token
+    // span that appears in >= 2 distinct documents is cut, and the
+    // document is rebuilt from the surviving tokens in order. Output
+    // is the full corpus (cleaned text + removal counts), so the
+    // oracle checks the rebuild, the coverage union, and the no-op
+    // docs in one pass. Scale shape: one explode to spans, one
+    // span-keyed agg for the dup set, one span-keyed join + a 10x
+    // coverage explode, one anti-join on (doc, pos) and one per-doc
+    // rebuild agg — all O(total tokens), never a doc-pair space; the
+    // rebuild's sort_array(collect_list) is per-doc bounded by doc
+    // length, the same bound the tokenizer already imposes. Spans
+    // travel as strings for oracle exactness (the 100 TB variant
+    // xxhash64-hashes them before the shuffle, identical topology;
+    // coverage positions are (doc, int) pairs either way). The
+    // cleaned text is the normalized token join — the declared
+    // semantics, since removal runs post-normalization in a real
+    // pipeline. 47 docs lose tokens on the real sf0.01 corpus, so the
+    // gate checks live removal structure, not a vacuous identity.
+    "dedup_span_removal" -> QueryDef(
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |              FROM documents),
+        |spans AS (SELECT doc_id, i, array_to_string(t[i:i+9], ' ') AS span
+        |          FROM toks, UNNEST(range(1, len(t)-9+1)) AS u(i)
+        |          WHERE len(t) >= 10),
+        |dup AS (SELECT span FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT s.doc_id, j AS pos
+        |        FROM spans s JOIN dup USING (span), UNNEST(range(s.i, s.i+10)) AS v(j)),
+        |tok AS (SELECT doc_id, CAST(u.p[1] AS BIGINT) AS pos, u.p[2] AS w
+        |        FROM (SELECT doc_id, list_zip(range(1, len(t)+1), t) AS z FROM toks),
+        |             UNNEST(z) AS u(p)),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.w
+        |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |         WHERE cov.pos IS NULL),
+        |rb AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |         string_agg(w, ' ' ORDER BY pos) AS cleaned
+        |       FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(rb.cleaned, '') AS cleaned
+        |FROM toks t LEFT JOIN rb ON t.doc_id = rb.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val spans = toks.where(size(col("t")) >= 10)
+        .select(col("doc_id"), posexplode(transform(
+            sequence(lit(1), size(col("t")) - 9),
+            i => concat_ws(" ", slice(col("t"), i, lit(10))))).as(Seq("i0", "span")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("span"))
+      val dup = spans.groupBy("span")
+        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+        .select("span")
+      val cov = spans.join(dup, "span")
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 9)).as("pos"))
+        .distinct()
+      val tok = toks
+        .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
+      val rb = tok.join(cov, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w"))).as("cleaned"))
+      toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(rb, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"))
+        .orderBy("doc_id")
+    },
+
     // exact 3-gram Jaccard near-dup pairs over the FULL corpus as a
     // shingle-keyed equi-join: explode distinct shingles -> self-join
     // on the shingle -> count per (a,b) pair = |A∩B| -> join set sizes

@@ -474,6 +474,115 @@ object VecQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the
+    // corpus, then near-dup ONLY within clusters — the pair space is
+    // Σ_c n_c², bounded by the cluster granularity knob (k tracks
+    // corpus size so n_c stays fixed), never O(N²). Everything is
+    // the repo's 2^-20 fixed point: centroids are per-label integer
+    // means (the vec_centroids primitive), assignment is the exact
+    // BIGINT argmin of vec_kmeans_assign, the within-cluster cosine
+    // is an exact BIGINT dot over the quantized vectors with ONE
+    // double op sequence (cast, sqrt, divide, 1e-6 grid round) at the
+    // end — so the full pipeline, clustering included, hash-matches
+    // the oracle. Drop rule: a vector with any >= 0.999-cosine
+    // neighbor of smaller id in its cluster is dropped (the min-id
+    // survivor convention of dedup_exact); output is the drop list
+    // with each victim's keeper, partner count, and max similarity.
+    // Random 64-dim embeddings never reach 0.999, so near-copies
+    // (first coordinate jittered by 1..5 fx units, ids high-bit
+    // disjoint per PlantedIdOffset) are planted for vec_id < 50 —
+    // 50 live drop rows at any SF instead of a vacuous empty match.
+    // Scale shape: one posexplode for centroids, one broadcast
+    // argmin, one cluster-keyed self-join; the planted union is a
+    // bounded second scan of a vec_id < 50 slice.
+    "dedup_semantic" -> QueryDef(
+      s"""WITH f AS (
+         |  SELECT vec_id, label, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |aug AS (
+         |  SELECT vec_id AS id, fv FROM f
+         |  UNION ALL
+         |  SELECT vec_id + ${VecQueries.PlantedIdOffset} AS id,
+         |    list_prepend(fv[1] + (vec_id % 5) + 1, fv[2:64]) AS fv
+         |  FROM f WHERE vec_id < 50),
+         |q AS (SELECT CAST(label AS BIGINT) AS c_label, i AS dim, fv[i+1] AS qv
+         |      FROM f, UNNEST(range(0, 64)) AS t(i)),
+         |cent AS (SELECT c_label, dim, CAST(SUM(qv) AS BIGINT) // COUNT(*) AS m
+         |         FROM q GROUP BY 1, 2),
+         |aq AS (SELECT id, i AS dim, fv[i+1] AS qv
+         |       FROM aug, UNNEST(range(0, 64)) AS t(i)),
+         |dist AS (SELECT id, c_label, CAST(SUM((qv - m) * (qv - m)) AS BIGINT) AS d2
+         |         FROM aq JOIN cent USING (dim) GROUP BY 1, 2),
+         |asg AS (SELECT id, c_label AS cluster
+         |        FROM (SELECT id, c_label,
+         |                ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, c_label) AS rn
+         |              FROM dist) WHERE rn = 1),
+         |v AS (SELECT asg.id, asg.cluster, aug.fv,
+         |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(aug.fv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS n2
+         |      FROM asg JOIN aug ON asg.id = aug.id),
+         |pr AS (SELECT a.id AS a_id, b.id AS b_id, a.cluster,
+         |         CAST(round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(list_zip(a.fv, b.fv), p -> p[1] * p[2])),
+         |             (acc, x) -> acc + x) AS DOUBLE)
+         |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |           * 1000000) AS BIGINT) AS cos_micro
+         |       FROM v a JOIN v b ON a.cluster = b.cluster AND a.id < b.id
+         |       WHERE a.n2 > 0 AND b.n2 > 0)
+         |SELECT b_id AS dropped_id, cluster, MIN(a_id) AS keep_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_near, MAX(cos_micro) AS max_cos_micro
+         |FROM pr WHERE cos_micro >= 999000
+         |GROUP BY 1, 2 ORDER BY dropped_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+      val aug = f.select(col("vec_id").as("id"), col("fv"))
+        .unionByName(f.where(col("vec_id") < 50)
+          .select((col("vec_id") + VecQueries.PlantedIdOffset).as("id"),
+            concat(
+              array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
+              slice(col("fv"), 2, 63)).as("fv")))
+      val cent = f
+        .select(col("label").cast("long").as("c_label"),
+          posexplode(col("fv")).as(Seq("dim", "qv")))
+        .groupBy("c_label", "dim")
+        .agg(expr("sum(qv) div count(1)").as("m"))
+      val dist = aug
+        .select(col("id"), posexplode(col("fv")).as(Seq("dim", "qv")))
+        .join(broadcast(cent), "dim")
+        .groupBy("id", "c_label")
+        .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("d2"))
+      val wnd = Window.partitionBy("id").orderBy(col("d2"), col("c_label"))
+      val asg = dist.withColumn("rn", row_number().over(wnd))
+        .where(col("rn") === 1)
+        .select(col("id"), col("c_label").as("cluster"))
+      val v = asg.join(aug, "id")
+        .withColumn("n2", aggregate(transform(col("fv"), x => x * x),
+          lit(0L), (a, x) => a + x))
+      val a = v.select(col("id").as("a_id"), col("cluster"),
+        col("fv").as("afv"), col("n2").as("an2"))
+      val b = v.select(col("id").as("b_id"), col("cluster"),
+        col("fv").as("bfv"), col("n2").as("bn2"))
+      a.join(b, Seq("cluster"))
+        .where(col("a_id") < col("b_id") && col("an2") > 0 && col("bn2") > 0)
+        .withColumn("dot", aggregate(
+          zip_with(col("afv"), col("bfv"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("cos_micro", expr(
+          "CAST(round(CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * " +
+            "sqrt(CAST(bn2 AS DOUBLE))) * 1000000) AS BIGINT)"))
+        .where(col("cos_micro") >= 999000)
+        .groupBy(col("b_id"), col("cluster"))
+        .agg(min("a_id").as("keep_id"), count(lit(1)).as("n_near"),
+          max("cos_micro").as("max_cos_micro"))
+        .select(col("b_id").as("dropped_id"), col("cluster"),
+          col("keep_id"), col("n_near"), col("max_cos_micro"))
+        .orderBy("dropped_id")
+    },
+
     // IVF-bucketed ANN top-5 (the scale path the LSH variant's sibling):
     // engine-built centroids, so rows-only; recall vs brute force
     // pinned in VecSpec

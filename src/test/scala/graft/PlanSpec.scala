@@ -439,4 +439,37 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }
   }
+
+  test("dedup_span_removal stays span/position-keyed — no pair space, anti-join rebuild") {
+    val p = plan("dedup_span_removal")
+    // every join is an equi-join on span or (doc_id, pos); a nested
+    // loop appearing means the coverage or rebuild grew a pair space
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the kept-token filter must be a LeftAnti on (doc_id, pos), not a
+    // join + post-filter (the anti form never widens rows)
+    assert(p.contains("LeftAnti"), s"anti-join rebuild missing:\n$p")
+  }
+
+  test("text_dsir ships the 256-bucket model as a broadcast, never a shuffle") {
+    val p = plan("text_dsir")
+    // the one-row totals frame and the 256-row log-ratio model both
+    // ride broadcasts back onto the per-doc counts; a CartesianProduct
+    // means the scalar attach degraded to a shuffled pair space
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"model broadcast missing:\n$p")
+  }
+
+  test("dedup_semantic bounds the pair space to clusters and broadcasts centroids") {
+    val p = plan("dedup_semantic")
+    // assignment joins the exploded vectors to BROADCAST centroids;
+    // the near-dup join is an equi-join ON cluster (the SemDeDup
+    // bound) — any nested-loop form means the corpus went all-pairs
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"centroid broadcast missing:\n$p")
+    // the argmin is the row_number window, not a self-join on min(d2)
+    assert(p.contains("row_number"), s"argmin window missing:\n$p")
+  }
 }

@@ -165,6 +165,37 @@ class DedupSpec extends SparkSpec {
       s"pair space materialized:\n$plan")
   }
 
+  test("span removal acts on exactly the docs duplicate_spans detects, rebuilding in order") {
+    // cross-query conservation: dedup_span_removal is the ACTION step
+    // of dedup_duplicate_spans' detection — the doc sets must be
+    // IDENTICAL (every detected doc loses tokens, no undetected doc
+    // does), and each removal covers at least one full 10-token span.
+    val removed = graft.SparkEntry.queries("dedup_span_removal")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val detected = graft.SparkEntry.queries("dedup_duplicate_spans")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    val touched = removed.filter(_._3 > 0)
+    assert(touched.map(_._1).toSet == detected,
+      s"doc sets diverge: removal=${touched.size} detection=${detected.size}")
+    assert(touched.nonEmpty && touched.forall(_._3 >= 10),
+      "a removal smaller than one span is impossible by construction")
+    // rebuild integrity on every doc: cleaned is a SUBSEQUENCE of the
+    // normalized token stream with exactly n_removed tokens cut
+    val texts = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    removed.foreach { case (id, nTok, nRem, cleaned) =>
+      val orig = texts(id)
+      assert(orig.size == nTok, s"doc $id token count")
+      val kept = if (cleaned.isEmpty) Seq.empty[String] else cleaned.split(" ").toSeq
+      assert(kept.size == nTok - nRem, s"doc $id kept count")
+      // subsequence check: consume orig left-to-right
+      val it = orig.iterator
+      assert(kept.forall(w => it.contains(w)),
+        s"doc $id: cleaned is not an in-order subsequence")
+    }
+  }
+
   test("simhash: identical texts collide, near texts are close, distinct far") {
     val docB = base.replace("w5", "xx")
     val docC = (1 to 80).map(i => s"z$i").mkString(" ")

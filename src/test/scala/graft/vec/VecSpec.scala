@@ -205,6 +205,23 @@ class VecSpec extends SparkSpec {
       s"pair space materialized:\n$plan")
   }
 
+  test("semantic dedup drops every planted near-copy, keeps its original, spares the rest") {
+    // SemDeDup recall contract: all 50 planted jittered copies are
+    // found in their original's cluster (the cluster bound never
+    // hides a planted pair), the min-id survivor rule names the
+    // original as keeper, and no genuine corpus vector is dropped
+    // (random 64-dim embeddings never reach 0.999 cosine).
+    val rows = VecQueries.defs("dedup_semantic").build(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(rows.length == 50, s"expected the 50 planted drops, got ${rows.length}")
+    rows.foreach { case (dropped, keeper, cosMicro) =>
+      assert(dropped >= VecQueries.PlantedIdOffset, s"real vector $dropped dropped")
+      assert(keeper == dropped - VecQueries.PlantedIdOffset,
+        s"keeper $keeper is not $dropped's original")
+      assert(cosMicro >= 999000L, s"below-threshold pair survived: $cosMicro")
+    }
+  }
+
   test("IVF build: every corpus vector lands in exactly one list") {
     val emb = graft.Tables.embeddings(spark, sf001)
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
