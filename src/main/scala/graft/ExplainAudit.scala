@@ -78,7 +78,8 @@ object ExplainAudit {
       "text_quality_classifier", // per-round stats agg + broadcast 1-row betas
       "dedup_span_removal", // span-keyed dup agg + (doc,pos) anti-join rebuild
       "text_dsir",         // 256-bucket stats + broadcast log-ratio model
-      "dedup_semantic")    // broadcast centroid argmin + cluster-keyed pairs
+      "dedup_semantic",    // broadcast centroid argmin + cluster-keyed pairs
+      "decontaminate_embedding") // broadcast bench set, one corpus scan
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

@@ -583,6 +583,73 @@ object VecQueries {
         .orderBy("dropped_id")
     },
 
+    // SEMANTIC DECONTAMINATION — the embedding-space twin of
+    // decontaminate_ngram: n-gram overlap misses a benchmark item
+    // that was paraphrased or re-tokenized into the training set, but
+    // its embedding still sits at ~1.0 cosine. The benchmark set
+    // (vec_id < 20 — eval sets are small by nature, the bounded
+    // broadcast side by contract) broadcasts into ONE streamed scan
+    // of the training corpus; every (train, bench) pair above 0.95
+    // cosine is reported for removal. Exact 2^-20 fixed-point BIGINT
+    // dots with the one grid-rounded double sequence at the end, so
+    // the report is hash-exact. Random embeddings never reach 0.95,
+    // so leaked copies (jittered, high-bit ids) are planted for the
+    // 20 benchmark vectors — 20 live contamination rows at any SF.
+    // At corpus scale the same broadcast survives (the bench side
+    // stays small); a benchmark too large to broadcast feeds the
+    // LSH/IVF candidate tiers into this same exact verifier.
+    "decontaminate_embedding" -> QueryDef(
+      s"""WITH f AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |bench AS (SELECT vec_id AS bench_id, fv AS bv FROM f WHERE vec_id < 20),
+         |train AS (
+         |  SELECT vec_id AS train_id, fv FROM f WHERE vec_id >= 20
+         |  UNION ALL
+         |  SELECT vec_id + ${VecQueries.PlantedIdOffset} AS train_id,
+         |    list_prepend(fv[1] + (vec_id % 5) + 1, fv[2:64]) AS fv
+         |  FROM f WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT t.train_id, b.bench_id,
+         |    CAST(round(CAST(list_sum(list_transform(range(64),
+         |        i -> t.fv[i+1] * b.bv[i+1])) AS DOUBLE)
+         |      / (sqrt(CAST(list_sum(list_transform(t.fv, x -> x * x)) AS DOUBLE))
+         |         * sqrt(CAST(list_sum(list_transform(b.bv, x -> x * x)) AS DOUBLE)))
+         |      * 1000000) AS BIGINT) AS cos_micro
+         |  FROM train t, bench b)
+         |SELECT train_id, bench_id, cos_micro FROM scored
+         |WHERE cos_micro >= 950000
+         |ORDER BY train_id, bench_id""".stripMargin) { (s, d) =>
+      val f = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+      val bench = f.where(col("vec_id") < 20)
+        .select(col("vec_id").as("bench_id"), col("fv").as("bv"))
+      val train = f.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("train_id"), col("fv"))
+        .unionByName(f.where(col("vec_id") < 20)
+          .select((col("vec_id") + VecQueries.PlantedIdOffset).as("train_id"),
+            concat(
+              array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
+              slice(col("fv"), 2, 63)).as("fv")))
+      train.crossJoin(broadcast(bench))
+        .withColumn("dot", aggregate(
+          zip_with(col("fv"), col("bv"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("tn2", aggregate(transform(col("fv"), x => x * x),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("bn2", aggregate(transform(col("bv"), x => x * x),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("cos_micro", expr(
+          "CAST(round(CAST(dot AS DOUBLE) / (sqrt(CAST(tn2 AS DOUBLE)) * " +
+            "sqrt(CAST(bn2 AS DOUBLE))) * 1000000) AS BIGINT)"))
+        .where(col("cos_micro") >= 950000)
+        .select("train_id", "bench_id", "cos_micro")
+        .orderBy("train_id", "bench_id")
+    },
+
     // IVF-bucketed ANN top-5 (the scale path the LSH variant's sibling):
     // engine-built centroids, so rows-only; recall vs brute force
     // pinned in VecSpec

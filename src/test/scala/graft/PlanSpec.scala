@@ -433,8 +433,11 @@ class PlanSpec extends SparkSpec {
     // frame for the IRLS classifier) — the plan may show
     // BroadcastNestedLoopJoin for that one-row side, but a true
     // CartesianProduct (shuffled pair space) must never appear
+    // (decontaminate_embedding joins the CONTRACT-BOUNDED benchmark
+    // set — eval sets are small by nature — as the broadcast side of
+    // one corpus scan, the sim_hard_negatives shape)
     Seq("graph_modularity", "vec_pca_power",
-        "text_quality_classifier").foreach { name =>
+        "text_quality_classifier", "decontaminate_embedding").foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }

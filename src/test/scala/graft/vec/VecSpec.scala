@@ -222,6 +222,23 @@ class VecSpec extends SparkSpec {
     }
   }
 
+  test("embedding decontamination flags every planted leak against its own benchmark item") {
+    // contract: the 20 planted leaked copies are each reported against
+    // exactly their source benchmark vector (the jitter keeps them at
+    // ~1.0 cosine), and NO genuine training vector crosses the 0.95
+    // bar (random 64-dim embeddings top out far below it) — so the
+    // report is precisely the contamination, no false positives.
+    val rows = VecQueries.defs("decontaminate_embedding").build(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20, s"expected the 20 planted leaks, got ${rows.length}")
+    rows.foreach { case (train, bench, cosMicro) =>
+      assert(train >= VecQueries.PlantedIdOffset, s"false positive: real $train flagged")
+      assert(bench == train - VecQueries.PlantedIdOffset,
+        s"leak $train matched bench $bench, not its source")
+      assert(cosMicro >= 950000L)
+    }
+  }
+
   test("IVF build: every corpus vector lands in exactly one list") {
     val emb = graft.Tables.embeddings(spark, sf001)
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
