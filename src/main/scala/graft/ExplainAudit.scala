@@ -79,7 +79,8 @@ object ExplainAudit {
       "dedup_span_removal", // span-keyed dup agg + (doc,pos) anti-join rebuild
       "text_dsir",         // 256-bucket stats + broadcast log-ratio model
       "dedup_semantic",    // broadcast centroid argmin + cluster-keyed pairs
-      "decontaminate_embedding") // broadcast bench set, one corpus scan
+      "decontaminate_embedding", // broadcast bench set, one corpus scan
+      "graph_label_propagation") // kNN-sparsify window + per-round vote agg
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

@@ -345,8 +345,14 @@ object RelQueries {
     // name->entity mapping is vocabulary-sized (broadcastable), the
     // member rows partial-aggregate per entity, and the mode rule runs
     // as a window over the (entity, brand) AGGREGATE — O(entities x
-    // brands) rows, never a row-level sort. Oracle closes the same
-    // match graph with a recursive CTE and applies identical rules.
+    // brands) rows, never a row-level sort. The broadcast hint below
+    // is valid ONLY under that vocab-collapsed assumption (names are
+    // deduped before the join builds the mapping); if the name
+    // vocabulary ever tracks fact cardinality — free-text names, no
+    // collapse — drop the hint and let AQE pick the join from the
+    // mapping's runtime size instead of forcing an executor-memory
+    // copy of a fact-sized table. Oracle closes the same match graph
+    // with a recursive CTE and applies identical rules.
     "er_survivorship" -> QueryDef(
       """WITH RECURSIVE n AS (
         |  SELECT p_name, split_part(p_name,' ',1) AS adj,

@@ -423,7 +423,7 @@ class PlanSpec extends SparkSpec {
     // strict tier: these have NO cross join of any kind — a nested-
     // loop join appearing means a pair space materialized
     Seq("graph_clustering_coeff", "graph_ppr", "text_rake",
-        "sim_mutual_knn").foreach { name =>
+        "sim_mutual_knn", "graph_label_propagation").foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")

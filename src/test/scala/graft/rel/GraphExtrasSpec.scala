@@ -135,4 +135,23 @@ class GraphExtrasSpec extends SparkSpec {
     } yield (n1 & n2).size.toLong
     assert(rows.map(_.getLong(2)).min == allPairs.sorted.reverse.take(20).min)
   }
+
+  test("label propagation finds non-degenerate communities on the sparsified graph") {
+    // the hash gate proves engine parity; this pins what the hash
+    // can't — that the k-NN sparsifier preserves community structure
+    // (the RAW co-order graph collapses LPA to ONE label at every SF,
+    // observed before the sparsifier landed) and the partition is a
+    // partition: every supplier node labeled exactly once, labels
+    // drawn from the node set.
+    val rows = graft.SparkEntry.queries("graph_label_propagation")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = rows.map(_._1)
+    assert(nodes.distinct.length == nodes.length, "a node was labeled twice")
+    val nodeSet = nodes.toSet
+    assert(rows.forall { case (_, lab) => nodeSet.contains(lab) },
+      "a label is not a member node")
+    val comms = rows.map(_._2).distinct.length
+    assert(comms > 1, s"degenerate: all ${nodes.length} nodes in one community")
+    assert(comms < nodes.length, s"degenerate: no propagation happened at all")
+  }
 }
