@@ -396,6 +396,55 @@ object StreamingOps {
     spark.table(name).orderBy("source")
   }
 
+  /** Streamed DSIR scoring: the 256-bucket importance model is fit
+    * OFFLINE (CorpusQueries.dsirModel — the "train the sampler" batch
+    * job), then documents arrive as a file stream, every token hashes
+    * to its bucket, and the per-bucket log-ratios join in as a
+    * stream-static BROADCAST equi-join on the bucket key — unlike the
+    * quality gate's 1-row betas frame this is a real keyed join, the
+    * shape a bigger model table (n-gram buckets, per-language models)
+    * keeps. Per-doc weights close in ONE streaming aggregate
+    * (complete-mode, O(docs) state for this drain; an unbounded
+    * production stream takes a watermark + update mode so doc state
+    * ages out); the per-source monitor is a batch rollup of the sink,
+    * the streamDedupOnce two-stage convention.
+    */
+  def dsirGateOnce(spark: SparkSession, dir: String): DataFrame = {
+    val lr = graft.text.CorpusQueries.dsirModel(spark, dir)
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val perDoc = src
+      .select(col("doc_id"), col("source"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        graft.text.CorpusQueries.bucketCol.as("bucket"))
+      .join(broadcast(lr), "bucket")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr_micro").as("w_micro"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      perDoc.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("w_micro") >= -600000L, 1L).otherwise(0L)).as("n_target_like"),
+        sum("w_micro").as("w_micro_sum"))
+      .orderBy("source")
+  }
+
   /** Streaming deduplication: emit each (user_id, event_type) key once,
     * drained with AvailableNow, then count survivors per type in batch.
     * `dropDuplicates` keys state exactly like the batch distinct the

@@ -85,6 +85,42 @@ object StreamingQueries {
       StreamingOps.qualityGateOnce(s, d)
     },
 
+    // train-batch/serve-stream for the IMPORTANCE SAMPLER: the DSIR
+    // bucket model fit offline, streamed documents scored through a
+    // stream-static broadcast equi-join ON THE BUCKET KEY (a real
+    // keyed join, not a scalar attach), per-doc weights closed in one
+    // streaming aggregate, per-source target-likeness monitored — ==
+    // the batch fit + score + rollup the oracle runs
+    "streaming_dsir_gate" -> QueryDef(
+      """WITH w AS (SELECT doc_id, lang, source,
+        |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+        |  FROM (SELECT doc_id, lang, source,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)),
+        |dc AS (SELECT doc_id, lang, source, bucket, COUNT(*) AS n
+        |       FROM w GROUP BY 1, 2, 3, 4),
+        |bs AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS rc,
+        |         CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS tc
+        |       FROM dc GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rtot,
+        |               CAST(SUM(tc) AS BIGINT) AS ttot FROM bs),
+        |lr AS (SELECT bucket,
+        |         CAST(round(ln(
+        |           (CAST(tc + 1 AS DOUBLE) * CAST(rtot + 256 AS DOUBLE)) /
+        |           (CAST(rc + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE))
+        |         ) * 1000000) AS BIGINT) AS lr_micro
+        |       FROM bs, tot),
+        |dw AS (SELECT dc.doc_id, dc.source,
+        |         CAST(SUM(dc.n * lr.lr_micro) AS BIGINT) AS w_micro
+        |       FROM dc JOIN lr USING (bucket) GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN w_micro >= -600000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_target_like,
+        |  CAST(SUM(w_micro) AS BIGINT) AS w_micro_sum
+        |FROM dw GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      StreamingOps.dsirGateOnce(s, d)
+    },
+
     // complete-mode streaming leaderboard: sort+limit over the running
     // per-user aggregate == the batch top-k
     "streaming_topk" -> QueryDef(

@@ -30,6 +30,37 @@ object CorpusQueries {
     s"round(${bm25Term(1)} + ${bm25Term(2)} + ${bm25Term(3)}, 9)"
   private val bm25Terms = Seq("batch", "index", "shuffle")
 
+  /** The trained DSIR importance model: 256 hashed-unigram buckets,
+    * each with its add-1-smoothed target-vs-raw log-likelihood ratio
+    * pre-rounded to the 1e-6 grid (see text_dsir for the full
+    * arithmetic contract). Fit is a batch job — one tokenize+hash
+    * pass, one bucket aggregate, totals attached as a broadcast
+    * one-row frame; the returned 256-row frame IS the model artifact
+    * (streaming_dsir_gate broadcasts it into a document stream).
+    */
+  private[graft] def dsirModel(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val w = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"), bucketCol.as("bucket"))
+    val bs = w.groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
+      .groupBy("bucket").agg(
+        sum("n").as("rc"),
+        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tc"))
+    val tot = bs.agg(sum("rc").as("rtot"), sum("tc").as("ttot"))
+    bs.crossJoin(broadcast(tot))
+      .select(col("bucket"), expr(
+        """CAST(round(ln(
+          |  (CAST(tc + 1 AS DOUBLE) * CAST(rtot + 256 AS DOUBLE)) /
+          |  (CAST(rc + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE))
+          |) * 1000000) AS BIGINT)""".stripMargin).as("lr_micro"))
+  }
+
+  /** The md5 hashed-feature bucket (mirrors text_hashed_features). */
+  private[graft] def bucketCol: org.apache.spark.sql.Column =
+    expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 256")
+
   val defs: Map[String, QueryDef] = Map(
 
     // BM25 top-20 for a fixed 3-term query. Shape at scale: one

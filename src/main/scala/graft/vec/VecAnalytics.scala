@@ -172,7 +172,18 @@ object VecAnalytics {
   private[graft] val benchSetups
       : Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
     "sim_pq_adc_topk" -> ((s, d) => { ivfPqIndex(s, d); () }),
-    "sim_ivf_pq_topk" -> ((s, d) => { ivfPqIndex(s, d); () }))
+    "sim_ivf_pq_topk" -> ((s, d) => { ivfPqIndex(s, d); () }),
+    // sim_ivf_topk's cached index must exist BEFORE the laps: the
+    // bench unpersists every persistent RDD a query creates (the
+    // checkpoint-block leak fix), so a lazily-built lap-1 index would
+    // lose its storage and lap 2 would recompute per probe. The plan
+    // here must match the query's corpus construction exactly — the
+    // cache key folds in the analyzed plan's semanticHash.
+    "sim_ivf_topk" -> ((s, d) => {
+      val corpus = graft.Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      VecFunctions.ivfIndex(corpus, nLists = 16, cacheKey = s"emb:$d"); ()
+    }))
 
   /** Shared per-output-dim projection fold, 0-based array indexing
     * abstracted per engine ([] is 0-based in Spark, 1-based in DuckDB).
