@@ -55,14 +55,10 @@ object Bench {
     // set exempts setup-built artifacts (IVF/PQ index caches), which
     // must survive across laps by design — every lazily-cached index
     // is therefore registered in benchSetups (see VecAnalytics).
-    def exec(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      spark.sparkContext.getPersistentRDDs
-        .foreach { case (id, rdd) =>
-          if (!before.contains(id)) rdd.unpersist(blocking = false)
-        }
-    }
+    def exec(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      RddHygiene.sweptAfter(spark) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     def lap(recordFailures: Boolean): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Post-query storage sweep for the long-lived harness JVMs (Bench,
+  * TimeOne, Verify): localCheckpoint()ed RDDs — the levenshtein
+  * shingle table, graph edge pins, the LPA adjacency — register as
+  * persistent and only evict when the GC collects the RDD reference,
+  * so a session that executes hundreds of queries accumulates dead
+  * checkpoint blocks in the block manager and squeezes unified memory
+  * out from under later big-shuffle queries (observed round 11:
+  * graph_closeness 2.9 s warm → 7.7 s official; TimeOne graph_kcore
+  * laps INCREASING 3.1 → 4.4 → 12.9 s inside one JVM — the leak
+  * signature; post-sweep they DECREASE 5.0 → 2.5 → 2.2).
+  *
+  * The sweep unpersists only RDDs that did NOT exist before the query
+  * (diff on the persistent-RDD id set), so deliberately long-lived
+  * caches — the setup-built IVF/PQ index artifacts — survive. Every
+  * lazily-built cache a bench lap may reuse must therefore be
+  * registered in `SparkEntry.benchSetups` so its ids predate the laps
+  * (`sim_ivf_topk` is the one such case). RddHygieneSpec pins both
+  * directions.
+  */
+object RddHygiene {
+
+  /** Snapshot the currently-persistent RDD ids. */
+  def ids(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Unpersist every persistent RDD whose id is not in `before`.
+    * Non-blocking: block removal proceeds async while the next query
+    * plans.
+    */
+  def sweep(spark: SparkSession, before: Set[Int]): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) { rdd.unpersist(blocking = false); () }
+    }
+
+  /** Run `body`, then sweep whatever persistent RDDs it created. */
+  def sweptAfter[A](spark: SparkSession)(body: => A): A = {
+    val before = ids(spark)
+    try body finally sweep(spark, before)
+  }
+}

@@ -26,19 +26,14 @@ object TimeOne {
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val laps = (1 to 3).map { i =>
-        val before = spark.sparkContext.getPersistentRDDs.keySet
-        val t0 = System.nanoTime()
-        fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        // drop the persistent RDDs this lap created — checkpoint
-        // blocks accumulate across laps and inflate later runs
-        // (observed as monotonically INCREASING lap times on
-        // checkpoint-pinning queries); setup-built caches predate the
-        // lap and stay (same diff rationale as Bench.exec)
-        spark.sparkContext.getPersistentRDDs
-          .foreach { case (id, rdd) =>
-            if (!before.contains(id)) rdd.unpersist(blocking = false)
-          }
+        // checkpoint blocks accumulate across laps and inflate later
+        // runs (RddHygiene scaladoc); setup-built caches predate the
+        // lap and stay
+        val sec = RddHygiene.sweptAfter(spark) {
+          val t0 = System.nanoTime()
+          fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         println(f"$name run$i: $sec%.2f s")
         sec
       }

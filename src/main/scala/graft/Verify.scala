@@ -33,8 +33,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).transform(Verify.ntzNormalize).coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/$name")
+      // sweep each query's checkpoint blocks (RddHygiene scaladoc) —
+      // the 334-query correctness pass leaks storage the same way the
+      // bench laps did
+      try RddHygiene.sweptAfter(spark) {
+        fn(spark, sfDir).transform(Verify.ntzNormalize).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // outDir is commonly reused across runs; a stale result parquet

@@ -359,6 +359,73 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // the DSIR ACTION step — the deterministic selection text_dsir's
+    // weights exist for: rank every document by target-likeness
+    // (w_micro DESC, doc_id ties) and keep the top quarter. True DSIR
+    // resamples ∝ exp(weight) with Gumbel noise; the RNG-free variant
+    // (top-k by weight) is the repo's reproducibility discipline —
+    // rerun it on the same corpus anywhere and the selected set is
+    // byte-identical. Scale shape: the rank runs over the (doc,
+    // weight) AGGREGATE — never the text — and at corpus scale the
+    // global row_number swaps for a quantile threshold from the
+    // RankStats histogram pass (select WHERE w >= threshold), the
+    // same two-phase pattern feat_quantile_bin pins; the selection
+    // fraction is then exact to one histogram bucket instead of one
+    // row. Model + scoring arithmetic identical to text_dsir
+    // (CorpusQueries.dsirModel).
+    "sample_dsir_select" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+         |  FROM (SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok
+         |        FROM documents)),
+         |dc AS (SELECT doc_id, lang, bucket, COUNT(*) AS n FROM w GROUP BY 1, 2, 3),
+         |bs AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS rc,
+         |         CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS tc
+         |       FROM dc GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rtot,
+         |               CAST(SUM(tc) AS BIGINT) AS ttot FROM bs),
+         |lr AS (SELECT bucket,
+         |         CAST(round(ln(
+         |           (CAST(tc + 1 AS DOUBLE) * CAST(rtot + 256 AS DOUBLE)) /
+         |           (CAST(rc + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE))
+         |         ) * 1000000) AS BIGINT) AS lr_micro
+         |       FROM bs, tot),
+         |dw AS (SELECT dc.doc_id, CAST(SUM(dc.n * lr.lr_micro) AS BIGINT) AS w_micro
+         |       FROM dc JOIN lr USING (bucket) GROUP BY 1),
+         |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM dw),
+         |r AS (SELECT doc_id, w_micro,
+         |        ROW_NUMBER() OVER (ORDER BY w_micro DESC, doc_id) AS sel_rank
+         |      FROM dw)
+         |SELECT doc_id, w_micro, sel_rank
+         |FROM r, cnt WHERE sel_rank <= n_docs // 4
+         |ORDER BY sel_rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dc = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"), bucketCol.as("bucket"))
+        .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
+      val bs = dc.groupBy("bucket").agg(
+        sum("n").as("rc"),
+        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tc"))
+      val lr = bs.crossJoin(broadcast(bs.agg(
+          sum("rc").as("rtot"), sum("tc").as("ttot"))))
+        .select(col("bucket"), expr(
+          """CAST(round(ln(
+            |  (CAST(tc + 1 AS DOUBLE) * CAST(rtot + 256 AS DOUBLE)) /
+            |  (CAST(rc + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE))
+            |) * 1000000) AS BIGINT)""".stripMargin).as("lr_micro"))
+      val dw = dc.join(broadcast(lr), "bucket")
+        .groupBy("doc_id").agg(sum(col("n") * col("lr_micro")).as("w_micro"))
+      val cnt = dw.agg(count(lit(1)).as("n_docs"))
+      dw.withColumn("sel_rank",
+          row_number().over(Window.orderBy(col("w_micro").desc, col("doc_id"))))
+        .crossJoin(broadcast(cnt))
+        .where(col("sel_rank") <= expr("n_docs div 4"))
+        .select("doc_id", "w_micro", "sel_rank")
+        .orderBy("sel_rank")
+    },
+
     // sequence packing, pretraining style: concatenate each source's
     // docs in doc_id order and cut the stream into fixed 4096-char
     // windows; a doc's bin = the window its first char lands in.
