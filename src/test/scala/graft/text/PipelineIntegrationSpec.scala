@@ -110,4 +110,29 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(profHigh == jacPairs,
       s"profile bins >= 3 hold $profHigh pairs, dedup_ngram_jaccard reports $jacPairs")
   }
+
+  test("the DSIR family interlocks: batch weights == streamed gate mass == selection") {
+    // model (text_dsir), serve-stream gate (streaming_dsir_gate), and
+    // deterministic selection (sample_dsir_select) must describe the
+    // SAME trained sampler over the SAME corpus: the streamed
+    // per-source weight mass must total the batch per-doc weights
+    // exactly (integer arithmetic, so equality is exact, not ±ulp),
+    // and the selected set must be precisely the batch ranking's top
+    // quarter under the (w DESC, doc_id) order.
+    val batch = SparkEntry.queries("text_dsir")(spark, dir)
+      .select("doc_id", "w_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val gate = SparkEntry.queries("streaming_dsir_gate")(spark, dir)
+      .select("n_docs", "w_micro_sum").collect()
+    assert(gate.map(_.getLong(0)).sum == batch.length.toLong,
+      "the stream must score every document exactly once")
+    assert(gate.map(_.getLong(1)).sum == batch.map(_._2).sum,
+      "streamed weight mass must equal the batch weights, integer-exact")
+    val selected = SparkEntry.queries("sample_dsir_select")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val expected = batch.sortBy { case (id, w) => (-w, id) }
+      .take(batch.length / 4).map(_._1).toSeq
+    assert(selected == expected,
+      "selection must be the batch ranking's exact top quarter")
+  }
 }
