@@ -46,7 +46,7 @@ object Bench {
     // times a fiction). After each query, drop every persistent RDD
     // the query itself created: localCheckpoint blocks (the
     // levenshtein shingle table, graph edge pins, the LPA adjacency)
-    // are registered as persistent and only evict on GC — across 333
+    // are registered as persistent and only evict on GC — across hundreds of
     // queries x 2 laps they accumulate in the block manager and
     // squeeze unified memory out from under big-shuffle queries
     // (observed: graph_closeness 2.9s warm -> 7.7s official; TimeOne

@@ -34,7 +34,7 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       // sweep each query's checkpoint blocks (RddHygiene scaladoc) —
-      // the 334-query correctness pass leaks storage the same way the
+      // the full-surface correctness pass leaks storage the same way the
       // bench laps did
       try RddHygiene.sweptAfter(spark) {
         fn(spark, sfDir).transform(Verify.ntzNormalize).coalesce(1)

@@ -30,32 +30,47 @@ object CorpusQueries {
     s"round(${bm25Term(1)} + ${bm25Term(2)} + ${bm25Term(3)}, 9)"
   private val bm25Terms = Seq("batch", "index", "shuffle")
 
-  /** The trained DSIR importance model: 256 hashed-unigram buckets,
-    * each with its add-1-smoothed target-vs-raw log-likelihood ratio
-    * pre-rounded to the 1e-6 grid (see text_dsir for the full
-    * arithmetic contract). Fit is a batch job — one tokenize+hash
-    * pass, one bucket aggregate, totals attached as a broadcast
-    * one-row frame; the returned 256-row frame IS the model artifact
-    * (streaming_dsir_gate broadcasts it into a document stream).
+  /** The DSIR training pass, shared by every family member so the
+    * arithmetic exists ONCE: returns (dc, lr) where dc is the
+    * per-(doc, lang, bucket) count table and lr the trained 256-row
+    * model (add-1-smoothed target-vs-raw log-likelihood ratio
+    * pre-rounded to the 1e-6 grid — see text_dsir for the full
+    * contract). dc is localCheckpoint()ed: it feeds BOTH the model fit
+    * and the scoring probe side, and unpinned the tokenize+md5 corpus
+    * pass re-executes once per consumer (~3x per run — observed in
+    * review). Size bound: O(docs x min(doc vocab, 256)) aggregate
+    * rows, never raw tokens; the 100 TB substitute is
+    * persist(DISK_ONLY) (same policy as the levenshtein shingle
+    * table), and the harness sweeps the blocks after each query
+    * (RddHygiene).
     */
-  private[graft] def dsirModel(
+  private[graft] def dsirParts(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    val w = graft.Tables.documents(s, d)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dc = graft.Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("lang"), bucketCol.as("bucket"))
-    val bs = w.groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
-      .groupBy("bucket").agg(
-        sum("n").as("rc"),
-        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tc"))
-    val tot = bs.agg(sum("rc").as("rtot"), sum("tc").as("ttot"))
-    bs.crossJoin(broadcast(tot))
+      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val bs = dc.groupBy("bucket").agg(
+      sum("n").as("rc"),
+      sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tc"))
+    val lr = bs.crossJoin(broadcast(bs.agg(
+        sum("rc").as("rtot"), sum("tc").as("ttot"))))
       .select(col("bucket"), expr(
         """CAST(round(ln(
           |  (CAST(tc + 1 AS DOUBLE) * CAST(rtot + 256 AS DOUBLE)) /
           |  (CAST(rc + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE))
           |) * 1000000) AS BIGINT)""".stripMargin).as("lr_micro"))
+    (dc, lr)
   }
+
+  /** The trained model alone — the artifact streaming_dsir_gate
+    * broadcasts into a document stream.
+    */
+  private[graft] def dsirModel(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = dsirParts(s, d)._2
 
   /** The md5 hashed-feature bucket (mirrors text_hashed_features). */
   private[graft] def bucketCol: org.apache.spark.sql.Column =
@@ -337,21 +352,7 @@ object CorpusQueries {
          |  CAST(SUM(dc.n * lr.lr_micro) AS BIGINT) AS w_micro
          |FROM dc JOIN lr USING (bucket)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val w = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), col("lang"),
-          expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 256").as("bucket"))
-      val dc = w.groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
-      val bs = dc.groupBy("bucket").agg(
-        sum("n").as("rc"),
-        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tc"))
-      val tot = bs.agg(sum("rc").as("rtot"), sum("tc").as("ttot"))
-      val lr = bs.crossJoin(broadcast(tot))
-        .select(col("bucket"), expr(
-          """CAST(round(ln(
-            |  (CAST(tc + 1 AS DOUBLE) * CAST(rtot + 256 AS DOUBLE)) /
-            |  (CAST(rc + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE))
-            |) * 1000000) AS BIGINT)""".stripMargin).as("lr_micro"))
+      val (dc, lr) = dsirParts(s, d)
       dc.join(broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(sum("n").as("n_tokens"),
@@ -401,22 +402,14 @@ object CorpusQueries {
          |FROM r, cnt WHERE sel_rank <= n_docs // 4
          |ORDER BY sel_rank""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val dc = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), col("lang"), bucketCol.as("bucket"))
-        .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
-      val bs = dc.groupBy("bucket").agg(
-        sum("n").as("rc"),
-        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tc"))
-      val lr = bs.crossJoin(broadcast(bs.agg(
-          sum("rc").as("rtot"), sum("tc").as("ttot"))))
-        .select(col("bucket"), expr(
-          """CAST(round(ln(
-            |  (CAST(tc + 1 AS DOUBLE) * CAST(rtot + 256 AS DOUBLE)) /
-            |  (CAST(rc + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE))
-            |) * 1000000) AS BIGINT)""".stripMargin).as("lr_micro"))
+      val (dc, lr) = dsirParts(s, d)
+      // dw feeds BOTH the rank window and the one-row cnt broadcast —
+      // pinned so the scoring join runs once (same bound as dc: one
+      // (doc_id, w_micro) row per doc; swept post-query by the
+      // harness)
       val dw = dc.join(broadcast(lr), "bucket")
         .groupBy("doc_id").agg(sum(col("n") * col("lr_micro")).as("w_micro"))
+        .localCheckpoint()
       val cnt = dw.agg(count(lit(1)).as("n_docs"))
       dw.withColumn("sel_rank",
           row_number().over(Window.orderBy(col("w_micro").desc, col("doc_id"))))

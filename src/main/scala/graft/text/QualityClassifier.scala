@@ -332,7 +332,13 @@ object QualityClassifier {
 
   private[graft] val benchSetups
       : Map[String, (SparkSession, String) => Unit] = Map(
-    "store_model_registry" -> ((s, d) => { modelStoreBase(s, d); () }))
+    // swept: a cold build runs train(), whose localCheckpoint blocks
+    // (feature table + per-round betas) would otherwise predate the
+    // bench laps and sit exempt from the per-query sweep for the whole
+    // run — the store itself is on disk, nothing persistent is needed
+    // after the setup returns
+    "store_model_registry" -> ((s, d) =>
+      graft.RddHygiene.sweptAfter(s) { modelStoreBase(s, d); () }))
 
   /** Betas read back from registry version `v`, reshaped to the 1-row
     * (b0..b3) frame score() expects.
