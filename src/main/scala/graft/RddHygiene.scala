@@ -28,17 +28,23 @@ object RddHygiene {
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   /** Unpersist every persistent RDD whose id is not in `before`.
-    * Non-blocking: block removal proceeds async while the next query
-    * plans.
+    * `blocking = false` (the Bench default) lets block removal proceed
+    * async while the next query plans; TimeOne passes `blocking = true`
+    * so the eviction of lap N's blocks cannot steal cycles or memory
+    * bandwidth inside lap N+1's timed region — the sweep sits outside
+    * the timed section, so the synchronous wait costs the measurement
+    * nothing.
     */
-  def sweep(spark: SparkSession, before: Set[Int]): Unit =
+  def sweep(spark: SparkSession, before: Set[Int],
+            blocking: Boolean = false): Unit =
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!before.contains(id)) { rdd.unpersist(blocking = false); () }
+      if (!before.contains(id)) { rdd.unpersist(blocking = blocking); () }
     }
 
   /** Run `body`, then sweep whatever persistent RDDs it created. */
-  def sweptAfter[A](spark: SparkSession)(body: => A): A = {
+  def sweptAfter[A](spark: SparkSession, blocking: Boolean = false)
+                   (body: => A): A = {
     val before = ids(spark)
-    try body finally sweep(spark, before)
+    try body finally sweep(spark, before, blocking)
   }
 }

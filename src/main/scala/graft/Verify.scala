@@ -30,6 +30,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // run registered fixtures up front, exactly like Bench/TimeOne:
+    // lazily-built caches (the IVF index) must PREDATE the per-query
+    // hygiene sweeps or the sweep unpersists their blocks while the
+    // cache registry keeps the entry — later hits would silently serve
+    // a storageLevel-NONE DataFrame and recompute per probe
+    SparkEntry.benchSetups
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        try fn(spark, sfDir) catch { case e: Throwable =>
+          System.err.println(s"[verify] setup $n failed: ${e.getMessage}")
+        }
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

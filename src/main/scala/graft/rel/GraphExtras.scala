@@ -28,32 +28,47 @@ object GraphExtras {
     * Per half-round: one state join onto the pinned edge list + one
     * partial-aggregated groupBy + one broadcast-of-one-row normalizer.
     * CoPartitioned pins TWO edge copies (hashed on u and on v) so
-    * neither half-round ever moves the edges.
+    * neither half-round ever moves the edges. Broadcast mode pins ONE
+    * copy shared by both half-rounds — the pin key is meaningless
+    * there, and a second pin would materialize the upstream edge
+    * build (a join + distinct for the bench graph) twice for nothing
+    * (the round-11 bench paid exactly that).
     */
   def hitsAuthorities(edges: DataFrame, rounds: Int,
                       strategy: GraphLoops.Strategy = GraphLoops.Broadcast)
       : DataFrame = {
     val eU = GraphLoops.pinEdges(edges, "u", strategy)
-    val eV = GraphLoops.pinEdges(edges, "v", strategy)
+    val eV = strategy match {
+      case GraphLoops.Broadcast => eU
+      case GraphLoops.CoPartitioned => GraphLoops.pinEdges(edges, "v", strategy)
+    }
     var h = eU.select("u").distinct().withColumn("h", lit(1000000L))
     var a: DataFrame = null
-    // the RAW per-node sums are what gets materialized: the normalizer
-    // (crossJoin of the 1-row total) then reads the checkpointed
-    // node-sized relation twice instead of running the edge join twice
-    // — one edge join per half-round, and the checkpoint doubles as
-    // the per-round lineage cut
+    // the normalizer is an empty-frame window (`sum(x) OVER ()`) over
+    // the NODE-sized raw-sum relation — one single-partition exchange
+    // of O(nodes) rows, and crucially each half-round's relation
+    // appears exactly ONCE in the plan. The previous shape
+    // (localCheckpoint + crossJoin of a broadcast 1-row agg) consumed
+    // the raw sums twice and needed a per-half-round materialization
+    // job to stop exponential subtree duplication; with the window the
+    // whole `rounds`-round loop is one LINEAR dag — 2·rounds broadcast
+    // joins + partial aggs, zero checkpoint block writes, executed in
+    // a single action (round-12 fix for the graph_hits bench-envelope
+    // excursion: the 6 eager checkpoint jobs dominated wall clock).
+    val norm = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     (1 to rounds).foreach { _ =>
-      val ar = GraphLoops
+      a = GraphLoops
         .stateJoin(eU, h.withColumnRenamed("u", "hu"), col("hu") === col("u"),
           strategy)
-        .groupBy("v").agg(sum("h").as("x")).localCheckpoint()
-      a = ar.crossJoin(broadcast(ar.agg(sum("x").as("sx"))))
+        .groupBy("v").agg(sum("h").as("x"))
+        .withColumn("sx", sum(col("x")).over(norm))
         .select(col("v"), expr("CAST(x * 1000000 div sx AS BIGINT)").as("a"))
-      val hr = GraphLoops
+      h = GraphLoops
         .stateJoin(eV, a.withColumnRenamed("v", "av"), col("av") === col("v"),
           strategy)
-        .groupBy("u").agg(sum("a").as("x")).localCheckpoint()
-      h = hr.crossJoin(broadcast(hr.agg(sum("x").as("sx"))))
+        .groupBy("u").agg(sum("a").as("x"))
+        .withColumn("sx", sum(col("x")).over(norm))
         .select(col("u"), expr("CAST(x * 1000000 div sx AS BIGINT)").as("h"))
     }
     a

@@ -43,15 +43,21 @@ object CorpusQueries {
     * persist(DISK_ONLY) (same policy as the levenshtein shingle
     * table), and the harness sweeps the blocks after each query
     * (RddHygiene).
+    *
+    * `pin = false` (the model-only path, [[dsirModel]]): dc has a
+    * single downstream consumer, so the checkpoint would buy nothing
+    * and cost a full tokenize+hash materialization plus blocks that
+    * only the harness sweep reclaims — direct callers (tests,
+    * notebooks) would accumulate them until GC.
     */
   private[graft] def dsirParts(
-      s: org.apache.spark.sql.SparkSession, d: String)
+      s: org.apache.spark.sql.SparkSession, d: String, pin: Boolean = true)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val dc = graft.Tables.documents(s, d)
+    val dc0 = graft.Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("lang"), bucketCol.as("bucket"))
       .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    val dc = if (pin) dc0.localCheckpoint() else dc0
     val bs = dc.groupBy("bucket").agg(
       sum("n").as("rc"),
       sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tc"))
@@ -70,7 +76,7 @@ object CorpusQueries {
     */
   private[graft] def dsirModel(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = dsirParts(s, d)._2
+      : org.apache.spark.sql.DataFrame = dsirParts(s, d, pin = false)._2
 
   /** The md5 hashed-feature bucket (mirrors text_hashed_features). */
   private[graft] def bucketCol: org.apache.spark.sql.Column =
