@@ -142,6 +142,36 @@ object Dedup {
       .select("a_id", "b_id", "inter", "na", "nb") // stable order (joins hoist keys)
   }
 
+  /** Directional containment pairs over (optionally df-capped)
+    * shingle sets: emits (sub_id, super_id, containment) for every
+    * ordered pair with |A∩B| · 100 ≥ minPct · |A| — doc A a near-
+    * subset of B (quote/excerpt detection; Jaccard misses these when
+    * B is much longer). Both orientations derive from ONE
+    * [[shinglePairStats]] pass via a 2-way explode, so the Σ df²
+    * shingle join is planned and executed exactly once (a UNION ALL
+    * of two selects over the stats would run the join twice).
+    *
+    * `maxDf = Some(cap)` is the 100 TB degradation tier — containment
+    * over CAPPED sets (hot shingles leave the intersection and |A|),
+    * the asymmetric analog of the dedup_jaccard_capped semantics:
+    * exact for every pair whose shingles all sit under the cap, and
+    * identical to the uncapped form when cap > max observed df
+    * (pinned in DedupSpec).
+    */
+  def containmentPairs(docs: DataFrame, text: Column, id: Column,
+      shingleN: Int, minPct: Int, maxDf: Option[Long]): DataFrame = {
+    val st = shinglePairStats(docs, text, id, shingleN, maxDf)
+    st.select(explode(array(
+        struct(col("a_id").as("sub_id"), col("b_id").as("super_id"),
+          col("inter"), col("na").as("n")),
+        struct(col("b_id").as("sub_id"), col("a_id").as("super_id"),
+          col("inter"), col("nb").as("n")))).as("r"))
+      .select("r.*")
+      .where(col("inter") * 100 >= col("n") * minPct)
+      .select(col("sub_id"), col("super_id"),
+        (col("inter").cast("double") / col("n")).as("containment"))
+  }
+
   /** Full near-dup pipeline: docs minus every doc that has a verified
     * near-duplicate with a smaller id. Returns surviving ids.
     */

@@ -609,6 +609,41 @@ object TextQueries {
         .orderBy("sub_id", "super_id")
     },
 
+    // The df-CAPPED tier of the containment detector — text_containment's
+    // 100 TB degradation path (the same designed demotion
+    // dedup_jaccard_capped gives the symmetric verifier): shingles with
+    // document frequency > 200 drop BEFORE the pair join
+    // (Dedup.shinglePairStats), bounding the join at Σ_{df≤cap} df²,
+    // and containment is then exact over the CAPPED sets — |A∩B|/|A|
+    // with hot shingles out of both the intersection and |A|. On this
+    // corpus max df ~25, so the cap is inert and the output is
+    // IDENTICAL to text_containment (pinned in DedupSpec alongside a
+    // hot-shingle corpus where the cap collapses the pair space); the
+    // ORACLE applies the same cap, so the gate checks the capped
+    // semantics themselves. Both orientations come from ONE pair join
+    // via a 2-way explode — half the shuffle of the uncapped query's
+    // <>-join shape on top of the cap.
+    "text_containment_capped" -> QueryDef(
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("text", 3)}) AS shset
+         |  FROM documents),
+         |ex0 AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+         |keep AS (SELECT s FROM ex0 GROUP BY 1 HAVING count(*) <= 200),
+         |ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN keep USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |p AS (SELECT a.doc_id AS sub_id, b.doc_id AS super_id, count(*) AS inter
+         |      FROM ex a JOIN ex b USING (s) WHERE a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT sub_id, super_id,
+         |  CAST(inter AS DOUBLE) / sa.n AS containment
+         |FROM p JOIN sz sa ON p.sub_id = sa.doc_id
+         |WHERE inter * 100 >= 80 * sa.n
+         |ORDER BY sub_id, super_id""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), col("text"),
+          col("doc_id"), shingleN = 3, minPct = 80, maxDf = Some(200L))
+        .orderBy("sub_id", "super_id")
+    },
+
     // MinHash+LSH near-dedup: engine-hash-based (xxhash64), so no SQL
     // oracle — rows-only; recall properties pinned in DedupSpec
     "dedup_minhash_survivors" -> QueryDef.rowsOnly { (s, d) =>

@@ -90,6 +90,36 @@ class DedupSpec extends SparkSpec {
     assert((cp(0).getLong(2), cp(0).getLong(3), cp(0).getLong(4)) == ((3L, 3L, 3L)))
   }
 
+  test("containment df-cap tier is inert above max df — capped == uncapped query") {
+    // text_containment_capped's contract: with cap=200 > every observed
+    // df at sf0.001, its output must equal the uncapped text_containment
+    // query row-for-row (same pairs, both orientations, same ratios)
+    val out = Map(
+      "capped" -> graft.SparkEntry.queries("text_containment_capped"),
+      "uncapped" -> graft.SparkEntry.queries("text_containment")
+    ).view.mapValues(_(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq)
+      .toMap
+    assert(out("capped").nonEmpty, "containment pair set empty — vacuous equality")
+    assert(out("capped") == out("uncapped"))
+  }
+
+  test("containment df cap bounds the pair space on a hot-shingle corpus") {
+    // same adversarial corpus as the jaccard-capped pin: one boilerplate
+    // shingle with df=200 plus a planted exact-dup pair. Capped, only
+    // the dup pair survives — in BOTH orientations (containment is
+    // directional), each with containment 1.0 over the capped sets.
+    val hot = (0 until 200).map(i => (i.toLong, s"hot hot hot u$i v$i w$i"))
+    val dup = Seq((1000L, "alpha beta gamma delta epsilon"),
+      (1001L, "alpha beta gamma delta epsilon"))
+    val docs = (hot ++ dup).toDF("doc_id", "text")
+    val cp = Dedup.containmentPairs(
+        docs, col("text"), col("doc_id"), 3, 80, Some(100L))
+      .orderBy("sub_id", "super_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cp == Seq((1000L, 1001L, 1.0), (1001L, 1000L, 1.0)))
+  }
+
   test("minhash+LSH finds planted near-duplicates, spares distinct docs") {
     // docA ~ docB (one token changed out of 80), docC unrelated
     val docA = base
