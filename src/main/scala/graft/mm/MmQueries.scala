@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 
-/** Verify-gate entries for the multimodal surface. The payload bytes
-  * are a digest of the text (deterministic), so byte counts are
-  * oracle-checkable; the stub-decoded features are engine-side only
-  * (rows-only check + unit-pinned values).
+/** Verify-gate entries for the multimodal surface. Schema/dedup/frame
+  * queries ride the compact 16-byte digest payload; the decode/resize
+  * queries (r12) carry a REAL binary PPM P6 image per doc and are
+  * fully oracle-gated — the DuckDB side re-derives the pixel bytes
+  * from the same md5 chain and replays the integer feature/pool
+  * arithmetic (see Multimodal scaladoc).
   */
 object MmQueries {
 
@@ -66,49 +68,109 @@ object MmQueries {
         .orderBy("payload_digest")
     },
 
-    // partition-wise batched stub decode -> per-doc feature vector
-    "mm_decode_features" -> QueryDef.rowsOnly { (s, d) =>
+    // REAL decode (r12, was a declared stub): every doc carries a
+    // standards-valid binary PPM P6 image (8x8 RGB, pixels from the
+    // md5 chain over the text), decodePpm PARSES it — header grammar,
+    // maxval, raster-length checks — and the per-image channel/luma
+    // statistics are exact integers, hash-gated against a DuckDB
+    // oracle that re-derives the identical pixel bytes (DuckDB cannot
+    // md5 BLOBs, so parity comes from re-derivation — the mm_dedup
+    // precedent). The decode runs partition-batched through the
+    // MediaDecoder seam; payloads never leave the executor — only the
+    // 8 per-image statistics shuffle, the 100 TB shape.
+    "mm_decode_features" -> QueryDef(
+      """WITH b AS (
+        |  SELECT doc_id, (i*16 + j) AS k,
+        |    CAST(concat('0x', substr(md5(text || ':' || i), j*2+1, 2)) AS BIGINT) AS v
+        |  FROM documents, range(12) t(i), range(16) u(j)),
+        |px AS (
+        |  SELECT doc_id, k // 3 AS p,
+        |    MAX(CASE WHEN k % 3 = 0 THEN v END) AS r,
+        |    MAX(CASE WHEN k % 3 = 1 THEN v END) AS g,
+        |    MAX(CASE WHEN k % 3 = 2 THEN v END) AS b
+        |  FROM b GROUP BY 1, 2),
+        |lm AS (SELECT doc_id, r, g, b,
+        |         (299*r + 587*g + 114*b) // 1000 AS luma FROM px)
+        |SELECT doc_id, CAST(203 AS BIGINT) AS n_bytes,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(SUM(r) AS BIGINT) AS r_sum,
+        |  CAST(SUM(g) AS BIGINT) AS g_sum,
+        |  CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  CAST(SUM(luma) AS BIGINT) AS luma_sum,
+        |  CAST(MIN(luma) AS BIGINT) AS luma_min,
+        |  CAST(MAX(luma) AS BIGINT) AS luma_max
+        |FROM lm GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val media = Multimodal.withFakeMedia(Tables.documents(s, d))
+      val media = Multimodal.withPpmMedia(Tables.documents(s, d))
         .select(
           col("doc_id"),
           lit("image").as("kind"),
           col("media.payload").as("payload"),
           col("media.meta").as("meta"))
         .as[Multimodal.MediaRecord]
-      // features is ARRAY<FLOAT>, which the driver's pandas compare
-      // can't sort — project harness-safe scalars: length + a rounded
-      // checksum of the vector (deterministic: left-to-right fold)
-      Multimodal.extractFeatures(media, Multimodal.StubDecoder, batchSize = 64)
+      Multimodal
+        .extractFeatures(media, Multimodal.PpmFeatureDecoder, batchSize = 64)
         .toDF()
-        .select(col("doc_id"), col("n_bytes"),
-          size(col("features")).cast("long").as("n_feat"),
-          round(aggregate(transform(col("features"), _.cast("double")),
-            lit(0.0), (acc, x) => acc + x), 6).as("feat_sum"))
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          expr("CAST(features[0] AS BIGINT)").as("width"),
+          expr("CAST(features[1] AS BIGINT)").as("height"),
+          expr("CAST(features[2] AS BIGINT)").as("r_sum"),
+          expr("CAST(features[3] AS BIGINT)").as("g_sum"),
+          expr("CAST(features[4] AS BIGINT)").as("b_sum"),
+          expr("CAST(features[5] AS BIGINT)").as("luma_sum"),
+          expr("CAST(features[6] AS BIGINT)").as("luma_min"),
+          expr("CAST(features[7] AS BIGINT)").as("luma_max"))
         .orderBy("doc_id")
     },
 
-    // decode -> pool ("resize") chain: 16-bin features pooled to 8
-    "mm_resize_pool" -> QueryDef.rowsOnly { (s, d) =>
+    // REAL resize (r12, was a declared stub): decode the P6 pixels,
+    // then 2x2 average-pool per channel (truncating division —
+    // integer-exact) to the 4x4 grid, one row per pooled cell. The
+    // pooling happens IN the partition-batched decoder (bounded
+    // 48-value output per image, the shape a vectorized resize kernel
+    // produces); the oracle replays the identical arithmetic over the
+    // re-derived pixels, so the gate checks the pixel->pool chain
+    // end to end.
+    "mm_resize_pool" -> QueryDef(
+      """WITH b AS (
+        |  SELECT doc_id, (i*16 + j) AS k,
+        |    CAST(concat('0x', substr(md5(text || ':' || i), j*2+1, 2)) AS BIGINT) AS v
+        |  FROM documents, range(12) t(i), range(16) u(j)),
+        |px AS (
+        |  SELECT doc_id, k // 3 AS p,
+        |    MAX(CASE WHEN k % 3 = 0 THEN v END) AS r,
+        |    MAX(CASE WHEN k % 3 = 1 THEN v END) AS g,
+        |    MAX(CASE WHEN k % 3 = 2 THEN v END) AS b
+        |  FROM b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST((p // 8) // 2 AS BIGINT) AS py,
+        |  CAST((p % 8) // 2 AS BIGINT) AS px,
+        |  CAST(SUM(r) // 4 AS BIGINT) AS r_avg,
+        |  CAST(SUM(g) // 4 AS BIGINT) AS g_avg,
+        |  CAST(SUM(b) // 4 AS BIGINT) AS b_avg
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id, py, px""".stripMargin) { (s, d) =>
       import s.implicits._
-      val media = Multimodal.withFakeMedia(Tables.documents(s, d))
+      val media = Multimodal.withPpmMedia(Tables.documents(s, d))
         .select(
           col("doc_id"),
           lit("image").as("kind"),
           col("media.payload").as("payload"),
           col("media.meta").as("meta"))
         .as[Multimodal.MediaRecord]
-      val feats = Multimodal
-        .extractFeatures(media, Multimodal.StubDecoder, batchSize = 64)
+      Multimodal
+        .extractFeatures(media, Multimodal.PpmPool2x2Decoder, batchSize = 64)
         .toDF()
-      // same harness-safety projection as mm_decode_features: the
-      // pooled vector goes out as length + rounded checksum scalars
-      Multimodal.poolFeatures(feats, factor = 2)
-        .select(col("doc_id"),
-          size(col("features")).cast("long").as("n_feat"),
-          round(aggregate(transform(col("features"), _.cast("double")),
-            lit(0.0), (acc, x) => acc + x), 6).as("feat_sum"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 15), c -> struct(
+            |  CAST(c div 4 AS BIGINT) AS py,
+            |  CAST(c % 4 AS BIGINT) AS px,
+            |  CAST(features[c*3] AS BIGINT) AS r_avg,
+            |  CAST(features[c*3+1] AS BIGINT) AS g_avg,
+            |  CAST(features[c*3+2] AS BIGINT) AS b_avg))""".stripMargin)).as("cell"))
+        .select(col("doc_id"), col("cell.py").as("py"), col("cell.px").as("px"),
+          col("cell.r_avg").as("r_avg"), col("cell.g_avg").as("g_avg"),
+          col("cell.b_avg").as("b_avg"))
+        .orderBy("doc_id", "py", "px")
     },
 
     // frame sampling: one row per 4-byte frame, stride 2

@@ -44,6 +44,60 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getInt(1) == 4))
   }
 
+  test("decodePpm parses the full netpbm header grammar, not just the fixture") {
+    // arbitrary dims, comment lines, mixed whitespace — a real P6 file
+    val header = "P6 # magic\n# a comment line\n 3\t2 # dims\n255\n"
+    val raster = Array.tabulate[Byte](18)(i => (i * 7).toByte)
+    val img = Multimodal.decodePpm(header.getBytes("US-ASCII") ++ raster)
+    assert((img.width, img.height) == ((3, 2)))
+    assert(img.pixels.toSeq == raster.toSeq)
+  }
+
+  test("decodePpm rejects malformed input loudly") {
+    val good = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(Multimodal.decodePpm(good).pixels.toSeq == Seq[Byte](1, 2, 3))
+    intercept[IllegalArgumentException] { // wrong magic
+      Multimodal.decodePpm("P5\n1 1\n255\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.decodePpm("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1))
+    }
+    intercept[IllegalArgumentException] { // 16-bit maxval unsupported
+      Multimodal.decodePpm("P6\n1 1\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](6))
+    }
+  }
+
+  test("withPpmMedia payloads are standards-valid P6 files the real parser opens") {
+    val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    val payloads = Multimodal.withPpmMedia(docs)
+      .select(col("doc_id"), col("media.payload")).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(payloads.values.forall(_.length == 203))
+    val img = Multimodal.decodePpm(payloads(1L))
+    assert((img.width, img.height) == ((8, 8)))
+    // pixels are the md5 chain: first 16 raster bytes == md5("hello:0")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello:0".getBytes("UTF-8"))
+    assert(img.pixels.take(16).toSeq == md.toSeq)
+  }
+
+  test("PpmFeatureDecoder and PpmPool2x2Decoder match hand arithmetic") {
+    // 2x2 image with known channel bytes -> one pooled cell
+    val raster = Array[Byte](
+      10, 20, 30,   40, 50, 60,
+      70, 80, 90,  100, 110, 121)
+    val payload = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ raster
+    val f = Multimodal.PpmFeatureDecoder.decode(payload, Map.empty)
+    val lumas = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 121))
+      .map { case (r, g, b) => (299 * r + 587 * g + 114 * b) / 1000 }
+    assert(f.toSeq == Seq[Float](2f, 2f, 10 + 40 + 70 + 100, 20 + 50 + 80 + 110,
+      30 + 60 + 90 + 121, lumas.sum.toFloat, lumas.min.toFloat, lumas.max.toFloat))
+    val p = Multimodal.PpmPool2x2Decoder.decode(payload, Map.empty)
+    // truncating per-channel mean: b channel (30+60+90+121)/4 = 75 exactly via trunc
+    assert(p.toSeq == Seq[Float]((10 + 40 + 70 + 100) / 4,
+      (20 + 50 + 80 + 110) / 4, (30 + 60 + 90 + 121) / 4))
+  }
+
   test("feature pooling halves the vector and preserves the mean") {
     val df = Seq((1L, Array(1f, 3f, 5f, 7f))).toDF("doc_id", "features")
     val pooled = Multimodal.poolFeatures(df, factor = 2)
