@@ -44,16 +44,48 @@ import org.apache.spark.sql.functions._
   * Readers are always safe: every published version is an immutable
   * file set. Writers serialize on the MANIFEST CAS in [[publish]] —
   * exactly one attempt can create `v<N>.manifest`, the loser removes
-  * its private attempt directory and throws (SnapshotSpec pins the
-  * loser's cleanup). The CAS is only as atomic as the filesystem's
-  * create-if-absent rename: HDFS rename refuses an existing
-  * destination, but POSIX rename OVERWRITES one, so the local-FS
-  * `exists || !rename` check narrows the race without closing it.
-  * Deployments therefore assume ONE writer per store (the reference's
-  * model too — its HTTP daemon owns the file exclusively,
-  * `/root/reference/database.go`); multi-writer needs a rename-atomic FS or
-  * an external lock/catalog providing the CAS, exactly the role a
-  * Delta LogStore or an Iceberg catalog plays.
+  * its private attempt directory and throws [[CommitRaceException]]
+  * (SnapshotSpec pins the loser's cleanup). The CAS is only as atomic
+  * as the filesystem's create-if-absent rename: HDFS rename refuses an
+  * existing destination, but POSIX rename OVERWRITES one, so the
+  * local-FS `exists || !rename` check narrows the race without closing
+  * it. A rename-atomic FS or an external lock/catalog (the role a
+  * Delta LogStore or an Iceberg catalog plays) makes the CAS exact.
+  *
+  * ==Multi-writer retry (round 12) — the conflict matrix==
+  *
+  * On top of the CAS, the `*WithRetry` entry points give a LOSING
+  * committer optimistic rebase-and-retry (the Delta/Iceberg recovery
+  * shape): re-read the head, re-validate, re-commit, bounded attempts.
+  * Which races rebase and which abort follows from whether the op's
+  * semantics embed a READ of the snapshot it was computed against:
+  *
+  *  - [[commitWithRetry]] (blind LWW upsert): REBASES on ANY overlap,
+  *    including same-partition and same-key writes. The retry re-runs
+  *    the whole merge against the new head, and because an incoming
+  *    batch beats existing rows in the LWW window (`gen` desc), the
+  *    result is exactly the serial history "loser applied after
+  *    winner" — serializable by construction.
+  *  - [[deleteRowsDvWithRetry]] (blind DV union): REBASES on any
+  *    overlap — set union commutes, so re-unioning the keys into the
+  *    new head's DV is again the loser-after-winner serial history.
+  *  - [[mergeWithRetry]] (read-dependent MERGE): rebases ONLY when the
+  *    winners' touched entries (manifest diff between the loser's base
+  *    and the new head, INCLUDING the deletion-vector slot) are
+  *    DISJOINT from the merge's own touched partitions — the re-run
+  *    then re-reads partitions nobody changed and reproduces the same
+  *    decisions. On OVERLAP it aborts with
+  *    `ConcurrentModificationException`: the caller's `source` frame
+  *    may embed a stale read of the store (read-modify-write), and
+  *    silently re-applying it against changed rows could double-apply
+  *    updates or resurrect deleted keys. The caller must re-derive the
+  *    source from the new head and retry — the same contract Delta
+  *    gives a conflicting MERGE.
+  *
+  * All reruns recompute from scratch (no attempt-dir reuse): the data
+  * written by a lost attempt is already deleted by [[publish]], and at
+  * commit sizes worth optimizing a rename-atomic FS + kept-files
+  * rebase is the production path anyway.
   *
   * Driver-side footprint: commit/merge/delete collect only PARTITION
   * VALUES and per-partition stats — O(touched partitions) strings,
@@ -63,6 +95,13 @@ import org.apache.spark.sql.functions._
   * partitioning already imposes on any metastore.
   */
 object SnapshotStore {
+
+  /** Thrown by [[publish]] when another committer won the version —
+    * subclasses IllegalStateException so pre-retry callers' handling
+    * is unchanged; the `*WithRetry` loops catch exactly this type
+    * (never a broader failure like a bad write).
+    */
+  final class CommitRaceException(msg: String) extends IllegalStateException(msg)
 
   /** Manifest key for a version's DELETION-VECTOR sidecar (see
     * [[deleteRowsDv]]). The NUL prefix keeps it out of the partition-
@@ -140,9 +179,20 @@ object SnapshotStore {
     if (f.exists(manifestPath(base, next)) || !f.rename(tmp, manifestPath(base, next))) {
       f.delete(tmp, false)
       f.delete(new Path(dataDir), true)
-      throw new IllegalStateException(
+      throw new CommitRaceException(
         s"commit of v$next lost a race; this attempt's data was removed")
     }
+  }
+
+  /** Manifest entries (partitions + the DV slot) whose pointer changed
+    * between two committed versions — exactly the union of the
+    * intervening commits' touched sets, read from metadata alone.
+    */
+  private[sources] def touchedBetween(
+      spark: SparkSession, base: String, fromV: Int, toV: Int): Set[String] = {
+    val a = readManifest(spark, base, fromV)
+    val b = readManifest(spark, base, toV)
+    (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
   }
 
   private def attemptDir(base: String, next: Int): String =
@@ -154,7 +204,16 @@ object SnapshotStore {
     * value columns evolve the schema — old rows read them as NULL and
     * no historical dir is rewritten. Returns the new version.
     */
-  def commit(spark: SparkSession, base: String, batch: DataFrame): Int = {
+  def commit(spark: SparkSession, base: String, batch: DataFrame): Int =
+    commit(spark, base, batch, () => ())
+
+  /** Test seam: `beforePublish` runs between the attempt's data write
+    * and the manifest CAS — the window a concurrent winner lands in.
+    * SnapshotSpec injects a racing commit there to replay the
+    * multi-writer race deterministically.
+    */
+  private[sources] def commit(spark: SparkSession, base: String,
+      batch: DataFrame, beforePublish: () => Unit): Int = {
     val v = currentVersion(spark, base)
     val next = v + 1
     val prev = readManifest(spark, base, v)
@@ -214,6 +273,7 @@ object SnapshotStore {
           manifest0 + (DvKey -> dvDir)
         }
     }
+    beforePublish()
     publish(spark, base, next, manifest, dataDir)
     // ZONE MAP upkeep (optional metadata — see readVersionVcRange):
     // touched partitions get fresh (min vc, max vc) from the merged
@@ -333,7 +393,12 @@ object SnapshotStore {
     * delete semantics; composing merge-insert with a DV'd key is
     * unsupported (the DV wins until a commit() clears it).
     */
-  def deleteRowsDv(spark: SparkSession, base: String, keys: DataFrame): Int = {
+  def deleteRowsDv(spark: SparkSession, base: String, keys: DataFrame): Int =
+    deleteRowsDv(spark, base, keys, () => ())
+
+  /** Test seam — see [[commit]]'s hooked overload. */
+  private[sources] def deleteRowsDv(spark: SparkSession, base: String,
+      keys: DataFrame, beforePublish: () => Unit): Int = {
     val v = currentVersion(spark, base)
     require(v > 0, "cannot delete from an empty store")
     require(Seq("key", "part").forall(keys.columns.contains),
@@ -347,6 +412,7 @@ object SnapshotStore {
     }
     val dvDir = s"${attemptDir(base, next)}-dv"
     newDv.coalesce(1).write.mode("overwrite").parquet(dvDir)
+    beforePublish()
     publish(spark, base, next, prev + (DvKey -> dvDir), dvDir)
     next
   }
@@ -368,7 +434,14 @@ object SnapshotStore {
     */
   def merge(spark: SparkSession, base: String, source: DataFrame,
       matchedDelete: org.apache.spark.sql.Column,
-      matchedUpdateVc: org.apache.spark.sql.Column): Int = {
+      matchedUpdateVc: org.apache.spark.sql.Column): Int =
+    merge(spark, base, source, matchedDelete, matchedUpdateVc, () => ())
+
+  /** Test seam — see [[commit]]'s hooked overload. */
+  private[sources] def merge(spark: SparkSession, base: String, source: DataFrame,
+      matchedDelete: org.apache.spark.sql.Column,
+      matchedUpdateVc: org.apache.spark.sql.Column,
+      beforePublish: () => Unit): Int = {
     val v = currentVersion(spark, base)
     val next = v + 1
     val prev = readManifest(spark, base, v)
@@ -401,8 +474,101 @@ object SnapshotStore {
     val dataDir = attemptDir(base, next)
     merged.write.mode("overwrite").partitionBy("part").parquet(dataDir)
     val manifest = (prev -- touched) ++ writtenParts(spark, base, dataDir)
+    beforePublish()
     publish(spark, base, next, manifest, dataDir)
     next
+  }
+
+  /** [[commit]] with optimistic rebase-and-retry (conflict matrix in
+    * the object scaladoc): a blind LWW upsert rebases on ANY race by
+    * recomputing against the new head — the retry IS the serial
+    * history "loser after winner". Throws the last race loss after
+    * `maxAttempts` (contention beyond that needs an external
+    * lock/catalog, not more spinning).
+    */
+  def commitWithRetry(spark: SparkSession, base: String, batch: DataFrame,
+      maxAttempts: Int = 5): Int =
+    commitWithRetry(spark, base, batch, maxAttempts, () => ())
+
+  private[sources] def commitWithRetry(spark: SparkSession, base: String,
+      batch: DataFrame, maxAttempts: Int, beforePublish: () => Unit): Int = {
+    var last: CommitRaceException = null
+    (1 to maxAttempts).foreach { attempt =>
+      try return commit(spark, base, batch,
+        if (attempt == 1) beforePublish else () => ())
+      catch { case e: CommitRaceException => last = e }
+    }
+    throw new IllegalStateException(
+      s"commit on $base lost $maxAttempts version races; giving up", last)
+  }
+
+  /** [[deleteRowsDv]] with rebase-and-retry: DV union commutes, so the
+    * rerun against the new head's DV is always the serializable
+    * loser-after-winner history.
+    */
+  def deleteRowsDvWithRetry(spark: SparkSession, base: String, keys: DataFrame,
+      maxAttempts: Int = 5): Int =
+    deleteRowsDvWithRetry(spark, base, keys, maxAttempts, () => ())
+
+  private[sources] def deleteRowsDvWithRetry(spark: SparkSession, base: String,
+      keys: DataFrame, maxAttempts: Int, beforePublish: () => Unit): Int = {
+    var last: CommitRaceException = null
+    (1 to maxAttempts).foreach { attempt =>
+      try return deleteRowsDv(spark, base, keys,
+        if (attempt == 1) beforePublish else () => ())
+      catch { case e: CommitRaceException => last = e }
+    }
+    throw new IllegalStateException(
+      s"deleteRowsDv on $base lost $maxAttempts version races; giving up", last)
+  }
+
+  /** [[merge]] with VALIDATED rebase-and-retry: after a race loss the
+    * winners' touched entries come from the manifest diff between this
+    * attempt's base and the new head (metadata only). Disjoint from
+    * the merge's own partitions (and the DV slot unchanged) → re-run;
+    * any overlap → `ConcurrentModificationException`, because the
+    * caller's source may embed a stale read of exactly those rows
+    * (see the conflict matrix). The base is re-read per attempt, so
+    * validation is against everything published since the LAST try —
+    * conservative if a commit lands between the version read and the
+    * merge body (it would abort a race the merge actually saw), never
+    * permissive.
+    */
+  def mergeWithRetry(spark: SparkSession, base: String, source: DataFrame,
+      matchedDelete: org.apache.spark.sql.Column,
+      matchedUpdateVc: org.apache.spark.sql.Column,
+      maxAttempts: Int = 5): Int =
+    mergeWithRetry(spark, base, source, matchedDelete, matchedUpdateVc,
+      maxAttempts, () => ())
+
+  private[sources] def mergeWithRetry(spark: SparkSession, base: String,
+      source: DataFrame, matchedDelete: org.apache.spark.sql.Column,
+      matchedUpdateVc: org.apache.spark.sql.Column, maxAttempts: Int,
+      beforePublish: () => Unit): Int = {
+    val myTouched = source.select("part").distinct()
+      .collect().map(_.getString(0)).toSet + DvKey
+    var last: CommitRaceException = null
+    (1 to maxAttempts).foreach { attempt =>
+      val baseV = currentVersion(spark, base)
+      try return merge(spark, base, source, matchedDelete, matchedUpdateVc,
+        if (attempt == 1) beforePublish else () => ())
+      catch {
+        case e: CommitRaceException =>
+          last = e
+          val headV = currentVersion(spark, base)
+          val overlap = touchedBetween(spark, base, baseV, headV)
+            .intersect(myTouched)
+          if (overlap.nonEmpty) {
+            val shown = overlap.map(k => if (k == DvKey) "<deletion-vector>" else k)
+            throw new java.util.ConcurrentModificationException(
+              s"merge on $base conflicts with concurrent commit(s) " +
+                s"v${baseV + 1}..v$headV on: ${shown.toSeq.sorted.mkString(", ")} — " +
+                "re-derive the source from the new head and retry")
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"merge on $base lost $maxAttempts non-conflicting races; giving up", last)
   }
 
   /** Change data feed between two committed versions: a row-level diff

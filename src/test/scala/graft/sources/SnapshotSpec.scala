@@ -74,6 +74,115 @@ class SnapshotSpec extends SparkSpec {
       Seq(("z", "p1", 1L, 99L)).toDF("key", "part", "seq", "vc")) == 2)
   }
 
+  test("commitWithRetry: the race loser rebases and converges to the serial history") {
+    // deterministic race via the beforePublish seam: the loser has
+    // written its attempt data for v2 when the winner publishes v2 in
+    // the window before the loser's CAS. The retry must recompute
+    // against the new head and land v3 — and the result must equal a
+    // SERIAL twin store that ran winner-then-loser.
+    val base = freshBase()
+    val twin = freshBase()
+    val init = Seq(("a", "p1", 0L, 10L)).toDF("key", "part", "seq", "vc")
+    val winnerBatch = Seq(("a", "p1", 5L, 99L)).toDF("key", "part", "seq", "vc")
+    // the loser ALSO rewrites key a (lower seq): a blind upsert applied
+    // after the winner must still win — gen beats seq, so this checks
+    // the rebase really is loser-AFTER-winner, not a seq-luck merge
+    val loserBatch = Seq(("a", "p1", 0L, 50L), ("b", "p1", 0L, 51L))
+      .toDF("key", "part", "seq", "vc")
+    assert(SnapshotStore.commit(spark, base, init) == 1)
+    var raced = false
+    val got = SnapshotStore.commitWithRetry(spark, base, loserBatch, 5,
+      () => { SnapshotStore.commit(spark, base, winnerBatch); raced = true })
+    assert(raced && got == 3, s"loser must land v3 after one race, got v$got")
+    // serial twin: init, winner, loser — histories must match per version
+    SnapshotStore.commit(spark, twin, init)
+    SnapshotStore.commit(spark, twin, winnerBatch)
+    SnapshotStore.commit(spark, twin, loserBatch)
+    def state(b: String, v: Int) = SnapshotStore.readVersion(spark, b, v)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    (1 to 3).foreach { v => assert(state(base, v) == state(twin, v),
+      s"raced store must equal the serial twin at v$v") }
+    assert(state(base, 3) == Set(("a", 50L), ("b", 51L)))
+  }
+
+  test("commitWithRetry: maxAttempts bounds the spinning") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 1L)).toDF("key", "part", "seq", "vc"))
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.commitWithRetry(spark, base,
+        Seq(("b", "p1", 0L, 2L)).toDF("key", "part", "seq", "vc"),
+        maxAttempts = 0, () => ())
+    }
+    assert(e.getMessage.contains("lost 0"))
+  }
+
+  test("mergeWithRetry: disjoint-partition race rebases; the merge re-runs cleanly") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 10L), ("x", "p2", 0L, 20L))
+        .toDF("key", "part", "seq", "vc"))
+    // loser merges into p2; the racing winner commits into p1 only —
+    // manifest diff is {p1}, disjoint from the merge's {p2, dv}
+    val src = Seq(("x", "p2", 1L, 21L)).toDF("key", "part", "seq", "vc")
+    val got = SnapshotStore.mergeWithRetry(spark, base, src,
+      matchedDelete = lit(false), matchedUpdateVc = col("s.vc"), 5,
+      () => SnapshotStore.commit(spark, base,
+        Seq(("a", "p1", 7L, 77L)).toDF("key", "part", "seq", "vc")))
+    assert(got == 3)
+    val v3 = SnapshotStore.readVersion(spark, base, 3)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(v3 == Set(("a", 77L), ("x", 21L)),
+      "rebased merge must see the winner's p1 AND apply its own p2 update")
+  }
+
+  test("mergeWithRetry: overlapping-partition race aborts with the conflict") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("x", "p2", 0L, 20L)).toDF("key", "part", "seq", "vc"))
+    val src = Seq(("x", "p2", 1L, 21L)).toDF("key", "part", "seq", "vc")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.mergeWithRetry(spark, base, src,
+        matchedDelete = lit(false), matchedUpdateVc = col("s.vc"), 5,
+        () => SnapshotStore.commit(spark, base,
+          Seq(("y", "p2", 0L, 5L)).toDF("key", "part", "seq", "vc")))
+    }
+    assert(e.getMessage.contains("p2"), e.getMessage)
+    // the conflict left no new version behind the caller's back
+    assert(SnapshotStore.currentVersion(spark, base) == 2)
+  }
+
+  test("mergeWithRetry: a concurrent deletion-vector change is a conflict too") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("x", "p2", 0L, 20L), ("z", "p3", 0L, 30L))
+        .toDF("key", "part", "seq", "vc"))
+    val src = Seq(("x", "p2", 1L, 21L)).toDF("key", "part", "seq", "vc")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.mergeWithRetry(spark, base, src,
+        matchedDelete = lit(false), matchedUpdateVc = col("s.vc"), 5,
+        () => SnapshotStore.deleteRowsDv(spark, base,
+          Seq(("z", "p3")).toDF("key", "part")))
+    }
+    assert(e.getMessage.contains("<deletion-vector>"), e.getMessage)
+  }
+
+  test("deleteRowsDvWithRetry: the DV union rebases over a racing commit") {
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 10L), ("b", "p1", 0L, 11L))
+        .toDF("key", "part", "seq", "vc"))
+    val got = SnapshotStore.deleteRowsDvWithRetry(spark, base,
+      Seq(("a", "p1")).toDF("key", "part"), 5,
+      () => SnapshotStore.commit(spark, base,
+        Seq(("c", "p1", 0L, 12L)).toDF("key", "part", "seq", "vc")))
+    assert(got == 3)
+    val v3 = SnapshotStore.readVersion(spark, base, 3)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(v3 == Set(("b", 11L), ("c", 12L)),
+      "rebased DV delete must drop a, keep b AND the winner's c")
+  }
+
   test("within-batch duplicates resolve by highest seq") {
     val base = freshBase()
     SnapshotStore.commit(spark, base,
