@@ -142,6 +142,58 @@ object Dedup {
       .select("a_id", "b_id", "inter", "na", "nb") // stable order (joins hoist keys)
   }
 
+  /** Substring-level duplicate REMOVAL (Lee et al. 2022): every token
+    * position covered by a 10-token span appearing in ≥ 2 distinct
+    * input documents is cut, and each document is rebuilt from the
+    * surviving tokens in order. Returns the FULL input corpus as
+    * (doc_id, n_tokens, n_removed, cleaned). Extracted from the
+    * dedup_span_removal query body so the pipeline-interlock spec can
+    * run the identical semantics over a DEDUPED corpus (the span-dup
+    * relation depends on the whole input set — removing docs can only
+    * shrink it, the composition law PipelineIntegrationSpec pins).
+    * Scale shape: all O(total tokens) — span agg + coverage explode +
+    * (doc, pos) anti-join; only TOUCHED docs pay the per-token rebuild.
+    */
+  def spanRemoval(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("t"))
+    val spans = toks.where(size(col("t")) >= 10)
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("t")) - 9),
+          i => concat_ws(" ", slice(col("t"), i, lit(10))))).as(Seq("i0", "span")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("span"))
+    val dup = spans.groupBy("span")
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+      .select("span")
+    val cov = spans.join(dup, "span")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 9)).as("pos"))
+      .distinct()
+    // only TOUCHED docs pay the per-token explode + ordered rebuild
+    // (at 100 TB the contaminated slice is a sliver of the corpus);
+    // the untouched majority passes through as one per-row concat —
+    // identical output, since an uncovered doc's rebuild IS its
+    // token join
+    val covDocs = cov.select("doc_id").distinct()
+    val rb = toks.join(covDocs, "doc_id")
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
+      .join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w"))).as("cleaned"))
+    val touched = toks.join(covDocs, "doc_id")
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(rb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+    val untouched = toks.join(covDocs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"), concat_ws(" ", col("t")).as("cleaned"))
+    touched.unionByName(untouched)
+  }
+
   /** Directional containment pairs over (optionally df-capped)
     * shingle sets: emits (sub_id, super_id, containment) for every
     * ordered pair with |A∩B| · 100 ≥ minPct · |A| — doc A a near-

@@ -349,44 +349,10 @@ object TextQueries {
         |  COALESCE(rb.cleaned, '') AS cleaned
         |FROM toks t LEFT JOIN rb ON t.doc_id = rb.doc_id
         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-      val spans = toks.where(size(col("t")) >= 10)
-        .select(col("doc_id"), posexplode(transform(
-            sequence(lit(1), size(col("t")) - 9),
-            i => concat_ws(" ", slice(col("t"), i, lit(10))))).as(Seq("i0", "span")))
-        .select(col("doc_id"), (col("i0") + 1).as("i"), col("span"))
-      val dup = spans.groupBy("span")
-        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
-        .select("span")
-      val cov = spans.join(dup, "span")
-        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 9)).as("pos"))
-        .distinct()
-      // only TOUCHED docs pay the per-token explode + ordered rebuild
-      // (at 100 TB the contaminated slice is a sliver of the corpus);
-      // the untouched majority passes through as one per-row concat —
-      // identical output, since an uncovered doc's rebuild IS its
-      // token join
-      val covDocs = cov.select("doc_id").distinct()
-      val rb = toks.join(covDocs, "doc_id")
-        .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "w")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
-        .join(cov, Seq("doc_id", "pos"), "left_anti")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          concat_ws(" ", transform(
-            sort_array(collect_list(struct(col("pos"), col("w")))),
-            x => x.getField("w"))).as("cleaned"))
-      val touched = toks.join(covDocs, "doc_id")
-        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
-        .join(rb, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-          coalesce(col("cleaned"), lit("")).as("cleaned"))
-      val untouched = toks.join(covDocs, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-          lit(0L).as("n_removed"), concat_ws(" ", col("t")).as("cleaned"))
-      touched.unionByName(untouched).orderBy("doc_id")
+      // body extracted to Dedup.spanRemoval (r12) so the pipeline
+      // interlock can run the identical semantics on a deduped corpus
+      Dedup.spanRemoval(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("doc_id")
     },
 
     // exact 3-gram Jaccard near-dup pairs over the FULL corpus as a

@@ -14,6 +14,7 @@ import graft.{SparkSpec, SparkEntry, Tables}
   * reproducible-training-data pipeline needs).
   */
 class PipelineIntegrationSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.01"
 
@@ -109,6 +110,94 @@ class PipelineIntegrationSpec extends SparkSpec {
     val jacPairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).count()
     assert(profHigh == jacPairs,
       s"profile bins >= 3 hold $profHigh pairs, dedup_ngram_jaccard reports $jacPairs")
+  }
+
+  test("the dedup family composes: candidates -> verify -> clusters -> canonical -> span removal") {
+    // one corpus driven through every tier, pinning that the tiers'
+    // survivor/drop sets COMPOSE — no doc a later stage needs that an
+    // earlier stage already canonicalized away, and no doc-level
+    // keeper lost by the span-level action.
+    val docs = Tables.documents(spark, dir)
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // stage A/B: LSH candidates, then exact verify at BOTH thresholds
+    // used by the published tiers (0.8 survivor tier, 0.9 cluster tier)
+    val shingled = docs
+      .select(col("doc_id").as("id"),
+        array_distinct(TextFunctions.shingles(col("text"), 3)).as("shset"))
+      .where(size(col("shset")) > 0)
+      .localCheckpoint()
+    val cands = Dedup.lshCandidatePairs(
+      shingled.select(col("id"), Dedup.minhashSignature(col("shset"), 64).as("sig")),
+      "id", "sig", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def verified(thr: Double) = Dedup.verifyPairs(
+      cands.toSeq.toDF("a_id", "b_id"), shingled, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v08 = verified(0.8)
+    val v09 = verified(0.9)
+    assert(v09.nonEmpty, "no 0.9-verified pairs — the chain is vacuous")
+    assert(v09.subsetOf(v08), "threshold monotonicity: 0.9 pairs must be 0.8 pairs")
+    assert(v08.subsetOf(cands), "verified pairs must come from the candidate set")
+
+    // stage C/D via the PUBLISHED queries: cluster summaries and
+    // canonical reps must describe the same components over v09
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap // cluster -> n
+    val canonical = SparkEntry.queries("dedup_canonical")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(canonical.map(_._1).toSeq.sorted == clusters.keys.toSeq.sorted,
+      "canonical and clusters must report the SAME cluster ids")
+    canonical.foreach { case (cid, rep, n, removed) =>
+      assert(clusters(cid) == n, s"cluster $cid sizes disagree")
+      assert(removed == n - 1, s"cluster $cid must keep exactly one survivor")
+    }
+    // member-level assignment: every 0.9 edge joins one component, the
+    // rep is a member, and keepers/drops partition each cluster
+    val assign = Cluster.connectedComponents(
+        shingled.select(col("id")),
+        v09.toSeq.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap // id -> cluster
+    v09.foreach { case (a, b) =>
+      assert(assign(a) == assign(b), s"verified pair ($a,$b) split across clusters")
+    }
+    val members = assign.groupBy(_._2).map { case (c, m) => c -> m.keys.toSet }
+    canonical.foreach { case (cid, rep, _, _) =>
+      assert(members(cid).contains(rep), s"cluster $cid rep $rep is not a member")
+    }
+    val keepers = canonical.map(_._2).toSet
+    val dropped = canonical.flatMap { case (cid, rep, _, _) =>
+      members(cid) - rep }.toSet
+    assert(keepers.intersect(dropped).isEmpty,
+      "a canonicalized keeper must never appear in a drop set")
+
+    // the 0.8 survivor tier must agree with its published query AND
+    // never drop a doc outside the 0.8-verified pair relation
+    val survivors = SparkEntry.queries("dedup_minhash_survivors")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val survivorDrops = all -- survivors
+    assert(survivorDrops == v08.map(_._2),
+      "the survivor tier's drop set must be exactly the larger ends of 0.8 pairs")
+
+    // stage E: span removal COMPOSES with doc-level dedup — running it
+    // on the deduped corpus (keepers + unclustered docs) can only
+    // shrink per-doc span removal, because dropping docs shrinks the
+    // >=2-doc span relation. Pointwise law, not just totals.
+    val dedupedDocs = docs.where(!col("doc_id").isin(dropped.toSeq: _*))
+    val before = SparkEntry.queries("dedup_span_removal")(spark, dir)
+      .select("doc_id", "n_removed").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = Dedup.spanRemoval(dedupedDocs, col("text"), col("doc_id"))
+      .select("doc_id", "n_removed").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.keySet == all -- dropped,
+      "span removal must return every deduped doc — it rewrites, never drops")
+    after.foreach { case (id, nAfter) =>
+      assert(nAfter <= before(id),
+        s"doc $id: span removal grew after doc-dedup ($nAfter > ${before(id)})")
+    }
+    assert(after.values.sum < before.filterNot(k => dropped(k._1)).values.sum,
+      "doc-level dedup must strictly weaken span-level duplication on this corpus")
   }
 
   test("the DSIR family interlocks: batch weights == streamed gate mass == selection") {
