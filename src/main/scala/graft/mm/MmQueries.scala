@@ -173,6 +173,62 @@ object MmQueries {
         .orderBy("doc_id", "py", "px")
     },
 
+    // DECODE QUARANTINE (r12) — the failure path a 100 TB media
+    // pipeline actually needs: corrupt payloads (planted here: every
+    // 7th doc's raster truncated by one byte, every 11th's magic
+    // flipped) become per-record (ok=false, error) rows via
+    // extractFeaturesSafe instead of killing the job with task
+    // retries. The error strings are the REAL parser's messages, so
+    // the oracle checking them verifies decodePpm's failure modes,
+    // and the surviving docs' luma mass is the same oracle-exact
+    // arithmetic as mm_decode_features — one gate covers the
+    // happy path, the quarantine split, and the triage classifier.
+    "mm_decode_quarantine" -> QueryDef(
+      """WITH b AS (
+        |  SELECT doc_id, (i*16 + j) AS k,
+        |    CAST(concat('0x', substr(md5(text || ':' || i), j*2+1, 2)) AS BIGINT) AS v
+        |  FROM documents, range(12) t(i), range(16) u(j)),
+        |px AS (
+        |  SELECT doc_id, k // 3 AS p,
+        |    MAX(CASE WHEN k % 3 = 0 THEN v END) AS r,
+        |    MAX(CASE WHEN k % 3 = 1 THEN v END) AS g,
+        |    MAX(CASE WHEN k % 3 = 2 THEN v END) AS b
+        |  FROM b GROUP BY 1, 2),
+        |ls AS (SELECT doc_id,
+        |         CAST(SUM((299*r + 587*g + 114*b) // 1000) AS BIGINT) AS luma
+        |       FROM px GROUP BY 1)
+        |SELECT d.doc_id,
+        |  (d.doc_id % 7 <> 0 AND d.doc_id % 11 <> 0) AS ok,
+        |  CASE WHEN d.doc_id % 7 = 0
+        |         THEN 'requirement failed: ppm: raster is 191 bytes, expected 192'
+        |       WHEN d.doc_id % 11 = 0
+        |         THEN 'requirement failed: ppm: not a P6 file'
+        |       ELSE '' END AS err,
+        |  CASE WHEN d.doc_id % 7 <> 0 AND d.doc_id % 11 <> 0
+        |       THEN ls.luma END AS luma_sum
+        |FROM documents d JOIN ls USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.withPpmMedia(Tables.documents(s, d))
+        .select(
+          col("doc_id"),
+          lit("image").as("kind"),
+          when(col("doc_id") % 7 === 0,
+            expr("substring(media.payload, 1, 202)"))
+            .when(col("doc_id") % 11 === 0,
+              concat(lit("X".getBytes("US-ASCII")),
+                expr("substring(media.payload, 2, 202)")))
+            .otherwise(col("media.payload")).as("payload"),
+          col("media.meta").as("meta"))
+        .as[Multimodal.MediaRecord]
+      Multimodal
+        .extractFeaturesSafe(media, Multimodal.PpmFeatureDecoder, batchSize = 64)
+        .toDF()
+        .select(col("doc_id"), col("ok"), col("error").as("err"),
+          when(col("ok"), expr("CAST(features[5] AS BIGINT)")).as("luma_sum"))
+        .orderBy("doc_id")
+    },
+
     // frame sampling: one row per 4-byte frame, stride 2
     "mm_frame_sample" -> QueryDef(
       """SELECT doc_id, f AS frame_idx FROM documents,

@@ -224,6 +224,39 @@ object Multimodal {
     }
   }
 
+  final case class MediaDecodeResult(
+      doc_id: Long, kind: String, n_bytes: Int,
+      ok: Boolean, error: String, features: Array[Float])
+
+  /** [[extractFeatures]] with per-record QUARANTINE: a payload the
+    * decoder rejects becomes an (ok=false, error) row instead of
+    * killing the job — at 100 TB of scraped media some shards ARE
+    * corrupt, and one bad image must cost one quarantined row, not a
+    * task retry storm. The error string is the decoder's message
+    * (truncated), which is what a triage query aggregates by.
+    */
+  def extractFeaturesSafe(
+      media: Dataset[MediaRecord],
+      decoder: MediaDecoder,
+      batchSize: Int = 64): Dataset[MediaDecodeResult] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val f = decoder.decode(r.payload, r.meta)
+            MediaDecodeResult(r.doc_id, r.kind, r.payload.length, ok = true, "", f)
+          } catch {
+            case e: Exception => MediaDecodeResult(
+              r.doc_id, r.kind, r.payload.length, ok = false,
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(80),
+              Array.empty[Float])
+          }
+        }
+      }
+    }
+  }
+
   /** "Resize" for decoded features: average-pool the feature vector by
     * `factor` (the post-decode analog of image downscaling — a real
     * codec pipeline resizes pixels, this pipeline pools the feature

@@ -81,6 +81,22 @@ class MultimodalSpec extends SparkSpec {
     assert(img.pixels.take(16).toSeq == md.toSeq)
   }
 
+  test("extractFeaturesSafe quarantines corrupt payloads without killing the job") {
+    val good = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
+    val records = Seq(
+      Multimodal.MediaRecord(1L, "image", good, Map.empty),
+      Multimodal.MediaRecord(2L, "image", good.dropRight(1), Map.empty), // truncated
+      Multimodal.MediaRecord(3L, "image", "garbage".getBytes, Map.empty))
+      .toDS()
+    val out = Multimodal
+      .extractFeaturesSafe(records, Multimodal.PpmFeatureDecoder, batchSize = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).ok && out(1L).features(2) == 10f)
+    assert(!out(2L).ok && out(2L).error.contains("raster"))
+    assert(!out(3L).ok && out(3L).error.contains("not a P6"))
+    assert(out(2L).features.isEmpty && out(3L).features.isEmpty)
+  }
+
   test("PpmFeatureDecoder and PpmPool2x2Decoder match hand arithmetic") {
     // 2x2 image with known channel bytes -> one pooled cell
     val raster = Array[Byte](
