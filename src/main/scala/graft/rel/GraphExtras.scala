@@ -123,8 +123,14 @@ object GraphExtras {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ed = GraphLoops.pinEdges(und, "b", strategy)
-    var core = ed.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("c")).localCheckpoint()
+    // each round's state is consumed exactly ONCE (the next round's
+    // state join), so the loop needs no per-round lineage cut: the
+    // whole unroll is one LINEAR dag over the pinned edges, each
+    // state level materialized once by its broadcast/shuffle exchange
+    // (the graph_hits r12 linearization — dropping the per-round
+    // localCheckpoint removed the eager node-table writes per round)
+    var core: DataFrame = ed.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("a").orderBy(col("c").desc)
     (1 to rounds).foreach { _ =>
       core = GraphLoops
@@ -133,7 +139,6 @@ object GraphExtras {
         .withColumn("rn", row_number().over(w).cast("long"))
         .groupBy(col("a").as("node"))
         .agg(max(least(col("rn"), col("c"))).as("c"))
-        .localCheckpoint()
     }
     core
   }
@@ -161,6 +166,8 @@ object GraphExtras {
       Seq((seed, r)).toDF("node", "r")
     }
     var pr = oneRow(1000000000000L) // all walk mass starts at the seed
+    // linear unroll, no per-round lineage cut: each round's mass
+    // vector has exactly one consumer (see corenessHIndex)
     for (_ <- 1 to rounds) {
       val contrib = GraphLoops.stateJoin(edges, pr, edges("u") === pr("node"),
           strategy)
@@ -168,7 +175,7 @@ object GraphExtras {
         .groupBy("node")
         .agg(expr("(85 * sum(c)) div 100").as("r"))
       pr = contrib.unionByName(oneRow(150000000000L)).groupBy("node")
-        .agg(sum("r").as("r")).localCheckpoint()
+        .agg(sum("r").as("r"))
     }
     pr
   }
