@@ -464,6 +464,58 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"), s"model broadcast missing:\n$p")
   }
 
+  test("graph_hits is one linear dag: 5 live half-rounds, window normalizers, no cross join") {
+    val p = plan("graph_hits")
+    def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+    // 3 rounds = a1(h0), h1, a2, h2, a3 — the 6th half-round (h3) has
+    // no consumer and must be ABSENT (the r11 shape eagerly
+    // checkpointed it); each live half-round is one broadcast state
+    // join + one empty-frame window normalizer
+    assert(n("BroadcastHashJoin") == 5, s"want 5 state joins:\n$p")
+    assert(n("Window") == 5, s"want 5 window normalizers:\n$p")
+    // the old normalizer was a crossJoin of a broadcast 1-row agg
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("graph_ppr unrolls linearly: 3 broadcast state joins, restart mass by union") {
+    val p = plan("graph_ppr")
+    def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+    assert(n("BroadcastHashJoin") == 3, s"want 3 round joins:\n$p")
+    assert(n("Union") == 3, s"restart mass must re-enter via UNION per round:\n$p")
+  }
+
+  test("graph_coreness unrolls linearly: 3 state joins + 3 h-index windows") {
+    val p = plan("graph_coreness")
+    def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+    assert(n("BroadcastHashJoin") == 3, s"want 3 round joins:\n$p")
+    assert(n("Window") == 3, s"want 3 h-index windows:\n$p")
+  }
+
+  test("mm decode plans never shuffle the payload: one scan, one mapPartitions, no hash exchange") {
+    Seq("mm_decode_features", "mm_resize_pool", "mm_decode_quarantine").foreach { q =>
+      val p = plan(q)
+      def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+      assert(n("MapPartitions") == 1, s"$q: decode must be ONE batched pass:\n$p")
+      // the only exchange is the final ORDER BY's range partitioning —
+      // a hash exchange would mean payload bytes moved between nodes
+      // (FormattedMode: partitioning lives on the details' Arguments
+      // lines, not the tree — match there or the pin is vacuous)
+      assert(!p.linesIterator.exists(_.trim.startsWith("Arguments: hashpartitioning")),
+        s"$q: payload bytes crossed a hash shuffle:\n$p")
+    }
+  }
+
+  test("containment_capped builds ONE pair aggregate; orientations come from an explode") {
+    val p = plan("text_containment_capped")
+    // the 2-way orientation explode must derive both directions from a
+    // single (a_id, b_id) pair aggregate — a unionAll of two selects
+    // would duplicate the entire Σ df² subtree (two pair exchanges)
+    val pairExchanges = p.linesIterator
+      .count(_.trim.matches("Arguments: hashpartitioning\\(a_id#\\d+L?, b_id#\\d+L?.*"))
+    assert(pairExchanges == 1, s"want exactly 1 pair-agg exchange, got $pairExchanges:\n$p")
+  }
+
   test("dedup_semantic bounds the pair space to clusters and broadcasts centroids") {
     val p = plan("dedup_semantic")
     // assignment joins the exploded vectors to BROADCAST centroids;
