@@ -82,7 +82,123 @@ object CorpusQueries {
   private[graft] def bucketCol: org.apache.spark.sql.Column =
     expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 256")
 
+  /** One unrolled BPE round as oracle CTEs (see text_bpe_train): pair
+    * counts over the current segmentation, argmax rule, then the
+    * GREEDY left-to-right merge replayed via the parity trick —
+    * overlapping matches only occur in same-symbol runs, where greedy
+    * merges exactly the odd-ranked positions of each consecutive-match
+    * run (ROW_NUMBER parity), so the window-based replay is
+    * bit-identical to the sequential fold.
+    */
+  private def bpeRoundSql(r: Int): String = {
+    val p = s"s${r - 1}"
+    s"""p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+       |       FROM $p, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+       |r$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |m$r AS (SELECT t.word, u.i FROM $p t, UNNEST(range(1, len(t.syms))) AS u(i), r$r
+       |       WHERE t.syms[u.i] = r$r.a AND t.syms[u.i+1] = r$r.b),
+       |g$r AS (SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+       |        FROM m$r),
+       |k$r AS (SELECT word, i FROM (
+       |        SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+       |        FROM g$r) WHERE rn % 2 = 1),
+       |pos$r AS (SELECT word, freq, u.j, syms[u.j] AS s
+       |          FROM $p, UNNEST(range(1, len(syms)+1)) AS u(j)),
+       |s$r AS (SELECT p.word, ANY_VALUE(p.freq) AS freq,
+       |         list(CASE WHEN km.i IS NOT NULL THEN (SELECT a || b FROM r$r)
+       |              ELSE p.s END ORDER BY p.j) AS syms
+       |       FROM pos$r p
+       |       LEFT JOIN k$r km ON km.word = p.word AND km.i = p.j
+       |       LEFT JOIN k$r kp ON kp.word = p.word AND kp.i = p.j - 1
+       |       WHERE kp.i IS NULL
+       |       GROUP BY p.word)""".stripMargin
+  }
+
+  private val bpeTrainOracle: String =
+    s"""WITH w AS (
+       |  SELECT unnest(${tokensSql("text")}) AS word FROM documents),
+       |v AS (SELECT word, COUNT(*) AS freq FROM w WHERE length(word) >= 2 GROUP BY 1),
+       |s0 AS (SELECT word, freq,
+       |         list_transform(range(1, length(word)+1), i -> word[i]) AS syms
+       |       FROM v),
+       |${(1 to 5).map(bpeRoundSql).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS round, a, b, cnt FROM r1 UNION ALL
+       |  SELECT 2, a, b, cnt FROM r2 UNION ALL
+       |  SELECT 3, a, b, cnt FROM r3 UNION ALL
+       |  SELECT 4, a, b, cnt FROM r4 UNION ALL
+       |  SELECT 5, a, b, cnt FROM r5)
+       |ORDER BY round""".stripMargin
+
+  /** The BPE trainer body (see the text_bpe_train scaladoc for the
+    * scale rationale): word-frequency compression, then per round a
+    * pair-frequency aggregate -> argmax rule -> GREEDY left-to-right
+    * merge as a columnar `aggregate` fold (exactly the sequential
+    * semantics: a fresh merge output can immediately participate in
+    * the next comparison, so same-symbol runs like "aaaa" pair up
+    * [aa, aa] — pinned against a hand reference in
+    * TextFunctionsSpec). Exposed for the spec; the query fixes
+    * rounds = 5.
+    */
+  private[graft] def bpeTrain(
+      docs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    var seg = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+      .localCheckpoint()
+    val rules = (1 to rounds).map { r =>
+      val rule = seg.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms)-2), " +
+            "i -> named_struct('a', syms[i], 'b', syms[i+1]))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint() // consumed twice: output row + the merge below
+      seg = seg
+        .crossJoin(broadcast(rule.select(col("a").as("ma"), col("b").as("mb"))))
+        .select(col("freq"), expr(
+          """aggregate(syms, CAST(array() AS ARRAY<STRING>),
+            |  (acc, x) -> CASE WHEN size(acc) > 0 THEN
+            |    CASE WHEN element_at(acc, -1) = ma AND x = mb
+            |      THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ma, mb)))
+            |      ELSE concat(acc, array(x)) END
+            |    ELSE array(x) END)""".stripMargin).as("syms"))
+        .localCheckpoint() // consumed twice: next round's stats + merge
+      rule.withColumn("round", lit(r.toLong))
+    }
+    rules.reduce(_ unionByName _)
+      .select(col("round"), col("a"), col("b"), col("cnt"))
+      .orderBy("round")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // BPE TOKENIZER TRAINING — the real iterative loop (Sennrich et
+    // al. 2016), not just one pair count (text_bpe_pairs is round 1's
+    // statistics): 5 merge rounds, each = pair-frequency aggregate
+    // over the CURRENT segmentation -> argmax rule (count DESC, pair
+    // ASC — deterministic ties) -> greedy left-to-right merge applied
+    // corpus-wide. Scale shape: training runs on the WORD-FREQUENCY
+    // table (the standard BPE compression — pair stats weight by word
+    // freq, so the corpus is touched once ever), per round one
+    // pair-explode + partial agg + a broadcast 1-row rule + one
+    // columnar fold per word (aggregate HOF, codegen) — O(vocab ×
+    // word-length) per round regardless of corpus size. The per-round
+    // localCheckpoints pin the vocab-sized segmentation and the 1-row
+    // rule, each consumed twice (stats + merge / output + merge).
+    // Output = the trained merge table, the artifact a tokenizer
+    // serves. Oracle: 5 unrolled CTE rounds with the greedy merge
+    // replayed by ROW_NUMBER parity (see bpeRoundSql) — hash-exact.
+    "text_bpe_train" -> QueryDef(bpeTrainOracle) { (s, d) =>
+      bpeTrain(Tables.documents(s, d), rounds = 5)
+    },
+
 
     // BM25 top-20 for a fixed 3-term query. Shape at scale: one
     // tokenize+tf pass over the corpus (tf per term via a filtered

@@ -46,4 +46,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(qc >= 0.0 && qc <= 1.0 && qn >= 0.0 && qn <= 1.0)
     assert(qc > qn)
   }
+
+  test("BPE training applies GREEDY merges: runs pair up, fresh merges chain") {
+    // hand-verified reference on an adversarial corpus: "aaaa" under
+    // rule (a,a) must segment [aa, aa] (the fold's fresh "aa" must NOT
+    // re-match "a"), "abab" merges both non-overlapping sites, and
+    // "banana" yields [b, an, an, a] once (a,n) wins a round. Rule
+    // counts are word-frequency weighted: (a,a) = 3 pairs x 2 copies
+    // of "aaaa" + 1 pair in "aa" = 7.
+    val docs = Seq("aaaa abab banana", "aaaa abab banana", "aa ab").toDF("text")
+    val rules = CorpusQueries.bpeTrain(docs, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rules.toSeq == Seq((1L, "a", "a", 7L), (2L, "a", "b", 5L), (3L, "a", "n", 4L)),
+      rules.mkString(", "))
+  }
 }
