@@ -92,19 +92,19 @@ object CorpusQueries {
     */
   private def bpeRoundSql(r: Int): String = {
     val p = s"s${r - 1}"
-    s"""p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+    s"""p$r AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
        |       FROM $p, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
-       |r$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-       |m$r AS (SELECT t.word, u.i FROM $p t, UNNEST(range(1, len(t.syms))) AS u(i), r$r
+       |r$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |m$r AS MATERIALIZED (SELECT t.word, u.i FROM $p t, UNNEST(range(1, len(t.syms))) AS u(i), r$r
        |       WHERE t.syms[u.i] = r$r.a AND t.syms[u.i+1] = r$r.b),
-       |g$r AS (SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+       |g$r AS MATERIALIZED (SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
        |        FROM m$r),
-       |k$r AS (SELECT word, i FROM (
+       |k$r AS MATERIALIZED (SELECT word, i FROM (
        |        SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS rn
        |        FROM g$r) WHERE rn % 2 = 1),
-       |pos$r AS (SELECT word, freq, u.j, syms[u.j] AS s
+       |pos$r AS MATERIALIZED (SELECT word, freq, u.j, syms[u.j] AS s
        |          FROM $p, UNNEST(range(1, len(syms)+1)) AS u(j)),
-       |s$r AS (SELECT p.word, ANY_VALUE(p.freq) AS freq,
+       |s$r AS MATERIALIZED (SELECT p.word, ANY_VALUE(p.freq) AS freq,
        |         list(CASE WHEN km.i IS NOT NULL THEN (SELECT a || b FROM r$r)
        |              ELSE p.s END ORDER BY p.j) AS syms
        |       FROM pos$r p
@@ -117,8 +117,8 @@ object CorpusQueries {
   private val bpeTrainOracle: String =
     s"""WITH w AS (
        |  SELECT unnest(${tokensSql("text")}) AS word FROM documents),
-       |v AS (SELECT word, COUNT(*) AS freq FROM w WHERE length(word) >= 2 GROUP BY 1),
-       |s0 AS (SELECT word, freq,
+       |v AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM w WHERE length(word) >= 2 GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT word, freq,
        |         list_transform(range(1, length(word)+1), i -> word[i]) AS syms
        |       FROM v),
        |${(1 to 5).map(bpeRoundSql).mkString(",\n")}
@@ -143,11 +143,28 @@ object CorpusQueries {
   private[graft] def bpeTrain(
       docs: org.apache.spark.sql.DataFrame, rounds: Int)
       : org.apache.spark.sql.DataFrame = {
+    val (rules, _) = bpeRounds(docs, rounds)
+    rules.reduce(_ unionByName _)
+      .select(col("round"), col("a"), col("b"), col("cnt"))
+      .orderBy("round")
+  }
+
+  /** The trained segmentation itself — (word, syms) after `rounds`
+    * merges — the artifact text_bpe_encode broadcasts onto the corpus.
+    */
+  private[graft] def bpeSegmentation(
+      docs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame =
+    bpeRounds(docs, rounds)._2.select(col("word"), col("syms"))
+
+  private def bpeRounds(
+      docs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
     var seg = docs
       .select(explode(tokens(col("text"))).as("word"))
       .where(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("word"), col("freq"),
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
           .as("syms"))
       .localCheckpoint()
@@ -162,7 +179,7 @@ object CorpusQueries {
         .localCheckpoint() // consumed twice: output row + the merge below
       seg = seg
         .crossJoin(broadcast(rule.select(col("a").as("ma"), col("b").as("mb"))))
-        .select(col("freq"), expr(
+        .select(col("word"), col("freq"), expr(
           """aggregate(syms, CAST(array() AS ARRAY<STRING>),
             |  (acc, x) -> CASE WHEN size(acc) > 0 THEN
             |    CASE WHEN element_at(acc, -1) = ma AND x = mb
@@ -172,9 +189,7 @@ object CorpusQueries {
         .localCheckpoint() // consumed twice: next round's stats + merge
       rule.withColumn("round", lit(r.toLong))
     }
-    rules.reduce(_ unionByName _)
-      .select(col("round"), col("a"), col("b"), col("cnt"))
-      .orderBy("round")
+    (rules, seg)
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -197,6 +212,40 @@ object CorpusQueries {
     // replayed by ROW_NUMBER parity (see bpeRoundSql) — hash-exact.
     "text_bpe_train" -> QueryDef(bpeTrainOracle) { (s, d) =>
       bpeTrain(Tables.documents(s, d), rounds = 5)
+    },
+
+    // BPE ENCODE — the SERVE side of text_bpe_train (the DSIR-family
+    // train/serve pattern): segment every document under the learned
+    // 5-rule merge table and report its BPE token count next to its
+    // whitespace token count — the number a sequence-packing or
+    // token-budget stage actually consumes. Scale shape: the trained
+    // segmentation lives on the VOCAB (word -> symbol count, ~|vocab|
+    // rows), and encoding the corpus is one word-keyed broadcast join
+    // of that tiny table onto the exploded tokens + a per-doc partial
+    // agg — the corpus is never re-segmented per document. Words
+    // shorter than 2 chars bypass training (they have no pairs) and
+    // count as one symbol. Oracle: the train oracle's final
+    // segmentation CTE joined back to the docs. Train/serve interlock
+    // (encode totals == Σ freq × |syms|) pinned in
+    // PipelineIntegrationSpec.
+    "text_bpe_encode" -> QueryDef(
+      s"""${bpeTrainOracle.substring(0, bpeTrainOracle.indexOf("\nSELECT * FROM ("))},
+         |vl AS MATERIALIZED (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM s5),
+         |dt AS (SELECT doc_id, unnest(${tokensSql("text")}) AS word FROM documents)
+         |SELECT dt.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(COALESCE(vl.n_syms, 1)) AS BIGINT) AS n_bpe_tokens
+         |FROM dt LEFT JOIN vl USING (word)
+         |GROUP BY 1 ORDER BY dt.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val vocabLen = bpeSegmentation(docs, rounds = 5)
+        .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .join(broadcast(vocabLen), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(coalesce(col("n_syms"), lit(1L))).as("n_bpe_tokens"))
+        .orderBy("doc_id")
     },
 
 

@@ -200,6 +200,34 @@ class PipelineIntegrationSpec extends SparkSpec {
       "doc-level dedup must strictly weaken span-level duplication on this corpus")
   }
 
+  test("the BPE family interlocks: encode totals == trained segmentation mass") {
+    val docs = Tables.documents(spark, dir)
+    // conservation law: summing the per-doc encode counts must equal
+    // re-weighting the trained vocab segmentation by word frequency
+    // (short words bypass training and count 1 symbol) — fails if the
+    // encode join drops/duplicates words or train and encode segment
+    // under different rule sets
+    val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("word"))
+    val freq = toks.groupBy("word").agg(count(lit(1)).as("freq"))
+    val seg = CorpusQueries.bpeSegmentation(docs, rounds = 5)
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    val expectedBpe = freq.join(seg, Seq("word"), "left")
+      .agg(sum(col("freq") * coalesce(col("n_syms"), lit(1L))))
+      .head().getLong(0)
+    val enc = SparkEntry.queries("text_bpe_encode")(spark, dir)
+      .agg(sum("n_words").cast("long"), sum("n_bpe_tokens").cast("long")).head()
+    assert(enc.getLong(0) == toks.count(),
+      "encode must count every whitespace token exactly once")
+    assert(enc.getLong(1) == expectedBpe,
+      s"encode BPE mass ${enc.getLong(1)} != segmentation mass $expectedBpe")
+    // merge-rule counts are non-increasing: every later pair existed
+    // (or was created with count <= the merged rule's count) earlier
+    val cnts = SparkEntry.queries("text_bpe_train")(spark, dir)
+      .collect().map(_.getLong(3)).toSeq
+    assert(cnts.length == 5 && cnts == cnts.sorted.reverse,
+      s"rule counts must be non-increasing: $cnts")
+  }
+
   test("the DSIR family interlocks: batch weights == streamed gate mass == selection") {
     // model (text_dsir), serve-stream gate (streaming_dsir_gate), and
     // deterministic selection (sample_dsir_select) must describe the
