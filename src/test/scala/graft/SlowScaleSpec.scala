@@ -22,6 +22,19 @@ class SlowScaleSpec extends SparkSpec {
 
   private val sf01 = "/root/testdata/sf0.1"
 
+  test("containment df-cap stays inert at sf0.1: capped == uncapped query output", Slow) {
+    // the cap (200) must sit above the corpus's max shingle df at the
+    // BENCH scale too (observed ~25 at sf0.1) — a testdata regeneration
+    // that grows a head shingle past the cap would silently change
+    // text_containment_capped's output; this pin makes it one loud
+    // failure at the scale the driver benches
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val capped = rows("text_containment_capped")
+    assert(capped.nonEmpty, "containment pair set empty at sf0.1 — vacuous")
+    assert(capped == rows("text_containment"))
+  }
+
   test("count-min holds the epsilon*N overcount bound at sf0.1", Slow) {
     val keys = Tables.lineitem(spark, sf01).select(col("l_partkey").as("k"))
     val n = keys.count()
