@@ -445,6 +445,54 @@ object StreamingOps {
       .orderBy("source")
   }
 
+  /** Streamed BPE token accounting: the tokenizer is trained OFFLINE
+    * (CorpusQueries.bpeSegmentation — the batch trainer), then
+    * documents arrive as a file stream, exploded words meet the
+    * trained vocab through a stream-static BROADCAST join on the WORD
+    * key — a higher-cardinality keyed join than the DSIR gate's
+    * 256-bucket model, the shape a real learned-vocab table keeps —
+    * and per-doc BPE token counts close in one streaming aggregate.
+    * The per-source monitor (docs, whitespace words, BPE tokens) is
+    * the number a token-budget/ingest-quota stage watches live; batch
+    * rollup of the drained sink per the streamDedupOnce convention.
+    */
+  def bpeGateOnce(spark: SparkSession, dir: String): DataFrame = {
+    val vocabLen = graft.text.CorpusQueries
+      .bpeSegmentation(graft.Tables.documents(spark, dir), rounds = 5)
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val perDoc = src
+      .select(col("doc_id"), col("source"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
+      .join(broadcast(vocabLen), Seq("word"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_syms"), lit(1L))).as("n_bpe"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      perDoc.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("words_sum"),
+        sum("n_bpe").as("bpe_tokens_sum"))
+      .orderBy("source")
+  }
+
   /** Streaming deduplication: emit each (user_id, event_type) key once,
     * drained with AvailableNow, then count survivors per type in batch.
     * `dropDuplicates` keys state exactly like the batch distinct the

@@ -121,6 +121,27 @@ object StreamingQueries {
       StreamingOps.dsirGateOnce(s, d)
     },
 
+    // train-batch/serve-stream for the TOKENIZER: BPE vocab trained
+    // offline (text_bpe_train's 5 rounds), streamed documents meet it
+    // through a stream-static broadcast join on the WORD key (higher
+    // cardinality than the DSIR gate's 256-bucket model — the learned-
+    // vocab shape), per-doc BPE counts closed in one streaming
+    // aggregate, per-source token budget monitored — == the batch
+    // train + encode + rollup the oracle runs
+    "streaming_bpe_gate" -> QueryDef(
+      s"""${graft.text.CorpusQueries.bpeVocabCte},
+         |dt AS (SELECT doc_id, source,
+         |         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |       FROM documents)
+         |SELECT source,
+         |  CAST(COUNT(DISTINCT dt.doc_id) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS words_sum,
+         |  CAST(SUM(COALESCE(vl.n_syms, 1)) AS BIGINT) AS bpe_tokens_sum
+         |FROM dt LEFT JOIN vl USING (word)
+         |GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      StreamingOps.bpeGateOnce(s, d)
+    },
+
     // complete-mode streaming leaderboard: sort+limit over the running
     // per-user aggregate == the batch top-k
     "streaming_topk" -> QueryDef(

@@ -130,6 +130,13 @@ object CorpusQueries {
        |  SELECT 5, a, b, cnt FROM r5)
        |ORDER BY round""".stripMargin
 
+  /** The trained-vocab CTE chain (through `vl`: word -> symbol count
+    * after 5 merges) shared by the encode and streaming-gate oracles.
+    */
+  private[graft] val bpeVocabCte: String =
+    bpeTrainOracle.substring(0, bpeTrainOracle.indexOf("\nSELECT * FROM (")) +
+      ",\nvl AS MATERIALIZED (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM s5)"
+
   /** The BPE trainer body (see the text_bpe_train scaladoc for the
     * scale rationale): word-frequency compression, then per round a
     * pair-frequency aggregate -> argmax rule -> GREEDY left-to-right
@@ -229,8 +236,7 @@ object CorpusQueries {
     // (encode totals == Σ freq × |syms|) pinned in
     // PipelineIntegrationSpec.
     "text_bpe_encode" -> QueryDef(
-      s"""${bpeTrainOracle.substring(0, bpeTrainOracle.indexOf("\nSELECT * FROM ("))},
-         |vl AS MATERIALIZED (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM s5),
+      s"""$bpeVocabCte,
          |dt AS (SELECT doc_id, unnest(${tokensSql("text")}) AS word FROM documents)
          |SELECT dt.doc_id,
          |  CAST(COUNT(*) AS BIGINT) AS n_words,

@@ -226,6 +226,15 @@ class PipelineIntegrationSpec extends SparkSpec {
       .collect().map(_.getLong(3)).toSeq
     assert(cnts.length == 5 && cnts == cnts.sorted.reverse,
       s"rule counts must be non-increasing: $cnts")
+    // the STREAMED gate serves the same trained vocab: its per-source
+    // masses must total the batch encode exactly (integer arithmetic)
+    val gate = SparkEntry.queries("streaming_bpe_gate")(spark, dir)
+      .agg(sum("n_docs").cast("long"), sum("words_sum").cast("long"),
+        sum("bpe_tokens_sum").cast("long")).head()
+    assert(gate.getLong(0) == docs.count(),
+      "the stream must account every document exactly once")
+    assert((gate.getLong(1), gate.getLong(2)) == ((enc.getLong(0), enc.getLong(1))),
+      "streamed token masses must equal the batch encode, integer-exact")
   }
 
   test("the DSIR family interlocks: batch weights == streamed gate mass == selection") {
