@@ -133,8 +133,14 @@ object Dedup {
         ex0.join(keep, "s").select("doc_id", "s")
       case None => ex0
     }
-    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val p = ex.toDF("a_id", "s").join(ex.toDF("b_id", "s"), "s")
+    // the exploded (and possibly capped) shingle table feeds THREE
+    // consumers (both pair-join sides + the set sizes) — pin it once
+    // instead of re-shingling the corpus per consumer (the levenshtein
+    // shingle-table policy; O(shingle mass) rows, swept post-query by
+    // the harness; 100 TB substitute is persist(DISK_ONLY))
+    val exP = ex.localCheckpoint()
+    val sz = exP.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val p = exP.toDF("a_id", "s").join(exP.toDF("b_id", "s"), "s")
       .where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     p.join(sz.toDF("a_id", "na"), "a_id")
