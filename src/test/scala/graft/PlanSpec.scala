@@ -516,6 +516,14 @@ class PlanSpec extends SparkSpec {
     assert(pairExchanges == 1, s"want exactly 1 pair-agg exchange, got $pairExchanges:\n$p")
   }
 
+  test("bpe encode broadcasts the trained vocab onto the token stream") {
+    val p = plan("text_bpe_encode")
+    // the segmentation table is O(vocab) — it must ride a broadcast
+    // onto the exploded tokens, never shuffle the corpus to meet it
+    assert(p.contains("BroadcastHashJoin"), s"vocab broadcast missing:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet the vocab:\n$p")
+  }
+
   test("dedup_semantic bounds the pair space to clusters and broadcasts centroids") {
     val p = plan("dedup_semantic")
     // assignment joins the exploded vectors to BROADCAST centroids;
