@@ -1587,6 +1587,32 @@ object RelQueries {
       s.read.orc(path).orderBy("o_orderkey")
     },
 
+    // XML sink + source round-trip (r12) — Spark 4's BUILT-IN xml data
+    // source (the spark-xml package merged upstream): row-per-element
+    // write, schema re-declared on read like csv (XML is schemaless on
+    // the wire). The format ingestion pipelines still meet constantly
+    // (feeds, sitemaps, dumps); the oracle is the same projected
+    // orders slice, so the gate checks the full write->parse->type
+    // loop. Built once per sf dir like the csv/orc twins.
+    "source_xml_roundtrip" -> QueryDef(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val path = s"${sys.props("java.io.tmpdir")}/graft_xml_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+        Tables.orders(s, d).where(col("o_orderkey") <= 5000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").option("rootTag", "orders")
+          .option("rowTag", "order").format("xml").save(path)
+      }
+      s.read
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("rowTag", "order")
+        .format("xml").load(path)
+        .orderBy("o_orderkey")
+    },
+
     // string functions: case, substring, concat, length, trim, regexp
     "scalar_strings" -> QueryDef(
       """SELECT p_partkey,
