@@ -123,18 +123,25 @@ object Multimodal {
       skipWsAndComments()
       require(i < payload.length && payload(i) >= '0' && payload(i) <= '9',
         "ppm: expected ASCII integer in header")
-      var v = 0
+      var v = 0L
       while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
         v = v * 10 + (payload(i) - '0'); i += 1
+        // a header field past 1e9 is never a conformant image (raster
+        // would exceed any real payload); cap so a long digit run
+        // cannot wrap Int and forge a passing raster-length check
+        require(v <= 1000000000L, "ppm: header integer out of range")
       }
-      v
+      v.toInt
     }
     val w = readInt(); val h = readInt(); val maxv = readInt()
+    require(w > 0 && h > 0, s"ppm: non-positive dimensions ${w}x$h")
     require(maxv == 255, s"ppm: only 8-bit maxval supported, got $maxv")
     require(i < payload.length && isWs(payload(i)), "ppm: missing raster separator")
     i += 1 // exactly ONE whitespace byte separates header from raster
-    require(payload.length - i == w * h * 3,
-      s"ppm: raster is ${payload.length - i} bytes, expected ${w * h * 3}")
+    // w*h*3 in Long: w and h each pass the 1e9 cap, so the Int product
+    // could wrap and match a short payload's length
+    require((payload.length - i).toLong == w.toLong * h * 3,
+      s"ppm: raster is ${payload.length - i} bytes, expected ${w.toLong * h * 3}")
     DecodedImage(w, h, java.util.Arrays.copyOfRange(payload, i, payload.length))
   }
 

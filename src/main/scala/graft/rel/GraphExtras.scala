@@ -55,6 +55,16 @@ object GraphExtras {
     // joins + partial aggs, zero checkpoint block writes, executed in
     // a single action (round-12 fix for the graph_hits bench-envelope
     // excursion: the 6 eager checkpoint jobs dominated wall clock).
+    // SCALE BOUND: the empty frame funnels each half-round's raw sums
+    // through ONE task, so this shape holds while a node-sized
+    // (id, sum) relation fits a single task comfortably — fine to
+    // ~10^8 nodes (a few GB through one task per half-round), NOT at
+    // billion-node scale. Past that, swap to the two-phase normalizer:
+    // partial-agg the raw sums to one TOTAL row, broadcast-join it
+    // back, and accept one extra materialization per half-round (the
+    // relation then has two consumers, so the r12 linearity argument
+    // no longer applies and the checkpoint returns — that trade is
+    // the right one only once the single task saturates).
     val norm = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     (1 to rounds).foreach { _ =>
@@ -113,10 +123,26 @@ object GraphExtras {
     * h-index iteration (Lü et al. / Montresor et al.): start from
     * degrees, and each round every node's value becomes the h-index
     * of its neighbors' values — the sequence decreases monotonically
-    * to the true coreness. Per round: one state join onto the pinned
-    * edge list + one per-node window (rank neighbors desc) + one
-    * partial-agg MAX of min(rank, value); all integer, so every
-    * round is hash-exact and a bounded unroll oracles cleanly.
+    * to the true coreness.
+    *
+    * Per round the h-index is computed by the COUNTING formulation,
+    * not a neighbor sort: with `F(a, c)` = how many of a's neighbors
+    * hold value ≥ c, the h-index is `max over observed c of
+    * min(c, F(a, c))` (if some c beat that max, F(a,c) ≥ min > h
+    * neighbors would hold ≥ min, putting the sorted (min)-th neighbor
+    * at ≥ min — contradicting h's maximality; and c = the h-th sorted
+    * value achieves it). So a round is: one state join onto the
+    * pinned edge list, one VALUE-BUCKET partial agg `(a, c) → k`
+    * (map-side combined — the only E-sized relation never reaches an
+    * exchange un-reduced), one cumulative-count window over the
+    * collapsed buckets (O(nodes × distinct neighbor values) rows, vs
+    * the O(E log E) full neighbor sort a row_number rank pays — the
+    * r12 per-round window sorted every edge-joined row), and one MAX
+    * partial agg. All integer, so every round is hash-exact; the
+    * DuckDB oracle keeps the INDEPENDENT rank formulation
+    * (row_number over neighbors desc), so the gate proves the two
+    * h-index constructions agree — a stronger check than replaying
+    * one shape twice.
     */
   def corenessHIndex(und: DataFrame, rounds: Int,
                      strategy: GraphLoops.Strategy = GraphLoops.Broadcast)
@@ -135,10 +161,10 @@ object GraphExtras {
     (1 to rounds).foreach { _ =>
       core = GraphLoops
         .stateJoin(ed, core, col("node") === col("b"), strategy)
-        .select(col("a"), col("c"))
-        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("a"), col("c")).agg(count(lit(1)).as("k"))
+        .withColumn("f", sum(col("k")).over(w))
         .groupBy(col("a").as("node"))
-        .agg(max(least(col("rn"), col("c"))).as("c"))
+        .agg(max(least(col("c"), col("f"))).as("c"))
     }
     core
   }
@@ -222,9 +248,13 @@ object GraphExtras {
     // answers "who survives k=35"; this answers "what is EVERY
     // node's k"), the degeneracy ordering behind dense-subgraph
     // mining and influence ranking. 3 h-index rounds, hash-exact vs
-    // the oracle's unrolled windows; the iteration is monotonically
-    // decreasing from degrees, so a bounded unroll is a sound
-    // deterministic semantic on both engines.
+    // the oracle; the iteration is monotonically decreasing from
+    // degrees, so a bounded unroll is a sound deterministic semantic
+    // on both engines. The engine computes each round's h-index by
+    // value-bucket COUNTING (see corenessHIndex — no per-round
+    // neighbor sort); the oracle DELIBERATELY keeps the independent
+    // rank formulation (row_number over neighbors desc), so green
+    // means two different h-index constructions agree on every node.
     "graph_coreness" -> QueryDef(
       """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

@@ -452,6 +452,32 @@ object RelQueries {
     (to, tl)
   }
 
+  /** Cache path for a derived-format fixture (csv/orc/xml/partitioned
+    * copies of a testdata table), keyed by BOTH the sf dir and a
+    * CONTENT fingerprint of the source parquet (total bytes + max
+    * mtime of its files). Regenerated testdata under the same path
+    * therefore misses the cache and rebuilds, instead of a stale
+    * `_SUCCESS`-guarded fixture serving old rows against an oracle
+    * that reads the new parquet (the r12 ADVICE hazard — the csv/orc/
+    * xml twins all shared it).
+    */
+  private[graft] def fixtureCachePath(
+      s: org.apache.spark.sql.SparkSession, d: String, tag: String,
+      sourceTable: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/$sourceTable.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var bytes = 0L; var mtime = 0L
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val f = it.next()
+      bytes += f.getLen
+      if (f.getModificationTime > mtime) mtime = f.getModificationTime
+    }
+    val fp = java.lang.Long.toHexString(bytes * 1000003L ^ mtime)
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+  }
+
   /** See [[graft.tick.StoreQueries.benchSetups]]. */
   /** Day-partitioned parquet copy of events (hive layout, one dir per
     * `day=` value), written once per sf dir — the fixture behind
@@ -459,7 +485,7 @@ object RelQueries {
     */
   private[graft] def partitionedEventsPath(
       s: org.apache.spark.sql.SparkSession, d: String): String = synchronized {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_partev_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val path = fixtureCachePath(s, d, "partev", "events")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
@@ -1554,7 +1580,7 @@ object RelQueries {
     "source_csv_roundtrip" -> QueryDef(
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val path = s"${sys.props("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = fixtureCachePath(s, d, "csv", "orders")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
@@ -1576,7 +1602,7 @@ object RelQueries {
     "source_orc_roundtrip" -> QueryDef(
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val path = s"${sys.props("java.io.tmpdir")}/graft_orc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = fixtureCachePath(s, d, "orc", "orders")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
@@ -1597,7 +1623,7 @@ object RelQueries {
     "source_xml_roundtrip" -> QueryDef(
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val path = s"${sys.props("java.io.tmpdir")}/graft_xml_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = fixtureCachePath(s, d, "xml", "orders")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {

@@ -80,7 +80,17 @@ import org.apache.spark.sql.functions._
   *    silently re-applying it against changed rows could double-apply
   *    updates or resurrect deleted keys. The caller must re-derive the
   *    source from the new head and retry — the same contract Delta
-  *    gives a conflicting MERGE.
+  *    gives a conflicting MERGE. The validation approximates the
+  *    merge's READ set by its write set (source partitions + DV slot),
+  *    which is exact only when the source's reads of the store are
+  *    confined to its own target partitions; a source derived from
+  *    reading OTHER partitions (e.g. a lookup join against a pinned
+  *    `readVersion`) must pass those via `readPartitions`, which is
+  *    unioned into the conflict check — the Delta read-predicate
+  *    analog. The source must also be deterministic with a fixed
+  *    partition set across attempts (its touched set is recomputed per
+  *    attempt, so a head-reading source is validated against what it
+  *    would write NOW, but its decisions should not drift mid-loop).
   *
   * All reruns recompute from scratch (no attempt-dir reuse): the data
   * written by a lost attempt is already deleted by [[publish]], and at
@@ -537,16 +547,22 @@ object SnapshotStore {
   def mergeWithRetry(spark: SparkSession, base: String, source: DataFrame,
       matchedDelete: org.apache.spark.sql.Column,
       matchedUpdateVc: org.apache.spark.sql.Column,
-      maxAttempts: Int = 5): Int =
+      maxAttempts: Int = 5,
+      readPartitions: Set[String] = Set.empty): Int =
     mergeWithRetry(spark, base, source, matchedDelete, matchedUpdateVc,
-      maxAttempts, () => ())
+      maxAttempts, () => (), readPartitions)
 
   private[sources] def mergeWithRetry(spark: SparkSession, base: String,
       source: DataFrame, matchedDelete: org.apache.spark.sql.Column,
       matchedUpdateVc: org.apache.spark.sql.Column, maxAttempts: Int,
-      beforePublish: () => Unit): Int = {
-    val myTouched = source.select("part").distinct()
-      .collect().map(_.getString(0)).toSet + DvKey
+      beforePublish: () => Unit): Int =
+    mergeWithRetry(spark, base, source, matchedDelete, matchedUpdateVc,
+      maxAttempts, beforePublish, Set.empty)
+
+  private[sources] def mergeWithRetry(spark: SparkSession, base: String,
+      source: DataFrame, matchedDelete: org.apache.spark.sql.Column,
+      matchedUpdateVc: org.apache.spark.sql.Column, maxAttempts: Int,
+      beforePublish: () => Unit, readPartitions: Set[String]): Int = {
     var last: CommitRaceException = null
     (1 to maxAttempts).foreach { attempt =>
       val baseV = currentVersion(spark, base)
@@ -555,6 +571,12 @@ object SnapshotStore {
       catch {
         case e: CommitRaceException =>
           last = e
+          // the touched set is recomputed PER ATTEMPT: source is lazy,
+          // so a head-reading source's partitions can differ between
+          // tries — validating a stale set would misclassify a
+          // conflict as disjoint (scaladoc determinism caveat)
+          val myTouched = source.select("part").distinct()
+            .collect().map(_.getString(0)).toSet ++ readPartitions + DvKey
           val headV = currentVersion(spark, base)
           val overlap = touchedBetween(spark, base, baseV, headV)
             .intersect(myTouched)

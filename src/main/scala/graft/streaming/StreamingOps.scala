@@ -493,6 +493,67 @@ object StreamingOps {
       .orderBy("source")
   }
 
+  /** The DEDUP family's streaming leg (r13 — the last train/serve/
+    * stream triangle: DSIR, quality, and BPE gates were the
+    * precedents): the corpus's portable LSH band-bucket index is built
+    * OFFLINE ([[graft.text.Dedup.portableBandedIndex]] — the "train"
+    * step of a dedup pipeline is indexing the corpus), then documents
+    * arrive as a file stream, each is banded with the same portable
+    * minhash and meets the index through a stream-static BROADCAST
+    * equi-join on (band, key), exact hashed-shingle Jaccard verifies
+    * CANDIDATES ONLY, and the per-doc drop decision closes in one
+    * streaming aggregate. The per-source monitor (docs, dropped,
+    * novel-rate ppm) is the number a crawl-ingest stage watches live:
+    * a novel-rate collapse means the crawler is re-fetching what the
+    * corpus already holds. Batch rollup of the drained sink per the
+    * streamDedupOnce convention.
+    */
+  def dedupGateOnce(spark: SparkSession, dir: String): DataFrame =
+    dedupGatePerDocOnce(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_dup").as("n_dropped"),
+        sum("n_cand_rows").as("cand_rows"),
+        expr("CAST((COUNT(*) - SUM(is_dup)) * 1000000 DIV COUNT(*) AS BIGINT)")
+          .as("novel_ppm"))
+      .orderBy("source")
+
+  /** The drained PER-DOC decisions of [[dedupGateOnce]] — exposed so
+    * PipelineIntegrationSpec can pin the interlock law (streamed drop
+    * set == the batch twin's drop set) at doc granularity, not just
+    * through the per-source rollup.
+    */
+  private[graft] def dedupGatePerDocOnce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Dedup
+    val hashedIdx = Dedup
+      .portableHashedShingles(graft.Tables.documents(spark, dir), col("text"))
+      // three consumers (band index + verify side + the broadcast
+      // itself); the corpus index of a production gate is prebuilt
+      // and reused across micro-batches, so pin it once
+      .localCheckpoint()
+    val banded = Dedup.portableBandedIndex(hashedIdx, "doc_id")
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val perDoc = Dedup.portableDedupProbe(src, banded, hashedIdx)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      perDoc.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming deduplication: emit each (user_id, event_type) key once,
     * drained with AvailableNow, then count survivors per type in batch.
     * `dropDuplicates` keys state exactly like the batch distinct the

@@ -142,6 +142,73 @@ object StreamingQueries {
       StreamingOps.bpeGateOnce(s, d)
     },
 
+    // the DEDUP family's STREAMING leg (r13) — index-batch/probe-
+    // stream: the corpus's portable LSH band-bucket index built
+    // offline, streamed documents banded with the same minhash and
+    // probed against it via a stream-static broadcast join on
+    // (band, key), exact hashed-shingle Jaccard >= 4/5 verified on
+    // candidates only, per-source novel-doc rate monitored. The drop
+    // rule is nearDedupSurvivors' "larger id of each verified pair
+    // dies", so the streamed drop set == the batch drop set when
+    // drained (the interlock PipelineIntegrationSpec pins). Oracle
+    // replays the whole tier — md5-60-bit shingle hashes, the 8
+    // affine minhash permutations (literals shared with
+    // Dedup.PortablePerms), 4-band bucketing, candidate join, exact
+    // verify — as materialized CTEs (multi-referenced chains
+    // re-evaluate exponentially under lateral UNNEST otherwise).
+    "streaming_dedup_gate" -> QueryDef({
+      val p = graft.text.Dedup.PortableP
+      val minsSql = graft.text.Dedup.PortablePerms.zipWithIndex.map {
+        case ((a, b), i) => s"MIN(((h % $p) * $a + $b) % $p) AS m$i"
+      }.mkString(", ")
+      s"""WITH shx AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id,
+         |          unnest(list_distinct(${graft.text.TextFunctions.shinglesSql("text", 3)})) AS s
+         |        FROM documents)),
+         |mins AS MATERIALIZED (
+         |  SELECT doc_id, $minsSql FROM shx GROUP BY 1),
+         |bk AS MATERIALIZED (
+         |  SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS bkey FROM mins
+         |  UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM mins
+         |  UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM mins
+         |  UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM mins),
+         |cand AS MATERIALIZED (
+         |  SELECT a.doc_id AS did, b.doc_id AS cid
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+         |   AND b.doc_id < a.doc_id),
+         |pairs AS MATERIALIZED (SELECT DISTINCT did, cid FROM cand),
+         |sz AS MATERIALIZED (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shx GROUP BY 1),
+         |iv AS MATERIALIZED (
+         |  SELECT p.did, p.cid, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM pairs p JOIN shx a ON a.doc_id = p.did
+         |       JOIN shx b ON b.doc_id = p.cid AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT i.did, MAX(CASE WHEN i.inter * 5 >= (sa.n + sb.n - i.inter) * 4
+         |                    THEN 1 ELSE 0 END) AS dup
+         |  FROM iv i JOIN sz sa ON sa.doc_id = i.did
+         |       JOIN sz sb ON sb.doc_id = i.cid
+         |  GROUP BY 1),
+         |cr AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS ncr FROM cand GROUP BY 1),
+         |fl AS (
+         |  SELECT d.source, COALESCE(v.dup, 0) AS is_dup,
+         |         COALESCE(c.ncr, 0) AS ncr
+         |  FROM documents d
+         |  LEFT JOIN ver v ON v.did = d.doc_id
+         |  LEFT JOIN cr c ON c.did = d.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(is_dup) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(ncr) AS BIGINT) AS cand_rows,
+         |  CAST((COUNT(*) - SUM(is_dup)) * 1000000 // COUNT(*) AS BIGINT)
+         |    AS novel_ppm
+         |FROM fl GROUP BY 1 ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      StreamingOps.dedupGateOnce(s, d)
+    },
+
     // complete-mode streaming leaderboard: sort+limit over the running
     // per-user aggregate == the batch top-k
     "streaming_topk" -> QueryDef(

@@ -255,6 +255,110 @@ object Dedup {
     df.select(id.as("id")).join(dups, Seq("id"), "left_anti")
   }
 
+  // ---- portable LSH tier (the streaming dedup gate) ----
+
+  /** Modulus of the portable minhash permutations: 2^31 − 1 (prime).
+    * Shared verbatim with the DuckDB oracle.
+    */
+  val PortableP: Long = 2147483647L
+
+  /** Affine-permutation constants (a_i, b_i) of the PORTABLE minhash
+    * tier — k = 8 minhashes, banded 2-per-band into 4 LSH bands.
+    * Fixed literals shared verbatim with the DuckDB oracle (the
+    * engine's production tier keeps the k=64 xxhash64 signatures of
+    * [[minhashSignature]]; this tier trades signature width for a
+    * hash the oracle can replay — the dedup_simhash md5-15-hex
+    * precedent). Every a_i < 2^31, so a·h + b < 2^62 stays in BIGINT
+    * on both engines.
+    */
+  val PortablePerms: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (214013L, 2531011L), (69069L, 362437L),
+    (1664525L, 1013904223L), (22695477L, 7777L), (134775813L, 1L),
+    (1103515211L, 54321L), (48271L, 159L))
+
+  /** Portable per-shingle base hash: first 15 md5 hex chars as a
+    * BIGINT (60 bits) — `CAST(concat('0x', substr(md5(s),1,15)) AS
+    * BIGINT)` on the DuckDB side.
+    */
+  private def h60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** docs(text) → (doc_id, source, hsh): the HASHED shingle-set
+    * representation the portable tier runs on — distinct 60-bit base
+    * hashes of the 3-shingles. Set intersections over `hsh` equal
+    * shingle-set intersections up to md5-60-bit collisions (~1e-14
+    * per pair), and the array is ~10× smaller than the shingle
+    * strings — what makes the verify side broadcastable. Docs too
+    * short to shingle keep an EMPTY array (no n-gram identity).
+    */
+  def portableHashedShingles(docs: DataFrame, text: Column): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      array_distinct(transform(
+        array_distinct(TextFunctions.shingles(text, 3)), h60(_))).as("hsh"))
+
+  /** (id, hsh) rows → the 4-band portable LSH index (c_id, band,
+    * key): key = the band's two minhash values, underscore-joined.
+    * Empty-set docs are excluded — they have no LSH identity.
+    */
+  def portableBandedIndex(hashed: DataFrame, id: String): DataFrame = {
+    val mins = PortablePerms.map { case (a, b) =>
+      array_min(transform(col("hsh"),
+        h => ((h % PortableP) * a + b) % PortableP))
+    }
+    val keys = array((0 until PortablePerms.size / 2).map(i =>
+      concat_ws("_", mins(2 * i), mins(2 * i + 1))): _*)
+    hashed.where(size(col("hsh")) > 0)
+      .select(col(id).as("c_id"), posexplode(keys).as(Seq("band", "key")))
+  }
+
+  /** The dedup gate's probe plan, shared by the STREAMING gate and its
+    * batch twin (the interlock law PipelineIntegrationSpec pins:
+    * streamed drop set == batch drop set when drained): each probe
+    * document banded with the portable minhash, band keys meeting the
+    * corpus's prebuilt LSH index through a broadcast equi-join on
+    * (band, key) — with `c_id < doc_id` so a doc never pairs with
+    * itself or a later id: the drop rule is exactly
+    * [[nearDedupSurvivors]]' "the larger id of each verified pair
+    * dies" — then exact hashed-shingle Jaccard ≥ 4/5 verified on
+    * CANDIDATES ONLY (integer cross-multiplied: no fp boundary).
+    * Returns one row per probe doc: (doc_id, source, n_cand_rows,
+    * is_dup).
+    *
+    * Scale shape: the stream never shuffles — banding is per-row, both
+    * index sides broadcast (hashed sets are ~60 B/doc·shingle; past
+    * broadcast limits the same plan runs as a shuffled stream-static
+    * join keyed on (band, key), the GraphLoops two-tier precedent),
+    * and the per-doc decision closes in one streaming aggregate.
+    */
+  def portableDedupProbe(probe: DataFrame, banded: DataFrame,
+      hashedIdx: DataFrame): DataFrame = {
+    val ph = portableHashedShingles(probe, col("text"))
+    val mins = PortablePerms.map { case (a, b) =>
+      array_min(transform(col("hsh"),
+        h => ((h % PortableP) * a + b) % PortableP))
+    }
+    val keys = array((0 until PortablePerms.size / 2).map(i =>
+      concat_ws("_", mins(2 * i), mins(2 * i + 1))): _*)
+    val ex = ph
+      .withColumn("bands", when(size(col("hsh")) > 0, keys))
+      .select(col("doc_id"), col("source"), col("hsh"),
+        posexplode_outer(col("bands")).as(Seq("band", "key")))
+    val bi = banded.toDF("c_id", "i_band", "i_key")
+    val csh = hashedIdx.select(col("doc_id").as("c_id"), col("hsh").as("chs"))
+    ex.join(broadcast(bi),
+        col("band") === col("i_band") && col("key") === col("i_key") &&
+          col("c_id") < col("doc_id"), "left")
+      .join(broadcast(csh), Seq("c_id"), "left")
+      .withColumn("inter", size(array_intersect(col("hsh"), col("chs"))).cast("long"))
+      .withColumn("uni",
+        size(col("hsh")).cast("long") + size(col("chs")) - col("inter"))
+      .groupBy("doc_id", "source")
+      .agg(
+        sum(when(col("c_id").isNotNull, 1L).otherwise(0L)).as("n_cand_rows"),
+        max(when(col("c_id").isNotNull && col("inter") * 5 >= col("uni") * 4,
+          1L).otherwise(0L)).as("is_dup"))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over the token multiset: bit j of the output is 1

@@ -485,11 +485,22 @@ class PlanSpec extends SparkSpec {
     assert(n("Union") == 3, s"restart mass must re-enter via UNION per round:\n$p")
   }
 
-  test("graph_coreness unrolls linearly: 3 state joins + 3 h-index windows") {
+  test("graph_coreness unrolls linearly; windows see bucket counts, not raw edges") {
     val p = plan("graph_coreness")
     def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
     assert(n("BroadcastHashJoin") == 3, s"want 3 round joins:\n$p")
-    assert(n("Window") == 3, s"want 3 h-index windows:\n$p")
+    // counting formulation (r13): each round's cumulative-count window
+    // runs over the COLLAPSED (a, c) value buckets — the E-sized
+    // edge-joined relation must hit a partial aggregate BEFORE any
+    // window/exchange, never a per-round full neighbor sort. 3 rounds
+    // × (bucket agg + h-index max agg) + the initial degree count = 7
+    // aggregate pairs; 3 windows over bucket rows.
+    assert(n("Window") == 3, s"want 3 cumulative-count windows:\n$p")
+    assert(n("HashAggregate") == 14,
+      s"want 7 partial+final aggregate pairs (buckets collapse map-side):\n$p")
+    // no sort-based ranking anywhere except inside the 3 windows' own
+    // required ordering and the output ORDER BY
+    assert(!p.contains("row_number"), s"rank formulation crept back:\n$p")
   }
 
   test("mm decode plans never shuffle the payload: one scan, one mapPartitions, no hash exchange") {

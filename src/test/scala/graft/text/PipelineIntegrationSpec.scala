@@ -261,4 +261,31 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(selected == expected,
       "selection must be the batch ranking's exact top quarter")
   }
+
+  test("the dedup family's STREAMING leg interlocks: streamed drop set == batch drop set") {
+    // the r12 verdict's one missing family triangle: the portable LSH
+    // index is built once, then the SAME probe plan runs (a) over the
+    // batch corpus and (b) over the drained document stream — the
+    // per-doc decisions (candidate rows AND the drop flag) must be
+    // identical, so a production crawl could swap batch backfill and
+    // live gating without changing what gets dropped.
+    val docs = Tables.documents(spark, dir)
+    val hashedIdx = Dedup.portableHashedShingles(docs, col("text"))
+      .localCheckpoint()
+    val banded = Dedup.portableBandedIndex(hashedIdx, "doc_id")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val batch = rows(Dedup.portableDedupProbe(docs, banded, hashedIdx))
+    val streamed = rows(graft.streaming.StreamingOps.dedupGatePerDocOnce(spark, dir))
+    assert(streamed.length == batch.length,
+      "the stream must decide every document exactly once")
+    assert(streamed.toSet == batch.toSet,
+      "streamed per-doc decisions must equal the batch twin exactly")
+    val dropped = batch.filter(_._4 == 1L).map(_._1).toSet
+    assert(dropped.nonEmpty, "the corpus's planted near-dups must trip the gate")
+    // the drop rule is nearDedupSurvivors': the LARGER id of each
+    // verified pair dies, so the smallest doc_id can never drop
+    assert(!dropped.contains(batch.map(_._1).min),
+      "the smallest doc_id has no earlier candidate and must survive")
+  }
 }
