@@ -80,7 +80,8 @@ object ExplainAudit {
       "text_dsir",         // 256-bucket stats + broadcast log-ratio model
       "dedup_semantic",    // broadcast centroid argmin + cluster-keyed pairs
       "decontaminate_embedding", // broadcast bench set, one corpus scan
-      "graph_label_propagation") // kNN-sparsify window + per-round vote agg
+      "graph_label_propagation", // kNN-sparsify window + per-round vote agg
+      "sim_ivf_incremental") // frozen-centroid append assign + probed exact re-rank
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

@@ -503,6 +503,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("row_number"), s"rank formulation crept back:\n$p")
   }
 
+  test("dedup gate probe: both index sides broadcast; the stream side never hash-shuffles before the doc agg") {
+    // the streaming gate's probe plan, via the batch twin (the
+    // interlock spec pins they are identical): banded index AND
+    // hashed-shingle verify side must arrive as broadcasts — a hash
+    // exchange of the probe side before the per-doc aggregate would
+    // mean the document stream shuffles per micro-batch at 100 TB
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    val hashed = graft.text.Dedup.portableHashedShingles(docs, col("text"))
+    val banded = graft.text.Dedup.portableBandedIndex(hashed, "doc_id")
+    val p = graft.text.Dedup.portableDedupProbe(docs, banded, hashed)
+      .queryExecution.explainString(FormattedMode)
+    def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+    assert(n("BroadcastHashJoin") == 2, s"want 2 broadcast index joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the only hash exchanges feed the final (doc_id, source) agg and
+    // the broadcast builds' own internal aggs — the probe relation
+    // itself reaches the joins exchange-free (scan → project → explode)
+    assert(n("Exchange") <= 3, s"probe side must not shuffle before the doc agg:\n$p")
+  }
+
+  test("incremental IVF search: probes broadcast, grown assignment unions without re-exchange") {
+    val p = plan("sim_ivf_incremental")
+    def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+    // probe list and query sides broadcast into the assignment/corpus
+    // relations — the corpus-sized tables never build a hash join
+    assert(n("BroadcastHashJoin") >= 2, s"probes/query sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(n("Union") == 1, s"base+append union must appear exactly once:\n$p")
+  }
+
   test("mm decode plans never shuffle the payload: one scan, one mapPartitions, no hash exchange") {
     Seq("mm_decode_features", "mm_resize_pool", "mm_decode_quarantine").foreach { q =>
       val p = plan(q)

@@ -65,6 +65,22 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // 16-bit maxval unsupported
       Multimodal.decodePpm("P6\n1 1\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](6))
     }
+    // adversarial headers (r13 ADVICE): dimensions crafted so the Int
+    // product w*h*3 would wrap and match a short payload's length must
+    // fail via require, not pass the length check and die later with
+    // ArrayIndexOutOfBounds in the pixel loop. 37838×37838×3 =
+    // 4294958532 ≡ 4 × 2^0... ≡ -8764 wraps ≈ small positive under Int.
+    intercept[IllegalArgumentException] { // Long raster math: no wrap
+      Multimodal.decodePpm("P6\n37838 37838\n255\n".getBytes("US-ASCII")
+        ++ new Array[Byte](12))
+    }
+    intercept[IllegalArgumentException] { // digit-run overflow capped
+      Multimodal.decodePpm("P6\n99999999999 1\n255\n".getBytes("US-ASCII")
+        ++ new Array[Byte](3))
+    }
+    intercept[IllegalArgumentException] { // zero dimension rejected
+      Multimodal.decodePpm("P6\n0 5\n255\n".getBytes("US-ASCII"))
+    }
   }
 
   test("withPpmMedia payloads are standards-valid P6 files the real parser opens") {

@@ -152,6 +152,26 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStore.currentVersion(spark, base) == 2)
   }
 
+  test("mergeWithRetry: declared readPartitions widen the conflict check") {
+    // r13 ADVICE: the write-set approximation misses a source derived
+    // from READING other partitions. Without the declaration the same
+    // race rebases (winner touched only p1, merge writes only p2);
+    // with readPartitions = {p1} it must abort as a conflict.
+    val base = freshBase()
+    SnapshotStore.commit(spark, base,
+      Seq(("a", "p1", 0L, 10L), ("x", "p2", 0L, 20L))
+        .toDF("key", "part", "seq", "vc"))
+    val src = Seq(("x", "p2", 1L, 21L)).toDF("key", "part", "seq", "vc")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.mergeWithRetry(spark, base, src,
+        matchedDelete = lit(false), matchedUpdateVc = col("s.vc"), 5,
+        () => SnapshotStore.commit(spark, base,
+          Seq(("a", "p1", 7L, 77L)).toDF("key", "part", "seq", "vc")),
+        readPartitions = Set("p1"))
+    }
+    assert(e.getMessage.contains("p1"), e.getMessage)
+  }
+
   test("mergeWithRetry: a concurrent deletion-vector change is a conflict too") {
     val base = freshBase()
     SnapshotStore.commit(spark, base,
