@@ -554,6 +554,87 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** The SIMILARITY family's streaming leg (r13 — with the dedup gate
+    * this closes the last train/serve/stream triangle): query vectors
+    * arrive as a stream and probe the INCREMENTALLY-maintained IVF
+    * index (graft.vec.VecAnalytics.grownIvfIndex — centroids trained
+    * on the base corpus, appended batch assigned frozen). Per streamed
+    * vector: a MAP-SIDE argmin against the 20 trained centroids
+    * (inlined as literal arrays; scores via the codegen'd vec_dot —
+    * all quantities are exact integers below 2^53, so the double
+    * arithmetic is bit-deterministic and ties break to the lowest
+    * list exactly like the oracle's ROW_NUMBER), then a broadcast
+    * equi-join onto the probed list's members, exact integer L2 per
+    * candidate, and the per-query top-1 closes in ONE streaming
+    * aggregate. The per-label monitor (queries, top-1 distance mass)
+    * is the drift/regression number a production embedding-service
+    * watches; the 1-probe stream tier's top-1 is lower-bounded by the
+    * 6-probe batch tier's (superset candidates) — pinned in VecSpec.
+    */
+  def annGateOnce(spark: SparkSession, dir: String): DataFrame =
+    annGatePerQueryOnce(spark, dir)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum("top1_d2").as("top1_d2_sum"),
+        expr("CAST(SUM(top1_d2) DIV COUNT(*) AS BIGINT)").as("mean_top1_d2"))
+      .orderBy("label")
+
+  private[graft] def annGatePerQueryOnce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.vec.VecAnalytics
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.GraftExpressions.vec_dot(a, b)
+    val quant = transform(col("embedding"), v =>
+      round(v.cast("double") * 1048576).cast("long"))
+    val cents = VecAnalytics.coarseCentroidArrays(spark, dir)
+    val (_, grown) = VecAnalytics.grownIvfIndex(spark, dir)
+    // static index side: probed-list members with their quantized
+    // vectors and precomputed |c|^2 — built once, broadcast into
+    // every micro-batch (candidate work never shuffles the stream)
+    val corpus = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), quant.as("carr"))
+      .join(grown.withColumnRenamed("vec_id", "id"), "id")
+      .withColumn("c2", dot(col("carr"), col("carr")))
+      .select("id", "bucket", "carr", "c2")
+      .localCheckpoint()
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val src = spark.readStream
+      .schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    // per-row argmin over centroid literals: score = |m|^2 - 2 q·m
+    // (the common |q|^2 shift cannot change the argmin or its ties)
+    val probed = src
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        quant.as("qarr"))
+      .withColumn("bucket", array_min(array(cents.map { case (l, m) =>
+          val mLit = array(m.toIndexedSeq.map(lit(_)): _*)
+          val m2 = m.map(x => x.toDouble * x).sum
+          struct((lit(m2) - lit(2.0) * dot(col("qarr"), mLit)).as("d"),
+            lit(l).as("l"))
+        }: _*)).getField("l"))
+    val perQuery = probed.join(broadcast(corpus), Seq("bucket"))
+      .where(col("id") =!= col("vec_id"))
+      .withColumn("d2",
+        (dot(col("qarr"), col("qarr")) + col("c2")
+          - lit(2.0) * dot(col("qarr"), col("carr"))).cast("long"))
+      .groupBy("vec_id", "label")
+      .agg(min(col("d2")).as("top1_d2"), count(lit(1)).as("n_cand"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = withStateSizedPartitions(spark) {
+      perQuery.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming deduplication: emit each (user_id, event_type) key once,
     * drained with AvailableNow, then count survivors per type in batch.
     * `dropDuplicates` keys state exactly like the batch distinct the

@@ -14,7 +14,10 @@ object StreamingQueries {
   private[graft] val benchSetups
       : Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
     "streaming_versioned_ingest" -> ((s, d) => { StreamingOps.versionedIngestOnce(s, d); () }),
-    "streaming_delete_vectors" -> ((s, d) => { StreamingOps.dvDeleteStreamOnce(s, d); () }))
+    "streaming_delete_vectors" -> ((s, d) => { StreamingOps.dvDeleteStreamOnce(s, d); () }),
+    // the ANN gate's prebuilt index artifacts (trained centroids +
+    // base assignment) — laps measure the probe path
+    "streaming_ann_gate" -> ((s, d) => { graft.vec.VecAnalytics.ivfIncrementalIndex(s, d); () }))
 
   val defs: Map[String, QueryDef] = Map(
     // gap-based sessionization (30 min), batch twin of the stateful
@@ -207,6 +210,39 @@ object StreamingQueries {
          |FROM fl GROUP BY 1 ORDER BY source""".stripMargin
     }) { (s, d) =>
       StreamingOps.dedupGateOnce(s, d)
+    },
+
+    // the SIMILARITY family's STREAMING leg (r13): query vectors
+    // stream against the incrementally-maintained IVF index — per
+    // vector a map-side argmin picks its trained list (centroid
+    // literals + the codegen'd vec_dot; every quantity an exact
+    // integer below 2^53, so ties and values match the oracle's
+    // integer arithmetic bit-for-bit), a broadcast join fans out the
+    // probed list's members, exact integer L2 verifies, and the
+    // per-query top-1 closes in one streaming aggregate; the
+    // per-label monitor is the embedding-service drift number. The
+    // oracle replays training (shared CTE prefix with
+    // sim_ivf_incremental), the grown assignment, the same-bucket
+    // candidate space, and the exact distances.
+    "streaming_ann_gate" -> QueryDef(
+      s"""WITH ${graft.vec.VecAnalytics.IvfIncOracleCtes},
+         |cand AS (SELECT a.vec_id AS q_id, b.vec_id AS id
+         |         FROM assign a JOIN assign b ON a.bucket = b.bucket
+         |          AND b.vec_id <> a.vec_id),
+         |ex AS (SELECT cand.q_id, cand.id,
+         |         CAST(SUM((c.qv - s.qv)*(c.qv - s.qv)) AS BIGINT) AS d2
+         |       FROM cand JOIN qv c ON c.vec_id = cand.id
+         |            JOIN qv s ON s.vec_id = cand.q_id AND s.dim = c.dim
+         |       GROUP BY 1, 2),
+         |t1 AS (SELECT q_id, CAST(MIN(d2) AS BIGINT) AS top1
+         |       FROM ex GROUP BY 1)
+         |SELECT CAST(e.label AS BIGINT) AS label,
+         |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(t1.top1) AS BIGINT) AS top1_d2_sum,
+         |  CAST(SUM(t1.top1) // COUNT(*) AS BIGINT) AS mean_top1_d2
+         |FROM t1 JOIN embeddings e ON e.vec_id = t1.q_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      StreamingOps.annGateOnce(s, d)
     },
 
     // complete-mode streaming leaderboard: sort+limit over the running

@@ -212,6 +212,68 @@ object VecAnalytics {
     (coarse, baseAssign)
   }
 
+  /** The GROWN inverted-list assignment (base + appended batch, frozen
+    * centroids) plus the trained centroids — what the streaming ANN
+    * gate serves. Assignment identity with a full re-assign is the
+    * sim_ivf_incremental gate's own proof.
+    */
+  private[graft] def grownIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (coarse, baseAssign) = ivfIncrementalIndex(spark, dir)
+    val newAssign = assignToLists(
+      quantized(spark, dir).where(col("vec_id") % 10 === 0), coarse)
+    (coarse, baseAssign.unionByName(newAssign))
+  }
+
+  /** Trained coarse centroids as driver-side (list, 64 fixed-point
+    * components) arrays — inlined as literals by the streaming gate's
+    * map-side argmin (the assignByCentroids pattern, integer flavor).
+    */
+  private[graft] def coarseCentroidArrays(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, Array[Long])] = {
+    val (coarse, _) = ivfIncrementalIndex(spark, dir)
+    coarse.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3)) }
+      .sortBy(_._1)
+  }
+
+  /** Shared oracle prefix: quantization + the 2-round Lloyd coarse
+    * training ON THE BASE CORPUS (vec_id % 10 <> 0) + the grown-corpus
+    * assignment at the frozen centroids — the CTE block
+    * sim_ivf_incremental and streaming_ann_gate both replay (defined
+    * above `defs`: a val after it would be null at map-init time).
+    */
+  private[graft] val IvfIncOracleCtes: String =
+    """qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim,
+      |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+      |  FROM embeddings, UNNEST(range(0, 64)) AS t(i)),
+      |bqv AS (SELECT * FROM qv WHERE vec_id % 10 <> 0),
+      |cc0 AS (SELECT label*2 + vec_id%2 AS c_label, dim,
+      |         CAST(SUM(qv) AS BIGINT) // COUNT(*) AS m FROM bqv GROUP BY 1, 2),
+      |k1 AS (SELECT vec_id, c_label AS code FROM (
+      |    SELECT bqv.vec_id, cc0.c_label,
+      |      ROW_NUMBER() OVER (PARTITION BY bqv.vec_id
+      |        ORDER BY SUM((bqv.qv - cc0.m)*(bqv.qv - cc0.m)), cc0.c_label) AS rn
+      |    FROM bqv JOIN cc0 ON bqv.dim = cc0.dim GROUP BY 1, 2) WHERE rn = 1),
+      |cc1 AS (SELECT k1.code AS c_label, bqv.dim,
+      |         CAST(SUM(bqv.qv) AS BIGINT) // COUNT(*) AS m
+      |        FROM bqv JOIN k1 ON bqv.vec_id = k1.vec_id GROUP BY 1, 2),
+      |k2 AS (SELECT vec_id, c_label AS code FROM (
+      |    SELECT bqv.vec_id, cc1.c_label,
+      |      ROW_NUMBER() OVER (PARTITION BY bqv.vec_id
+      |        ORDER BY SUM((bqv.qv - cc1.m)*(bqv.qv - cc1.m)), cc1.c_label) AS rn
+      |    FROM bqv JOIN cc1 ON bqv.dim = cc1.dim GROUP BY 1, 2) WHERE rn = 1),
+      |cc AS (SELECT k2.code AS c_label, bqv.dim,
+      |         CAST(SUM(bqv.qv) AS BIGINT) // COUNT(*) AS m
+      |       FROM bqv JOIN k2 ON bqv.vec_id = k2.vec_id GROUP BY 1, 2),
+      |tot AS (SELECT qv.vec_id, cc.c_label, SUM((qv.qv - cc.m)*(qv.qv - cc.m)) AS td
+      |        FROM qv JOIN cc ON qv.dim = cc.dim GROUP BY 1, 2),
+      |assign AS (SELECT vec_id, c_label AS bucket FROM (
+      |    SELECT vec_id, c_label, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY td, c_label) AS rn FROM tot) WHERE rn = 1)""".stripMargin
+
   /** See [[graft.tick.StoreQueries.benchSetups]]: index construction
     * (quantizer training + corpus encoding) is setup; laps measure
     * the search path.
@@ -605,33 +667,7 @@ object VecAnalytics {
     // contract (when a retrain is required) are pinned in VecSpec /
     // documented at ivfIncrementalIndex.
     "sim_ivf_incremental" -> QueryDef(
-      """WITH qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim,
-        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
-        |  FROM embeddings, UNNEST(range(0, 64)) AS t(i)),
-        |bqv AS (SELECT * FROM qv WHERE vec_id % 10 <> 0),
-        |cc0 AS (SELECT label*2 + vec_id%2 AS c_label, dim,
-        |         CAST(SUM(qv) AS BIGINT) // COUNT(*) AS m FROM bqv GROUP BY 1, 2),
-        |k1 AS (SELECT vec_id, c_label AS code FROM (
-        |    SELECT bqv.vec_id, cc0.c_label,
-        |      ROW_NUMBER() OVER (PARTITION BY bqv.vec_id
-        |        ORDER BY SUM((bqv.qv - cc0.m)*(bqv.qv - cc0.m)), cc0.c_label) AS rn
-        |    FROM bqv JOIN cc0 ON bqv.dim = cc0.dim GROUP BY 1, 2) WHERE rn = 1),
-        |cc1 AS (SELECT k1.code AS c_label, bqv.dim,
-        |         CAST(SUM(bqv.qv) AS BIGINT) // COUNT(*) AS m
-        |        FROM bqv JOIN k1 ON bqv.vec_id = k1.vec_id GROUP BY 1, 2),
-        |k2 AS (SELECT vec_id, c_label AS code FROM (
-        |    SELECT bqv.vec_id, cc1.c_label,
-        |      ROW_NUMBER() OVER (PARTITION BY bqv.vec_id
-        |        ORDER BY SUM((bqv.qv - cc1.m)*(bqv.qv - cc1.m)), cc1.c_label) AS rn
-        |    FROM bqv JOIN cc1 ON bqv.dim = cc1.dim GROUP BY 1, 2) WHERE rn = 1),
-        |cc AS (SELECT k2.code AS c_label, bqv.dim,
-        |         CAST(SUM(bqv.qv) AS BIGINT) // COUNT(*) AS m
-        |       FROM bqv JOIN k2 ON bqv.vec_id = k2.vec_id GROUP BY 1, 2),
-        |tot AS (SELECT qv.vec_id, cc.c_label, SUM((qv.qv - cc.m)*(qv.qv - cc.m)) AS td
-        |        FROM qv JOIN cc ON qv.dim = cc.dim GROUP BY 1, 2),
-        |assign AS (SELECT vec_id, c_label AS bucket FROM (
-        |    SELECT vec_id, c_label, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY td, c_label) AS rn FROM tot) WHERE rn = 1),
+      s"""WITH $IvfIncOracleCtes,
         |probes AS (SELECT vec_id AS q_id, c_label AS probe FROM (
         |    SELECT vec_id, c_label, ROW_NUMBER() OVER (PARTITION BY vec_id
         |      ORDER BY td, c_label) AS rn FROM tot WHERE vec_id < 10) WHERE rn <= 6),

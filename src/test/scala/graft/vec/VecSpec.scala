@@ -304,4 +304,24 @@ class VecSpec extends SparkSpec {
       s"incremental-IVF recall@5 $recall breached the declared 0.6 floor " +
         "(retrain trigger per the staleness contract)")
   }
+
+  test("streaming ANN gate interlocks with the incremental index: 6-probe top1 <= 1-probe top1") {
+    // the stream tier probes ONLY the query's own assigned list; the
+    // batch tier (sim_ivf_incremental) probes the 6 nearest lists —
+    // whose rank-1 list IS the same argmin list, so the batch
+    // candidate set is a superset and its best distance can never be
+    // worse. A violation would mean the two tiers disagree on the
+    // trained index (assignment or arithmetic drift).
+    val perQ = graft.streaming.StreamingOps.annGatePerQueryOnce(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap // vec_id -> top1_d2
+    val sim = graft.SparkEntry.queries("sim_ivf_incremental")(spark, sf001)
+      .where(col("rank") === 1).select("q_id", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perQ.size > 100 && sim.size == 10, s"${perQ.size} / ${sim.size}")
+    sim.foreach { case (q, d) =>
+      perQ.get(q).foreach { g =>
+        assert(d <= g, s"query $q: 6-probe top1 $d must be <= 1-probe top1 $g")
+      }
+    }
+  }
 }
