@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object GraphExtras {
 
+  /** Normalizer strategy for [[hitsAuthorities]] — the two-tier
+    * posture the Broadcast|CoPartitioned precedent set for joins,
+    * applied to the per-half-round sum normalizer:
+    *
+    *  - [[WindowNorm]] (default, the bench path): an empty-frame
+    *    `sum(x) OVER ()` — each half-round's raw-sum relation appears
+    *    ONCE in the plan, the whole loop is one linear DAG with zero
+    *    checkpoint writes, at the cost of funneling the O(nodes)
+    *    relation through a single task per half-round (fine to ~10^8
+    *    nodes).
+    *  - [[TwoPhaseNorm]] (the billion-node tier): partial-agg the raw
+    *    sums to ONE total row and broadcast-join it back — fully
+    *    parallel, but the raw sums now have two consumers, so each
+    *    half-round pays a lineage cut (localCheckpoint) to stop
+    *    subtree duplication: one extra materialization per half-round
+    *    buys the removal of the single-task funnel. Bit-equality of
+    *    the two tiers is pinned in GraphExtrasSpec.
+    */
+  sealed trait NormStrategy
+  case object WindowNorm extends NormStrategy
+  case object TwoPhaseNorm extends NormStrategy
+
   /** HITS over directed bipartite edges `(u, v)`: `rounds` full
     * authority+hub update pairs in 1e6-unit integer mass, each side
     * normalized by its sum with truncating division (so scores are
@@ -35,7 +57,8 @@ object GraphExtras {
     * (the round-11 bench paid exactly that).
     */
   def hitsAuthorities(edges: DataFrame, rounds: Int,
-                      strategy: GraphLoops.Strategy = GraphLoops.Broadcast)
+                      strategy: GraphLoops.Strategy = GraphLoops.Broadcast,
+                      normStrategy: NormStrategy = WindowNorm)
       : DataFrame = {
     val eU = GraphLoops.pinEdges(edges, "u", strategy)
     val eV = strategy match {
@@ -59,27 +82,35 @@ object GraphExtras {
     // through ONE task, so this shape holds while a node-sized
     // (id, sum) relation fits a single task comfortably — fine to
     // ~10^8 nodes (a few GB through one task per half-round), NOT at
-    // billion-node scale. Past that, swap to the two-phase normalizer:
-    // partial-agg the raw sums to one TOTAL row, broadcast-join it
-    // back, and accept one extra materialization per half-round (the
-    // relation then has two consumers, so the r12 linearity argument
-    // no longer applies and the checkpoint returns — that trade is
-    // the right one only once the single task saturates).
+    // billion-node scale. Past that, pass [[TwoPhaseNorm]]: partial-agg
+    // the raw sums to one TOTAL row, broadcast-join it back, and accept
+    // one extra materialization per half-round (the relation then has
+    // two consumers, so the r12 linearity argument no longer applies
+    // and the checkpoint returns — the right trade only once the
+    // single task saturates; bit-equality pinned in GraphExtrasSpec).
     val norm = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    def normalize(raw: DataFrame, key: String, out: String): DataFrame =
+      normStrategy match {
+        case WindowNorm =>
+          raw.withColumn("sx", sum(col("x")).over(norm))
+            .select(col(key), expr("CAST(x * 1000000 div sx AS BIGINT)").as(out))
+        case TwoPhaseNorm =>
+          val pinned = raw.localCheckpoint() // 2 consumers: total + join-back
+          val tot = pinned.agg(sum(col("x")).as("sx")).withColumn("jk", lit(1))
+          pinned.withColumn("jk", lit(1))
+            .join(broadcast(tot), "jk")
+            .select(col(key), expr("CAST(x * 1000000 div sx AS BIGINT)").as(out))
+      }
     (1 to rounds).foreach { _ =>
-      a = GraphLoops
+      a = normalize(GraphLoops
         .stateJoin(eU, h.withColumnRenamed("u", "hu"), col("hu") === col("u"),
           strategy)
-        .groupBy("v").agg(sum("h").as("x"))
-        .withColumn("sx", sum(col("x")).over(norm))
-        .select(col("v"), expr("CAST(x * 1000000 div sx AS BIGINT)").as("a"))
-      h = GraphLoops
+        .groupBy("v").agg(sum("h").as("x")), "v", "a")
+      h = normalize(GraphLoops
         .stateJoin(eV, a.withColumnRenamed("v", "av"), col("av") === col("v"),
           strategy)
-        .groupBy("u").agg(sum("a").as("x"))
-        .withColumn("sx", sum(col("x")).over(norm))
-        .select(col("u"), expr("CAST(x * 1000000 div sx AS BIGINT)").as("h"))
+        .groupBy("u").agg(sum("a").as("x")), "u", "h")
     }
     a
   }

@@ -30,6 +30,21 @@ class GraphExtrasSpec extends SparkSpec {
     assert(b.nonEmpty)
   }
 
+  test("HITS: TwoPhaseNorm (billion-node normalizer tier) is bit-identical to WindowNorm") {
+    // the r13 normStrategy knob (r12 What's-wrong #2): the two-phase
+    // partial-agg + broadcast-join normalizer replaces the
+    // single-task empty-frame window past ~10^8 nodes; same truncating
+    // integer arithmetic, so the authority vectors must match exactly
+    val e = orderEdges(sf0001)
+    val w = GraphExtras.hitsAuthorities(e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = GraphExtras.hitsAuthorities(e, 3,
+        normStrategy = GraphExtras.TwoPhaseNorm)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w == t, "normalizer tiers diverged")
+    assert(w.nonEmpty)
+  }
+
   test("HITS: truncating sum-normalization conserves mass to within n units") {
     val a = GraphExtras.hitsAuthorities(orderEdges(sf0001), 3).collect()
     val total = a.map(_.getLong(1)).sum
