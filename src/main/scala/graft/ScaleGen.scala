@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   * deterministic, and generation is itself a distributed plan (no
   * driver-side loops), so slices well past sf1 generate fine.
   *
-  * Usage: runMain graft.ScaleGen <sf> <outDir>  (e.g. 0.3 /tmp/graft_scale/sf0.3)
+  * Usage: runMain graft.ScaleGen <sf> <outDir> [vocabDir]
+  * (e.g. 0.3 /tmp/graft_scale/sf0.3). The document vocabulary is read
+  * from `vocabDir` if given, else SPARK_GRAFT_SF_DIR, else the
+  * driver's /root/testdata/sf0.1 — so generation works on any host
+  * where a driver corpus exists, not just this sandbox.
   */
 object ScaleGen {
 
@@ -40,6 +44,9 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val sf = args(0).toDouble
     val out = args(1)
+    val vocabDir = args.lift(2)
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -94,8 +101,8 @@ object ScaleGen {
           .as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    // ---- documents: the real 31-word vocabulary, read from sf0.1 ----
-    val vocab = Tables.documents(spark, "/root/testdata/sf0.1")
+    // ---- documents: the real 31-word vocabulary, read from the driver corpus ----
+    val vocab = Tables.documents(spark, vocabDir)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .distinct().orderBy("w").collect().map(_.getString(0))
     val vlit = array(vocab.toIndexedSeq.map(lit(_)): _*)
@@ -109,7 +116,10 @@ object ScaleGen {
         element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("pt")),
           (pmod(xxhash64(col("id"), lit(22)), lit(5)) + 1).cast("int")).as("lang"),
         concat(lit("src"), pmod(xxhash64(col("id"), lit(23)), lit(20))).as("source"))
-      .withColumn("n_chars", length(col("text")))
+      // int64, matching the driver corpus's physical schema (the four
+      // streaming gates declare n_chars LongType in their readStream
+      // schemas — a slice must not lean on int32→int64 widening)
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // ---- embeddings: label-clustered 64-dim vectors ----

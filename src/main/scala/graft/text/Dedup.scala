@@ -296,20 +296,29 @@ object Dedup {
       array_distinct(transform(
         array_distinct(TextFunctions.shingles(text, 3)), h60(_))).as("hsh"))
 
+  /** The portable tier's banding expression — 4 band keys (each the
+    * band's two minhash values, underscore-joined) over a hashed
+    * shingle-set column. ONE definition shared by the offline index
+    * ([[portableBandedIndex]]) and the stream probe
+    * ([[portableDedupProbe]]): the two sides must stay byte-identical
+    * or the stream silently stops meeting its own index.
+    */
+  private def portableBandKeys(hsh: Column): Column = {
+    val mins = PortablePerms.map { case (a, b) =>
+      array_min(transform(hsh, h => ((h % PortableP) * a + b) % PortableP))
+    }
+    array((0 until PortablePerms.size / 2).map(i =>
+      concat_ws("_", mins(2 * i), mins(2 * i + 1))): _*)
+  }
+
   /** (id, hsh) rows → the 4-band portable LSH index (c_id, band,
     * key): key = the band's two minhash values, underscore-joined.
     * Empty-set docs are excluded — they have no LSH identity.
     */
-  def portableBandedIndex(hashed: DataFrame, id: String): DataFrame = {
-    val mins = PortablePerms.map { case (a, b) =>
-      array_min(transform(col("hsh"),
-        h => ((h % PortableP) * a + b) % PortableP))
-    }
-    val keys = array((0 until PortablePerms.size / 2).map(i =>
-      concat_ws("_", mins(2 * i), mins(2 * i + 1))): _*)
+  def portableBandedIndex(hashed: DataFrame, id: String): DataFrame =
     hashed.where(size(col("hsh")) > 0)
-      .select(col(id).as("c_id"), posexplode(keys).as(Seq("band", "key")))
-  }
+      .select(col(id).as("c_id"),
+        posexplode(portableBandKeys(col("hsh"))).as(Seq("band", "key")))
 
   /** The dedup gate's probe plan, shared by the STREAMING gate and its
     * batch twin (the interlock law PipelineIntegrationSpec pins:
@@ -333,14 +342,9 @@ object Dedup {
   def portableDedupProbe(probe: DataFrame, banded: DataFrame,
       hashedIdx: DataFrame): DataFrame = {
     val ph = portableHashedShingles(probe, col("text"))
-    val mins = PortablePerms.map { case (a, b) =>
-      array_min(transform(col("hsh"),
-        h => ((h % PortableP) * a + b) % PortableP))
-    }
-    val keys = array((0 until PortablePerms.size / 2).map(i =>
-      concat_ws("_", mins(2 * i), mins(2 * i + 1))): _*)
     val ex = ph
-      .withColumn("bands", when(size(col("hsh")) > 0, keys))
+      .withColumn("bands",
+        when(size(col("hsh")) > 0, portableBandKeys(col("hsh"))))
       .select(col("doc_id"), col("source"), col("hsh"),
         posexplode_outer(col("bands")).as(Seq("band", "key")))
     val bi = banded.toDF("c_id", "i_band", "i_key")
