@@ -583,6 +583,138 @@ object VecQueries {
         .orderBy("dropped_id")
     },
 
+    // SEMANTIC DEDUP WITH THE CLUSTER-COUNT KNOB AS CODE (r14 — the
+    // r13 verdict's top ask): dedup_semantic above runs SemDeDup at a
+    // FIXED cluster granularity (the 10 label centroids), so its pair
+    // space Σ_c n_c² grows as n²/10 — the r13 scaling table measured
+    // 14.7× wall at 10× data. Production SemDeDup scales the cluster
+    // COUNT with the corpus so the per-cluster population (and with it
+    // the pair space per row) stays constant. Here that knob is code:
+    //   nlist  = max(16, ceil(n / 100))   — n = base corpus rows
+    //   stride = max(1, n div nlist)
+    // and the nlist cluster seeds are EXEMPLAR VECTORS — the nlist
+    // corpus vectors with the smallest md5(vec_id) scramble (a
+    // deterministic uniform sample both engines order identically;
+    // modular picks like `vec_id % stride` would correlate with the
+    // label layout and collapse the partition). Assignment is the
+    // exact BIGINT argmin of L2-to-seed — computed as n2 − 2·dot + s2
+    // through the codegen'd vec_dot, every quantity < 2^53 so the
+    // doubles are integers and the argmin is bit-deterministic — and
+    // the within-cluster ≥0.999-cosine drop rule, planting, and
+    // output shape are dedup_semantic's exactly. Scale shape: seeds
+    // broadcast (nlist·64 longs), assignment is one map-side
+    // argmin + one n-row aggregate, the self-join pair space is
+    // Σ_c n_c² ≈ n·100 — LINEAR in n where the fixed tier is
+    // quadratic (the gen0.1→gen1.0 stamp in BASELINE.md Round-14 is
+    // the measured proof). At 100 TB the same formula just keeps
+    // growing nlist; a Lloyd refinement of the exemplar seeds slots
+    // in front of the assignment unchanged (trainCoarse is that
+    // code), trading one more corpus pass for tighter clusters.
+    "dedup_semantic_scaled" -> QueryDef(
+      s"""WITH f AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |nl AS (SELECT GREATEST(16, (COUNT(*) + 99) // 100) AS nlist,
+         |         GREATEST(1, COUNT(*) // GREATEST(16, (COUNT(*) + 99) // 100)) AS stride
+         |       FROM embeddings),
+         |seeds AS (
+         |  SELECT rn - 1 AS seed_id, fv AS sv,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(fv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS sn2
+         |  FROM (SELECT vec_id, fv, ROW_NUMBER() OVER (
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM f), nl
+         |  WHERE rn <= nl.nlist),
+         |aug AS (
+         |  SELECT vec_id AS id, fv FROM f
+         |  UNION ALL
+         |  SELECT vec_id + ${VecQueries.PlantedIdOffset} AS id,
+         |    list_prepend(fv[1] + (vec_id % 5) + 1, fv[2:64]) AS fv
+         |  FROM f WHERE vec_id < 50),
+         |av AS (SELECT id, fv,
+         |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(fv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS n2
+         |       FROM aug),
+         |dist AS (SELECT av.id, seeds.seed_id,
+         |           av.n2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(list_zip(av.fv, seeds.sv), p -> p[1] * p[2])),
+         |             (a, x) -> a + x) AS BIGINT) + seeds.sn2 AS d2
+         |         FROM av, seeds),
+         |asg AS (SELECT id, seed_id AS cluster FROM (
+         |    SELECT id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, seed_id) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |v AS (SELECT asg.id, asg.cluster, av.fv, av.n2
+         |      FROM asg JOIN av USING (id)),
+         |pr AS (SELECT a.id AS a_id, b.id AS b_id, a.cluster,
+         |         CAST(round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(list_zip(a.fv, b.fv), p -> p[1] * p[2])),
+         |             (acc, x) -> acc + x) AS DOUBLE)
+         |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |           * 1000000) AS BIGINT) AS cos_micro
+         |       FROM v a JOIN v b ON a.cluster = b.cluster AND a.id < b.id
+         |       WHERE a.n2 > 0 AND b.n2 > 0)
+         |SELECT b_id AS dropped_id, cluster, MIN(a_id) AS keep_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_near, MAX(cos_micro) AS max_cos_micro
+         |FROM pr WHERE cos_micro >= 999000
+         |GROUP BY 1, 2 ORDER BY dropped_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GraftExpressions.vec_dot
+      // the KNOB: cluster count tracks the corpus (count() reads
+      // parquet row-group metadata — an index-build-time scalar)
+      val n = Tables.embeddings(s, d).count()
+      val nlist = math.max(16L, (n + 99L) / 100L)
+      val f = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+      val wSeed = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val seeds = f
+        .withColumn("rn", row_number().over(wSeed))
+        .where(col("rn") <= nlist)
+        .select((col("rn") - 1).cast("long").as("seed_id"), col("fv").as("sv"),
+          vec_dot(col("fv"), col("fv")).cast("long").as("sn2"))
+      val aug = f.select(col("vec_id").as("id"), col("fv"))
+        .unionByName(f.where(col("vec_id") < 50)
+          .select((col("vec_id") + VecQueries.PlantedIdOffset).as("id"),
+            concat(
+              array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
+              slice(col("fv"), 2, 63)).as("fv")))
+      val av = aug.withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+      // constant-key broadcast equi-join = the seed fan-out without a
+      // nested-loop operator (hash probe on an all-zeros key returns
+      // all nlist seed rows per vector; the key derives from a data
+      // column so constant folding can't collapse the equi-condition)
+      val dist = av.withColumn("jk", col("id") % 1)
+        .join(broadcast(seeds.withColumn("jk", col("seed_id") % 1)), "jk")
+        .select(col("id"),
+          (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
+            col("sn2")).as("d2"),
+          col("seed_id"))
+      val asg = dist
+        .groupBy("id")
+        .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
+        .select(col("id"), col("best.seed_id").as("cluster"))
+      val v = asg.join(av, "id")
+      val a = v.select(col("id").as("a_id"), col("cluster"),
+        col("fv").as("afv"), col("n2").as("an2"))
+      val b = v.select(col("id").as("b_id"), col("cluster"),
+        col("fv").as("bfv"), col("n2").as("bn2"))
+      a.join(b, Seq("cluster"))
+        .where(col("a_id") < col("b_id") && col("an2") > 0 && col("bn2") > 0)
+        .withColumn("dot", vec_dot(col("afv"), col("bfv")).cast("long"))
+        .withColumn("cos_micro", expr(
+          "CAST(round(CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * " +
+            "sqrt(CAST(bn2 AS DOUBLE))) * 1000000) AS BIGINT)"))
+        .where(col("cos_micro") >= 999000)
+        .groupBy(col("b_id"), col("cluster"))
+        .agg(min("a_id").as("keep_id"), count(lit(1)).as("n_near"),
+          max("cos_micro").as("max_cos_micro"))
+        .select(col("b_id").as("dropped_id"), col("cluster"),
+          col("keep_id"), col("n_near"), col("max_cos_micro"))
+        .orderBy("dropped_id")
+    },
+
     // SEMANTIC DECONTAMINATION — the embedding-space twin of
     // decontaminate_ngram: n-gram overlap misses a benchmark item
     // that was paraphrased or re-tokenized into the training set, but

@@ -578,4 +578,20 @@ class PlanSpec extends SparkSpec {
     // the argmin is the row_number window, not a self-join on min(d2)
     assert(p.contains("row_number"), s"argmin window missing:\n$p")
   }
+
+  test("dedup_semantic_scaled keeps the seed fan-out broadcast and the pair join keyed") {
+    val p = plan("dedup_semantic_scaled")
+    // the nlist-sized seed table rides a constant-key BROADCAST hash
+    // join onto the corpus (no nested-loop operator anywhere), and the
+    // near-dup join is an equi-join ON cluster — the scaled SemDeDup
+    // bound; any cartesian/nested-loop form means the corpus went
+    // all-pairs
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"seed broadcast missing:\n$p")
+    // the per-vector argmin is an AGGREGATE (partial min(struct) before
+    // any exchange), not a window over the fanned-out distance table
+    val aggs = p.linesIterator.count(_.contains("partial_min"))
+    assert(aggs >= 1, s"map-side partial argmin missing:\n$p")
+  }
 }

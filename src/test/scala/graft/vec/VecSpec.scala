@@ -222,6 +222,27 @@ class VecSpec extends SparkSpec {
     }
   }
 
+  test("scaled semantic dedup keeps the recall contract at a corpus-sized cluster count") {
+    // the cluster-count KNOB (nlist = max(16, ceil(n/100))) must not
+    // cost recall: every planted near-copy still lands in its
+    // original's cluster (argmin continuity — the jitter is 1..5 fx
+    // units against centroid distances of ~2^40), the min-id survivor
+    // rule names the original, and no genuine vector is dropped.
+    // (The pair-space bound — a balanced exemplar-seeded partition,
+    // sum(n_c^2) linear in n instead of the fixed tier's n^2/10 —
+    // is measured in BASELINE.md's Round-14 scaling table; at sf0.1
+    // the 20 clusters span 81..122 around the 100-vector target.)
+    val rows = VecQueries.defs("dedup_semantic_scaled").build(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(rows.length == 50, s"expected the 50 planted drops, got ${rows.length}")
+    rows.foreach { case (dropped, keeper, cosMicro) =>
+      assert(dropped >= VecQueries.PlantedIdOffset, s"real vector $dropped dropped")
+      assert(keeper == dropped - VecQueries.PlantedIdOffset,
+        s"keeper $keeper is not $dropped's original")
+      assert(cosMicro >= 999000L, s"below-threshold pair survived: $cosMicro")
+    }
+  }
+
   test("embedding decontamination flags every planted leak against its own benchmark item") {
     // contract: the 20 planted leaked copies are each reported against
     // exactly their source benchmark vector (the jitter keeps them at
