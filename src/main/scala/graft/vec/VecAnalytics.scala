@@ -143,18 +143,53 @@ object VecAnalytics {
     import org.apache.spark.sql.expressions.Window
     lazy val qv = quantized(spark, dir).localCheckpoint()
     val cb = cachedIndex(spark, dir, "pqcb")(trainSubCodebooks(qv, rounds = 2))
-    val codes = cachedIndex(spark, dir, "pqcodes") {
-      val dists = qv.select("vec_id", "dim", "sub", "qv")
-        .join(broadcast(cb.select("c_label", "dim", "m")), "dim")
-        .groupBy("vec_id", "sub", "c_label")
-        .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("d2"))
-      val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("c_label"))
-      dists.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("c_label").as("code"))
-    }
+    val codes = cachedIndex(spark, dir, "pqcodes")(encodeWithCodebooks(qv, cb))
     val coarse = cachedIndex(spark, dir, "ivfcc")(trainCoarse(qv, rounds = 2))
     val assign = cachedIndex(spark, dir, "ivfassign")(assignToLists(qv, coarse))
     (cb, codes, coarse, assign)
+  }
+
+  /** PQ-encode vectors at FROZEN codebooks: per (vector, subspace)
+    * argmin of the exact integer L2 to the 40 sub-codewords (ties →
+    * lowest code). Like [[assignToLists]], a pure per-vector function
+    * of the codebooks — which is what makes the incremental PQ path
+    * sound: encoding a new batch at frozen codebooks and unioning
+    * with the existing code table is definitionally identical to
+    * re-encoding the whole grown corpus (the sim_pq_incremental
+    * oracle IS that full re-encode).
+    */
+  private[graft] def encodeWithCodebooks(qv: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dists = qv.select("vec_id", "dim", "sub", "qv")
+      .join(broadcast(cb.select("c_label", "dim", "m")), "dim")
+      .groupBy("vec_id", "sub", "c_label")
+      .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("d2"))
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("c_label"))
+    dists.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("c_label").as("code"))
+  }
+
+  /** The INCREMENTAL PQ index (r14 — closing the r13 verdict's item 2):
+    * sub-codebooks Lloyd-trained on the BASE corpus only (vec_id % 10
+    * <> 0) plus the base corpus's PQ code table, both cached as the
+    * prebuilt index. An appended batch is folded in ENCODE-ONLY
+    * ([[encodeWithCodebooks]] at the frozen codebooks — one map-side
+    * pass over just the batch, no retrain, no base re-scan), the same
+    * assign-only move [[ivfIncrementalIndex]] proved for the coarse
+    * quantizer. Shares that index's STALENESS CONTRACT: appended mass
+    * shifts the distribution the codebooks were trained on, ADC
+    * distortion grows, shortlist recall decays — a recall-floor breach
+    * (VecSpec) or appends exceeding the trained base triggers a
+    * retrain under a new fingerprint key.
+    */
+  private[graft] def pqIncrementalIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    lazy val bqv = quantized(spark, dir)
+      .where(col("vec_id") % 10 =!= 0).localCheckpoint()
+    val cb = cachedIndex(spark, dir, "pqinc_cb")(trainSubCodebooks(bqv, rounds = 2))
+    val baseCodes = cachedIndex(spark, dir, "pqinc_codes")(encodeWithCodebooks(bqv, cb))
+    (cb, baseCodes)
   }
 
   /** Frozen-centroid inverted-list assignment: per-vector argmin of the
@@ -285,6 +320,10 @@ object VecAnalytics {
     // the incremental tier's PREBUILT base index (trained centroids +
     // base assignment): laps measure append-assign + search only
     "sim_ivf_incremental" -> ((s, d) => { ivfIncrementalIndex(s, d); () }),
+    // likewise for the PQ tier: frozen codebooks + base code table +
+    // base assignment prebuilt; laps measure encode/assign-fold + search
+    "sim_pq_incremental" -> ((s, d) =>
+      { pqIncrementalIndex(s, d); ivfIncrementalIndex(s, d); () }),
     // sim_ivf_topk's cached index must exist BEFORE the laps: the
     // bench unpersists every persistent RDD a query creates (the
     // checkpoint-block leak fix), so a lazily-built lap-1 index would
@@ -706,6 +745,128 @@ object VecAnalytics {
       val qside = qvAll.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("dim"), col("qv").as("q_qv"))
       val ex = cand
+        .join(qvAll.select(col("vec_id").as("id"), col("dim"), col("qv")), "id")
+        .join(broadcast(qside), Seq("q_id", "dim"))
+        .groupBy("q_id", "id")
+        .agg(sum((col("qv") - col("q_qv")) * (col("qv") - col("q_qv"))).as("d2"))
+      val wF = Window.partitionBy("q_id").orderBy(col("d2"), col("id"))
+      ex.withColumn("rank", row_number().over(wF)).where(col("rank") <= 5)
+        .select("q_id", "id", "d2", "rank")
+        .orderBy("q_id", "rank")
+    },
+
+    // INCREMENTAL IVF-PQ index maintenance (r14 — the r13 verdict's
+    // item 2, completing the append story): sub-codebooks AND coarse
+    // centroids are Lloyd-trained on the BASE corpus only (vec_id %
+    // 10 <> 0, cached as the prebuilt index together with the base
+    // code table and base list assignment); the committed batch
+    // (vec_id % 10 = 0) is folded in ENCODE-ONLY at the frozen
+    // codebooks + ASSIGN-ONLY at the frozen centroids — two map-side
+    // passes over just the batch, no retrain, no base re-scan, no
+    // wholesale rebuild (which at 100 TB would re-encode the full
+    // corpus on every micro-batch commit). The search is the full
+    // IVF-PQ production path over the GROWN index: 6-of-20 probe
+    // selection, query LUT, ADC scan over the grown code table, exact
+    // integer re-rank of the 50-candidate shortlist. The ORACLE
+    // deliberately re-encodes and re-assigns the WHOLE grown corpus
+    // in one pass at the same frozen codebooks/centroids, so
+    // hash-green IS the proof that encode-append == full re-encode
+    // (the sim_ivf_incremental precedent, extended to the product
+    // quantizer). Recall floor + staleness contract: VecSpec /
+    // pqIncrementalIndex scaladoc.
+    "sim_pq_incremental" -> QueryDef(
+      s"""WITH $IvfIncOracleCtes,
+        |bqs AS (SELECT vec_id, label, dim, dim // 8 AS sub, qv FROM bqv),
+        |qs AS (SELECT vec_id, dim, dim // 8 AS sub, qv FROM qv),
+        |pcb0 AS (SELECT label*4 + vec_id%4 AS c_label, dim, sub,
+        |         CAST(SUM(qv) AS BIGINT) // COUNT(*) AS m FROM bqs GROUP BY 1, 2, 3),
+        |pa1 AS (SELECT vec_id, sub, c_label AS code FROM (
+        |    SELECT bqs.vec_id, bqs.sub, pcb0.c_label,
+        |      ROW_NUMBER() OVER (PARTITION BY bqs.vec_id, bqs.sub
+        |        ORDER BY SUM((bqs.qv - pcb0.m)*(bqs.qv - pcb0.m)), pcb0.c_label) AS rn
+        |    FROM bqs JOIN pcb0 ON bqs.dim = pcb0.dim GROUP BY 1, 2, 3) WHERE rn = 1),
+        |pcb1 AS (SELECT pa1.code AS c_label, bqs.dim, bqs.sub,
+        |         CAST(SUM(bqs.qv) AS BIGINT) // COUNT(*) AS m
+        |        FROM bqs JOIN pa1 ON bqs.vec_id = pa1.vec_id AND bqs.sub = pa1.sub
+        |        GROUP BY 1, 2, 3),
+        |pa2 AS (SELECT vec_id, sub, c_label AS code FROM (
+        |    SELECT bqs.vec_id, bqs.sub, pcb1.c_label,
+        |      ROW_NUMBER() OVER (PARTITION BY bqs.vec_id, bqs.sub
+        |        ORDER BY SUM((bqs.qv - pcb1.m)*(bqs.qv - pcb1.m)), pcb1.c_label) AS rn
+        |    FROM bqs JOIN pcb1 ON bqs.dim = pcb1.dim GROUP BY 1, 2, 3) WHERE rn = 1),
+        |pcb AS (SELECT pa2.code AS c_label, bqs.dim, bqs.sub,
+        |         CAST(SUM(bqs.qv) AS BIGINT) // COUNT(*) AS m
+        |       FROM bqs JOIN pa2 ON bqs.vec_id = pa2.vec_id AND bqs.sub = pa2.sub
+        |       GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, c_label AS code FROM (
+        |    SELECT qs.vec_id, qs.sub, pcb.c_label,
+        |      ROW_NUMBER() OVER (PARTITION BY qs.vec_id, qs.sub
+        |        ORDER BY SUM((qs.qv - pcb.m)*(qs.qv - pcb.m)), pcb.c_label) AS rn
+        |    FROM qs JOIN pcb ON qs.dim = pcb.dim GROUP BY 1, 2, 3) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, c_label AS probe FROM (
+        |    SELECT vec_id, c_label, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY td, c_label) AS rn FROM tot WHERE vec_id < 10) WHERE rn <= 6),
+        |lut AS (SELECT qs.vec_id AS q_id, pcb.sub, pcb.c_label,
+        |          SUM((qs.qv - pcb.m)*(qs.qv - pcb.m)) AS pd
+        |        FROM qs JOIN pcb ON qs.dim = pcb.dim
+        |        WHERE qs.vec_id < 10 GROUP BY 1, 2, 3),
+        |cand AS (SELECT probes.q_id, assign.vec_id AS id
+        |         FROM assign JOIN probes ON probes.probe = assign.bucket
+        |         WHERE assign.vec_id <> probes.q_id),
+        |adc AS (SELECT cand.q_id, cand.id, CAST(SUM(lut.pd) AS BIGINT) AS adc_dist
+        |        FROM cand JOIN codes ON codes.vec_id = cand.id
+        |        JOIN lut ON lut.q_id = cand.q_id AND lut.sub = codes.sub
+        |          AND lut.c_label = codes.code
+        |        GROUP BY 1, 2),
+        |short AS (SELECT q_id, id FROM (
+        |    SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, id) AS arank FROM adc) WHERE arank <= 50),
+        |ex AS (SELECT short.q_id, short.id,
+        |         CAST(SUM((c.qv - s.qv)*(c.qv - s.qv)) AS BIGINT) AS d2
+        |       FROM short
+        |       JOIN qv c ON c.vec_id = short.id
+        |       JOIN qv s ON s.vec_id = short.q_id AND s.dim = c.dim
+        |       GROUP BY 1, 2)
+        |SELECT q_id, id, d2, rank FROM (
+        |  SELECT q_id, id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, id) AS rank FROM ex)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val qvAll = quantized(s, d).localCheckpoint() // batch fold + query sides + re-rank
+      // prebuilt index: frozen codebooks + base code table + frozen
+      // centroids + base assignment (all cached — paid at index-build
+      // time like any production ANN index)
+      val (cb, baseCodes) = pqIncrementalIndex(s, d)
+      val (coarse, baseAssign) = ivfIncrementalIndex(s, d)
+      // the MEASURED path: encode-only + assign-only fold of the batch…
+      val batch = qvAll.where(col("vec_id") % 10 === 0)
+      val codes = baseCodes.unionByName(encodeWithCodebooks(batch, cb))
+      val assign = baseAssign.unionByName(assignToLists(batch, coarse))
+      // …then the full IVF-PQ search over the grown index
+      val tot = qvAll.where(col("vec_id") < 10).select("vec_id", "dim", "qv")
+        .join(broadcast(coarse), "dim")
+        .groupBy("vec_id", "c_label")
+        .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("td"))
+      val wA = Window.partitionBy("vec_id").orderBy(col("td"), col("c_label"))
+      val probes = tot.withColumn("rn", row_number().over(wA)).where(col("rn") <= 6)
+        .select(col("vec_id").as("q_id"), col("c_label").as("probe"))
+      val lut = qvAll.where(col("vec_id") < 10)
+        .join(broadcast(cb.select("c_label", "dim", "m")), "dim")
+        .groupBy(col("vec_id").as("q_id"), col("sub"), col("c_label").as("code"))
+        .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("pd"))
+      val cand = assign.join(broadcast(probes), col("bucket") === col("probe"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      val adc = codes.join(cand, "vec_id")
+        .join(broadcast(lut), Seq("q_id", "sub", "code"))
+        .groupBy(col("q_id"), col("vec_id").as("id"))
+        .agg(sum("pd").as("adc_dist"))
+      val wShort = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("id"))
+      val short = adc.withColumn("arank", row_number().over(wShort))
+        .where(col("arank") <= 50).select("q_id", "id")
+      val qside = qvAll.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("dim"), col("qv").as("q_qv"))
+      val ex = short
         .join(qvAll.select(col("vec_id").as("id"), col("dim"), col("qv")), "id")
         .join(broadcast(qside), Seq("q_id", "dim"))
         .groupBy("q_id", "id")

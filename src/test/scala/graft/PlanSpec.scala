@@ -535,6 +535,19 @@ class PlanSpec extends SparkSpec {
     assert(n("Union") == 1, s"base+append union must appear exactly once:\n$p")
   }
 
+  test("incremental IVF-PQ search: code/assignment folds union once each, small sides broadcast") {
+    val p = plan("sim_pq_incremental")
+    def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+    // probes, LUT, and query sides broadcast; the corpus-sized code
+    // table and assignment never build a hash-join build side
+    assert(n("BroadcastHashJoin") >= 3, s"probes/LUT/query sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly TWO base+append unions: the grown code table and the
+    // grown assignment — any more means a fold subtree was duplicated
+    assert(n("Union") == 2, s"want the 2 incremental-fold unions:\n$p")
+  }
+
   test("mm decode plans never shuffle the payload: one scan, one mapPartitions, no hash exchange") {
     Seq("mm_decode_features", "mm_resize_pool", "mm_decode_quarantine").foreach { q =>
       val p = plan(q)

@@ -326,6 +326,40 @@ class VecSpec extends SparkSpec {
         "(retrain trigger per the staleness contract)")
   }
 
+  test("incremental IVF-PQ search holds recall@5 on the GROWN corpus (staleness floor)") {
+    // the PQ tier's half of the staleness contract: after the
+    // encode-only/assign-only append, the ADC-shortlist search over
+    // the grown code table must hold its declared recall floor vs
+    // exact brute force — a breach is the retrain trigger
+    // (VecAnalytics.pqIncrementalIndex scaladoc). The floor sits
+    // below the coarse-only tier's (ADC adds quantization distortion
+    // on top of the probe loss — that is the trade PQ makes for
+    // scanning 8-byte codes instead of 256-byte vectors).
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.SparkEntry.queries("sim_pq_incremental")(spark, sf001)
+      .select("q_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qvAll = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)").as("qv"))
+      .localCheckpoint()
+    val qside = qvAll.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("dim"), col("qv").as("q_qv"))
+    val d2 = qvAll.select(col("vec_id").as("id"), col("dim"), col("qv"))
+      .join(broadcast(qside), "dim")
+      .where(col("id") =!= col("q_id"))
+      .groupBy("q_id", "id")
+      .agg(sum((col("qv") - col("q_qv")) * (col("qv") - col("q_qv"))).as("d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("id"))
+    val exact = d2.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5).select("q_id", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"incremental-IVF-PQ recall@5 $recall breached the declared 0.5 floor " +
+        "(observed 0.66 at sf0.01; retrain trigger per the staleness contract)")
+  }
+
   test("streaming ANN gate interlocks with the incremental index: 6-probe top1 <= 1-probe top1") {
     // the stream tier probes ONLY the query's own assigned list; the
     // batch tier (sim_ivf_incremental) probes the 6 nearest lists —
