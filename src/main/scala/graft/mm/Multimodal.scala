@@ -96,6 +96,36 @@ object Multimodal {
 
   private val PpmHeader = "P6\n8 8\n255\n"
 
+  /** [[withPpmMedia]] with a deterministic brightness/noise JITTER —
+    * the planted-near-duplicate generator for perceptual-hash dedup:
+    * every raster byte gains +7 (uniform brightness lift: luma shifts
+    * exactly +7 under the BT.601 trunc-div, so dHash gradients are
+    * invariant away from clamps), bytes at k % 53 == 0 gain +47
+    * (sparse sensor noise: 4 of 192 bytes, flipping 0..2 gradient
+    * bits per image — measured at sf0.01), everything clamped at 255.
+    * Built columnar via the md5-hex roundtrip (conv → arithmetic →
+    * hex → unhex) so the payload is a REAL standards-valid P6 file
+    * the production decoder parses, and the DuckDB oracle re-derives
+    * the identical jittered bytes with plain integer SQL.
+    */
+  def withJitteredPpmMedia(docs: DataFrame): DataFrame = {
+    val pixels = (0 until 12).map { i =>
+      val hexCol = md5(concat(col("text"), lit(":"), lit(i.toString)).cast("binary"))
+      unhex(concat_ws("", (0 until 16).map { j =>
+        val k = i * 16 + j
+        val v = conv(substring(hexCol, j * 2 + 1, 2), 16, 10).cast("long")
+        val bump = if (k % 53 == 0) 47L else 7L
+        lpad(hex(least(lit(255L), v + bump)), 2, "0")
+      }: _*))
+    }
+    docs.withColumn("media", struct(
+      concat(lit(PpmHeader.getBytes("US-ASCII")) +: pixels: _*).as("payload"),
+      map(
+        lit("mime"), lit("image/x-portable-pixmap"),
+        lit("width"), lit("8"),
+        lit("height"), lit("8")).as("meta")))
+  }
+
   final case class DecodedImage(width: Int, height: Int, pixels: Array[Byte])
 
   /** Real P6 parser: magic, then width/height/maxval as ASCII
@@ -208,6 +238,49 @@ object Multimodal {
         py += 1
       }
       out
+    }
+  }
+
+  /** Perceptual hash (dHash) over the REAL decoded pixels — the
+    * banded fingerprint multimodal NEAR-dup rides on: BT.601 luma per
+    * pixel (the [[PpmFeatureDecoder]] fixed point), one gradient bit
+    * per horizontally adjacent pair (bit set iff luma strictly
+    * increases left→right — invariant under uniform brightness shift,
+    * which is what makes it a perceptual hash rather than a byte
+    * digest), (w−1)·h bits total, emitted as 4 equal LSB-first BANDS
+    * so an LSH bucket join can meet images on any exactly-matching
+    * quarter (each band value < 2^14 for the 8×8 fixtures — exact in
+    * Float, the decoder-seam contract). Works for any conformant P6,
+    * not just the fixtures.
+    */
+  object PpmDHashDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte], meta: Map[String, String]): Array[Float] = {
+      val img = decodePpm(payload)
+      val w = img.width; val h = img.height
+      val luma = new Array[Int](w * h)
+      var p = 0
+      while (p < w * h) {
+        luma(p) = (299 * (img.pixels(p * 3) & 0xff) +
+          587 * (img.pixels(p * 3 + 1) & 0xff) +
+          114 * (img.pixels(p * 3 + 2) & 0xff)) / 1000
+        p += 1
+      }
+      val nBits = (w - 1) * h
+      val bandBits = (nBits + 3) / 4
+      require(bandBits <= 24, s"dhash: ${w}x$h needs $bandBits-bit bands (Float-exact max 24)")
+      val bands = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w - 1) {
+          val k = y * (w - 1) + x
+          if (luma(y * w + x) < luma(y * w + x + 1))
+            bands(k / bandBits) |= 1L << (k % bandBits)
+          x += 1
+        }
+        y += 1
+      }
+      Array(bands(0).toFloat, bands(1).toFloat, bands(2).toFloat, bands(3).toFloat)
     }
   }
 

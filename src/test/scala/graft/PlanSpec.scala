@@ -548,6 +548,19 @@ class PlanSpec extends SparkSpec {
     assert(n("Union") == 2, s"want the 2 incremental-fold unions:\n$p")
   }
 
+  test("mm_dedup_phash: band-bucket equi-join + broadcast Hamming sides, no pair space") {
+    val p = plan("mm_dedup_phash")
+    // candidates meet on (band, key) — an equi-join over the exploded
+    // band index; the two Hamming verify sides are the n-row band
+    // table, broadcast. Any nested-loop/cartesian form means the
+    // image corpus went all-pairs. (The decode itself runs at
+    // localCheckpoint build time — payloads never reach this plan.)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+    assert(n("BroadcastHashJoin") >= 2, s"Hamming sides must broadcast:\n$p")
+  }
+
   test("mm decode plans never shuffle the payload: one scan, one mapPartitions, no hash exchange") {
     Seq("mm_decode_features", "mm_resize_pool", "mm_decode_quarantine").foreach { q =>
       val p = plan(q)

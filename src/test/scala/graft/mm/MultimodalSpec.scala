@@ -97,6 +97,49 @@ class MultimodalSpec extends SparkSpec {
     assert(img.pixels.take(16).toSeq == md.toSeq)
   }
 
+  test("dHash: brightness-invariant, jitter stays within Hamming 2, real pairs stay far") {
+    // unit law of the perceptual hash: a uniform +7 on every raster
+    // byte leaves every gradient bit unchanged away from clamps
+    // (BT.601 trunc-div shifts luma exactly +7), the full jitter
+    // (+7 brightness + 4 noise bytes) moves the hash by at most a
+    // couple of bits, and two unrelated images disagree on ~half the
+    // 56 bits — the margins the <=8 verify threshold rides on.
+    val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    def bandsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] = df
+      .select(col("doc_id"), col("media.payload")).collect()
+      .map(r => r.getLong(0) ->
+        Multimodal.PpmDHashDecoder.decode(r.getAs[Array[Byte]](1), Map.empty)
+          .map(_.toLong).toSeq).toMap
+    val base = bandsOf(Multimodal.withPpmMedia(docs))
+    val jit = bandsOf(Multimodal.withJitteredPpmMedia(docs))
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(base(1L).forall(v => v >= 0 && v < (1L << 14)), s"band range: ${base(1L)}")
+    assert(ham(base(1L), jit(1L)) <= 2, s"jitter moved doc 1 by ${ham(base(1L), jit(1L))}")
+    assert(ham(base(2L), jit(2L)) <= 2, s"jitter moved doc 2 by ${ham(base(2L), jit(2L))}")
+    assert(ham(base(1L), base(2L)) > 8, s"unrelated images too close: ${ham(base(1L), base(2L))}")
+  }
+
+  test("mm_dedup_phash recalls every planted jittered image against its original") {
+    // end-to-end recall contract at sf0.001: all 40 planted jittered
+    // copies are dropped, each against a real (pre-offset) keeper, at
+    // the measured 0..2 Hamming — and the natural band collisions
+    // (79 candidate pairs at sf0.01) never survive the verify, so no
+    // genuine distinct image is dropped.
+    val rows = MmQueries.defs("mm_dedup_phash").build(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val planted = rows.filter(_._1 >= 70000L)
+    assert(planted.length == 40, s"expected 40 planted drops, got ${planted.length}")
+    planted.foreach { case (dropped, keeper, minHam) =>
+      assert(keeper < 70000L, s"planted $dropped kept by another planted copy $keeper")
+      assert(minHam <= 2L, s"planted $dropped at Hamming $minHam (measured max 2)")
+    }
+    rows.filter(_._1 < 70000L).foreach { case (dropped, _, minHam) =>
+      assert(minHam == 0L,
+        s"real image $dropped dropped at Hamming $minHam — only byte-dup texts may die")
+    }
+  }
+
   test("extractFeaturesSafe quarantines corrupt payloads without killing the job") {
     val good = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
     val records = Seq(
