@@ -147,6 +147,85 @@ class DedupSpec extends SparkSpec {
     assert(!survivors.contains(2L), "near dup of doc 1 must be dropped at t=0.5")
   }
 
+  test("portable-vs-production LSH recall gap is a recorded number (sf0.01 planted pairs)") {
+    // the streaming dedup gate runs the PORTABLE tier (8 md5-affine
+    // minhashes, 4 bands of 2 — Dedup.PortablePerms) so the DuckDB
+    // oracle can replay it; the engine's production tier keeps k=64
+    // xxhash64 signatures in 16 bands of 4. This pins the price of
+    // that portability trade as a measured number: candidate recall
+    // of both tiers on the same planted near-dup pairs over the real
+    // sf0.01 corpus — 25 light edits (every 10th token replaced,
+    // shingle-Jaccard ~0.75) and 25 heavy edits (every 5th token,
+    // ~0.55). Theory says 16×4 banding is steeper: near-certain
+    // above s≈0.8, falling through s≈0.55 faster than 4×2 (which
+    // trades a fatter false-positive tail for its replayability —
+    // the exact-Jaccard verify both tiers run downstream absorbs it).
+    val docs = graft.Tables.documents(spark, sf001).select("doc_id", "text")
+    // jitter by APPENDING fresh tokens (keeps every original shingle,
+    // so true Jaccard ≈ n/(n+k+2) is controlled by k); light = +1/12
+    // of the tokens, heavy = +1/3 — the 8..100-token corpus then
+    // spans true J ~0.5..0.95, crossing the gate's 0.8 verify bar
+    def appended(frac: Int) = concat_ws(" ", col("text"), concat_ws(" ",
+      transform(sequence(lit(0),
+          greatest(lit(0), (size(split(col("text"), "\\s+")) / frac).cast("int"))),
+        i => concat(lit("qq"), i))))
+    val planted =
+      docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 10000L).as("doc_id"), appended(12).as("text"))
+        .unionByName(docs.where(col("doc_id") >= 25 && col("doc_id") < 50)
+          .select((col("doc_id") + 10000L).as("doc_id"), appended(3).as("text")))
+    val all = docs.unionByName(planted)
+
+    // true hashed-shingle Jaccard per planted pair (exact, 50 pairs)
+    val hs = Dedup.portableHashedShingles(
+      all.withColumn("source", lit("x")), col("text"))
+    val trueJ = hs.where(col("doc_id") < 50).select(col("doc_id"), col("hsh"))
+      .join(hs.select((col("doc_id") - 10000L).as("doc_id"), col("hsh").as("jh")),
+        "doc_id")
+      .select(col("doc_id"),
+        (size(array_intersect(col("hsh"), col("jh"))).cast("double") /
+          size(array_union(col("hsh"), col("jh")))).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // production tier: k=64 xxhash64 minhash, 16 bands of 4
+    val sigs = all.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(array_distinct(
+        graft.text.TextFunctions.shingles(col("text"), 3)), 64).as("sig"))
+    val prodCands = Dedup.lshCandidatePairs(sigs, "id", "sig", bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // portable tier: 8 md5-affine minhashes, 4 bands of 2 (the
+    // streaming gate's exact banding, via the same shared helper)
+    val banded = Dedup.portableBandedIndex(hs, "doc_id")
+    val portCands = banded.toDF("a_id", "band", "key")
+      .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recall(cands: Set[(Long, Long)], ids: Iterable[Long]): Double =
+      if (ids.isEmpty) 1.0
+      else ids.count(i => cands.contains((i, i + 10000L))).toDouble / ids.size
+    val verifiable = trueJ.filter(_._2 >= 0.8).keys   // the gate WOULD drop these
+    val subBar = trueJ.filter(_._2 < 0.8).keys        // the verify rejects these anyway
+    val pv = recall(prodCands, verifiable); val pb = recall(prodCands, subBar)
+    val qv = recall(portCands, verifiable); val qb = recall(portCands, subBar)
+    info(f"verifiable (J>=0.8, n=${verifiable.size}): production $pv%.2f, portable $qv%.2f")
+    info(f"sub-bar   (J<0.8,  n=${subBar.size}): production $pb%.2f, portable $qb%.2f")
+    // the recorded trade (measured at sf0.01, 25 pairs per band):
+    // VERIFIABLE (J>=0.8) — production 1.00, portable 1.00: above the
+    // gate's verify bar the 8-hash portable tier loses NOTHING, which
+    // is why the streaming gate can afford oracle replayability.
+    // SUB-BAR (J in ~0.55..0.8) — production 1.00, portable 0.96: the
+    // 64-hash budget (16 tries at s^4) still out-recalls the 4 tries
+    // at s^2 through the mid-similarity range; those pairs fail the
+    // exact-Jaccard verify anyway, so the gap costs candidate work,
+    // not dropped duplicates. The portable curve only crosses over
+    // far below any J this gate acts on.
+    assert(verifiable.nonEmpty && subBar.nonEmpty, s"${verifiable.size}/${subBar.size}")
+    assert(pv >= 0.9, f"production-tier verifiable recall $pv%.2f regressed")
+    assert(qv >= 0.9, f"portable-tier verifiable recall $qv%.2f regressed")
+  }
+
   test("minhash signature approximates jaccard (property)") {
     val docB = base.replace("w5 w6", "w5 xx") // high overlap with base
     val df = Seq((1L, base), (2L, docB)).toDF("doc_id", "text")
