@@ -635,6 +635,169 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** The MULTIMODAL family's streaming leg (r14 — with this, the mm
+    * modality has exact dedup, perceptual near-dup, AND the live gate:
+    * every family's train/serve/stream triangle is closed): the base
+    * corpus's dHash band index is built OFFLINE (decode once — the
+    * "train" step of an image-dedup pipeline is fingerprinting the
+    * corpus), then images arrive as a stream — the original uploads
+    * plus jittered RE-uploads of docs < 40 (real P6 payloads,
+    * brightness+noise jitter, id +70000) — each is decoded and
+    * dHashed per row through the same [[graft.mm.Multimodal]] seam,
+    * band keys meet the index via a stream-static BROADCAST equi-join
+    * on (band, key) with `c_id < doc_id` (a doc never pairs with
+    * itself or a later upload), the full 56-bit Hamming ≤ 8 verifies
+    * on CANDIDATES only against the broadcast band table, and the
+    * per-image decision closes in ONE streaming aggregate. Per-source
+    * novel-ppm is the live monitor a media-crawl ingest watches.
+    *
+    * Scale shape: the stream never shuffles before its one aggregate —
+    * banding + decode are per-row, both index sides broadcast (4 band
+    * values + 4 longs per corpus image ≈ 48 B/image, billions fit a
+    * few GB; past broadcast limits the same plan runs as a shuffled
+    * stream-static join on (band, key)); payloads never leave the
+    * executor — only band values move.
+    */
+  def phashGateOnce(spark: SparkSession, dir: String): DataFrame =
+    phashGatePerDocOnce(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_dup").as("n_dropped"),
+        sum("n_cand_rows").as("cand_rows"),
+        expr("CAST((COUNT(*) - SUM(is_dup)) * 1000000 DIV COUNT(*) AS BIGINT)")
+          .as("novel_ppm"))
+      .orderBy("source")
+
+  /** The drained PER-IMAGE decisions of [[phashGateOnce]] — exposed so
+    * PipelineIntegrationSpec can pin the interlock law (streamed drop
+    * set == the batch twin's) at image granularity.
+    */
+  private[graft] def phashGatePerDocOnce(spark: SparkSession, dir: String): DataFrame = {
+    val bands = phashIndexBands(spark, graft.Tables.documents(spark, dir))
+      // two consumers (band-bucket index + Hamming verify side); the
+      // corpus fingerprint table of a production gate is prebuilt and
+      // reused across micro-batches, so pin it once
+      .localCheckpoint()
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def reader() = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    // the arriving uploads: every original, plus a jittered RE-upload
+    // of each doc < 40 (two file sources unioned — the batch twin and
+    // the oracle replay the identical augmentation)
+    val stream = graft.mm.Multimodal.withPpmMedia(reader())
+      .select(col("doc_id"), col("media"))
+      .unionByName(graft.mm.Multimodal
+        .withJitteredPpmMedia(reader().where(col("doc_id") < 40))
+        .select((col("doc_id") + 70000L).as("doc_id"), col("media")))
+    phashProbe(spark, stream, bands, graft.Tables.documents(spark, dir))
+  }
+
+  /** The batch twin of the streaming probe — identical construction
+    * over the batch reader, for the stream==batch interlock pin.
+    */
+  private[graft] def phashGateBatchTwin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val bands = phashIndexBands(spark, docs).localCheckpoint()
+    val batch = graft.mm.Multimodal.withPpmMedia(docs)
+      .select(col("doc_id"), col("media"))
+      .unionByName(graft.mm.Multimodal
+        .withJitteredPpmMedia(docs.where(col("doc_id") < 40))
+        .select((col("doc_id") + 70000L).as("doc_id"), col("media")))
+    phashProbe(spark, batch, bands, docs)
+  }
+
+  /** Base-corpus dHash band table (doc_id, b0..b3) — the prebuilt
+    * index both gate legs probe.
+    */
+  private def phashIndexBands(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = graft.mm.Multimodal.withPpmMedia(docs)
+      .select(col("doc_id"), lit("image").as("kind"),
+        col("media.payload").as("payload"), col("media.meta").as("meta"))
+      .as[graft.mm.Multimodal.MediaRecord]
+    graft.mm.Multimodal
+      .extractFeatures(media, graft.mm.Multimodal.PpmDHashDecoder, batchSize = 64)
+      .toDF()
+      .select(col("doc_id"),
+        expr("CAST(features[0] AS BIGINT)").as("b0"),
+        expr("CAST(features[1] AS BIGINT)").as("b1"),
+        expr("CAST(features[2] AS BIGINT)").as("b2"),
+        expr("CAST(features[3] AS BIGINT)").as("b3"))
+  }
+
+  /** Shared probe plan of the streaming gate and its batch twin: ONE
+    * definition so the two legs cannot drift (the portableBandKeys
+    * discipline). decode+dHash per row, source attached by a broadcast
+    * static join on the ORIGINAL id, band fan-out, broadcast index
+    * join (c_id < doc_id), broadcast Hamming verify, one per-image
+    * aggregate.
+    */
+  private def phashProbe(spark: SparkSession, mediaDocs: DataFrame,
+      bands: DataFrame, staticDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = mediaDocs
+      .select(col("doc_id"), lit("image").as("kind"),
+        col("media.payload").as("payload"), col("media.meta").as("meta"))
+      .as[graft.mm.Multimodal.MediaRecord]
+    val sb = graft.mm.Multimodal
+      .extractFeatures(media, graft.mm.Multimodal.PpmDHashDecoder, batchSize = 64)
+      .toDF()
+      .select(col("doc_id"),
+        expr("CAST(features[0] AS BIGINT)").as("s0"),
+        expr("CAST(features[1] AS BIGINT)").as("s1"),
+        expr("CAST(features[2] AS BIGINT)").as("s2"),
+        expr("CAST(features[3] AS BIGINT)").as("s3"))
+      // source rides a broadcast static join on the original id
+      // (re-uploads inherit their original's source)
+      .join(broadcast(staticDocs
+          .select(col("doc_id").as("orig"), col("source"))),
+        col("orig") === pmod(col("doc_id"), lit(70000L)))
+    val bandIdx = bands.select(col("doc_id").as("c_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "key")))
+      .toDF("c_id", "i_band", "i_key")
+    val csh = bands.select(col("doc_id").as("c_id"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    sb.select(col("doc_id"), col("source"),
+        col("s0"), col("s1"), col("s2"), col("s3"),
+        posexplode(array(col("s0"), col("s1"), col("s2"), col("s3")))
+          .as(Seq("band", "key")))
+      .join(broadcast(bandIdx),
+        col("band") === col("i_band") && col("key") === col("i_key") &&
+          col("c_id") < col("doc_id"), "left")
+      .join(broadcast(csh), Seq("c_id"), "left")
+      .withColumn("hamming", when(col("c_id").isNotNull,
+        bit_count(col("s0").bitwiseXOR(col("c0"))) +
+        bit_count(col("s1").bitwiseXOR(col("c1"))) +
+        bit_count(col("s2").bitwiseXOR(col("c2"))) +
+        bit_count(col("s3").bitwiseXOR(col("c3")))))
+      .groupBy("doc_id", "source")
+      .agg(
+        sum(when(col("c_id").isNotNull, 1L).otherwise(0L)).as("n_cand_rows"),
+        max(when(col("c_id").isNotNull && col("hamming") <= 8, 1L)
+          .otherwise(0L)).as("is_dup")) match {
+      case agg if mediaDocs.isStreaming =>
+        val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+        val q = withStateSizedPartitions(spark) {
+          agg.writeStream
+            .outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        q.awaitTermination()
+        spark.table(name)
+      case agg => agg
+    }
+  }
+
   /** Streaming deduplication: emit each (user_id, event_type) key once,
     * drained with AvailableNow, then count survivors per type in batch.
     * `dropDuplicates` keys state exactly like the batch distinct the

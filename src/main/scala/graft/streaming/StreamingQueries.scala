@@ -212,6 +212,84 @@ object StreamingQueries {
       StreamingOps.dedupGateOnce(s, d)
     },
 
+    // the MULTIMODAL family's STREAMING leg (r14) — index-batch/
+    // probe-stream for IMAGES: the corpus's dHash band index built
+    // offline (decode once), arriving uploads (originals + jittered
+    // re-uploads of docs < 40 at +70000, real P6 payloads) decoded and
+    // dHashed per row, banded keys probed via a stream-static
+    // broadcast join on (band, key) with c_id < doc_id, full 56-bit
+    // Hamming <= 8 verified on candidates only, per-image decision in
+    // one streaming aggregate, per-source novel-ppm monitored. The
+    // oracle re-derives base AND jittered pixels and replays
+    // bits/bands/bucket-join/Hamming as materialized CTEs; the
+    // streamed per-image decisions == the batch twin's is pinned in
+    // PipelineIntegrationSpec.
+    "streaming_phash_gate" -> QueryDef(
+      """WITH b AS MATERIALIZED (
+        |  SELECT doc_id, (i*16 + j) AS k,
+        |    CAST(concat('0x', substr(md5(text || ':' || i), j*2+1, 2)) AS BIGINT) AS v
+        |  FROM documents, range(12) t(i), range(16) u(j)),
+        |allb AS MATERIALIZED (
+        |  SELECT doc_id, k, v FROM b
+        |  UNION ALL
+        |  SELECT doc_id + 70000, k,
+        |    LEAST(255, v + CASE WHEN k % 53 = 0 THEN 47 ELSE 7 END)
+        |  FROM b WHERE doc_id < 40),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, k // 3 AS p,
+        |    MAX(CASE WHEN k % 3 = 0 THEN v END) AS r,
+        |    MAX(CASE WHEN k % 3 = 1 THEN v END) AS g,
+        |    MAX(CASE WHEN k % 3 = 2 THEN v END) AS b
+        |  FROM allb GROUP BY 1, 2),
+        |lm AS MATERIALIZED (
+        |  SELECT doc_id, p, (299*r + 587*g + 114*b) // 1000 AS luma FROM px),
+        |bits AS MATERIALIZED (
+        |  SELECT a.doc_id, (a.p // 8) * 7 + (a.p % 8) AS bit,
+        |    CASE WHEN a.luma < c.luma THEN 1 ELSE 0 END AS v
+        |  FROM lm a JOIN lm c ON c.doc_id = a.doc_id AND c.p = a.p + 1
+        |  WHERE a.p % 8 < 7),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bit // 14 = 0 THEN v * (1 << (bit % 14)) ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(SUM(CASE WHEN bit // 14 = 1 THEN v * (1 << (bit % 14)) ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(SUM(CASE WHEN bit // 14 = 2 THEN v * (1 << (bit % 14)) ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(SUM(CASE WHEN bit // 14 = 3 THEN v * (1 << (bit % 14)) ELSE 0 END) AS BIGINT) AS b3
+        |  FROM bits GROUP BY 1),
+        |exs AS MATERIALIZED (
+        |  SELECT doc_id, 0 AS band, b0 AS key FROM bands
+        |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+        |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+        |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+        |cand AS MATERIALIZED (
+        |  SELECT s.doc_id AS did, i.doc_id AS cid
+        |  FROM exs s JOIN exs i ON s.band = i.band AND s.key = i.key
+        |   AND i.doc_id < 70000 AND i.doc_id < s.doc_id),
+        |hm AS MATERIALIZED (
+        |  SELECT c.did, c.cid,
+        |    bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+        |    bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.doc_id = c.did
+        |  JOIN bands y ON y.doc_id = c.cid),
+        |per AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS ncr,
+        |          MAX(CASE WHEN hamming <= 8 THEN 1 ELSE 0 END) AS dup
+        |        FROM hm GROUP BY 1),
+        |docsall AS (
+        |  SELECT doc_id, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 70000, source FROM documents WHERE doc_id < 40),
+        |fl AS (SELECT d.source, COALESCE(p.dup, 0) AS is_dup,
+        |         COALESCE(p.ncr, 0) AS ncr
+        |       FROM docsall d LEFT JOIN per p ON p.did = d.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(is_dup) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(ncr) AS BIGINT) AS cand_rows,
+        |  CAST((COUNT(*) - SUM(is_dup)) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS novel_ppm
+        |FROM fl GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      StreamingOps.phashGateOnce(s, d)
+    },
+
     // the SIMILARITY family's STREAMING leg (r13): query vectors
     // stream against the incrementally-maintained IVF index — per
     // vector a map-side argmin picks its trained list (centroid

@@ -524,6 +524,25 @@ class PlanSpec extends SparkSpec {
     assert(n("Exchange") <= 3, s"probe side must not shuffle before the doc agg:\n$p")
   }
 
+  test("phash gate probe: index sides broadcast; upload side never hash-shuffles before its agg") {
+    // the mm streaming gate's probe plan, via the batch twin (the
+    // interlock spec pins they are identical): the band-bucket index,
+    // the Hamming verify side, AND the static source table must all
+    // arrive as broadcasts — a hash exchange of the upload side before
+    // the per-image aggregate would shuffle decoded fingerprints per
+    // micro-batch at 100 TB (and any exchange carrying the payload
+    // would be worse — payloads never leave the executor)
+    val p = graft.streaming.StreamingOps
+      .phashGateBatchTwin(spark, sf0001)
+      .queryExecution.explainString(FormattedMode)
+    def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+    assert(n("BroadcastHashJoin") == 3, s"want 3 broadcast joins (source/index/verify):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the only hash exchange feeds the final (doc_id, source) agg —
+    // the upload relation reaches the joins exchange-free
+    assert(n("Exchange") <= 2, s"upload side must not shuffle before its agg:\n$p")
+  }
+
   test("incremental IVF search: probes broadcast, grown assignment unions without re-exchange") {
     val p = plan("sim_ivf_incremental")
     def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))

@@ -288,4 +288,30 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(!dropped.contains(batch.map(_._1).min),
       "the smallest doc_id has no earlier candidate and must survive")
   }
+
+  test("the MULTIMODAL streaming leg interlocks: streamed image decisions == batch twin") {
+    // r14: the mm family's gate — the corpus's dHash band index built
+    // once, the SAME probe plan (decode -> dHash -> band-bucket
+    // broadcast join -> Hamming <= 8 verify -> per-image decision)
+    // over (a) the batch uploads and (b) the drained upload stream.
+    // Identical per-image decisions mean a media ingest can swap
+    // batch backfill and live gating freely. Every planted jittered
+    // re-upload (id >= 70000) must die against its original (the
+    // Hamming 0..2 measurement), and the smallest doc_id must survive
+    // (no earlier candidate exists).
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val batch = rows(graft.streaming.StreamingOps.phashGateBatchTwin(spark, dir))
+    val streamed = rows(graft.streaming.StreamingOps.phashGatePerDocOnce(spark, dir))
+    assert(streamed.length == batch.length,
+      "the stream must decide every upload exactly once")
+    assert(streamed.toSet == batch.toSet,
+      "streamed per-image decisions must equal the batch twin exactly")
+    val decisions = batch.map(r => r._1 -> r._4).toMap
+    val planted = decisions.filter(_._1 >= 70000L)
+    assert(planted.size == 40 && planted.values.forall(_ == 1L),
+      s"every planted jittered re-upload must be dropped: $planted")
+    assert(decisions(batch.map(_._1).min) == 0L,
+      "the smallest doc_id has no earlier candidate and must survive")
+  }
 }
