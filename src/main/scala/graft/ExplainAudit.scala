@@ -81,7 +81,10 @@ object ExplainAudit {
       "dedup_semantic",    // broadcast centroid argmin + cluster-keyed pairs
       "decontaminate_embedding", // broadcast bench set, one corpus scan
       "graph_label_propagation", // kNN-sparsify window + per-round vote agg
-      "sim_ivf_incremental") // frozen-centroid append assign + probed exact re-rank
+      "sim_ivf_incremental", // frozen-centroid append assign + probed exact re-rank
+      "dedup_semantic_scaled", // r14: broadcast exemplar seeds, partial argmin, cluster pairs
+      "sim_pq_incremental",  // r14: frozen-codebook encode fold + ADC over grown codes
+      "mm_dedup_phash")      // r14: band-bucket join + broadcast Hamming verify
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")
