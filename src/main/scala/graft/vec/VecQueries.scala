@@ -559,18 +559,21 @@ object VecQueries {
       val asg = dist.withColumn("rn", row_number().over(wnd))
         .where(col("rn") === 1)
         .select(col("id"), col("c_label").as("cluster"))
+      // exact BIGINT dots via the codegen'd vec_dot (identical
+      // arithmetic to the oracle's list_reduce — every quantity an
+      // integer < 2^53, so the doubles are exact; the interpreted
+      // zip_with/aggregate HOFs this replaces cost ~2x wall on the
+      // 400k-pair verify at sf0.1)
+      import graft.functions.GraftExpressions.vec_dot
       val v = asg.join(aug, "id")
-        .withColumn("n2", aggregate(transform(col("fv"), x => x * x),
-          lit(0L), (a, x) => a + x))
+        .withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
       val a = v.select(col("id").as("a_id"), col("cluster"),
         col("fv").as("afv"), col("n2").as("an2"))
       val b = v.select(col("id").as("b_id"), col("cluster"),
         col("fv").as("bfv"), col("n2").as("bn2"))
       a.join(b, Seq("cluster"))
         .where(col("a_id") < col("b_id") && col("an2") > 0 && col("bn2") > 0)
-        .withColumn("dot", aggregate(
-          zip_with(col("afv"), col("bfv"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("dot", vec_dot(col("afv"), col("bfv")).cast("long"))
         .withColumn("cos_micro", expr(
           "CAST(round(CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * " +
             "sqrt(CAST(bn2 AS DOUBLE))) * 1000000) AS BIGINT)"))
@@ -767,13 +770,12 @@ object VecQueries {
               array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
               slice(col("fv"), 2, 63)).as("fv")))
       train.crossJoin(broadcast(bench))
-        .withColumn("dot", aggregate(
-          zip_with(col("fv"), col("bv"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
-        .withColumn("tn2", aggregate(transform(col("fv"), x => x * x),
-          lit(0L), (acc, x) => acc + x))
-        .withColumn("bn2", aggregate(transform(col("bv"), x => x * x),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("dot",
+          graft.functions.GraftExpressions.vec_dot(col("fv"), col("bv")).cast("long"))
+        .withColumn("tn2",
+          graft.functions.GraftExpressions.vec_dot(col("fv"), col("fv")).cast("long"))
+        .withColumn("bn2",
+          graft.functions.GraftExpressions.vec_dot(col("bv"), col("bv")).cast("long"))
         .withColumn("cos_micro", expr(
           "CAST(round(CAST(dot AS DOUBLE) / (sqrt(CAST(tn2 AS DOUBLE)) * " +
             "sqrt(CAST(bn2 AS DOUBLE))) * 1000000) AS BIGINT)"))
