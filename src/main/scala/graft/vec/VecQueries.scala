@@ -718,6 +718,163 @@ object VecQueries {
         .orderBy("dropped_id")
     },
 
+    // SCALED SEMANTIC DEDUP WITH A LLOYD REFINEMENT (r14): the
+    // exemplar-seeded tier above documents that "a Lloyd refinement
+    // slots in front of the assignment unchanged" — this query IS
+    // that code, so the claim is oracle-gated rather than prose. One
+    // k-means half-step at the scaled cluster count: the BASE corpus
+    // assigns to the nlist exemplar seeds (argmin exact BIGINT L2),
+    // per-cluster INTEGER means (trunc-div — the vec_centroids fixed
+    // point) become the refined centroids, and the final assignment
+    // of the augmented corpus runs at those refined centroids —
+    // centroids that now sit at their cells' centers of mass instead
+    // of on arbitrary member vectors, the standard k-means tightening
+    // (more rounds = trainCoarse's loop; one round is where the
+    // marginal recall flattens on isotropic-noise clusters). Same
+    // 0.999-cosine drop rule, planting, and output shape; every
+    // quantity integer, so the whole two-phase clustering hash-matches
+    // the oracle's replay. Scale shape adds ONE explode-aggregate
+    // (the mean) and one more broadcast argmin over the base corpus —
+    // both linear passes; the pair space stays Σ n_c² ≈ 100·n.
+    "dedup_semantic_lloyd" -> QueryDef(
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |nl AS (SELECT GREATEST(16, (COUNT(*) + 99) // 100) AS nlist FROM embeddings),
+         |seeds AS MATERIALIZED (
+         |  SELECT rn - 1 AS seed_id, fv AS sv,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(fv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS sn2
+         |  FROM (SELECT vec_id, fv, ROW_NUMBER() OVER (
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM f), nl
+         |  WHERE rn <= nl.nlist),
+         |bq AS MATERIALIZED (
+         |  SELECT vec_id AS id, fv,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(fv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS n2
+         |  FROM f),
+         |d0 AS (SELECT bq.id, seeds.seed_id,
+         |         bq.n2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(list_zip(bq.fv, seeds.sv), p -> p[1] * p[2])),
+         |           (a, x) -> a + x) AS BIGINT) + seeds.sn2 AS d2
+         |       FROM bq, seeds),
+         |asg0 AS MATERIALIZED (SELECT id, seed_id AS cluster FROM (
+         |    SELECT id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, seed_id) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |q AS (SELECT asg0.cluster, i AS dim, bq.fv[i+1] AS qv
+         |      FROM bq JOIN asg0 USING (id), UNNEST(range(0, 64)) AS t(i)),
+         |cent AS MATERIALIZED (
+         |  SELECT cluster, dim, CAST(SUM(qv) AS BIGINT) // COUNT(*) AS m
+         |  FROM q GROUP BY 1, 2),
+         |aug AS MATERIALIZED (
+         |  SELECT vec_id AS id, fv FROM f
+         |  UNION ALL
+         |  SELECT vec_id + ${VecQueries.PlantedIdOffset} AS id,
+         |    list_prepend(fv[1] + (vec_id % 5) + 1, fv[2:64]) AS fv
+         |  FROM f WHERE vec_id < 50),
+         |aq AS (SELECT id, i AS dim, fv[i+1] AS qv
+         |       FROM aug, UNNEST(range(0, 64)) AS t(i)),
+         |dist AS (SELECT id, cluster, CAST(SUM((qv - m) * (qv - m)) AS BIGINT) AS d2
+         |         FROM aq JOIN cent USING (dim) GROUP BY 1, 2),
+         |asg AS (SELECT id, cluster FROM (
+         |    SELECT id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |av AS (SELECT id, fv,
+         |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(fv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS n2
+         |       FROM aug),
+         |v AS (SELECT asg.id, asg.cluster, av.fv, av.n2
+         |      FROM asg JOIN av USING (id)),
+         |pr AS (SELECT a.id AS a_id, b.id AS b_id, a.cluster,
+         |         CAST(round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(list_zip(a.fv, b.fv), p -> p[1] * p[2])),
+         |             (acc, x) -> acc + x) AS DOUBLE)
+         |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |           * 1000000) AS BIGINT) AS cos_micro
+         |       FROM v a JOIN v b ON a.cluster = b.cluster AND a.id < b.id
+         |       WHERE a.n2 > 0 AND b.n2 > 0)
+         |SELECT b_id AS dropped_id, cluster, MIN(a_id) AS keep_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_near, MAX(cos_micro) AS max_cos_micro
+         |FROM pr WHERE cos_micro >= 999000
+         |GROUP BY 1, 2 ORDER BY dropped_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GraftExpressions.vec_dot
+      val n = Tables.embeddings(s, d).count()
+      val nlist = math.max(16L, (n + 99L) / 100L)
+      val f = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+      val wSeed = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val seeds = f
+        .withColumn("rn", row_number().over(wSeed))
+        .where(col("rn") <= nlist)
+        .select((col("rn") - 1).cast("long").as("seed_id"), col("fv").as("sv"),
+          vec_dot(col("fv"), col("fv")).cast("long").as("sn2"))
+      // half-step 1: the BASE corpus assigns to the exemplar seeds
+      val base = f.select(col("vec_id").as("id"), col("fv"))
+        .withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+      val asg0 = base.withColumn("jk", col("id") % 1)
+        .join(broadcast(seeds.withColumn("jk", col("seed_id") % 1)), "jk")
+        .select(col("id"),
+          (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
+            col("sn2")).as("d2"),
+          col("seed_id"))
+        .groupBy("id")
+        .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
+        .select(col("id"), col("best.seed_id").as("cluster"))
+      // refined centroids: per-cluster integer means, re-packed into
+      // dim-ordered arrays for the codegen'd final argmin
+      val centArr = base.join(asg0, "id")
+        .select(col("cluster"), posexplode(col("fv")).as(Seq("dim", "qv")))
+        .groupBy("cluster", "dim")
+        .agg(expr("sum(qv) div count(1)").as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("cv"))
+        .select(col("cluster").as("c_id"), col("cv"),
+          vec_dot(col("cv"), col("cv")).cast("long").as("cn2"))
+      val aug = f.select(col("vec_id").as("id"), col("fv"))
+        .unionByName(f.where(col("vec_id") < 50)
+          .select((col("vec_id") + VecQueries.PlantedIdOffset).as("id"),
+            concat(
+              array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
+              slice(col("fv"), 2, 63)).as("fv")))
+      val av = aug.withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+      // half-step 2: the augmented corpus assigns at the REFINED
+      // centroids (n2 − 2·dot + |c|² == Σ(qv−m)² exactly, in integers)
+      val asg = av.withColumn("jk", col("id") % 1)
+        .join(broadcast(centArr.withColumn("jk", col("c_id") % 1)), "jk")
+        .select(col("id"),
+          (col("n2") - lit(2L) * vec_dot(col("fv"), col("cv")).cast("long") +
+            col("cn2")).as("d2"),
+          col("c_id"))
+        .groupBy("id")
+        .agg(min(struct(col("d2"), col("c_id"))).as("best"))
+        .select(col("id"), col("best.c_id").as("cluster"))
+      val v = asg.join(av, "id")
+      val a = v.select(col("id").as("a_id"), col("cluster"),
+        col("fv").as("afv"), col("n2").as("an2"))
+      val b = v.select(col("id").as("b_id"), col("cluster"),
+        col("fv").as("bfv"), col("n2").as("bn2"))
+      a.join(b, Seq("cluster"))
+        .where(col("a_id") < col("b_id") && col("an2") > 0 && col("bn2") > 0)
+        .withColumn("dot", vec_dot(col("afv"), col("bfv")).cast("long"))
+        .withColumn("cos_micro", expr(
+          "CAST(round(CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * " +
+            "sqrt(CAST(bn2 AS DOUBLE))) * 1000000) AS BIGINT)"))
+        .where(col("cos_micro") >= 999000)
+        .groupBy(col("b_id"), col("cluster"))
+        .agg(min("a_id").as("keep_id"), count(lit(1)).as("n_near"),
+          max("cos_micro").as("max_cos_micro"))
+        .select(col("b_id").as("dropped_id"), col("cluster"),
+          col("keep_id"), col("n_near"), col("max_cos_micro"))
+        .orderBy("dropped_id")
+    },
+
     // SEMANTIC DECONTAMINATION — the embedding-space twin of
     // decontaminate_ngram: n-gram overlap misses a benchmark item
     // that was paraphrased or re-tokenized into the training set, but

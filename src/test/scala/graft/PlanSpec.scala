@@ -543,6 +543,19 @@ class PlanSpec extends SparkSpec {
     assert(n("Exchange") <= 2, s"upload side must not shuffle before its agg:\n$p")
   }
 
+  test("dedup_semantic_lloyd: both argmin phases broadcast, refinement is one mean aggregate") {
+    val p = plan("dedup_semantic_lloyd")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // two broadcast fan-outs (exemplar seeds, then refined centroids)
+    // + the pair join's shuffle — never a corpus-sized build side
+    def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+    assert(n("BroadcastHashJoin") >= 2, s"seed/centroid broadcasts missing:\n$p")
+    // both per-vector argmins partial-aggregate map-side
+    val argmins = p.linesIterator.count(_.contains("partial_min(struct"))
+    assert(argmins >= 2, s"want 2 map-side partial argmins:\n$p")
+  }
+
   test("incremental IVF search: probes broadcast, grown assignment unions without re-exchange") {
     val p = plan("sim_ivf_incremental")
     def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))

@@ -243,6 +243,23 @@ class VecSpec extends SparkSpec {
     }
   }
 
+  test("Lloyd-refined scaled semantic dedup keeps the recall contract") {
+    // the refinement must not cost recall: refined centroids are the
+    // cells' centers of mass, and a jittered copy (1..5 fx units)
+    // still co-assigns with its original under the exact argmin. Same
+    // contract as the exemplar tier: all 50 planted drops, original
+    // as keeper, nothing genuine dropped.
+    val rows = VecQueries.defs("dedup_semantic_lloyd").build(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(rows.length == 50, s"expected the 50 planted drops, got ${rows.length}")
+    rows.foreach { case (dropped, keeper, cosMicro) =>
+      assert(dropped >= VecQueries.PlantedIdOffset, s"real vector $dropped dropped")
+      assert(keeper == dropped - VecQueries.PlantedIdOffset,
+        s"keeper $keeper is not $dropped's original")
+      assert(cosMicro >= 999000L, s"below-threshold pair survived: $cosMicro")
+    }
+  }
+
   test("embedding decontamination flags every planted leak against its own benchmark item") {
     // contract: the 20 planted leaked copies are each reported against
     // exactly their source benchmark vector (the jitter keeps them at
