@@ -84,7 +84,8 @@ object ExplainAudit {
       "sim_ivf_incremental", // frozen-centroid append assign + probed exact re-rank
       "dedup_semantic_scaled", // r14: broadcast exemplar seeds, partial argmin, cluster pairs
       "sim_pq_incremental",  // r14: frozen-codebook encode fold + ADC over grown codes
-      "mm_dedup_phash")      // r14: band-bucket join + broadcast Hamming verify
+      "mm_dedup_phash",      // r14: band-bucket join + broadcast Hamming verify
+      "dedup_semantic_lloyd") // r14: two broadcast argmin phases + one mean agg
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")
