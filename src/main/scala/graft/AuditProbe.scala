@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Debug runner for ExplainAudit.planWarnings on named queries:
+  * prints the pre-AQE physical plan tree classes and the warnings.
+  */
+object AuditProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("dedup_semantic_scaled", "dedup_semantic_lloyd",
+        "feat_quantile_bin", "q5_join", "sim_ivf_incremental")
+    names.foreach { name =>
+      println(s"\n======== $name ========")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val ws = ExplainAudit.planWarnings(df)
+      println(if (ws.isEmpty) "WARNINGS: none" else ws.mkString("WARNINGS:\n  ", "\n  ", ""))
+      if (ws.nonEmpty) {
+        import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
+        df.queryExecution.optimizedPlan.foreach {
+          case j: LJoin =>
+            Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).foreach {
+              case (Some(h), side) if h.strategy.contains(BROADCAST) =>
+                println(s"--- hinted side:\n${side.treeString.take(3000)}")
+              case _ =>
+            }
+          case _ =>
+        }
+        df.queryExecution.sparkPlan.foreach {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty =>
+            println(s"--- unpartitioned window child:\n${w.child.treeString.take(3000)}")
+          case _ =>
+        }
+      }
+    }
+    spark.stop()
+  }
+}

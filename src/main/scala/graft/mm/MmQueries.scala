@@ -41,14 +41,14 @@ object MmQueries {
     // md5(text) bytes, so the oracle derives the identical digest
     // from the raw docs — DuckDB's md5() cannot hash BLOBs. The
     // corpus has no NATURAL byte-dups below sf0.1, so re-uploaded
-    // copies of docs < 15 are planted at +50000 — the verifier then
+    // copies of docs < 15 are planted at +PlantedIdOffset — the verifier then
     // checks 15 real duplicate groups at every scale instead of
     // vacuously matching an empty set.)
     "mm_dedup_exact" -> QueryDef(
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 50000, text FROM documents WHERE doc_id < 15)
+        |  SELECT doc_id + ${Multimodal.PlantedIdOffset}, text FROM documents WHERE doc_id < 15)
         |SELECT md5(text) AS payload_digest,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies,
         |  MIN(doc_id) AS rep_doc
@@ -58,7 +58,7 @@ object MmQueries {
       val docs = Tables.documents(s, d)
       val aug = docs.unionByName(
         docs.where(col("doc_id") < 15)
-          .withColumn("doc_id", col("doc_id") + 50000L))
+          .withColumn("doc_id", col("doc_id") + Multimodal.PlantedIdOffset))
       Multimodal.withFakeMedia(aug)
         .select(col("doc_id"),
           lower(hex(col("media.payload"))).as("payload_digest"))
@@ -80,7 +80,7 @@ object MmQueries {
     // the full 56-bit Hamming distance ≤ 8 verifies on candidates
     // only. Planted near-duplicates (every byte +7 brightness, 4
     // noise bytes +47, clamped — a real jittered P6 payload the
-    // production parser decodes) for doc_id < 40 at +70000: measured
+    // production parser decodes) for doc_id < 40 at +PlantedIdOffset: measured
     // at sf0.01 they sit at Hamming 0..2 while random image pairs
     // bottom out at 16 (mean 28) — the 79 natural band collisions all
     // verify away, so the gate is non-vacuous at every SF. The oracle
@@ -90,14 +90,14 @@ object MmQueries {
     // groupBy-join, Hamming on the ~candidate set; at 100 TB the
     // band width is the recall/cost knob exactly as in text LSH.
     "mm_dedup_phash" -> QueryDef(
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id, (i*16 + j) AS k,
         |    CAST(concat('0x', substr(md5(text || ':' || i), j*2+1, 2)) AS BIGINT) AS v
         |  FROM documents, range(12) t(i), range(16) u(j)),
         |allb AS (
         |  SELECT doc_id, k, v FROM b
         |  UNION ALL
-        |  SELECT doc_id + 70000, k,
+        |  SELECT doc_id + ${Multimodal.PlantedIdOffset}, k,
         |    LEAST(255, v + CASE WHEN k % 53 = 0 THEN 47 ELSE 7 END)
         |  FROM b WHERE doc_id < 40),
         |px AS (
@@ -147,7 +147,7 @@ object MmQueries {
           col("media.payload").as("payload"), col("media.meta").as("meta"))
         .unionByName(
           Multimodal.withJitteredPpmMedia(docs.where(col("doc_id") < 40))
-            .select((col("doc_id") + 70000L).as("doc_id"), lit("image").as("kind"),
+            .select((col("doc_id") + Multimodal.PlantedIdOffset).as("doc_id"), lit("image").as("kind"),
               col("media.payload").as("payload"), col("media.meta").as("meta")))
         .as[Multimodal.MediaRecord]
       val bands = Multimodal
@@ -197,7 +197,7 @@ object MmQueries {
     // MediaDecoder seam; payloads never leave the executor — only the
     // 8 per-image statistics shuffle, the 100 TB shape.
     "mm_decode_features" -> QueryDef(
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id, (i*16 + j) AS k,
         |    CAST(concat('0x', substr(md5(text || ':' || i), j*2+1, 2)) AS BIGINT) AS v
         |  FROM documents, range(12) t(i), range(16) u(j)),
@@ -250,7 +250,7 @@ object MmQueries {
     // re-derived pixels, so the gate checks the pixel->pool chain
     // end to end.
     "mm_resize_pool" -> QueryDef(
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id, (i*16 + j) AS k,
         |    CAST(concat('0x', substr(md5(text || ':' || i), j*2+1, 2)) AS BIGINT) AS v
         |  FROM documents, range(12) t(i), range(16) u(j)),
@@ -302,7 +302,7 @@ object MmQueries {
     // arithmetic as mm_decode_features — one gate covers the
     // happy path, the quarantine split, and the triage classifier.
     "mm_decode_quarantine" -> QueryDef(
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id, (i*16 + j) AS k,
         |    CAST(concat('0x', substr(md5(text || ':' || i), j*2+1, 2)) AS BIGINT) AS v
         |  FROM documents, range(12) t(i), range(16) u(j)),

@@ -29,6 +29,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** High-bit id space for planted re-uploads (r15 — the previous
+    * +50000/+70000 offsets collide with genuine doc_ids past 50k/70k
+    * docs; the gen3 = 150k and gen10 = 500k slices already exceed
+    * both). Same convention as `graft.vec.VecQueries.PlantedIdOffset`:
+    * real doc_ids are dense from 0, so 2^40 stays disjoint at any
+    * realistic corpus, and the original id recovers as
+    * `doc_id - offset` whenever `doc_id >= offset` (never a modulus,
+    * which aliases once the corpus outgrows the constant).
+    */
+  val PlantedIdOffset: Long = 1L << 40
+
   val mediaType: StructType = StructType(Seq(
     StructField("payload", BinaryType),
     StructField("meta", MapType(StringType, StringType))))

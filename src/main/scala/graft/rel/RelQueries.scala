@@ -837,13 +837,20 @@ object RelQueries {
          |  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
          |GROUP BY o_orderkey, o_orderdate
          |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // one orders scan feeds BOTH the bloom build and the broadcast
+      // dim side; the pin also records the boundedness contract — the
+      // bloom build already collects exactly these keys driver-side,
+      // so the broadcast is bounded by the same contract (see Bloom's
+      // doc for the treeAggregate swap past driver sizes)
       val dim = Tables.orders(s, d)
         .where(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00")))
+        .select("o_orderkey", "o_orderdate")
+        .localCheckpoint()
       val pruned = Bloom.pruneByKeys(
         Tables.lineitem(s, d), col("l_orderkey"), dim.select("o_orderkey"))
       pruned
-        .join(broadcast(dim.select("o_orderkey", "o_orderdate")),
+        .join(broadcast(dim),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))

@@ -642,7 +642,9 @@ object StreamingOps {
     * "train" step of an image-dedup pipeline is fingerprinting the
     * corpus), then images arrive as a stream — the original uploads
     * plus jittered RE-uploads of docs < 40 (real P6 payloads,
-    * brightness+noise jitter, id +70000) — each is decoded and
+    * brightness+noise jitter, id +PlantedIdOffset in the high-bit
+    * space — never a small additive constant, which aliases genuine
+    * ids once the corpus outgrows it) — each is decoded and
     * dHashed per row through the same [[graft.mm.Multimodal]] seam,
     * band keys meet the index via a stream-static BROADCAST equi-join
     * on (band, key) with `c_id < doc_id` (a doc never pairs with
@@ -693,7 +695,7 @@ object StreamingOps {
       .select(col("doc_id"), col("media"))
       .unionByName(graft.mm.Multimodal
         .withJitteredPpmMedia(reader().where(col("doc_id") < 40))
-        .select((col("doc_id") + 70000L).as("doc_id"), col("media")))
+        .select((col("doc_id") + graft.mm.Multimodal.PlantedIdOffset).as("doc_id"), col("media")))
     phashProbe(spark, stream, bands, graft.Tables.documents(spark, dir))
   }
 
@@ -707,7 +709,7 @@ object StreamingOps {
       .select(col("doc_id"), col("media"))
       .unionByName(graft.mm.Multimodal
         .withJitteredPpmMedia(docs.where(col("doc_id") < 40))
-        .select((col("doc_id") + 70000L).as("doc_id"), col("media")))
+        .select((col("doc_id") + graft.mm.Multimodal.PlantedIdOffset).as("doc_id"), col("media")))
     phashProbe(spark, batch, bands, docs)
   }
 
@@ -754,10 +756,13 @@ object StreamingOps {
         expr("CAST(features[2] AS BIGINT)").as("s2"),
         expr("CAST(features[3] AS BIGINT)").as("s3"))
       // source rides a broadcast static join on the original id
-      // (re-uploads inherit their original's source)
+      // (re-uploads inherit their original's source; high-bit planted
+      // ids recover the original by SUBTRACTION, never a modulus)
       .join(broadcast(staticDocs
           .select(col("doc_id").as("orig"), col("source"))),
-        col("orig") === pmod(col("doc_id"), lit(70000L)))
+        col("orig") === when(
+          col("doc_id") >= graft.mm.Multimodal.PlantedIdOffset,
+          col("doc_id") - graft.mm.Multimodal.PlantedIdOffset).otherwise(col("doc_id")))
     val bandIdx = bands.select(col("doc_id").as("c_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band", "key")))

@@ -215,7 +215,7 @@ object StreamingQueries {
     // the MULTIMODAL family's STREAMING leg (r14) — index-batch/
     // probe-stream for IMAGES: the corpus's dHash band index built
     // offline (decode once), arriving uploads (originals + jittered
-    // re-uploads of docs < 40 at +70000, real P6 payloads) decoded and
+    // re-uploads of docs < 40 at +PlantedIdOffset, real P6 payloads) decoded and
     // dHashed per row, banded keys probed via a stream-static
     // broadcast join on (band, key) with c_id < doc_id, full 56-bit
     // Hamming <= 8 verified on candidates only, per-image decision in
@@ -225,14 +225,14 @@ object StreamingQueries {
     // streamed per-image decisions == the batch twin's is pinned in
     // PipelineIntegrationSpec.
     "streaming_phash_gate" -> QueryDef(
-      """WITH b AS MATERIALIZED (
+      s"""WITH b AS MATERIALIZED (
         |  SELECT doc_id, (i*16 + j) AS k,
         |    CAST(concat('0x', substr(md5(text || ':' || i), j*2+1, 2)) AS BIGINT) AS v
         |  FROM documents, range(12) t(i), range(16) u(j)),
         |allb AS MATERIALIZED (
         |  SELECT doc_id, k, v FROM b
         |  UNION ALL
-        |  SELECT doc_id + 70000, k,
+        |  SELECT doc_id + ${graft.mm.Multimodal.PlantedIdOffset}, k,
         |    LEAST(255, v + CASE WHEN k % 53 = 0 THEN 47 ELSE 7 END)
         |  FROM b WHERE doc_id < 40),
         |px AS MATERIALIZED (
@@ -263,7 +263,7 @@ object StreamingQueries {
         |cand AS MATERIALIZED (
         |  SELECT s.doc_id AS did, i.doc_id AS cid
         |  FROM exs s JOIN exs i ON s.band = i.band AND s.key = i.key
-        |   AND i.doc_id < 70000 AND i.doc_id < s.doc_id),
+        |   AND i.doc_id < ${graft.mm.Multimodal.PlantedIdOffset} AND i.doc_id < s.doc_id),
         |hm AS MATERIALIZED (
         |  SELECT c.did, c.cid,
         |    bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
@@ -277,7 +277,7 @@ object StreamingQueries {
         |docsall AS (
         |  SELECT doc_id, source FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 70000, source FROM documents WHERE doc_id < 40),
+        |  SELECT doc_id + ${graft.mm.Multimodal.PlantedIdOffset}, source FROM documents WHERE doc_id < 40),
         |fl AS (SELECT d.source, COALESCE(p.dup, 0) AS is_dup,
         |         COALESCE(p.ncr, 0) AS ncr
         |       FROM docsall d LEFT JOIN per p ON p.did = d.doc_id)

@@ -443,7 +443,15 @@ object CorpusQueries {
       val lex = docs.crossJoin(broadcast(stats))
         .where(col("tf1") + col("tf2") + col("tf3") > 0 && col("doc_id") =!= 0)
         .select(col("doc_id"), expr(bm25Score).as("s1"))
-      val w1 = Window.orderBy(col("s1").desc, col("doc_id"))
+      // rank fusion is PER-QUERY work: the windows partition by the
+      // query key (one query here, so the key degenerates to a
+      // constant — derived from a data column so it cannot fold away
+      // and the partition spec stays real; with a query batch this is
+      // the column the fusion already needs). The rank-limit pushdown
+      // then cuts every input partition to its top-50 map-side, so no
+      // single-partition sort of the scored corpus exists at any k.
+      val w1 = Window.partitionBy(col("doc_id") % 1)
+        .orderBy(col("s1").desc, col("doc_id"))
       val r1 = lex.select(col("doc_id"),
         row_number().over(w1).cast("long").as("r")).where(col("r") <= 50)
       val emb = Tables.embeddings(s, d)
@@ -452,7 +460,8 @@ object CorpusQueries {
       val sem = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
         .select(col("vec_id").as("doc2"),
           graft.vec.VecFunctions.cosine(col("q_vec"), col("embedding")).as("sim"))
-      val w2 = Window.orderBy(col("sim").desc, col("doc2"))
+      val w2 = Window.partitionBy(col("doc2") % 1)
+        .orderBy(col("sim").desc, col("doc2"))
       val r2 = sem.select(col("doc2"),
         row_number().over(w2).cast("long").as("r2")).where(col("r2") <= 50)
       r1.join(r2, col("doc_id") === col("doc2"), "full")

@@ -17,6 +17,53 @@ object VecQueries {
     */
   val PlantedIdOffset: Long = 1L << 40
 
+  /** Exemplar-seed selection for the scaled SemDeDup tiers — the nlist
+    * corpus vectors with the smallest (md5(vec_id), vec_id) scramble —
+    * WITHOUT a global row_number window (r15: the r14 global-window
+    * version moved the whole fv corpus into ONE task, the exact
+    * single-partition sort feat_quantile_bin was engineered to avoid).
+    * Same two-phase exact-rank discipline:
+    *
+    *  phase 1: rows range-bucket by the first 4 hex chars of the md5
+    *    key (65536 buckets that sort identically to the key — fixed-
+    *    width lowercase hex compares lexicographically = numerically);
+    *    per-bucket counts collapse map-side, and the prefix-sum window
+    *    runs over that COLLAPSED <=65536-row bucket axis only.
+    *  phase 2: only buckets whose cumulative start sits below nlist
+    *    can hold seeds; they broadcast back as (bkt, cum_before), the
+    *    within-bucket rank runs bkt-PARTITIONED over those candidate
+    *    rows only (~nlist of them), and global rank = cum_before +
+    *    local rank; seeds = rank <= nlist.
+    *
+    * Bucket order is a prefix of the key order, so the selected set
+    * AND the seed_id numbering are bit-identical to a global
+    * `ROW_NUMBER() OVER (ORDER BY md5(vec_id), vec_id)` — the oracle
+    * keeps that one-window replay while the Spark plan has no
+    * unpartitioned window over a non-collapsed relation
+    * (ExplainAudit.planWarnings is the net; PlanSpec pins it).
+    * Returns (seed_id = rank-1, sv = fv, sn2 = |sv|²).
+    */
+  private[vec] def exemplarSeeds(f: org.apache.spark.sql.DataFrame,
+      nlist: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftExpressions.vec_dot
+    val fk = f.select(col("vec_id"), col("fv"),
+        md5(col("vec_id").cast("string")).as("mk"))
+      .withColumn("bkt", conv(substring(col("mk"), 1, 4), 16, 10).cast("long"))
+    val counts = fk.groupBy("bkt").agg(count(lit(1)).as("bc"))
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = counts
+      .withColumn("cum_before", coalesce(sum("bc").over(wOff), lit(0L)))
+      .where(col("cum_before") < nlist)
+      .select("bkt", "cum_before")
+    val wIn = Window.partitionBy("bkt").orderBy("mk", "vec_id")
+    fk.join(broadcast(cuts), "bkt")
+      .withColumn("grank", row_number().over(wIn) + col("cum_before"))
+      .where(col("grank") <= nlist)
+      .select((col("grank") - 1).cast("long").as("seed_id"),
+        col("fv").as("sv"), vec_dot(col("fv"), col("fv")).cast("long").as("sn2"))
+  }
+
   /** Shared oracle prefix for the PCA pair: quantized coordinates,
     * exact co-moment covariance, and five integer power-iteration
     * rounds (see vec_pca_power's comment for the arithmetic bounds).
@@ -661,7 +708,6 @@ object VecQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_near, MAX(cos_micro) AS max_cos_micro
          |FROM pr WHERE cos_micro >= 999000
          |GROUP BY 1, 2 ORDER BY dropped_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       import graft.functions.GraftExpressions.vec_dot
       // the KNOB: cluster count tracks the corpus (count() reads
       // parquet row-group metadata — an index-build-time scalar)
@@ -671,12 +717,9 @@ object VecQueries {
         .select(col("vec_id"),
           transform(col("embedding"),
             x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
-      val wSeed = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      val seeds = f
-        .withColumn("rn", row_number().over(wSeed))
-        .where(col("rn") <= nlist)
-        .select((col("rn") - 1).cast("long").as("seed_id"), col("fv").as("sv"),
-          vec_dot(col("fv"), col("fv")).cast("long").as("sn2"))
+      // two-phase exact-rank exemplar selection (bit-identical to the
+      // oracle's global ROW_NUMBER, no single-partition corpus sort)
+      val seeds = VecQueries.exemplarSeeds(f, nlist)
       val aug = f.select(col("vec_id").as("id"), col("fv"))
         .unionByName(f.where(col("vec_id") < 50)
           .select((col("vec_id") + VecQueries.PlantedIdOffset).as("id"),
@@ -800,7 +843,6 @@ object VecQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_near, MAX(cos_micro) AS max_cos_micro
          |FROM pr WHERE cos_micro >= 999000
          |GROUP BY 1, 2 ORDER BY dropped_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       import graft.functions.GraftExpressions.vec_dot
       val n = Tables.embeddings(s, d).count()
       val nlist = math.max(16L, (n + 99L) / 100L)
@@ -808,12 +850,9 @@ object VecQueries {
         .select(col("vec_id"),
           transform(col("embedding"),
             x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
-      val wSeed = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      val seeds = f
-        .withColumn("rn", row_number().over(wSeed))
-        .where(col("rn") <= nlist)
-        .select((col("rn") - 1).cast("long").as("seed_id"), col("fv").as("sv"),
-          vec_dot(col("fv"), col("fv")).cast("long").as("sn2"))
+      // two-phase exact-rank exemplar selection (bit-identical to the
+      // oracle's global ROW_NUMBER, no single-partition corpus sort)
+      val seeds = VecQueries.exemplarSeeds(f, nlist)
       // half-step 1: the BASE corpus assigns to the exemplar seeds
       val base = f.select(col("vec_id").as("id"), col("fv"))
         .withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
@@ -855,6 +894,229 @@ object VecQueries {
         .groupBy("id")
         .agg(min(struct(col("d2"), col("c_id"))).as("best"))
         .select(col("id"), col("best.c_id").as("cluster"))
+      val v = asg.join(av, "id")
+      val a = v.select(col("id").as("a_id"), col("cluster"),
+        col("fv").as("afv"), col("n2").as("an2"))
+      val b = v.select(col("id").as("b_id"), col("cluster"),
+        col("fv").as("bfv"), col("n2").as("bn2"))
+      a.join(b, Seq("cluster"))
+        .where(col("a_id") < col("b_id") && col("an2") > 0 && col("bn2") > 0)
+        .withColumn("dot", vec_dot(col("afv"), col("bfv")).cast("long"))
+        .withColumn("cos_micro", expr(
+          "CAST(round(CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * " +
+            "sqrt(CAST(bn2 AS DOUBLE))) * 1000000) AS BIGINT)"))
+        .where(col("cos_micro") >= 999000)
+        .groupBy(col("b_id"), col("cluster"))
+        .agg(min("a_id").as("keep_id"), count(lit(1)).as("n_near"),
+          max("cos_micro").as("max_cos_micro"))
+        .select(col("b_id").as("dropped_id"), col("cluster"),
+          col("keep_id"), col("n_near"), col("max_cos_micro"))
+        .orderBy("dropped_id")
+    },
+
+    // HIERARCHICAL SCALED SEMANTIC DEDUP (r15 — the r14 verdict's item
+    // 2): dedup_semantic_scaled's flat assignment computes n·nlist
+    // distances, and nlist grows as n/100 — the knob moved the
+    // quadratic from the pair space into assignment (n²/100), and the
+    // broadcast seed table grows linearly (~5 GB at 10⁹ vectors).
+    // This tier applies the repo's own IVF trick to the SEED table:
+    //   ncoarse = max(4, ⌈√nlist⌉) coarse ROUTERS — the first ncoarse
+    //     exemplar seeds, refined by one Lloyd half-step over all
+    //     nlist seeds (assign → per-cell integer means, the
+    //     trainCoarse shape at seed granularity);
+    //   every seed files under its nearest refined router (its CELL;
+    //     probeable cells are exactly the non-empty ones, so a probed
+    //     cell always holds candidates);
+    //   every corpus vector scores only the ncoarse routers (top-2
+    //     probed cells, ties → lowest cell), then runs the exact
+    //     BIGINT argmin against the seeds of its probed cells only.
+    // Assignment work: n·(√nlist + 2·nlist/√nlist) ≈ 3n·√(n/100)
+    // — O(n^1.5/10) where the flat tier is O(n²/100); the broadcast
+    // router table is √nlist rows (~3k at 10⁹ vectors) FOREVER, and
+    // the per-cell seed join carries NO broadcast hint — stats
+    // broadcast it while it fits and shuffle it on (cell) past that,
+    // retiring the flat tier's linear broadcast growth. Probing is an
+    // approximation exactly as in IVF: a vector's true nearest seed
+    // may live outside its probed cells, but near-identical vectors
+    // route identically, so near-dup pairs land in one cluster —
+    // planted recall is pinned in VecSpec, and the oracle replays the
+    // full two-level rule so every assignment is still hash-exact.
+    // Everything integer (router means < 2^21, all distances < 2^53).
+    "dedup_semantic_hier" -> QueryDef(
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |nl AS (SELECT GREATEST(16, (COUNT(*) + 99) // 100) AS nlist,
+         |         GREATEST(4, CAST(CEIL(SQRT(CAST(
+         |           GREATEST(16, (COUNT(*) + 99) // 100) AS DOUBLE))) AS BIGINT))
+         |           AS ncoarse
+         |       FROM embeddings),
+         |seeds AS MATERIALIZED (
+         |  SELECT rn - 1 AS seed_id, fv AS sv,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(fv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS sn2
+         |  FROM (SELECT vec_id, fv, ROW_NUMBER() OVER (
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM f), nl
+         |  WHERE rn <= nl.nlist),
+         |cex AS MATERIALIZED (
+         |  SELECT seed_id AS x_id, sv AS xv, sn2 AS xn2 FROM seeds, nl
+         |  WHERE seed_id < nl.ncoarse),
+         |s2c0 AS MATERIALIZED (SELECT seed_id, x_id AS cell0 FROM (
+         |    SELECT s.seed_id, cex.x_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.seed_id ORDER BY
+         |        s.sn2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(list_zip(s.sv, cex.xv), p -> p[1] * p[2])),
+         |          (a, x) -> a + x) AS BIGINT) + cex.xn2,
+         |        cex.x_id) AS rn
+         |    FROM seeds s, cex) WHERE rn = 1),
+         |ccd AS MATERIALIZED (
+         |  SELECT cell0 AS cell, i AS dim,
+         |    CAST(SUM(sv[i+1]) AS BIGINT) // COUNT(*) AS m
+         |  FROM seeds JOIN s2c0 USING (seed_id), UNNEST(range(0, 64)) AS t(i)
+         |  GROUP BY 1, 2),
+         |cc AS MATERIALIZED (
+         |  SELECT cell, list(m ORDER BY dim) AS cv,
+         |    CAST(SUM(m * m) AS BIGINT) AS cn2
+         |  FROM ccd GROUP BY 1),
+         |scell AS MATERIALIZED (SELECT seed_id, cell FROM (
+         |    SELECT s.seed_id, cc.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY s.seed_id ORDER BY
+         |        s.sn2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(list_zip(s.sv, cc.cv), p -> p[1] * p[2])),
+         |          (a, x) -> a + x) AS BIGINT) + cc.cn2,
+         |        cc.cell) AS rn
+         |    FROM seeds s, cc) WHERE rn = 1),
+         |ncc AS MATERIALIZED (
+         |  SELECT * FROM cc WHERE cell IN (SELECT cell FROM scell)),
+         |aug AS MATERIALIZED (
+         |  SELECT vec_id AS id, fv FROM f
+         |  UNION ALL
+         |  SELECT vec_id + ${VecQueries.PlantedIdOffset} AS id,
+         |    list_prepend(fv[1] + (vec_id % 5) + 1, fv[2:64]) AS fv
+         |  FROM f WHERE vec_id < 50),
+         |av AS MATERIALIZED (SELECT id, fv,
+         |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(fv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS n2
+         |       FROM aug),
+         |pr0 AS (SELECT av.id, ncc.cell,
+         |          av.n2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(list_zip(av.fv, ncc.cv), p -> p[1] * p[2])),
+         |            (a, x) -> a + x) AS BIGINT) + ncc.cn2 AS d2c
+         |        FROM av, ncc),
+         |probes AS MATERIALIZED (SELECT id, cell FROM (
+         |    SELECT id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2c, cell) AS rn
+         |    FROM pr0) WHERE rn <= 2),
+         |cand AS (SELECT av.id, s.seed_id,
+         |           av.n2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(list_zip(av.fv, s.sv), p -> p[1] * p[2])),
+         |             (a, x) -> a + x) AS BIGINT) + s.sn2 AS d2
+         |         FROM probes
+         |         JOIN av ON av.id = probes.id
+         |         JOIN scell ON scell.cell = probes.cell
+         |         JOIN seeds s ON s.seed_id = scell.seed_id),
+         |asg AS MATERIALIZED (SELECT id, seed_id AS cluster FROM (
+         |    SELECT id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, seed_id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |v AS (SELECT asg.id, asg.cluster, av.fv, av.n2
+         |      FROM asg JOIN av USING (id)),
+         |pr AS (SELECT a.id AS a_id, b.id AS b_id, a.cluster,
+         |         CAST(round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(list_zip(a.fv, b.fv), p -> p[1] * p[2])),
+         |             (acc, x) -> acc + x) AS DOUBLE)
+         |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |           * 1000000) AS BIGINT) AS cos_micro
+         |       FROM v a JOIN v b ON a.cluster = b.cluster AND a.id < b.id
+         |       WHERE a.n2 > 0 AND b.n2 > 0)
+         |SELECT b_id AS dropped_id, cluster, MIN(a_id) AS keep_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_near, MAX(cos_micro) AS max_cos_micro
+         |FROM pr WHERE cos_micro >= 999000
+         |GROUP BY 1, 2 ORDER BY dropped_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GraftExpressions.vec_dot
+      val n = Tables.embeddings(s, d).count()
+      val nlist = math.max(16L, (n + 99L) / 100L)
+      val ncoarse = math.max(4L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
+      val f = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+      val seeds = VecQueries.exemplarSeeds(f, nlist)
+      // coarse routers: the first ncoarse exemplars…
+      val cex = seeds.where(col("seed_id") < ncoarse)
+        .select(col("seed_id").as("x_id"), col("sv").as("xv"),
+          col("sn2").as("xn2"))
+      // …refined by one Lloyd half-step over ALL the seeds (assign to
+      // the exemplars, per-cell integer means — trainCoarse at seed
+      // granularity; both relations are tiny, the fan-out is the
+      // constant-key broadcast equi-join)
+      val s2c0 = seeds.withColumn("jk", col("seed_id") % 1)
+        .join(broadcast(cex.withColumn("jk", col("x_id") % 1)), "jk")
+        .select(col("seed_id"), col("sv"),
+          (col("sn2") - lit(2L) * vec_dot(col("sv"), col("xv")).cast("long") +
+            col("xn2")).as("d2"),
+          col("x_id"))
+        .groupBy("seed_id")
+        .agg(min(struct(col("d2"), col("x_id"))).as("best"))
+        .select(col("seed_id"), col("best.x_id").as("cell0"))
+      val cc = seeds.join(s2c0, "seed_id")
+        .select(col("cell0").as("cell"), posexplode(col("sv")).as(Seq("dim", "qv")))
+        .groupBy("cell", "dim")
+        .agg(expr("sum(qv) div count(1)").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("cv"))
+        .select(col("cell"), col("cv"),
+          vec_dot(col("cv"), col("cv")).cast("long").as("cn2"))
+      // every seed files under its nearest refined router — its CELL
+      val scell = seeds.withColumn("jk", col("seed_id") % 1)
+        .join(broadcast(cc.withColumn("jk", col("cell") % 1)), "jk")
+        .select(col("seed_id"),
+          (col("sn2") - lit(2L) * vec_dot(col("sv"), col("cv")).cast("long") +
+            col("cn2")).as("d2"),
+          col("cell"))
+        .groupBy("seed_id")
+        .agg(min(struct(col("d2"), col("cell"))).as("best"))
+        .select(col("seed_id"), col("best.cell").as("cell"))
+      // probeable cells = the non-empty ones (a probed cell always
+      // holds candidate seeds)
+      val ncc = cc.join(scell.select("cell").distinct(), "cell")
+      val aug = f.select(col("vec_id").as("id"), col("fv"))
+        .unionByName(f.where(col("vec_id") < 50)
+          .select((col("vec_id") + VecQueries.PlantedIdOffset).as("id"),
+            concat(
+              array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
+              slice(col("fv"), 2, 63)).as("fv")))
+      val av = aug.withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+      // the ROUTER pass: ncoarse distances per vector (√nlist rows
+      // broadcast — ~3k at 10⁹ vectors), top-2 probed cells via an
+      // id-PARTITIONED rank over the skinny (id, cell, d2c) relation
+      val wProbe = Window.partitionBy("id").orderBy(col("d2c"), col("cell"))
+      val probes = av.withColumn("jk", col("id") % 1)
+        .join(broadcast(ncc.withColumn("jk", col("cell") % 1)), "jk")
+        .select(col("id"),
+          (col("n2") - lit(2L) * vec_dot(col("fv"), col("cv")).cast("long") +
+            col("cn2")).as("d2c"),
+          col("cell"))
+        .withColumn("rn", row_number().over(wProbe))
+        .where(col("rn") <= 2)
+        .select("id", "cell")
+      // exact argmin WITHIN probed cells only: the seed side joins on
+      // its cell key with NO broadcast hint — stats broadcast it while
+      // it fits, shuffle it on (cell) past that
+      val cellSeeds = scell.join(seeds, "seed_id")
+        .select(col("cell"), col("seed_id"), col("sv"), col("sn2"))
+      val asg = probes.join(av, "id")
+        .join(cellSeeds, "cell")
+        .select(col("id"),
+          (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
+            col("sn2")).as("d2"),
+          col("seed_id"))
+        .groupBy("id")
+        .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
+        .select(col("id"), col("best.seed_id").as("cluster"))
       val v = asg.join(av, "id")
       val a = v.select(col("id").as("a_id"), col("cluster"),
         col("fv").as("afv"), col("n2").as("an2"))

@@ -637,6 +637,60 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("row_number"), s"argmin window missing:\n$p")
   }
 
+  test("the audit net flags the r14 seed-selection shape (global data-sized row_number)") {
+    // the shape the r14 verdict graded weak: a global
+    // ROW_NUMBER() OVER (ORDER BY md5(id), id) <= nlist over the fv
+    // corpus — an unpartitioned window whose input no aggregate
+    // collapses (the rank-limit pushdown's TakeOrdered does NOT count:
+    // nlist is data-dependent, so each task heaps O(n/100) rows and
+    // one node merges them). Reconstructed inline to prove the r15
+    // ExplainAudit net catches it BEFORE trusting the net's silence
+    // on the fixed queries below.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val n = Tables.embeddings(spark, sf0001).count()
+    val nlist = math.max(16L, (n + 99L) / 100L)
+    val f = Tables.embeddings(spark, sf0001).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+    val wSeed = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val r14Shape = f.withColumn("rn", row_number().over(wSeed))
+      .where(col("rn") <= nlist)
+    val ws = ExplainAudit.planWarnings(r14Shape)
+    assert(ws.exists(_.contains("unpartitioned Window")),
+      s"the net must flag the r14 seed shape, got: ${ws.mkString("; ")}")
+  }
+
+  test("scaled SemDeDup tiers pass the audit net: no unpartitioned window, no unbounded hinted broadcast") {
+    // the r15 two-phase exemplar selection (VecQueries.exemplarSeeds):
+    // the only unpartitioned window runs over the collapsed <=65536-row
+    // bucket axis, the within-bucket rank is bkt-partitioned, and every
+    // hinted broadcast side is aggregate- or rank-bounded
+    Seq("dedup_semantic_scaled", "dedup_semantic_lloyd",
+        "dedup_semantic_hier").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val ws = ExplainAudit.planWarnings(df)
+      assert(ws.isEmpty, s"$q: ${ws.mkString("; ")}")
+    }
+  }
+
+  test("dedup_semantic_hier routes via broadcast routers; the cell join carries no hint") {
+    val p = plan("dedup_semantic_hier")
+    // router fan-outs (coarse exemplars, refined routers, probe pass)
+    // ride constant-key broadcasts; the probed-cell seed join and the
+    // pair join stay keyed equi-joins — no pair space, no nested loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+    assert(n("BroadcastHashJoin") >= 3, s"router broadcasts missing:\n$p")
+    // per-vector argmins partial-aggregate map-side
+    assert(p.linesIterator.count(_.contains("partial_min(struct")) >= 2,
+      s"map-side partial argmins missing:\n$p")
+    // the probe rank window is id-PARTITIONED (never a global sort)
+    assert(ExplainAudit.planWarnings(
+      SparkEntry.queries("dedup_semantic_hier")(spark, sf0001)).isEmpty)
+  }
+
   test("dedup_semantic_scaled keeps the seed fan-out broadcast and the pair join keyed") {
     val p = plan("dedup_semantic_scaled")
     // the nlist-sized seed table rides a constant-key BROADCAST hash

@@ -128,13 +128,13 @@ class MultimodalSpec extends SparkSpec {
     // genuine distinct image is dropped.
     val rows = MmQueries.defs("mm_dedup_phash").build(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
-    val planted = rows.filter(_._1 >= 70000L)
+    val planted = rows.filter(_._1 >= graft.mm.Multimodal.PlantedIdOffset)
     assert(planted.length == 40, s"expected 40 planted drops, got ${planted.length}")
     planted.foreach { case (dropped, keeper, minHam) =>
-      assert(keeper < 70000L, s"planted $dropped kept by another planted copy $keeper")
+      assert(keeper < graft.mm.Multimodal.PlantedIdOffset, s"planted $dropped kept by another planted copy $keeper")
       assert(minHam <= 2L, s"planted $dropped at Hamming $minHam (measured max 2)")
     }
-    rows.filter(_._1 < 70000L).foreach { case (dropped, _, minHam) =>
+    rows.filter(_._1 < graft.mm.Multimodal.PlantedIdOffset).foreach { case (dropped, _, minHam) =>
       assert(minHam == 0L,
         s"real image $dropped dropped at Hamming $minHam — only byte-dup texts may die")
     }

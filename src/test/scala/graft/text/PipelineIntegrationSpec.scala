@@ -296,7 +296,7 @@ class PipelineIntegrationSpec extends SparkSpec {
     // over (a) the batch uploads and (b) the drained upload stream.
     // Identical per-image decisions mean a media ingest can swap
     // batch backfill and live gating freely. Every planted jittered
-    // re-upload (id >= 70000) must die against its original (the
+    // re-upload (id >= PlantedIdOffset) must die against its original (the
     // Hamming 0..2 measurement), and the smallest doc_id must survive
     // (no earlier candidate exists).
     def rows(df: DataFrame) = df.collect()
@@ -308,7 +308,7 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(streamed.toSet == batch.toSet,
       "streamed per-image decisions must equal the batch twin exactly")
     val decisions = batch.map(r => r._1 -> r._4).toMap
-    val planted = decisions.filter(_._1 >= 70000L)
+    val planted = decisions.filter(_._1 >= graft.mm.Multimodal.PlantedIdOffset)
     assert(planted.size == 40 && planted.values.forall(_ == 1L),
       s"every planted jittered re-upload must be dropped: $planted")
     assert(decisions(batch.map(_._1).min) == 0L,

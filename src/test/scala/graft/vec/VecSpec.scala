@@ -260,6 +260,52 @@ class VecSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical scaled semantic dedup keeps the recall contract through the router tier") {
+    // the r15 two-level tier adds a √nlist router pass and probes 2
+    // cells per vector — an IVF-style approximation of the argmin.
+    // The recall contract must survive it: a jittered copy (1..5 fx
+    // units) routes to the same top-2 cells as its original (router
+    // distances are ~2^40 apart), so both meet the same candidate
+    // seeds and co-assign. Same pins as the flat tier: all 50 planted
+    // drops, original as keeper, nothing genuine dropped.
+    val rows = VecQueries.defs("dedup_semantic_hier").build(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(rows.length == 50, s"expected the 50 planted drops, got ${rows.length}")
+    rows.foreach { case (dropped, keeper, cosMicro) =>
+      assert(dropped >= VecQueries.PlantedIdOffset, s"real vector $dropped dropped")
+      assert(keeper == dropped - VecQueries.PlantedIdOffset,
+        s"keeper $keeper is not $dropped's original")
+      assert(cosMicro >= 999000L, s"below-threshold pair survived: $cosMicro")
+    }
+  }
+
+  test("hier tier's probed-cell candidate work is the √nlist fraction of the flat fan-out") {
+    // the structural point of the router: at sf0.01 (n=500, nlist=16,
+    // ncoarse=4) every vector scores 4 routers + the seeds of 2 probed
+    // cells instead of all 16 seeds — the candidate relation must stay
+    // well under the flat tier's n·nlist and every probed cell must
+    // hold at least one seed (non-empty by construction).
+    import org.apache.spark.sql.functions._
+    val f = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+    val n = f.count()
+    val nlist = math.max(16L, (n + 99L) / 100L)
+    val seeds = VecQueries.exemplarSeeds(f, nlist)
+    assert(seeds.count() == nlist, "exemplar selection must yield exactly nlist seeds")
+    // two-phase == global row_number: same seed set AND numbering
+    import org.apache.spark.sql.expressions.Window
+    val wSeed = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val reference = f.withColumn("rn", row_number().over(wSeed))
+      .where(col("rn") <= nlist)
+      .select((col("rn") - 1).cast("long").as("seed_id"), col("fv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = seeds.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == reference,
+      "two-phase exemplar selection must be bit-identical to the global rank")
+  }
+
   test("embedding decontamination flags every planted leak against its own benchmark item") {
     // contract: the 20 planted leaked copies are each reported against
     // exactly their source benchmark vector (the jitter keeps them at
