@@ -409,7 +409,8 @@ object StreamingOps {
     * ages out); the per-source monitor is a batch rollup of the sink,
     * the streamDedupOnce two-stage convention.
     */
-  def dsirGateOnce(spark: SparkSession, dir: String): DataFrame = {
+  def dsirGateOnce(spark: SparkSession, dir: String,
+      tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame = {
     val lr = graft.text.CorpusQueries.dsirModel(spark, dir)
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -424,7 +425,7 @@ object StreamingOps {
         explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("source"),
         graft.text.CorpusQueries.bucketCol.as("bucket"))
-      .join(broadcast(lr), "bucket")
+      .join(graft.StaticTier.side(lr, tier), "bucket")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_tokens"), sum("lr_micro").as("w_micro"))
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
@@ -456,7 +457,8 @@ object StreamingOps {
     * the number a token-budget/ingest-quota stage watches live; batch
     * rollup of the drained sink per the streamDedupOnce convention.
     */
-  def bpeGateOnce(spark: SparkSession, dir: String): DataFrame = {
+  def bpeGateOnce(spark: SparkSession, dir: String,
+      tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame = {
     val vocabLen = graft.text.CorpusQueries
       .bpeSegmentation(graft.Tables.documents(spark, dir), rounds = 5)
       .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
@@ -471,7 +473,7 @@ object StreamingOps {
     val perDoc = src
       .select(col("doc_id"), col("source"),
         explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
-      .join(broadcast(vocabLen), Seq("word"), "left")
+      .join(graft.StaticTier.side(vocabLen, tier), Seq("word"), "left")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("n_syms"), lit(1L))).as("n_bpe"))
@@ -508,8 +510,9 @@ object StreamingOps {
     * corpus already holds. Batch rollup of the drained sink per the
     * streamDedupOnce convention.
     */
-  def dedupGateOnce(spark: SparkSession, dir: String): DataFrame =
-    dedupGatePerDocOnce(spark, dir)
+  def dedupGateOnce(spark: SparkSession, dir: String,
+      tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame =
+    dedupGatePerDocOnce(spark, dir, tier)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("is_dup").as("n_dropped"),
@@ -523,7 +526,8 @@ object StreamingOps {
     * set == the batch twin's drop set) at doc granularity, not just
     * through the per-source rollup.
     */
-  private[graft] def dedupGatePerDocOnce(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dedupGatePerDocOnce(spark: SparkSession, dir: String,
+      tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame = {
     import graft.text.Dedup
     val hashedIdx = Dedup
       .portableHashedShingles(graft.Tables.documents(spark, dir), col("text"))
@@ -540,7 +544,7 @@ object StreamingOps {
       .schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val perDoc = Dedup.portableDedupProbe(src, banded, hashedIdx)
+    val perDoc = Dedup.portableDedupProbe(src, banded, hashedIdx, tier)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = withStateSizedPartitions(spark) {
       perDoc.writeStream
@@ -571,15 +575,17 @@ object StreamingOps {
     * watches; the 1-probe stream tier's top-1 is lower-bounded by the
     * 6-probe batch tier's (superset candidates) — pinned in VecSpec.
     */
-  def annGateOnce(spark: SparkSession, dir: String): DataFrame =
-    annGatePerQueryOnce(spark, dir)
+  def annGateOnce(spark: SparkSession, dir: String,
+      tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame =
+    annGatePerQueryOnce(spark, dir, tier)
       .groupBy("label")
       .agg(count(lit(1)).as("n_queries"),
         sum("top1_d2").as("top1_d2_sum"),
         expr("CAST(SUM(top1_d2) DIV COUNT(*) AS BIGINT)").as("mean_top1_d2"))
       .orderBy("label")
 
-  private[graft] def annGatePerQueryOnce(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def annGatePerQueryOnce(spark: SparkSession, dir: String,
+      tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame = {
     import graft.vec.VecAnalytics
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.GraftExpressions.vec_dot(a, b)
@@ -615,7 +621,7 @@ object StreamingOps {
           struct((lit(m2) - lit(2.0) * dot(col("qarr"), mLit)).as("d"),
             lit(l).as("l"))
         }: _*)).getField("l"))
-    val perQuery = probed.join(broadcast(corpus), Seq("bucket"))
+    val perQuery = probed.join(graft.StaticTier.side(corpus, tier), Seq("bucket"))
       .where(col("id") =!= col("vec_id"))
       .withColumn("d2",
         (dot(col("qarr"), col("qarr")) + col("c2")
@@ -655,13 +661,15 @@ object StreamingOps {
     *
     * Scale shape: the stream never shuffles before its one aggregate —
     * banding + decode are per-row, both index sides broadcast (4 band
-    * values + 4 longs per corpus image ≈ 48 B/image, billions fit a
-    * few GB; past broadcast limits the same plan runs as a shuffled
-    * stream-static join on (band, key)); payloads never leave the
-    * executor — only band values move.
+    * values + 4 longs per corpus image ≈ 48 B/image); payloads never
+    * leave the executor — only band values move. Past broadcast
+    * limits the `tier` knob ([[graft.StaticTier]]) runs the SAME plan
+    * as a shuffled stream-static join on (band, key) — tier
+    * bit-equality pinned in StaticTierSpec.
     */
-  def phashGateOnce(spark: SparkSession, dir: String): DataFrame =
-    phashGatePerDocOnce(spark, dir)
+  def phashGateOnce(spark: SparkSession, dir: String,
+      tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame =
+    phashGatePerDocOnce(spark, dir, tier)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("is_dup").as("n_dropped"),
@@ -674,7 +682,8 @@ object StreamingOps {
     * PipelineIntegrationSpec can pin the interlock law (streamed drop
     * set == the batch twin's) at image granularity.
     */
-  private[graft] def phashGatePerDocOnce(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def phashGatePerDocOnce(spark: SparkSession, dir: String,
+      tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame = {
     val bands = phashIndexBands(spark, graft.Tables.documents(spark, dir))
       // two consumers (band-bucket index + Hamming verify side); the
       // corpus fingerprint table of a production gate is prebuilt and
@@ -696,13 +705,14 @@ object StreamingOps {
       .unionByName(graft.mm.Multimodal
         .withJitteredPpmMedia(reader().where(col("doc_id") < 40))
         .select((col("doc_id") + graft.mm.Multimodal.PlantedIdOffset).as("doc_id"), col("media")))
-    phashProbe(spark, stream, bands, graft.Tables.documents(spark, dir))
+    phashProbe(spark, stream, bands, graft.Tables.documents(spark, dir), tier)
   }
 
   /** The batch twin of the streaming probe — identical construction
     * over the batch reader, for the stream==batch interlock pin.
     */
-  private[graft] def phashGateBatchTwin(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def phashGateBatchTwin(spark: SparkSession, dir: String,
+      tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     val bands = phashIndexBands(spark, docs).localCheckpoint()
     val batch = graft.mm.Multimodal.withPpmMedia(docs)
@@ -710,7 +720,7 @@ object StreamingOps {
       .unionByName(graft.mm.Multimodal
         .withJitteredPpmMedia(docs.where(col("doc_id") < 40))
         .select((col("doc_id") + graft.mm.Multimodal.PlantedIdOffset).as("doc_id"), col("media")))
-    phashProbe(spark, batch, bands, docs)
+    phashProbe(spark, batch, bands, docs, tier)
   }
 
   /** Base-corpus dHash band table (doc_id, b0..b3) — the prebuilt
@@ -741,7 +751,8 @@ object StreamingOps {
     * aggregate.
     */
   private def phashProbe(spark: SparkSession, mediaDocs: DataFrame,
-      bands: DataFrame, staticDocs: DataFrame): DataFrame = {
+      bands: DataFrame, staticDocs: DataFrame,
+      tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame = {
     import spark.implicits._
     val media = mediaDocs
       .select(col("doc_id"), lit("image").as("kind"),
@@ -758,8 +769,8 @@ object StreamingOps {
       // source rides a broadcast static join on the original id
       // (re-uploads inherit their original's source; high-bit planted
       // ids recover the original by SUBTRACTION, never a modulus)
-      .join(broadcast(staticDocs
-          .select(col("doc_id").as("orig"), col("source"))),
+      .join(graft.StaticTier.side(staticDocs
+          .select(col("doc_id").as("orig"), col("source")), tier),
         col("orig") === when(
           col("doc_id") >= graft.mm.Multimodal.PlantedIdOffset,
           col("doc_id") - graft.mm.Multimodal.PlantedIdOffset).otherwise(col("doc_id")))
@@ -773,10 +784,10 @@ object StreamingOps {
         col("s0"), col("s1"), col("s2"), col("s3"),
         posexplode(array(col("s0"), col("s1"), col("s2"), col("s3")))
           .as(Seq("band", "key")))
-      .join(broadcast(bandIdx),
+      .join(graft.StaticTier.side(bandIdx, tier),
         col("band") === col("i_band") && col("key") === col("i_key") &&
           col("c_id") < col("doc_id"), "left")
-      .join(broadcast(csh), Seq("c_id"), "left")
+      .join(graft.StaticTier.side(csh, tier), Seq("c_id"), "left")
       .withColumn("hamming", when(col("c_id").isNotNull,
         bit_count(col("s0").bitwiseXOR(col("c0"))) +
         bit_count(col("s1").bitwiseXOR(col("c1"))) +

@@ -19,6 +19,61 @@ object StreamingQueries {
     // base assignment) — laps measure the probe path
     "streaming_ann_gate" -> ((s, d) => { graft.vec.VecAnalytics.ivfIncrementalIndex(s, d); () }))
 
+  /** The dedup gate's oracle SQL — ONE definition shared by the
+    * broadcast gate and its shuffled-static tier (same logical join,
+    * same decisions; hash-green on both IS the no-drift proof).
+    */
+  private val DedupGateOracleSql: String = {
+      val p = graft.text.Dedup.PortableP
+      val minsSql = graft.text.Dedup.PortablePerms.zipWithIndex.map {
+        case ((a, b), i) => s"MIN(((h % $p) * $a + $b) % $p) AS m$i"
+      }.mkString(", ")
+      s"""WITH shx AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id,
+         |          unnest(list_distinct(${graft.text.TextFunctions.shinglesSql("text", 3)})) AS s
+         |        FROM documents)),
+         |mins AS MATERIALIZED (
+         |  SELECT doc_id, $minsSql FROM shx GROUP BY 1),
+         |bk AS MATERIALIZED (
+         |  SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS bkey FROM mins
+         |  UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM mins
+         |  UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM mins
+         |  UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM mins),
+         |cand AS MATERIALIZED (
+         |  SELECT a.doc_id AS did, b.doc_id AS cid
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+         |   AND b.doc_id < a.doc_id),
+         |pairs AS MATERIALIZED (SELECT DISTINCT did, cid FROM cand),
+         |sz AS MATERIALIZED (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shx GROUP BY 1),
+         |iv AS MATERIALIZED (
+         |  SELECT p.did, p.cid, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM pairs p JOIN shx a ON a.doc_id = p.did
+         |       JOIN shx b ON b.doc_id = p.cid AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT i.did, MAX(CASE WHEN i.inter * 5 >= (sa.n + sb.n - i.inter) * 4
+         |                    THEN 1 ELSE 0 END) AS dup
+         |  FROM iv i JOIN sz sa ON sa.doc_id = i.did
+         |       JOIN sz sb ON sb.doc_id = i.cid
+         |  GROUP BY 1),
+         |cr AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS ncr FROM cand GROUP BY 1),
+         |fl AS (
+         |  SELECT d.source, COALESCE(v.dup, 0) AS is_dup,
+         |         COALESCE(c.ncr, 0) AS ncr
+         |  FROM documents d
+         |  LEFT JOIN ver v ON v.did = d.doc_id
+         |  LEFT JOIN cr c ON c.did = d.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(is_dup) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(ncr) AS BIGINT) AS cand_rows,
+         |  CAST((COUNT(*) - SUM(is_dup)) * 1000000 // COUNT(*) AS BIGINT)
+         |    AS novel_ppm
+         |FROM fl GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // gap-based sessionization (30 min), batch twin of the stateful
     // streaming operator — oracle-checked
@@ -159,57 +214,23 @@ object StreamingQueries {
     // Dedup.PortablePerms), 4-band bucketing, candidate join, exact
     // verify — as materialized CTEs (multi-referenced chains
     // re-evaluate exponentially under lateral UNNEST otherwise).
-    "streaming_dedup_gate" -> QueryDef({
-      val p = graft.text.Dedup.PortableP
-      val minsSql = graft.text.Dedup.PortablePerms.zipWithIndex.map {
-        case ((a, b), i) => s"MIN(((h % $p) * $a + $b) % $p) AS m$i"
-      }.mkString(", ")
-      s"""WITH shx AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id,
-         |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
-         |  FROM (SELECT doc_id,
-         |          unnest(list_distinct(${graft.text.TextFunctions.shinglesSql("text", 3)})) AS s
-         |        FROM documents)),
-         |mins AS MATERIALIZED (
-         |  SELECT doc_id, $minsSql FROM shx GROUP BY 1),
-         |bk AS MATERIALIZED (
-         |  SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS bkey FROM mins
-         |  UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM mins
-         |  UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM mins
-         |  UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM mins),
-         |cand AS MATERIALIZED (
-         |  SELECT a.doc_id AS did, b.doc_id AS cid
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
-         |   AND b.doc_id < a.doc_id),
-         |pairs AS MATERIALIZED (SELECT DISTINCT did, cid FROM cand),
-         |sz AS MATERIALIZED (
-         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shx GROUP BY 1),
-         |iv AS MATERIALIZED (
-         |  SELECT p.did, p.cid, CAST(COUNT(*) AS BIGINT) AS inter
-         |  FROM pairs p JOIN shx a ON a.doc_id = p.did
-         |       JOIN shx b ON b.doc_id = p.cid AND b.h = a.h
-         |  GROUP BY 1, 2),
-         |ver AS (
-         |  SELECT i.did, MAX(CASE WHEN i.inter * 5 >= (sa.n + sb.n - i.inter) * 4
-         |                    THEN 1 ELSE 0 END) AS dup
-         |  FROM iv i JOIN sz sa ON sa.doc_id = i.did
-         |       JOIN sz sb ON sb.doc_id = i.cid
-         |  GROUP BY 1),
-         |cr AS (SELECT did, CAST(COUNT(*) AS BIGINT) AS ncr FROM cand GROUP BY 1),
-         |fl AS (
-         |  SELECT d.source, COALESCE(v.dup, 0) AS is_dup,
-         |         COALESCE(c.ncr, 0) AS ncr
-         |  FROM documents d
-         |  LEFT JOIN ver v ON v.did = d.doc_id
-         |  LEFT JOIN cr c ON c.did = d.doc_id)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(is_dup) AS BIGINT) AS n_dropped,
-         |  CAST(SUM(ncr) AS BIGINT) AS cand_rows,
-         |  CAST((COUNT(*) - SUM(is_dup)) * 1000000 // COUNT(*) AS BIGINT)
-         |    AS novel_ppm
-         |FROM fl GROUP BY 1 ORDER BY source""".stripMargin
-    }) { (s, d) =>
+    "streaming_dedup_gate" -> QueryDef(DedupGateOracleSql) { (s, d) =>
       StreamingOps.dedupGateOnce(s, d)
+    },
+
+    // the dedup gate's PAST-BROADCAST-LIMITS tier (r15 — the r14
+    // verdict's "missing #2" made code): the IDENTICAL probe plan
+    // with the band index and the hashed-shingle verify side meeting
+    // the stream as SHUFFLED stream-static hash joins instead of
+    // broadcasts (graft.StaticTier.ShuffledStatic — the tier a
+    // corpus-sized index takes once it outgrows the broadcast
+    // budget). Same logical join == same decisions: the oracle is
+    // the broadcast gate's oracle verbatim, so hash-green here IS
+    // the end-to-end proof that the tiers cannot drift; per-gate
+    // bit-equality across all five gates is additionally pinned in
+    // StaticTierSpec.
+    "streaming_dedup_gate_shuffled" -> QueryDef(DedupGateOracleSql) { (s, d) =>
+      StreamingOps.dedupGateOnce(s, d, graft.StaticTier.ShuffledStatic)
     },
 
     // the MULTIMODAL family's STREAMING leg (r14) — index-batch/

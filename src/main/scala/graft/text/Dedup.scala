@@ -334,13 +334,16 @@ object Dedup {
     * is_dup).
     *
     * Scale shape: the stream never shuffles — banding is per-row, both
-    * index sides broadcast (hashed sets are ~60 B/doc·shingle; past
-    * broadcast limits the same plan runs as a shuffled stream-static
-    * join keyed on (band, key), the GraphLoops two-tier precedent),
-    * and the per-doc decision closes in one streaming aggregate.
+    * index sides broadcast (hashed sets are ~60 B/doc·shingle), and
+    * the per-doc decision closes in one streaming aggregate. Past
+    * broadcast limits the `tier` knob ([[graft.StaticTier]]) runs the
+    * SAME plan as a shuffled stream-static join keyed on (band, key)
+    * — bit-equality of the tiers is pinned in StaticTierSpec and the
+    * streaming_dedup_gate_shuffled oracle gate.
     */
   def portableDedupProbe(probe: DataFrame, banded: DataFrame,
-      hashedIdx: DataFrame): DataFrame = {
+      hashedIdx: DataFrame,
+      tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame = {
     val ph = portableHashedShingles(probe, col("text"))
     val ex = ph
       .withColumn("bands",
@@ -349,10 +352,10 @@ object Dedup {
         posexplode_outer(col("bands")).as(Seq("band", "key")))
     val bi = banded.toDF("c_id", "i_band", "i_key")
     val csh = hashedIdx.select(col("doc_id").as("c_id"), col("hsh").as("chs"))
-    ex.join(broadcast(bi),
+    ex.join(graft.StaticTier.side(bi, tier),
         col("band") === col("i_band") && col("key") === col("i_key") &&
           col("c_id") < col("doc_id"), "left")
-      .join(broadcast(csh), Seq("c_id"), "left")
+      .join(graft.StaticTier.side(csh, tier), Seq("c_id"), "left")
       .withColumn("inter", size(array_intersect(col("hsh"), col("chs"))).cast("long"))
       .withColumn("uni",
         size(col("hsh")).cast("long") + size(col("chs")) - col("inter"))
