@@ -260,6 +260,82 @@ object VecAnalytics {
     (coarse, baseAssign.unionByName(newAssign))
   }
 
+  /** The index-health monitor's plan (shared by the sim_index_health
+    * gate and [[ivfServeOrRetrain]]): incremental-IVF search over the
+    * grown index on the held-out probe set (vec_id < 10), exact
+    * brute-force top-5 beside it, recall@5 in ppm against the
+    * documented 0.6 floor, serve/retrain decision. One row.
+    */
+  private[graft] def indexHealth(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qvAll = quantized(s, d).localCheckpoint()
+    val (coarse, baseAssign) = ivfIncrementalIndex(s, d)
+    val grown = baseAssign.unionByName(
+      assignToLists(qvAll.where(col("vec_id") % 10 === 0), coarse))
+    val tot = qvAll.where(col("vec_id") < 10).select("vec_id", "dim", "qv")
+      .join(broadcast(coarse), "dim")
+      .groupBy("vec_id", "c_label")
+      .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("td"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("td"), col("c_label"))
+    val probes = tot.withColumn("rn", row_number().over(wA)).where(col("rn") <= 6)
+      .select(col("vec_id").as("q_id"), col("c_label").as("probe"))
+    val cand = grown.join(broadcast(probes), col("bucket") === col("probe"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("id"))
+    val qside = qvAll.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("dim"), col("qv").as("q_qv"))
+    val ex = cand
+      .join(qvAll.select(col("vec_id").as("id"), col("dim"), col("qv")), "id")
+      .join(broadcast(qside), Seq("q_id", "dim"))
+      .groupBy("q_id", "id")
+      .agg(sum((col("qv") - col("q_qv")) * (col("qv") - col("q_qv"))).as("d2"))
+    val wF = Window.partitionBy("q_id").orderBy(col("d2"), col("id"))
+    val appr = ex.withColumn("rank", row_number().over(wF))
+      .where(col("rank") <= 5).select("q_id", "id")
+    // exact side: one corpus scan per probe (the price of a recall
+    // measurement — paid on the 10-query sample, never corpus×corpus)
+    val bf = qvAll.select(col("vec_id").as("id"), col("dim"), col("qv"))
+      .join(broadcast(qside), "dim")
+      .where(col("id") =!= col("q_id"))
+      .groupBy("q_id", "id")
+      .agg(sum((col("qv") - col("q_qv")) * (col("qv") - col("q_qv"))).as("d2"))
+    val exact = bf.withColumn("rank", row_number().over(wF))
+      .where(col("rank") <= 5).select("q_id", "id")
+    val hits = appr.join(exact, Seq("q_id", "id"))
+      .agg(count(lit(1)).as("h"))
+    val np = exact.agg(countDistinct("q_id").as("n"))
+    hits.crossJoin(broadcast(np))
+      .select(col("n").as("n_probes"), col("h").as("n_hits"),
+        expr("h * 1000000 div (n * 5)").as("recall_ppm"),
+        lit(600000L).as("floor_ppm"),
+        when(expr("h * 1000000 div (n * 5)") >= 600000L, "serve")
+          .otherwise("retrain").as("action"))
+  }
+
+  /** The staleness contract's RETRAIN path, wired to the trigger
+    * (r15): consult [[indexHealth]]; on 'serve', hand back the grown
+    * incremental index unchanged; on a recall-floor breach, RETRAIN —
+    * coarse centroids re-Lloyd'd on the FULL grown corpus and the
+    * corpus re-assigned, cached under a DIFFERENT fingerprint key
+    * ("ivfretrain_cc") so the stale base-trained index is never
+    * served again from cache. `floorPpm` defaults to the documented
+    * 0.6 floor; VecSpec forces it above 1.0 to pin the retrain branch
+    * without manufacturing a degenerate corpus.
+    */
+  private[graft] def ivfServeOrRetrain(s: org.apache.spark.sql.SparkSession,
+      d: String, floorPpm: Long = 600000L)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val healthy = indexHealth(s, d)
+      .select(col("recall_ppm")).collect()(0).getLong(0) >= floorPpm
+    if (healthy) grownIvfIndex(s, d)
+    else {
+      lazy val qv = quantized(s, d).localCheckpoint()
+      val coarse = cachedIndex(s, d, "ivfretrain_cc")(trainCoarse(qv, rounds = 2))
+      (coarse, cachedIndex(s, d, "ivfretrain_assign")(assignToLists(qv, coarse)))
+    }
+  }
+
   /** Trained coarse centroids as driver-side (list, 64 fixed-point
     * components) arrays — inlined as literals by the streaming gate's
     * map-side argmin (the assignByCentroids pattern, integer flavor).
@@ -324,6 +400,10 @@ object VecAnalytics {
     // base assignment prebuilt; laps measure encode/assign-fold + search
     "sim_pq_incremental" -> ((s, d) =>
       { pqIncrementalIndex(s, d); ivfIncrementalIndex(s, d); () }),
+    // the health monitor probes the prebuilt incremental index; laps
+    // measure the monitor (search + exact sample + decision), not the
+    // index build
+    "sim_index_health" -> ((s, d) => { ivfIncrementalIndex(s, d); () }),
     // sim_ivf_topk's cached index must exist BEFORE the laps: the
     // bench unpersists every persistent RDD a query creates (the
     // checkpoint-block leak fix), so a lazily-built lap-1 index would
@@ -875,6 +955,60 @@ object VecAnalytics {
       ex.withColumn("rank", row_number().over(wF)).where(col("rank") <= 5)
         .select("q_id", "id", "d2", "rank")
         .orderBy("q_id", "rank")
+    },
+
+    // ANN INDEX HEALTH MONITOR (r15 — the r14 verdict's item 6: the
+    // staleness contract's retrain trigger was prose, this query IS
+    // the trigger signal): the incremental IVF index's search path
+    // (frozen-on-base centroids, grown assignment, 6-of-20 probes,
+    // exact re-rank — sim_ivf_incremental's plan verbatim) runs over
+    // the held-out probe set, its top-5 per probe meets the EXACT
+    // brute-force top-5 over the grown corpus, and recall@5 closes
+    // against the documented 0.6 floor into the serve/retrain
+    // decision — the dq_freshness shape applied to index health. The
+    // decision is wired: [[ivfServeOrRetrain]] consults this signal
+    // and rebuilds under a new fingerprint key on a breach (both
+    // branches spec-pinned in VecSpec). Everything integer, so probe
+    // membership, both top-5 sets, the ppm recall AND the decision
+    // string are hash-exact vs the oracle's replay. Scale shape: the
+    // approx side is the production search; the exact side scans the
+    // corpus once per probe — the price of a recall measurement, paid
+    // on a SAMPLE (the 10-query probe set), never the full corpus
+    // pairing itself.
+    "sim_index_health" -> QueryDef(
+      s"""WITH $IvfIncOracleCtes,
+        |probes AS (SELECT vec_id AS q_id, c_label AS probe FROM (
+        |    SELECT vec_id, c_label, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY td, c_label) AS rn FROM tot WHERE vec_id < 10) WHERE rn <= 6),
+        |cand AS (SELECT probes.q_id, assign.vec_id AS id
+        |         FROM assign JOIN probes ON probes.probe = assign.bucket
+        |         WHERE assign.vec_id <> probes.q_id),
+        |ex AS (SELECT cand.q_id, cand.id,
+        |         CAST(SUM((c.qv - s.qv)*(c.qv - s.qv)) AS BIGINT) AS d2
+        |       FROM cand
+        |       JOIN qv c ON c.vec_id = cand.id
+        |       JOIN qv s ON s.vec_id = cand.q_id AND s.dim = c.dim
+        |       GROUP BY 1, 2),
+        |appr AS (SELECT q_id, id FROM (
+        |    SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY d2, id) AS rank FROM ex) WHERE rank <= 5),
+        |bf AS (SELECT s.vec_id AS q_id, c.vec_id AS id,
+        |         CAST(SUM((c.qv - s.qv)*(c.qv - s.qv)) AS BIGINT) AS d2
+        |       FROM qv s JOIN qv c ON c.dim = s.dim AND c.vec_id <> s.vec_id
+        |       WHERE s.vec_id < 10 GROUP BY 1, 2),
+        |exact AS (SELECT q_id, id FROM (
+        |    SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY d2, id) AS rank FROM bf) WHERE rank <= 5),
+        |hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS h
+        |         FROM appr JOIN exact USING (q_id, id)),
+        |np AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n FROM exact)
+        |SELECT np.n AS n_probes, hits.h AS n_hits,
+        |  hits.h * 1000000 // (np.n * 5) AS recall_ppm,
+        |  CAST(600000 AS BIGINT) AS floor_ppm,
+        |  CASE WHEN hits.h * 1000000 // (np.n * 5) >= 600000
+        |       THEN 'serve' ELSE 'retrain' END AS action
+        |FROM hits, np""".stripMargin) { (s, d) =>
+      indexHealth(s, d)
     },
 
     // ITERATED Lloyd k-means (3 rounds from the per-label seeds) in

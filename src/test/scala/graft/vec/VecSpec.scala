@@ -323,6 +323,43 @@ class VecSpec extends SparkSpec {
     }
   }
 
+  test("index health monitor: recall clears the floor and the decision says serve") {
+    // the executable retrain trigger (r15): at the gated SFs the
+    // grown incremental index holds recall@5 >= the documented 0.6
+    // floor, so the monitor must emit 'serve' — and its recall must
+    // agree with the spec-pinned incremental-recall measurement
+    val row = VecAnalytics.defs("sim_index_health").build(spark, sf001).collect()(0)
+    val (nProbes, recallPpm, action) =
+      (row.getLong(0), row.getLong(2), row.getString(4))
+    assert(nProbes == 10L, s"probe set must be the 10 held-out queries, got $nProbes")
+    assert(recallPpm >= 600000L, s"recall $recallPpm ppm under the documented floor")
+    assert(action == "serve", s"healthy index must serve, got $action")
+  }
+
+  test("serve-or-retrain wiring: serve hands back the grown index; a breach retrains under a new key") {
+    // serve branch: the trigger at the real floor returns the grown
+    // incremental assignment (base + appended batch)
+    val (coarseServe, assignServe) = VecAnalytics.ivfServeOrRetrain(spark, sf001)
+    val nVecs = graft.Tables.embeddings(spark, sf001).count()
+    assert(assignServe.count() == nVecs, "served index must cover the grown corpus")
+    val (_, baseOnly) = VecAnalytics.ivfIncrementalIndex(spark, sf001)
+    assert(baseOnly.count() < nVecs, "the base index alone must NOT cover the corpus")
+    // retrain branch: force the floor above 1.0 — the decision flips
+    // and the rebuild trains on the FULL grown corpus under the
+    // ivfretrain fingerprint key (a complete, one-list-per-vector
+    // assignment from freshly trained centroids)
+    val (coarseRe, assignRe) = VecAnalytics.ivfServeOrRetrain(spark, sf001,
+      floorPpm = 1000001L)
+    assert(assignRe.count() == nVecs, "retrained index must cover the grown corpus")
+    assert(assignRe.select("vec_id").distinct().count() == nVecs,
+      "retrained assignment must be one list per vector")
+    // retrained centroids come from the full corpus, not the base
+    // slice — the two coarse tables must differ somewhere
+    val serveC = coarseServe.collect().map(_.toSeq).toSet
+    val reC = coarseRe.collect().map(_.toSeq).toSet
+    assert(serveC != reC, "retrain must actually retrain, not serve the stale centroids")
+  }
+
   test("IVF build: every corpus vector lands in exactly one list") {
     val emb = graft.Tables.embeddings(spark, sf001)
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
