@@ -30,7 +30,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  /** `documents`, with a loud guard on the one schema hazard that fails
+    * SILENTLY otherwise: the four streaming gates read this table back
+    * through file-source `readStream` with `n_chars` declared LongType,
+    * and a parquet file whose physical `n_chars` is int32 (ScaleGen
+    * slices generated before the r14 int64 fix) yields NULLs under a
+    * mismatched declared schema instead of erroring. Batch reads widen
+    * int32→int64 fine, so the guard is the only place a stale slice
+    * announces itself before a gate quietly drops every row.
+    */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "documents")
+    df.schema.find(_.name == "n_chars").foreach { f =>
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"$d/documents.parquet: n_chars is ${f.dataType.simpleString}, expected bigint — " +
+          "stale pre-r14 ScaleGen slice; regenerate with graft.ScaleGen (streaming " +
+          "readStream schemas declare n_chars LongType and would read NULLs silently)")
+    }
+    df
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** `events` with `ts_ns` (LONG, exact) and `ts` (TimestampType, µs),

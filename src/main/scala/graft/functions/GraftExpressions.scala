@@ -145,7 +145,14 @@ object GraftExpressions {
 
   /** Dot product of two array<float> embeddings in double precision,
     * left-to-right — bit-identical to the zip_with+aggregate fold (and
-    * the DuckDB oracle's list_reduce).
+    * the DuckDB oracle's list_reduce) PROVIDED every partial sum stays
+    * below 2^53, where double loses integer exactness. The fixed-point
+    * corpora hold the bound with room: 64 dims of ±2^20 components peak
+    * at 64·2^40 = 2^46 per dot, and the oracles replay the identical
+    * double fold, so a breach would surface as a hash mismatch rather
+    * than silent drift. Raising the fixed point past 2^23 or dims past
+    * ~512 needs a long accumulator (or a re-derived oracle) — the
+    * exactness claim is conditional, not unconditional.
     *
     * Unlike the other expressions here, this one generates real Java
     * (doGenCode): it sits inside the whole-stage-codegen'd brute-force

@@ -100,6 +100,25 @@ class TestdataSchemaSpec extends SparkSpec {
     assert(bad == 0L, s"$bad docs where n_chars != length(text)")
   }
 
+  test("Tables.documents rejects a stale int32-n_chars slice loudly") {
+    // Pre-r14 ScaleGen slices wrote n_chars as int32; the streaming
+    // gates declare it LongType in their readStream schemas, and a
+    // file-source readStream over a mismatched physical type yields
+    // NULLs silently (every gate row dropped, zero errors). The loader
+    // guard must turn that into one loud failure at open time.
+    val dir = java.nio.file.Files.createTempDirectory("stale_slice").toString
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("n_chars", expr("cast(n_chars as int)"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables.documents(spark, dir)
+    }
+    assert(e.getMessage.contains("n_chars"), e.getMessage)
+    assert(e.getMessage.contains("ScaleGen"), e.getMessage)
+    // and the genuine driver corpus passes the guard untouched
+    assert(Tables.documents(spark, sf0001).schema("n_chars").dataType == LongType)
+  }
+
   test("embeddings.parquet physical schema") {
     assertSchema("embeddings", Seq(
       "vec_id" -> Seq(LongType),
