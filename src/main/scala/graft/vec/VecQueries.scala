@@ -27,8 +27,21 @@ object VecQueries {
     *  phase 1: rows range-bucket by the first 4 hex chars of the md5
     *    key (65536 buckets that sort identically to the key — fixed-
     *    width lowercase hex compares lexicographically = numerically);
-    *    per-bucket counts collapse map-side, and the prefix-sum window
-    *    runs over that COLLAPSED <=65536-row bucket axis only.
+    *    per-bucket counts collapse map-side, and the exclusive prefix
+    *    sum over that COLLAPSED <=65536-row bucket axis runs as a
+    *    TWO-LEVEL scan with no unpartitioned window at all (r15: the
+    *    first cut used `Window.orderBy(bkt)` here — structurally fine,
+    *    the input is aggregate-collapsed and bounded, but it still
+    *    fires Spark's `WindowExec: No Partition Defined` runtime
+    *    warning on every (re)planning of the seed subtree, and the
+    *    r14 verdict's done-bar for this tier is NO such warning in
+    *    its execution): the 256 super-bucket totals collapse into ONE
+    *    array row (the classic scan combine step, expressed as an
+    *    aggregate), the exclusive prefix over that constant-size axis
+    *    is an array HOF inside the row, and the within-super prefix
+    *    window PARTITIONS by the super bucket. cum_before =
+    *    sup_before + within-super prefix — bit-identical (long sums
+    *    are order-free).
     *  phase 2: only buckets whose cumulative start sits below nlist
     *    can hold seeds; they broadcast back as (bkt, cum_before), the
     *    within-bucket rank runs bkt-PARTITIONED over those candidate
@@ -51,9 +64,20 @@ object VecQueries {
         md5(col("vec_id").cast("string")).as("mk"))
       .withColumn("bkt", conv(substring(col("mk"), 1, 4), 16, 10).cast("long"))
     val counts = fk.groupBy("bkt").agg(count(lit(1)).as("bc"))
-    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val cuts = counts
-      .withColumn("cum_before", coalesce(sum("bc").over(wOff), lit(0L)))
+      .withColumn("sup", expr("bkt div 256"))
+    val supTot = counts.groupBy("sup").agg(sum("bc").as("sc"))
+    val supOff = supTot
+      .agg(array_sort(collect_list(struct(col("sup"), col("sc")))).as("arr"))
+      .select(explode(expr(
+        "transform(arr, (x, i) -> named_struct('sup', x.sup, 'sup_before', " +
+          "aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), (a, y) -> a + y.sc)))"))
+        .as("s"))
+      .select(col("s.sup").as("sup"), col("s.sup_before").as("sup_before"))
+    val wSup = Window.partitionBy("sup").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = counts.join(broadcast(supOff), "sup")
+      .withColumn("cum_before",
+        coalesce(sum("bc").over(wSup), lit(0L)) + col("sup_before"))
       .where(col("cum_before") < nlist)
       .select("bkt", "cum_before")
     val wIn = Window.partitionBy("bkt").orderBy("mk", "vec_id")
