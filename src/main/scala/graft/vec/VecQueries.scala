@@ -56,30 +56,51 @@ object VecQueries {
     * (ExplainAudit.planWarnings is the net; PlanSpec pins it).
     * Returns (seed_id = rank-1, sv = fv, sn2 = |sv|²).
     */
-  private[vec] def exemplarSeeds(f: org.apache.spark.sql.DataFrame,
+  private[graft] def exemplarSeeds(f: org.apache.spark.sql.DataFrame,
       nlist: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.GraftExpressions.vec_dot
     val fk = f.select(col("vec_id"), col("fv"),
         md5(col("vec_id").cast("string")).as("mk"))
       .withColumn("bkt", conv(substring(col("mk"), 1, 4), 16, 10).cast("long"))
+    // The whole cuts derivation rides ONE aggregation chain into a
+    // single combine row, then array HOFs inside that row — no
+    // window, no broadcast-join chain, no re-computed subtree (the
+    // first cut of this scan paid ~0.8 s of per-stage scheduling
+    // overhead for a supOff broadcast join + a second partitioned
+    // window; ProfSeeds is the A/B). Work stays trivially bounded:
+    // the super prefix is 256² in-row adds, and the within-super
+    // prefix only expands SUPERS THAT CAN HOLD SEEDS (sup_before <
+    // nlist — a handful of 256-element arrays).
     val counts = fk.groupBy("bkt").agg(count(lit(1)).as("bc"))
-      .withColumn("sup", expr("bkt div 256"))
-    val supTot = counts.groupBy("sup").agg(sum("bc").as("sc"))
-    val supOff = supTot
-      .agg(array_sort(collect_list(struct(col("sup"), col("sc")))).as("arr"))
+    val supRows = counts
+      .groupBy(expr("bkt div 256").as("sup"))
+      .agg(array_sort(collect_list(struct(col("bkt"), col("bc")))).as("sarr"),
+        sum("bc").as("sc"))
+    val cuts = supRows
+      .agg(array_sort(collect_list(struct(col("sup"), col("sc"), col("sarr"))))
+        .as("arr"))
+      // sk: the sc column alone — the super prefix slices THIS skinny
+      // long array, never arr itself (arr elements carry the nested
+      // 256-struct sarr; slicing those copied ~8M structs per row and
+      // was the measured hot spot of the first cut)
+      .select(col("arr"), expr("transform(arr, x -> x.sc)").as("sk"))
       .select(explode(expr(
-        "transform(arr, (x, i) -> named_struct('sup', x.sup, 'sup_before', " +
-          "aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), (a, y) -> a + y.sc)))"))
-        .as("s"))
-      .select(col("s.sup").as("sup"), col("s.sup_before").as("sup_before"))
-    val wSup = Window.partitionBy("sup").orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cuts = counts.join(broadcast(supOff), "sup")
-      .withColumn("cum_before",
-        coalesce(sum("bc").over(wSup), lit(0L)) + col("sup_before"))
-      .where(col("cum_before") < nlist)
-      .select("bkt", "cum_before")
+        s"""flatten(transform(
+           |  filter(
+           |    transform(arr, (x, i) -> named_struct(
+           |      'sup_before', aggregate(slice(sk, 1, i), CAST(0 AS BIGINT),
+           |                              (a, y) -> a + y),
+           |      'sarr', x.sarr)),
+           |    s -> s.sup_before < ${nlist}L),
+           |  s -> filter(
+           |    transform(s.sarr, (b, j) -> named_struct(
+           |      'bkt', b.bkt,
+           |      'cum_before', s.sup_before +
+           |        aggregate(slice(s.sarr, 1, j), CAST(0 AS BIGINT),
+           |                  (a, y) -> a + y.bc))),
+           |    e -> e.cum_before < ${nlist}L)))""".stripMargin)).as("c"))
+      .select(col("c.bkt").as("bkt"), col("c.cum_before").as("cum_before"))
     val wIn = Window.partitionBy("bkt").orderBy("mk", "vec_id")
     fk.join(broadcast(cuts), "bkt")
       .withColumn("grank", row_number().over(wIn) + col("cum_before"))
@@ -1067,7 +1088,13 @@ object VecQueries {
         .select(col("vec_id"),
           transform(col("embedding"),
             x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
-      val seeds = VecQueries.exemplarSeeds(f, nlist)
+      // localCheckpoint: the iterative-loop rule — the seed table has
+      // FIVE consumers below (cex, the cell half-step, the cell means,
+      // scell, cellSeeds); unshared, every one re-runs the whole
+      // two-phase seed scan (ProfSeeds prices one run at ~0.6 s of
+      // stage overhead — ×5 was most of the tier's first-cut warm).
+      // nlist rows of 64 longs: a deliberate bounded index artifact.
+      val seeds = VecQueries.exemplarSeeds(f, nlist).localCheckpoint()
       // coarse routers: the first ncoarse exemplars…
       val cex = seeds.where(col("seed_id") < ncoarse)
         .select(col("seed_id").as("x_id"), col("sv").as("xv"),
