@@ -47,6 +47,15 @@ object ProfSeeds {
           col("fv").as("sv"), vec_dot(col("fv"), col("fv")).cast("long").as("sn2"))
     }
 
+    val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stageTimes.put(si.stageId,
+          (si.name.take(60), si.taskMetrics.executorRunTime))
+      }
+    })
     def lap(tag: String, df: => DataFrame): Unit = {
       val times = (1 to 4).map { i =>
         RddHygiene.sweptAfter(spark, blocking = true) {
@@ -56,8 +65,64 @@ object ProfSeeds {
         }
       }
       println(f"$tag: n=$n nlist=$nlist laps=${times.map(t => f"$t%.2f").mkString("/")} warm=${times.tail.min}%.2f s")
+      if (sys.env.contains("PROF_SEEDS_STAGES")) {
+        import scala.jdk.CollectionConverters._
+        stageTimes.asScala.toSeq.sortBy(-_._2._2).take(6).foreach {
+          case (id, (nm, ms)) => println(f"    stage $id%4d ${ms / 1000.0}%8.1f s  $nm")
+        }
+        stageTimes.clear()
+      }
     }
 
+    // the downstream consumer that exposed the interaction: the scaled
+    // tier's full assignment fan-out (n×nlist distances through the
+    // constant-key broadcast + partial argmin), with each seed rule
+    def assignWith(seeds: DataFrame): DataFrame = {
+      import graft.functions.GraftExpressions.vec_dot
+      val av = f.select(col("vec_id").as("id"), col("fv"))
+        .withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+      av.withColumn("jk", col("id") % 1)
+        .join(broadcast(seeds.withColumn("jk", col("seed_id") % 1)), "jk")
+        .select(col("id"),
+          (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
+            col("sn2")).as("d2"),
+          col("seed_id"))
+        .groupBy("id")
+        .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
+        .select(col("id"), col("best.seed_id").as("cluster"))
+    }
+    if (sys.env.contains("PROF_SEEDS_EXPLAIN")) {
+      println("=== assign plan, two_level seeds ===")
+      println(assignWith(graft.vec.VecQueries.exemplarSeeds(f, nlist))
+        .queryExecution.executedPlan.toString.take(8000))
+      println("=== assign plan, global_window seeds ===")
+      println(assignWith(seedsGlobalWindow)
+        .queryExecution.executedPlan.toString.take(8000))
+      spark.stop(); return
+    }
+    // candidate replacement for min(struct): pack (d2, seed_id) into
+    // one Decimal(38,0) — order-preserving (seed_id < 2^31 strictly
+    // below the d2 limb), exact (decimal128 >> the 2^73 worst case),
+    // and HASH-aggregable where struct-min forces SortAggregate
+    def assignPacked(seeds: DataFrame): DataFrame = {
+      import graft.functions.GraftExpressions.vec_dot
+      val av = f.select(col("vec_id").as("id"), col("fv"))
+        .withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+      av.withColumn("jk", col("id") % 1)
+        .join(broadcast(seeds.withColumn("jk", col("seed_id") % 1)), "jk")
+        .select(col("id"),
+          ((col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
+            col("sn2")).cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            lit(2147483648L) + col("seed_id")).as("packed"))
+        .groupBy("id")
+        .agg(min(col("packed")).as("best"))
+        .select(col("id"), (col("best") % lit(2147483648L)).cast("long").as("cluster"))
+    }
+    lap("assign PACKED two_level seeds", assignPacked(
+      graft.vec.VecQueries.exemplarSeeds(f, nlist)))
+    lap("assign via two_level seeds", assignWith(
+      graft.vec.VecQueries.exemplarSeeds(f, nlist)))
+    lap("assign via global_window seeds", assignWith(seedsGlobalWindow))
     lap("two_level_scan (shipped)", graft.vec.VecQueries.exemplarSeeds(f, nlist))
     lap("global_window (r14 baseline)", seedsGlobalWindow)
     // decomposition: where the two-level scan's wall goes

@@ -56,6 +56,34 @@ object VecQueries {
     * (ExplainAudit.planWarnings is the net; PlanSpec pins it).
     * Returns (seed_id = rank-1, sv = fv, sn2 = |sv|²).
     */
+  /** 2^31 — candidate ids sit strictly below the d2 limb of the pack. */
+  private[graft] val PackBase = 2147483648L
+
+  /** Exact argmin over a distance fan-out, as a HASH aggregate: packs
+    * (d2, cand) into one Decimal(38,0) — `d2 * 2^31 + cand` — and
+    * takes `min`. Order-preserving because cand < 2^31 lives strictly
+    * below the d2 limb, and exact because the worst case (d2 ≤
+    * 64·(2^21)² = 2^48 for two ±2^20 fixed-point vectors, cand <
+    * 2^31) peaks at 2^79 ≈ 10^24, far inside decimal128. The point is
+    * the AGGREGATE STRATEGY: `min(struct(d2, cand))` has no mutable
+    * hash buffer, so Spark plans SortAggregate — a full sort of the
+    * n×nlist fan-out with interpreted struct comparators (ProfSeeds
+    * A/B at gen3: 36M-row assignment 4.1–42 s and wildly
+    * memory-pressure-sensitive as struct-min, 3.2 s flat as the
+    * packed hash aggregate). `fan` must carry (idCol, "d2", candCol);
+    * returns (idCol, outCol = the argmin candidate).
+    */
+  private[graft] def packedArgmin(fan: org.apache.spark.sql.DataFrame,
+      idCol: String, candCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    fan.select(col(idCol),
+        (col("d2").cast(DecimalType(38, 0)) * lit(PackBase) + col(candCol))
+          .as("packed"))
+      .groupBy(idCol)
+      .agg(min(col("packed")).as("best"))
+      .select(col(idCol), (col("best") % lit(PackBase)).cast("long").as(outCol))
+  }
+
   private[graft] def exemplarSeeds(f: org.apache.spark.sql.DataFrame,
       nlist: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -771,7 +799,22 @@ object VecQueries {
             concat(
               array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
               slice(col("fv"), 2, 63)).as("fv")))
+      // repartition(id) BEFORE the fan-out: the n×nlist explode, its
+      // per-pair vec_dot, and the partial argmin all execute in the
+      // SCAN's task layout otherwise — and scan granularity tracks
+      // input BYTES, not post-explode work (the 16 MB gen3 slice
+      // yields 2 input partitions, so 36M fanned-out rows ran on 2 of
+      // 32 cores: 109 s wall for ~100 s of CPU; r15 ProfSeeds stage
+      // ledger). The exchange is NOT an extra shuffle: the plan needs
+      // av hashpartitioned(id) anyway for the v = asg ⋈ av join, the
+      // argmin's grouping requirement is satisfied for free. The count
+      // is EXPLICIT (defaultParallelism = cluster width) because a
+      // bare repartition(col) is AQE-coalescable, and AQE's byte
+      // heuristic re-collapses the 31 MB exchange to one partition —
+      // the fan-out is compute-bound, so its parallelism must track
+      // CORES, not exchange bytes.
       val av = aug.withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
       // constant-key broadcast equi-join = the seed fan-out without a
       // nested-loop operator (hash probe on an all-zeros key returns
       // all nlist seed rows per vector; the key derives from a data
@@ -782,10 +825,7 @@ object VecQueries {
           (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
             col("sn2")).as("d2"),
           col("seed_id"))
-      val asg = dist
-        .groupBy("id")
-        .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
-        .select(col("id"), col("best.seed_id").as("cluster"))
+      val asg = VecQueries.packedArgmin(dist, "id", "seed_id", "cluster")
       val v = asg.join(av, "id")
       val a = v.select(col("id").as("a_id"), col("cluster"),
         col("fv").as("afv"), col("n2").as("an2"))
@@ -898,18 +938,21 @@ object VecQueries {
       // two-phase exact-rank exemplar selection (bit-identical to the
       // oracle's global ROW_NUMBER, no single-partition corpus sort)
       val seeds = VecQueries.exemplarSeeds(f, nlist)
-      // half-step 1: the BASE corpus assigns to the exemplar seeds
+      // half-step 1: the BASE corpus assigns to the exemplar seeds.
+      // repartition(id): fan-out parallelism must not inherit the
+      // scan's byte-sized task layout (see dedup_semantic_scaled's av
+      // comment); the exchange is reused by the centArr id-join below.
       val base = f.select(col("vec_id").as("id"), col("fv"))
         .withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
-      val asg0 = base.withColumn("jk", col("id") % 1)
-        .join(broadcast(seeds.withColumn("jk", col("seed_id") % 1)), "jk")
-        .select(col("id"),
-          (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
-            col("sn2")).as("d2"),
-          col("seed_id"))
-        .groupBy("id")
-        .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
-        .select(col("id"), col("best.seed_id").as("cluster"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      val asg0 = VecQueries.packedArgmin(
+        base.withColumn("jk", col("id") % 1)
+          .join(broadcast(seeds.withColumn("jk", col("seed_id") % 1)), "jk")
+          .select(col("id"),
+            (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
+              col("sn2")).as("d2"),
+            col("seed_id")),
+        "id", "seed_id", "cluster")
       // refined centroids: per-cluster integer means, re-packed into
       // dim-ordered arrays for the codegen'd final argmin
       val centArr = base.join(asg0, "id")
@@ -927,18 +970,19 @@ object VecQueries {
             concat(
               array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
               slice(col("fv"), 2, 63)).as("fv")))
+      // repartition(id): see dedup_semantic_scaled's av comment
       val av = aug.withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
       // half-step 2: the augmented corpus assigns at the REFINED
       // centroids (n2 − 2·dot + |c|² == Σ(qv−m)² exactly, in integers)
-      val asg = av.withColumn("jk", col("id") % 1)
-        .join(broadcast(centArr.withColumn("jk", col("c_id") % 1)), "jk")
-        .select(col("id"),
-          (col("n2") - lit(2L) * vec_dot(col("fv"), col("cv")).cast("long") +
-            col("cn2")).as("d2"),
-          col("c_id"))
-        .groupBy("id")
-        .agg(min(struct(col("d2"), col("c_id"))).as("best"))
-        .select(col("id"), col("best.c_id").as("cluster"))
+      val asg = VecQueries.packedArgmin(
+        av.withColumn("jk", col("id") % 1)
+          .join(broadcast(centArr.withColumn("jk", col("c_id") % 1)), "jk")
+          .select(col("id"),
+            (col("n2") - lit(2L) * vec_dot(col("fv"), col("cv")).cast("long") +
+              col("cn2")).as("d2"),
+            col("c_id")),
+        "id", "c_id", "cluster")
       val v = asg.join(av, "id")
       val a = v.select(col("id").as("a_id"), col("cluster"),
         col("fv").as("afv"), col("n2").as("an2"))
@@ -1103,15 +1147,14 @@ object VecQueries {
       // the exemplars, per-cell integer means — trainCoarse at seed
       // granularity; both relations are tiny, the fan-out is the
       // constant-key broadcast equi-join)
-      val s2c0 = seeds.withColumn("jk", col("seed_id") % 1)
-        .join(broadcast(cex.withColumn("jk", col("x_id") % 1)), "jk")
-        .select(col("seed_id"), col("sv"),
-          (col("sn2") - lit(2L) * vec_dot(col("sv"), col("xv")).cast("long") +
-            col("xn2")).as("d2"),
-          col("x_id"))
-        .groupBy("seed_id")
-        .agg(min(struct(col("d2"), col("x_id"))).as("best"))
-        .select(col("seed_id"), col("best.x_id").as("cell0"))
+      val s2c0 = VecQueries.packedArgmin(
+        seeds.withColumn("jk", col("seed_id") % 1)
+          .join(broadcast(cex.withColumn("jk", col("x_id") % 1)), "jk")
+          .select(col("seed_id"),
+            (col("sn2") - lit(2L) * vec_dot(col("sv"), col("xv")).cast("long") +
+              col("xn2")).as("d2"),
+            col("x_id")),
+        "seed_id", "x_id", "cell0")
       val cc = seeds.join(s2c0, "seed_id")
         .select(col("cell0").as("cell"), posexplode(col("sv")).as(Seq("dim", "qv")))
         .groupBy("cell", "dim")
@@ -1122,15 +1165,14 @@ object VecQueries {
         .select(col("cell"), col("cv"),
           vec_dot(col("cv"), col("cv")).cast("long").as("cn2"))
       // every seed files under its nearest refined router — its CELL
-      val scell = seeds.withColumn("jk", col("seed_id") % 1)
-        .join(broadcast(cc.withColumn("jk", col("cell") % 1)), "jk")
-        .select(col("seed_id"),
-          (col("sn2") - lit(2L) * vec_dot(col("sv"), col("cv")).cast("long") +
-            col("cn2")).as("d2"),
-          col("cell"))
-        .groupBy("seed_id")
-        .agg(min(struct(col("d2"), col("cell"))).as("best"))
-        .select(col("seed_id"), col("best.cell").as("cell"))
+      val scell = VecQueries.packedArgmin(
+        seeds.withColumn("jk", col("seed_id") % 1)
+          .join(broadcast(cc.withColumn("jk", col("cell") % 1)), "jk")
+          .select(col("seed_id"),
+            (col("sn2") - lit(2L) * vec_dot(col("sv"), col("cv")).cast("long") +
+              col("cn2")).as("d2"),
+            col("cell")),
+        "seed_id", "cell", "cell")
       // probeable cells = the non-empty ones (a probed cell always
       // holds candidate seeds)
       val ncc = cc.join(scell.select("cell").distinct(), "cell")
@@ -1140,7 +1182,10 @@ object VecQueries {
             concat(
               array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
               slice(col("fv"), 2, 63)).as("fv")))
+      // repartition(id): see dedup_semantic_scaled's av comment — the
+      // router fan-out, probe rank, argmin, and the v join all reuse it
       val av = aug.withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
       // the ROUTER pass: ncoarse distances per vector (√nlist rows
       // broadcast — ~3k at 10⁹ vectors), top-2 probed cells via an
       // id-PARTITIONED rank over the skinny (id, cell, d2c) relation
@@ -1159,15 +1204,14 @@ object VecQueries {
       // it fits, shuffle it on (cell) past that
       val cellSeeds = scell.join(seeds, "seed_id")
         .select(col("cell"), col("seed_id"), col("sv"), col("sn2"))
-      val asg = probes.join(av, "id")
-        .join(cellSeeds, "cell")
-        .select(col("id"),
-          (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
-            col("sn2")).as("d2"),
-          col("seed_id"))
-        .groupBy("id")
-        .agg(min(struct(col("d2"), col("seed_id"))).as("best"))
-        .select(col("id"), col("best.seed_id").as("cluster"))
+      val asg = VecQueries.packedArgmin(
+        probes.join(av, "id")
+          .join(cellSeeds, "cell")
+          .select(col("id"),
+            (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
+              col("sn2")).as("d2"),
+            col("seed_id")),
+        "id", "seed_id", "cluster")
       val v = asg.join(av, "id")
       val a = v.select(col("id").as("a_id"), col("cluster"),
         col("fv").as("afv"), col("n2").as("an2"))
