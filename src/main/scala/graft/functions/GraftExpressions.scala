@@ -278,6 +278,58 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Exact (d2, cand) argmin as a HASH-aggregable aggregate: returns
+    * the `cand` of the lexicographically smallest (d2, cand) pair.
+    *
+    * Exists because neither built-in formulation survives the hot
+    * path: `min(struct(d2, cand))` has no mutable buffer so Spark
+    * plans SortAggregate — a full sort of the n×nlist assignment
+    * fan-out with interpreted struct comparators — and packing into
+    * Decimal(38,0) is hash-aggregable but precision > 18 rides
+    * java.math.BigDecimal, an allocation per fanned-out row (~4 µs/
+    * pair measured at gen10's 4×10⁸ pairs). This is a
+    * DeclarativeAggregate over a TWO-LONG mutable buffer — pure
+    * codegen'd long compares, HashAggregate-eligible, no value-range
+    * packing bound at any nlist.
+    *
+    * NULL-input rows are ignored (SQL aggregate semantics); an empty
+    * group evaluates to NULL via the MaxValue sentinel, so a genuine
+    * (Long.MaxValue, Long.MaxValue) input is indistinguishable from
+    * absence — fine here, d2 is structurally < 2^53.
+    */
+  case class ArgMinLong(d2: Expression, cand: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate {
+    import org.apache.spark.sql.catalyst.expressions._
+
+    override def children: Seq[Expression] = Seq(d2, cand)
+    override def nullable: Boolean = true
+    override def dataType: DataType = LongType
+    override def prettyName: String = "arg_min_long"
+
+    private lazy val bd = AttributeReference("bd", LongType, nullable = false)()
+    private lazy val bc = AttributeReference("bc", LongType, nullable = false)()
+    override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bd, bc)
+    override lazy val initialValues: Seq[Expression] =
+      Seq(Literal(Long.MaxValue), Literal(Long.MaxValue))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val keepBuffer = Or(Or(IsNull(d2), IsNull(cand)),
+        Or(LessThan(bd, d2), And(EqualTo(bd, d2), LessThanOrEqual(bc, cand))))
+      Seq(If(keepBuffer, bd, d2), If(keepBuffer, bc, cand))
+    }
+    override lazy val mergeExpressions: Seq[Expression] = {
+      val keepLeft = Or(LessThan(bd.left, bd.right),
+        And(EqualTo(bd.left, bd.right), LessThanOrEqual(bc.left, bc.right)))
+      Seq(If(keepLeft, bd.left, bd.right), If(keepLeft, bc.left, bc.right))
+    }
+    override lazy val evaluateExpression: Expression =
+      If(And(EqualTo(bd, Literal(Long.MaxValue)),
+          EqualTo(bc, Literal(Long.MaxValue))),
+        Literal(null, LongType), bc)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(d2 = newChildren(0), cand = newChildren(1))
+  }
+
   // ---- Column wrappers (classic-API bridge: Spark 4 moved
   // Column<->Expression conversion to sql.classic.ExpressionUtils) ----
 
@@ -288,6 +340,8 @@ object GraftExpressions {
   def word_shingles(c: Column, n: Int): Column = co(WordShingles(ex(c), n))
   def simhash64(c: Column): Column = co(SimHash(ex(c)))
   def vec_dot(a: Column, b: Column): Column = co(VecDot(ex(a), ex(b)))
+  def arg_min_long(d2: Column, cand: Column): Column =
+    co(ArgMinLong(ex(d2), ex(cand)).toAggregateExpression())
   def bloom_might_contain(key: Column, words: Array[Long], mBits: Int, k: Int): Column =
     co(BloomMightContain(ex(key), words, mBits, k))
 }

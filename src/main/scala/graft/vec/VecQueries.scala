@@ -56,32 +56,25 @@ object VecQueries {
     * (ExplainAudit.planWarnings is the net; PlanSpec pins it).
     * Returns (seed_id = rank-1, sv = fv, sn2 = |sv|²).
     */
-  /** 2^31 — candidate ids sit strictly below the d2 limb of the pack. */
-  private[graft] val PackBase = 2147483648L
-
-  /** Exact argmin over a distance fan-out, as a HASH aggregate: packs
-    * (d2, cand) into one Decimal(38,0) — `d2 * 2^31 + cand` — and
-    * takes `min`. Order-preserving because cand < 2^31 lives strictly
-    * below the d2 limb, and exact because the worst case (d2 ≤
-    * 64·(2^21)² = 2^48 for two ±2^20 fixed-point vectors, cand <
-    * 2^31) peaks at 2^79 ≈ 10^24, far inside decimal128. The point is
-    * the AGGREGATE STRATEGY: `min(struct(d2, cand))` has no mutable
-    * hash buffer, so Spark plans SortAggregate — a full sort of the
-    * n×nlist fan-out with interpreted struct comparators (ProfSeeds
-    * A/B at gen3: 36M-row assignment 4.1–42 s and wildly
-    * memory-pressure-sensitive as struct-min, 3.2 s flat as the
-    * packed hash aggregate). `fan` must carry (idCol, "d2", candCol);
+  /** Exact argmin over a distance fan-out, as a HASH aggregate:
+    * [[graft.functions.GraftExpressions.ArgMinLong]] keyed on idCol.
+    * The point is the AGGREGATE STRATEGY — `min(struct(d2, cand))`
+    * has no mutable hash buffer, so Spark plans SortAggregate, a full
+    * sort of the n×nlist fan-out with interpreted struct comparators
+    * (ProfSeeds A/B at gen3: the 36M-row assignment swings 4.1–42 s
+    * with memory state as struct-min, runs flat as a hash aggregate);
+    * a Decimal(38,0) pack IS hash-aggregable but allocates a
+    * BigDecimal per fanned-out row (precision > 18 leaves the compact
+    * long representation — ~4 µs/pair at gen10's 4×10⁸ pairs). The
+    * two-long-buffer aggregate has neither cost and no value-range
+    * bound at any nlist. `fan` must carry (idCol, "d2", candCol);
     * returns (idCol, outCol = the argmin candidate).
     */
-  private[graft] def packedArgmin(fan: org.apache.spark.sql.DataFrame,
+  private[graft] def hashArgmin(fan: org.apache.spark.sql.DataFrame,
       idCol: String, candCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    fan.select(col(idCol),
-        (col("d2").cast(DecimalType(38, 0)) * lit(PackBase) + col(candCol))
-          .as("packed"))
-      .groupBy(idCol)
-      .agg(min(col("packed")).as("best"))
-      .select(col(idCol), (col("best") % lit(PackBase)).cast("long").as(outCol))
+    import graft.functions.GraftExpressions.arg_min_long
+    fan.groupBy(idCol)
+      .agg(arg_min_long(col("d2"), col(candCol)).as(outCol))
   }
 
   private[graft] def exemplarSeeds(f: org.apache.spark.sql.DataFrame,
@@ -825,7 +818,7 @@ object VecQueries {
           (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
             col("sn2")).as("d2"),
           col("seed_id"))
-      val asg = VecQueries.packedArgmin(dist, "id", "seed_id", "cluster")
+      val asg = VecQueries.hashArgmin(dist, "id", "seed_id", "cluster")
       val v = asg.join(av, "id")
       val a = v.select(col("id").as("a_id"), col("cluster"),
         col("fv").as("afv"), col("n2").as("an2"))
@@ -945,7 +938,7 @@ object VecQueries {
       val base = f.select(col("vec_id").as("id"), col("fv"))
         .withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
         .repartition(s.sparkContext.defaultParallelism, col("id"))
-      val asg0 = VecQueries.packedArgmin(
+      val asg0 = VecQueries.hashArgmin(
         base.withColumn("jk", col("id") % 1)
           .join(broadcast(seeds.withColumn("jk", col("seed_id") % 1)), "jk")
           .select(col("id"),
@@ -975,7 +968,7 @@ object VecQueries {
         .repartition(s.sparkContext.defaultParallelism, col("id"))
       // half-step 2: the augmented corpus assigns at the REFINED
       // centroids (n2 − 2·dot + |c|² == Σ(qv−m)² exactly, in integers)
-      val asg = VecQueries.packedArgmin(
+      val asg = VecQueries.hashArgmin(
         av.withColumn("jk", col("id") % 1)
           .join(broadcast(centArr.withColumn("jk", col("c_id") % 1)), "jk")
           .select(col("id"),
@@ -1147,7 +1140,7 @@ object VecQueries {
       // the exemplars, per-cell integer means — trainCoarse at seed
       // granularity; both relations are tiny, the fan-out is the
       // constant-key broadcast equi-join)
-      val s2c0 = VecQueries.packedArgmin(
+      val s2c0 = VecQueries.hashArgmin(
         seeds.withColumn("jk", col("seed_id") % 1)
           .join(broadcast(cex.withColumn("jk", col("x_id") % 1)), "jk")
           .select(col("seed_id"),
@@ -1165,7 +1158,7 @@ object VecQueries {
         .select(col("cell"), col("cv"),
           vec_dot(col("cv"), col("cv")).cast("long").as("cn2"))
       // every seed files under its nearest refined router — its CELL
-      val scell = VecQueries.packedArgmin(
+      val scell = VecQueries.hashArgmin(
         seeds.withColumn("jk", col("seed_id") % 1)
           .join(broadcast(cc.withColumn("jk", col("cell") % 1)), "jk")
           .select(col("seed_id"),
@@ -1204,7 +1197,7 @@ object VecQueries {
       // it fits, shuffle it on (cell) past that
       val cellSeeds = scell.join(seeds, "seed_id")
         .select(col("cell"), col("seed_id"), col("sv"), col("sn2"))
-      val asg = VecQueries.packedArgmin(
+      val asg = VecQueries.hashArgmin(
         probes.join(av, "id")
           .join(cellSeeds, "cell")
           .select(col("id"),

@@ -551,13 +551,13 @@ class PlanSpec extends SparkSpec {
     // + the pair join's shuffle — never a corpus-sized build side
     def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
     assert(n("BroadcastHashJoin") >= 2, s"seed/centroid broadcasts missing:\n$p")
-    // both per-vector argmins are packed-decimal HASH aggregates (r15:
+    // both per-vector argmins are ArgMinLong two-long-buffer HASH aggregates (r15:
     // min(struct) planned SortAggregate — a full sort of the fan-out
-    // with interpreted struct comparators; packedArgmin's scaladoc has
+    // with interpreted struct comparators; hashArgmin's scaladoc has
     // the A/B) keyed on the pre-partitioned id — no sort, no exchange
     val argmins = p.linesIterator.count(l =>
-      l.contains("Functions") && l.contains("min(packed"))
-    assert(argmins >= 2, s"want 2 packed argmin aggregates:\n$p")
+      l.contains("Functions") && l.contains("arg_min_long"))
+    assert(argmins >= 2, s"want 2 arg_min_long hash aggregates:\n$p")
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
       s"argmin fell back to sort-based:\n$p")
   }
@@ -739,11 +739,11 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
     def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
     assert(n("BroadcastHashJoin") >= 3, s"router broadcasts missing:\n$p")
-    // per-vector/per-seed argmins are packed-decimal HASH aggregates
-    // (no sort of any fan-out; see packedArgmin's scaladoc)
+    // per-vector/per-seed argmins are ArgMinLong two-long-buffer HASH aggregates
+    // (no sort of any fan-out; see hashArgmin's scaladoc)
     assert(p.linesIterator.count(l =>
-      l.contains("Functions") && l.contains("min(packed")) >= 2,
-      s"packed argmin aggregates missing:\n$p")
+      l.contains("Functions") && l.contains("arg_min_long")) >= 2,
+      s"arg_min_long hash aggregates missing:\n$p")
     // the probe rank window is id-PARTITIONED (never a global sort)
     assert(ExplainAudit.planWarnings(
       SparkEntry.queries("dedup_semantic_hier")(spark, sf0001)).isEmpty)
@@ -759,13 +759,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("BroadcastHashJoin"), s"seed broadcast missing:\n$p")
-    // the per-vector argmin is a packed-decimal HASH aggregate over
+    // the per-vector argmin is a ArgMinLong two-long-buffer HASH aggregate over
     // the id-pre-partitioned fan-out — no window, no sort-based
     // aggregate anywhere in the tier (the r15 fix: min(struct)
     // planned SortAggregate, a full fan-out sort)
     val aggs = p.linesIterator.count(l =>
-      l.contains("Functions") && l.contains("min(packed"))
-    assert(aggs >= 1, s"packed argmin aggregate missing:\n$p")
+      l.contains("Functions") && l.contains("arg_min_long"))
+    assert(aggs >= 1, s"arg_min_long aggregate missing:\n$p")
     assert(!p.contains("SortAggregate"), s"argmin fell back to sort-based:\n$p")
   }
 }

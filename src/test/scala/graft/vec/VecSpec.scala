@@ -479,4 +479,27 @@ class VecSpec extends SparkSpec {
       }
     }
   }
+
+  test("arg_min_long: lexicographic (d2, cand) argmin, null rows skipped, empty group NULL") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftExpressions.arg_min_long
+    import spark.implicits._
+    val rows = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (1L, 5L, 30L), (1L, 3L, 20L), (1L, 3L, 10L),   // tie on d2=3 -> cand 10
+      (2L, 7L, 1L), (2L, null, 99L), (2L, 7L, null), // null d2/cand rows ignored
+      (3L, null, null))                              // only-null group -> NULL
+      .toDF("g", "d2", "cand")
+    val got = rows.groupBy("g").agg(arg_min_long(col("d2"), col("cand")).as("c"))
+      .orderBy("g").collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 1L), (3L, null)), got.toSeq.toString)
+    // distributed merge path: repartition so partial buffers actually merge
+    val merged = rows.repartition(7).groupBy("g")
+      .agg(arg_min_long(col("d2"), col("cand")).as("c"))
+      .where(col("g") === 1).collect().head.getLong(1)
+    assert(merged == 10L)
+    // and it plans a HASH aggregate (the whole point vs min(struct))
+    val p = rows.groupBy("g").agg(arg_min_long(col("d2"), col("cand")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+  }
 }
