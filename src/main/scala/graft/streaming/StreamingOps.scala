@@ -32,6 +32,30 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-stream source for one corpus table, robust to BOTH physical
+    * layouts a `<table>.parquet` ships in: the driver testdata writes
+    * each table as ONE FILE, while every Spark-written corpus
+    * (ScaleGen slices, production ingest) is a DIRECTORY of part
+    * files under the same name. Neither source form covers both: the
+    * `dir + pathGlobFilter` form matches leaf FILE names only, so on
+    * a directory table it reads ZERO files silently (every gate row
+    * dropped, no error — how the r15 gen-slice stamp caught it), and
+    * the direct-path form fails on a file table (`basePath must be a
+    * directory`). So the layout is probed once at build time (a
+    * file-status call, no data read) and the matching form chosen;
+    * StreamingLayoutSpec pins drain parity across layouts.
+    */
+  private def tableStream(spark: SparkSession, dir: String, table: String,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      spark.readStream.schema(schema).parquet(p.toString)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** events as a file stream, with the raw columns plus `ts_t`
     * (TimestampType, µs) normalized from whichever physical `ts`
     * encoding the parquet actually has. The type probe is a
@@ -43,11 +67,7 @@ object StreamingOps {
     // a µs file is DECLARED TimestampType so the scan yields TIMESTAMP
     // directly (session tz is UTC, so the micros are unchanged)
     val declared = if (probed == LongType) LongType else TimestampType
-    val src = spark.readStream
-      .schema(eventsStreamSchema(declared))
-      // file stream sources take directories; select the one table file
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = tableStream(spark, dir, "events", eventsStreamSchema(declared))
     declared match {
       // integer DIV, not fp division: ns epochs (~1.7e18) exceed 2^53
       case LongType => src.withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
@@ -370,10 +390,7 @@ object StreamingOps {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val src = spark.readStream
-      .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val src = tableStream(spark, dir, "documents", docsSchema)
     val scored = QualityClassifier.featsOf(src, extra = Seq("source"))
       .withColumn("jk", lit(1))
       .join(broadcast(betas), "jk")
@@ -416,10 +433,7 @@ object StreamingOps {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val src = spark.readStream
-      .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val src = tableStream(spark, dir, "documents", docsSchema)
     val perDoc = src
       .select(col("doc_id"), col("source"),
         explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
@@ -466,10 +480,7 @@ object StreamingOps {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val src = spark.readStream
-      .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val src = tableStream(spark, dir, "documents", docsSchema)
     val perDoc = src
       .select(col("doc_id"), col("source"),
         explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
@@ -540,10 +551,7 @@ object StreamingOps {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val src = spark.readStream
-      .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val src = tableStream(spark, dir, "documents", docsSchema)
     val perDoc = Dedup.portableDedupProbe(src, banded, hashedIdx, tier)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = withStateSizedPartitions(spark) {
@@ -606,10 +614,7 @@ object StreamingOps {
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType)))
-    val src = spark.readStream
-      .schema(embSchema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
+    val src = tableStream(spark, dir, "embeddings", embSchema)
     // per-row argmin over centroid literals: score = |m|^2 - 2 q·m
     // (the common |q|^2 shift cannot change the argmin or its ties)
     val probed = src
@@ -693,10 +698,7 @@ object StreamingOps {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    def reader() = spark.readStream
-      .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    def reader() = tableStream(spark, dir, "documents", docsSchema)
     // the arriving uploads: every original, plus a jittered RE-upload
     // of each doc < 40 (two file sources unioned — the batch twin and
     // the oracle replay the identical augmentation)
