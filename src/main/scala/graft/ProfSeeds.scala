@@ -118,6 +118,22 @@ object ProfSeeds {
         .agg(min(col("packed")).as("best"))
         .select(col("id"), (col("best") % lit(2147483648L)).cast("long").as("cluster"))
     }
+    // the SHIPPED formulation: ArgMinLong two-long-buffer hash aggregate
+    def assignArgMin(seeds: DataFrame): DataFrame = {
+      import graft.functions.GraftExpressions.{arg_min_long, vec_dot}
+      val av = f.select(col("vec_id").as("id"), col("fv"))
+        .withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+      av.withColumn("jk", col("id") % 1)
+        .join(broadcast(seeds.withColumn("jk", col("seed_id") % 1)), "jk")
+        .select(col("id"),
+          (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
+            col("sn2")).as("d2"),
+          col("seed_id"))
+        .groupBy("id")
+        .agg(arg_min_long(col("d2"), col("seed_id")).as("cluster"))
+    }
+    lap("assign ARG_MIN_LONG (shipped)", assignArgMin(
+      graft.vec.VecQueries.exemplarSeeds(f, nlist)))
     lap("assign PACKED two_level seeds", assignPacked(
       graft.vec.VecQueries.exemplarSeeds(f, nlist)))
     lap("assign via two_level seeds", assignWith(
