@@ -296,11 +296,33 @@ object GraftExpressions {
     * group evaluates to NULL via the MaxValue sentinel, so a genuine
     * (Long.MaxValue, Long.MaxValue) input is indistinguishable from
     * absence — fine here, d2 is structurally < 2^53.
+    *
+    * NULL divergence vs the `min(struct(d2, cand))` it replaced:
+    * struct ordering sorts a NULL d2 field FIRST, so the struct form
+    * could return a null-d2 row's cand while this aggregate skips
+    * null rows entirely. Every call site produces a structurally
+    * non-null d2 (a squared distance over non-null vectors), so the
+    * two agree today — but a future fan-out that manufactures null
+    * distances would silently change winners; keep d2 non-null at the
+    * call boundary (hashArgmin's contract).
     */
   case class ArgMinLong(d2: Expression, cand: Expression)
       extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate {
     import org.apache.spark.sql.catalyst.expressions._
 
+    // reject non-long inputs at ANALYSIS time: the buffer-vs-input
+    // compare expressions below are built over LongType attributes, so
+    // e.g. an int d2 would otherwise fail obscurely at physical
+    // planning/codegen instead of with a clean type error
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      if (d2.dataType == LongType && cand.dataType == LongType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"arg_min_long requires (BIGINT, BIGINT) inputs, got " +
+          s"(${d2.dataType.simpleString}, ${cand.dataType.simpleString})")
+    }
     override def children: Seq[Expression] = Seq(d2, cand)
     override def nullable: Boolean = true
     override def dataType: DataType = LongType

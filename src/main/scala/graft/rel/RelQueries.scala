@@ -837,18 +837,32 @@ object RelQueries {
          |  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
          |GROUP BY o_orderkey, o_orderdate
          |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      // one orders scan feeds BOTH the bloom build and the broadcast
-      // dim side; the pin also records the boundedness contract — the
-      // bloom build already collects exactly these keys driver-side,
-      // so the broadcast is bounded by the same contract (see Bloom's
-      // doc for the treeAggregate swap past driver sizes)
-      val dim = Tables.orders(s, d)
+      // ONE orders scan feeds BOTH the bloom build and the broadcast
+      // dim side: the filtered dim rows are collected driver-side
+      // under the same bounded-small contract the bloom build already
+      // enforces (urgent ∩ one-month orders; see Bloom's doc for the
+      // treeAggregate swap past driver sizes) and re-shipped as a
+      // LocalRelation — provably bounded for the audit net with NO
+      // per-lap checkpoint job (the r15 eager localCheckpoint here
+      // added a materialization job to every timed lap)
+      val maxDim = 8 << 20
+      val dimRows = Tables.orders(s, d)
         .where(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00")))
         .select("o_orderkey", "o_orderdate")
-        .localCheckpoint()
-      val pruned = Bloom.pruneByKeys(
-        Tables.lineitem(s, d), col("l_orderkey"), dim.select("o_orderkey"))
+        .limit(maxDim + 1).collect()
+      require(dimRows.length <= maxDim,
+        s"join_bloom_prune dim side exceeds $maxDim rows — outside the " +
+          "bounded-collect contract; build the filter distributed instead")
+      val dim = s.createDataFrame(java.util.Arrays.asList(dimRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("o_orderdate",
+            org.apache.spark.sql.types.TimestampNTZType, nullable = true))))
+      val (words, mBits) = Bloom.build(dimRows.map(_.getLong(0)))
+      val pruned = Tables.lineitem(s, d)
+        .where(Bloom.mightContainCol(col("l_orderkey"), words, mBits))
       pruned
         .join(broadcast(dim),
           col("l_orderkey") === col("o_orderkey"))
