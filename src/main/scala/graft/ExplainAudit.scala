@@ -368,7 +368,8 @@ object ExplainAudit {
       "sim_pq_incremental",  // r14: frozen-codebook encode fold + ADC over grown codes
       "mm_dedup_phash",      // r14: band-bucket join + broadcast Hamming verify
       "dedup_semantic_lloyd", // r14: two broadcast argmin phases + one mean agg
-      "dedup_semantic_hier") // r15: √nlist routers, probed-cell argmin, unhinted cell join
+      "dedup_semantic_hier", // r15: √nlist routers, probed-cell argmin, unhinted cell join
+      "dedup_semantic_lloyd_hier") // r16: BOTH Lloyd argmin passes router-probed
 
     interesting.foreach { name =>
       println(s"\n======== $name ========")

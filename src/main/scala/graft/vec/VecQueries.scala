@@ -77,6 +77,53 @@ object VecQueries {
       .agg(arg_min_long(col("d2"), col(candCol)).as(outCol))
   }
 
+  /** The hier tiers' ROUTER machinery over a (checkpointed) seed
+    * table: ncoarse = √nlist coarse routers — the first ncoarse
+    * exemplar seeds, refined by one Lloyd half-step over ALL the
+    * seeds (assign to the exemplars, per-cell integer means — the
+    * trainCoarse shape at seed granularity; both relations are tiny,
+    * every fan-out a constant-key broadcast equi-join) — and every
+    * seed filed under its nearest refined router (its CELL). Returns
+    * (cc = (cell, cv, cn2) routers, scell = (seed_id, cell) map);
+    * probeable cells are the non-empty ones (join cc to scell's
+    * distinct cells so a probed cell always holds candidates).
+    * Shared by dedup_semantic_hier and dedup_semantic_lloyd_hier.
+    */
+  private[graft] def hierRouters(seeds: org.apache.spark.sql.DataFrame,
+      ncoarse: Long)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.functions.GraftExpressions.vec_dot
+    val cex = seeds.where(col("seed_id") < ncoarse)
+      .select(col("seed_id").as("x_id"), col("sv").as("xv"),
+        col("sn2").as("xn2"))
+    val s2c0 = hashArgmin(
+      seeds.withColumn("jk", col("seed_id") % 1)
+        .join(broadcast(cex.withColumn("jk", col("x_id") % 1)), "jk")
+        .select(col("seed_id"),
+          (col("sn2") - lit(2L) * vec_dot(col("sv"), col("xv")).cast("long") +
+            col("xn2")).as("d2"),
+          col("x_id")),
+      "seed_id", "x_id", "cell0")
+    val cc = seeds.join(s2c0, "seed_id")
+      .select(col("cell0").as("cell"), posexplode(col("sv")).as(Seq("dim", "qv")))
+      .groupBy("cell", "dim")
+      .agg(expr("sum(qv) div count(1)").as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("cv"))
+      .select(col("cell"), col("cv"),
+        vec_dot(col("cv"), col("cv")).cast("long").as("cn2"))
+    val scell = hashArgmin(
+      seeds.withColumn("jk", col("seed_id") % 1)
+        .join(broadcast(cc.withColumn("jk", col("cell") % 1)), "jk")
+        .select(col("seed_id"),
+          (col("sn2") - lit(2L) * vec_dot(col("sv"), col("cv")).cast("long") +
+            col("cn2")).as("d2"),
+          col("cell")),
+      "seed_id", "cell", "cell")
+    (cc, scell)
+  }
+
   private[graft] def exemplarSeeds(f: org.apache.spark.sql.DataFrame,
       nlist: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1132,40 +1179,10 @@ object VecQueries {
       // stage overhead — ×5 was most of the tier's first-cut warm).
       // nlist rows of 64 longs: a deliberate bounded index artifact.
       val seeds = VecQueries.exemplarSeeds(f, nlist).localCheckpoint()
-      // coarse routers: the first ncoarse exemplars…
-      val cex = seeds.where(col("seed_id") < ncoarse)
-        .select(col("seed_id").as("x_id"), col("sv").as("xv"),
-          col("sn2").as("xn2"))
-      // …refined by one Lloyd half-step over ALL the seeds (assign to
-      // the exemplars, per-cell integer means — trainCoarse at seed
-      // granularity; both relations are tiny, the fan-out is the
-      // constant-key broadcast equi-join)
-      val s2c0 = VecQueries.hashArgmin(
-        seeds.withColumn("jk", col("seed_id") % 1)
-          .join(broadcast(cex.withColumn("jk", col("x_id") % 1)), "jk")
-          .select(col("seed_id"),
-            (col("sn2") - lit(2L) * vec_dot(col("sv"), col("xv")).cast("long") +
-              col("xn2")).as("d2"),
-            col("x_id")),
-        "seed_id", "x_id", "cell0")
-      val cc = seeds.join(s2c0, "seed_id")
-        .select(col("cell0").as("cell"), posexplode(col("sv")).as(Seq("dim", "qv")))
-        .groupBy("cell", "dim")
-        .agg(expr("sum(qv) div count(1)").as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          x => x.getField("m")).as("cv"))
-        .select(col("cell"), col("cv"),
-          vec_dot(col("cv"), col("cv")).cast("long").as("cn2"))
-      // every seed files under its nearest refined router — its CELL
-      val scell = VecQueries.hashArgmin(
-        seeds.withColumn("jk", col("seed_id") % 1)
-          .join(broadcast(cc.withColumn("jk", col("cell") % 1)), "jk")
-          .select(col("seed_id"),
-            (col("sn2") - lit(2L) * vec_dot(col("sv"), col("cv")).cast("long") +
-              col("cn2")).as("d2"),
-            col("cell")),
-        "seed_id", "cell", "cell")
+      // coarse routers + seed→cell filing (hierRouters: the first
+      // ncoarse exemplars, refined by one Lloyd half-step over all the
+      // seeds, every seed filed under its nearest refined router)
+      val (cc, scell) = VecQueries.hierRouters(seeds, ncoarse)
       // probeable cells = the non-empty ones (a probed cell always
       // holds candidate seeds)
       val ncc = cc.join(scell.select("cell").distinct(), "cell")
@@ -1205,6 +1222,270 @@ object VecQueries {
               col("sn2")).as("d2"),
             col("seed_id")),
         "id", "seed_id", "cluster")
+      val v = asg.join(av, "id")
+      val a = v.select(col("id").as("a_id"), col("cluster"),
+        col("fv").as("afv"), col("n2").as("an2"))
+      val b = v.select(col("id").as("b_id"), col("cluster"),
+        col("fv").as("bfv"), col("n2").as("bn2"))
+      a.join(b, Seq("cluster"))
+        .where(col("a_id") < col("b_id") && col("an2") > 0 && col("bn2") > 0)
+        .withColumn("dot", vec_dot(col("afv"), col("bfv")).cast("long"))
+        .withColumn("cos_micro", expr(
+          "CAST(round(CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * " +
+            "sqrt(CAST(bn2 AS DOUBLE))) * 1000000) AS BIGINT)"))
+        .where(col("cos_micro") >= 999000)
+        .groupBy(col("b_id"), col("cluster"))
+        .agg(min("a_id").as("keep_id"), count(lit(1)).as("n_near"),
+          max("cos_micro").as("max_cos_micro"))
+        .select(col("b_id").as("dropped_id"), col("cluster"),
+          col("keep_id"), col("n_near"), col("max_cos_micro"))
+        .orderBy("dropped_id")
+    },
+
+    // HIERARCHICAL LLOYD SEMANTIC DEDUP (r16 — the r15 verdict's item
+    // 2): dedup_semantic_lloyd buys tighter clusters with a k-means
+    // half-step, but BOTH its argmin passes assign flat — two n·nlist
+    // sweeps, the scaling ladder's worst growth (3.89× per 3× data at
+    // gen30). This tier routes BOTH passes through the hier routers:
+    //   pass 1: the BASE corpus assigns to the nlist exemplar seeds
+    //     via the router tier (ncoarse = ⌈√nlist⌉ router distances per
+    //     vector, exact BIGINT argmin within the top-2 probed cells);
+    //   Lloyd half-step: per-cluster integer means over that
+    //     assignment become the refined centroids — UNCHANGED from
+    //     the flat tier (the means aggregate never fans out);
+    //   pass 2: the augmented corpus assigns to the REFINED centroids
+    //     through the SAME routers — each refined centroid inherits
+    //     its seed's cell (cluster ids ARE seed ids), probeable cells
+    //     restrict to those holding ≥1 refined centroid (a cell whose
+    //     seeds all lost pass 1 has no centroid — the non-empty-cell
+    //     rule at centroid granularity, so every vector's probe finds
+    //     candidates and the assignment stays total).
+    // Assignment work: 2 router passes (n·√nlist each) + 2 probed-cell
+    // argmins (~2n·nlist/√nlist each) ≈ 6n·√(n/100) — O(n^1.5/10)
+    // where the flat Lloyd tier is 2n²/100; the router broadcast stays
+    // √nlist rows FOREVER and both cell joins carry NO broadcast hint.
+    // Probing approximates exactly as in the hier tier: near-identical
+    // vectors route identically, so near-dup pairs still co-assign —
+    // planted recall pinned in VecSpec, and the oracle replays the
+    // full two-level rule for both passes so every assignment is
+    // hash-exact. Everything integer (means < 2^21, distances < 2^53).
+    "dedup_semantic_lloyd_hier" -> QueryDef(
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |nl AS (SELECT GREATEST(16, (COUNT(*) + 99) // 100) AS nlist,
+         |         GREATEST(4, CAST(CEIL(SQRT(CAST(
+         |           GREATEST(16, (COUNT(*) + 99) // 100) AS DOUBLE))) AS BIGINT))
+         |           AS ncoarse
+         |       FROM embeddings),
+         |seeds AS MATERIALIZED (
+         |  SELECT rn - 1 AS seed_id, fv AS sv,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(fv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS sn2
+         |  FROM (SELECT vec_id, fv, ROW_NUMBER() OVER (
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM f), nl
+         |  WHERE rn <= nl.nlist),
+         |cex AS MATERIALIZED (
+         |  SELECT seed_id AS x_id, sv AS xv, sn2 AS xn2 FROM seeds, nl
+         |  WHERE seed_id < nl.ncoarse),
+         |s2c0 AS MATERIALIZED (SELECT seed_id, x_id AS cell0 FROM (
+         |    SELECT s.seed_id, cex.x_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.seed_id ORDER BY
+         |        s.sn2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(list_zip(s.sv, cex.xv), p -> p[1] * p[2])),
+         |          (a, x) -> a + x) AS BIGINT) + cex.xn2,
+         |        cex.x_id) AS rn
+         |    FROM seeds s, cex) WHERE rn = 1),
+         |ccd AS MATERIALIZED (
+         |  SELECT cell0 AS cell, i AS dim,
+         |    CAST(SUM(sv[i+1]) AS BIGINT) // COUNT(*) AS m
+         |  FROM seeds JOIN s2c0 USING (seed_id), UNNEST(range(0, 64)) AS t(i)
+         |  GROUP BY 1, 2),
+         |cc AS MATERIALIZED (
+         |  SELECT cell, list(m ORDER BY dim) AS cv,
+         |    CAST(SUM(m * m) AS BIGINT) AS cn2
+         |  FROM ccd GROUP BY 1),
+         |scell AS MATERIALIZED (SELECT seed_id, cell FROM (
+         |    SELECT s.seed_id, cc.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY s.seed_id ORDER BY
+         |        s.sn2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(list_zip(s.sv, cc.cv), p -> p[1] * p[2])),
+         |          (a, x) -> a + x) AS BIGINT) + cc.cn2,
+         |        cc.cell) AS rn
+         |    FROM seeds s, cc) WHERE rn = 1),
+         |ncc AS MATERIALIZED (
+         |  SELECT * FROM cc WHERE cell IN (SELECT cell FROM scell)),
+         |bq AS MATERIALIZED (
+         |  SELECT vec_id AS id, fv,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(fv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS n2
+         |  FROM f),
+         |pr0a AS (SELECT bq.id, ncc.cell,
+         |           bq.n2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(list_zip(bq.fv, ncc.cv), p -> p[1] * p[2])),
+         |             (a, x) -> a + x) AS BIGINT) + ncc.cn2 AS d2c
+         |         FROM bq, ncc),
+         |probes1 AS MATERIALIZED (SELECT id, cell FROM (
+         |    SELECT id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2c, cell) AS rn
+         |    FROM pr0a) WHERE rn <= 2),
+         |cand1 AS (SELECT bq.id, s.seed_id,
+         |            bq.n2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(list_zip(bq.fv, s.sv), p -> p[1] * p[2])),
+         |              (a, x) -> a + x) AS BIGINT) + s.sn2 AS d2
+         |          FROM probes1
+         |          JOIN bq ON bq.id = probes1.id
+         |          JOIN scell ON scell.cell = probes1.cell
+         |          JOIN seeds s ON s.seed_id = scell.seed_id),
+         |asg0 AS MATERIALIZED (SELECT id, seed_id AS cluster FROM (
+         |    SELECT id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, seed_id) AS rn
+         |    FROM cand1) WHERE rn = 1),
+         |q AS (SELECT asg0.cluster, i AS dim, bq.fv[i+1] AS qv
+         |      FROM bq JOIN asg0 USING (id), UNNEST(range(0, 64)) AS t(i)),
+         |centd AS MATERIALIZED (
+         |  SELECT cluster, dim, CAST(SUM(qv) AS BIGINT) // COUNT(*) AS m
+         |  FROM q GROUP BY 1, 2),
+         |centcell AS MATERIALIZED (
+         |  SELECT scell.cell, c.cluster AS c_id, c.cv,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(c.cv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS ccn2
+         |  FROM (SELECT cluster, list(m ORDER BY dim) AS cv
+         |        FROM centd GROUP BY 1) c
+         |  JOIN scell ON scell.seed_id = c.cluster),
+         |ncc2 AS MATERIALIZED (
+         |  SELECT * FROM cc WHERE cell IN (SELECT cell FROM centcell)),
+         |aug AS MATERIALIZED (
+         |  SELECT vec_id AS id, fv FROM f
+         |  UNION ALL
+         |  SELECT vec_id + ${VecQueries.PlantedIdOffset} AS id,
+         |    list_prepend(fv[1] + (vec_id % 5) + 1, fv[2:64]) AS fv
+         |  FROM f WHERE vec_id < 50),
+         |av AS MATERIALIZED (SELECT id, fv,
+         |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(fv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS n2
+         |       FROM aug),
+         |pr0b AS (SELECT av.id, ncc2.cell,
+         |           av.n2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(list_zip(av.fv, ncc2.cv), p -> p[1] * p[2])),
+         |             (a, x) -> a + x) AS BIGINT) + ncc2.cn2 AS d2c
+         |         FROM av, ncc2),
+         |probes2 AS MATERIALIZED (SELECT id, cell FROM (
+         |    SELECT id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2c, cell) AS rn
+         |    FROM pr0b) WHERE rn <= 2),
+         |cand2 AS (SELECT av.id, centcell.c_id,
+         |            av.n2 - 2 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(list_zip(av.fv, centcell.cv), p -> p[1] * p[2])),
+         |              (a, x) -> a + x) AS BIGINT) + centcell.ccn2 AS d2
+         |          FROM probes2
+         |          JOIN av ON av.id = probes2.id
+         |          JOIN centcell ON centcell.cell = probes2.cell),
+         |asg AS MATERIALIZED (SELECT id, c_id AS cluster FROM (
+         |    SELECT id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, c_id) AS rn
+         |    FROM cand2) WHERE rn = 1),
+         |v AS (SELECT asg.id, asg.cluster, av.fv, av.n2
+         |      FROM asg JOIN av USING (id)),
+         |pr AS (SELECT a.id AS a_id, b.id AS b_id, a.cluster,
+         |         CAST(round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(list_zip(a.fv, b.fv), p -> p[1] * p[2])),
+         |             (acc, x) -> acc + x) AS DOUBLE)
+         |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |           * 1000000) AS BIGINT) AS cos_micro
+         |       FROM v a JOIN v b ON a.cluster = b.cluster AND a.id < b.id
+         |       WHERE a.n2 > 0 AND b.n2 > 0)
+         |SELECT b_id AS dropped_id, cluster, MIN(a_id) AS keep_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_near, MAX(cos_micro) AS max_cos_micro
+         |FROM pr WHERE cos_micro >= 999000
+         |GROUP BY 1, 2 ORDER BY dropped_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GraftExpressions.vec_dot
+      val n = Tables.embeddings(s, d).count()
+      val nlist = math.max(16L, (n + 99L) / 100L)
+      val ncoarse = math.max(4L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
+      val f = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1048576d).cast("long")).as("fv"))
+      // localCheckpoint: the seed table has five consumers (router
+      // machinery ×3, cand1's cellSeeds, and through scell the
+      // centroid filing) — see dedup_semantic_hier's comment
+      val seeds = VecQueries.exemplarSeeds(f, nlist).localCheckpoint()
+      val (cc, scell) = VecQueries.hierRouters(seeds, ncoarse)
+      val ncc = cc.join(scell.select("cell").distinct(), "cell")
+      // repartition(id): see dedup_semantic_scaled's av comment — the
+      // router fan-outs, probe ranks, argmins, means, and the v join
+      // all reuse the id exchange
+      val bq = f.select(col("vec_id").as("id"), col("fv"))
+        .withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      val wProbe = Window.partitionBy("id").orderBy(col("d2c"), col("cell"))
+      // pass-1 router probe: the BASE corpus scores the √nlist routers
+      val probes1 = bq.withColumn("jk", col("id") % 1)
+        .join(broadcast(ncc.withColumn("jk", col("cell") % 1)), "jk")
+        .select(col("id"),
+          (col("n2") - lit(2L) * vec_dot(col("fv"), col("cv")).cast("long") +
+            col("cn2")).as("d2c"),
+          col("cell"))
+        .withColumn("rn", row_number().over(wProbe))
+        .where(col("rn") <= 2)
+        .select("id", "cell")
+      // pass-1 exact argmin within probed cells (unhinted cell join)
+      val cellSeeds = scell.join(seeds, "seed_id")
+        .select(col("cell"), col("seed_id"), col("sv"), col("sn2"))
+      val asg0 = VecQueries.hashArgmin(
+        probes1.join(bq, "id")
+          .join(cellSeeds, "cell")
+          .select(col("id"),
+            (col("n2") - lit(2L) * vec_dot(col("fv"), col("sv")).cast("long") +
+              col("sn2")).as("d2"),
+            col("seed_id")),
+        "id", "seed_id", "cluster")
+      // Lloyd half-step: per-cluster integer means (trunc-div), each
+      // refined centroid inheriting its seed's cell
+      val centCell = bq.join(asg0, "id")
+        .select(col("cluster"), posexplode(col("fv")).as(Seq("dim", "qv")))
+        .groupBy("cluster", "dim")
+        .agg(expr("sum(qv) div count(1)").as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("cv"))
+        .select(col("cluster").as("c_id"), col("cv"),
+          vec_dot(col("cv"), col("cv")).cast("long").as("ccn2"))
+        .join(scell.withColumnRenamed("seed_id", "c_id"), "c_id")
+      // probeable cells at CENTROID granularity: a cell whose seeds
+      // all lost pass 1 has no refined centroid — drop it so pass 2's
+      // probe always finds candidates
+      val ncc2 = cc.join(centCell.select("cell").distinct(), "cell")
+      val aug = f.select(col("vec_id").as("id"), col("fv"))
+        .unionByName(f.where(col("vec_id") < 50)
+          .select((col("vec_id") + VecQueries.PlantedIdOffset).as("id"),
+            concat(
+              array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
+              slice(col("fv"), 2, 63)).as("fv")))
+      val av = aug.withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      // pass-2 router probe: the AUGMENTED corpus scores the routers
+      val probes2 = av.withColumn("jk", col("id") % 1)
+        .join(broadcast(ncc2.withColumn("jk", col("cell") % 1)), "jk")
+        .select(col("id"),
+          (col("n2") - lit(2L) * vec_dot(col("fv"), col("cv")).cast("long") +
+            col("cn2")).as("d2c"),
+          col("cell"))
+        .withColumn("rn", row_number().over(wProbe))
+        .where(col("rn") <= 2)
+        .select("id", "cell")
+      // pass-2 exact argmin at the refined centroids of probed cells
+      val asg = VecQueries.hashArgmin(
+        probes2.join(av, "id")
+          .join(centCell, "cell")
+          .select(col("id"),
+            (col("n2") - lit(2L) * vec_dot(col("fv"), col("cv")).cast("long") +
+              col("ccn2")).as("d2"),
+            col("c_id")),
+        "id", "c_id", "cluster")
       val v = asg.join(av, "id")
       val a = v.select(col("id").as("a_id"), col("cluster"),
         col("fv").as("afv"), col("n2").as("an2"))

@@ -694,7 +694,7 @@ class PlanSpec extends SparkSpec {
     // bucket axis, the within-bucket rank is bkt-partitioned, and every
     // hinted broadcast side is aggregate- or rank-bounded
     Seq("dedup_semantic_scaled", "dedup_semantic_lloyd",
-        "dedup_semantic_hier").foreach { q =>
+        "dedup_semantic_hier", "dedup_semantic_lloyd_hier").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf0001)
       val ws = ExplainAudit.planWarnings(df, Some(q))
       assert(ws.isEmpty, s"$q: ${ws.mkString("; ")}")
@@ -764,7 +764,7 @@ class PlanSpec extends SparkSpec {
           "unpartitioned window — logging config silences the warning")
       captured.clear()
       Seq("dedup_semantic_scaled", "dedup_semantic_lloyd",
-          "dedup_semantic_hier").foreach { q =>
+          "dedup_semantic_hier", "dedup_semantic_lloyd_hier").foreach { q =>
         SparkEntry.queries(q)(spark, sf0001)
           .write.format("noop").mode("overwrite").save()
         assert(captured.isEmpty,
@@ -795,6 +795,32 @@ class PlanSpec extends SparkSpec {
     // the probe rank window is id-PARTITIONED (never a global sort)
     assert(ExplainAudit.planWarnings(
       SparkEntry.queries("dedup_semantic_hier")(spark, sf0001)).isEmpty)
+  }
+
+  test("dedup_semantic_lloyd_hier: both argmin passes ride the routers, no flat fan-out") {
+    val p = plan("dedup_semantic_lloyd_hier")
+    // router probes + cell joins are keyed equi-joins end to end
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    def n(node: String) = p.linesIterator.count(_.matches(s"\\(\\d+\\) $node.*"))
+    assert(n("BroadcastHashJoin") >= 4, s"router broadcasts missing:\n$p")
+    // FOUR arg_min_long hash aggregates: the router machinery's two
+    // (seed→exemplar, seed→cell) plus the two ROUTED passes (base→
+    // seeds, augmented→refined centroids) — the flat Lloyd tier's two
+    // n·nlist broadcast fan-outs appear nowhere
+    val argmins = p.linesIterator.count(l =>
+      l.contains("Functions") && l.contains("arg_min_long"))
+    assert(argmins >= 4, s"want 4 arg_min_long hash aggregates:\n$p")
+    val nodes = argminAggNodes(p)
+    assert(nodes.nonEmpty && nodes.forall(_.contains("HashAggregate")),
+      s"argmin fell back to sort-based ($nodes):\n$p")
+    // passes the RAW audit net with NO allowlist entry — like hier,
+    // its hinted broadcasts are the bounded routers, never the seeds
+    assert(!ExplainAudit.ReviewedBroadcasts.contains("dedup_semantic_lloyd_hier"),
+      "lloyd_hier must need NO allowlist entry")
+    val ws = ExplainAudit.planWarnings(
+      SparkEntry.queries("dedup_semantic_lloyd_hier")(spark, sf0001), None)
+    assert(ws.isEmpty, s"raw audit net: ${ws.mkString("; ")}")
   }
 
   test("dedup_semantic_scaled keeps the seed fan-out broadcast and the pair join keyed") {

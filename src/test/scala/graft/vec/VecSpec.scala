@@ -279,6 +279,26 @@ class VecSpec extends SparkSpec {
     }
   }
 
+  test("hier-Lloyd tier keeps the recall contract through BOTH routed argmin passes") {
+    // r16 (the r15 verdict's item 2): the Lloyd tier's two flat
+    // n·nlist sweeps replaced by router-probed assignments. The recall
+    // contract must survive two stacked approximations — a jittered
+    // copy routes to the same top-2 cells as its original in BOTH
+    // passes (pass 2's probeable cells shrink to centroid-holding
+    // ones, identically for copy and original), so the pair co-assigns
+    // at the refined centroids. Same pins as the flat Lloyd tier: all
+    // 50 planted drops, original as keeper, nothing genuine dropped.
+    val rows = VecQueries.defs("dedup_semantic_lloyd_hier").build(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(rows.length == 50, s"expected the 50 planted drops, got ${rows.length}")
+    rows.foreach { case (dropped, keeper, cosMicro) =>
+      assert(dropped >= VecQueries.PlantedIdOffset, s"real vector $dropped dropped")
+      assert(keeper == dropped - VecQueries.PlantedIdOffset,
+        s"keeper $keeper is not $dropped's original")
+      assert(cosMicro >= 999000L, s"below-threshold pair survived: $cosMicro")
+    }
+  }
+
   test("hier tier's probed-cell candidate work is the √nlist fraction of the flat fan-out") {
     // the structural point of the router: at sf0.01 (n=500, nlist=16,
     // ncoarse=4) every vector scores 4 routers + the seeds of 2 probed
