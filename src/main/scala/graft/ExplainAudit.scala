@@ -57,6 +57,8 @@ object ExplainAudit {
     * at the test SFs; ncoarse = max(4, ceil(sqrt(nlist)))) OUT.
     */
   private[graft] val CodeConstantBounds: Set[Long] = Set(
+    0L,    // exact-id equality pins (sim_hybrid_search's vec_id === 0
+           // query row — selects <= 1 row by key equality)
     1L,    // 1-row scalar/stat frames pinned by equality ranks
     3L,    // top-3 rank cuts (sample/leaderboard shapes)
     5L,    // top-5 rank cuts (sim exact re-rank)
