@@ -1415,12 +1415,20 @@ object VecQueries {
       val seeds = VecQueries.exemplarSeeds(f, nlist).localCheckpoint()
       val (cc, scell) = VecQueries.hierRouters(seeds, ncoarse)
       val ncc = cc.join(scell.select("cell").distinct(), "cell")
+      val aug = f.select(col("vec_id").as("id"), col("fv"))
+        .unionByName(f.where(col("vec_id") < 50)
+          .select((col("vec_id") + VecQueries.PlantedIdOffset).as("id"),
+            concat(
+              array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
+              slice(col("fv"), 2, 63)).as("fv")))
       // repartition(id): see dedup_semantic_scaled's av comment — the
       // router fan-outs, probe ranks, argmins, means, and the v join
       // all reuse the id exchange
-      val bq = f.select(col("vec_id").as("id"), col("fv"))
-        .withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
+      val av = aug.withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
         .repartition(s.sparkContext.defaultParallelism, col("id"))
+      // the BASE corpus is av minus the planted high-bit slice — ONE
+      // quantize+exchange serves both passes instead of two scans
+      val bq = av.where(col("id") < VecQueries.PlantedIdOffset)
       val wProbe = Window.partitionBy("id").orderBy(col("d2c"), col("cell"))
       // pass-1 router probe: the BASE corpus scores the √nlist routers
       val probes1 = bq.withColumn("jk", col("id") % 1)
@@ -1444,7 +1452,14 @@ object VecQueries {
             col("seed_id")),
         "id", "seed_id", "cluster")
       // Lloyd half-step: per-cluster integer means (trunc-div), each
-      // refined centroid inheriting its seed's cell
+      // refined centroid inheriting its seed's cell.
+      // localCheckpoint: the iterative-loop rule — centCell has THREE
+      // consumers below (ncc2, pass-2's probe restriction, cand2's
+      // cell join); unshared, every one re-runs the ENTIRE pass-1
+      // assignment (router probe + probed-cell argmin over the whole
+      // corpus) — the first cut of this tier executed pass 1 three
+      // times and read 12.15 s at sf0.1 where flat Lloyd reads 4.19.
+      // nlist rows of 64 longs: a deliberate bounded index artifact.
       val centCell = bq.join(asg0, "id")
         .select(col("cluster"), posexplode(col("fv")).as(Seq("dim", "qv")))
         .groupBy("cluster", "dim")
@@ -1455,18 +1470,16 @@ object VecQueries {
         .select(col("cluster").as("c_id"), col("cv"),
           vec_dot(col("cv"), col("cv")).cast("long").as("ccn2"))
         .join(scell.withColumnRenamed("seed_id", "c_id"), "c_id")
+        // LAZY checkpoint: eager would run pass 1 in a separate
+        // action, recomputing av's scan+exchange for pass 2 (jobs
+        // don't share shuffles across actions — measured +50% at
+        // gen10); lazy materializes inside the main action, where
+        // av's exchange is reused by both passes
+        .localCheckpoint(eager = false)
       // probeable cells at CENTROID granularity: a cell whose seeds
       // all lost pass 1 has no refined centroid — drop it so pass 2's
       // probe always finds candidates
       val ncc2 = cc.join(centCell.select("cell").distinct(), "cell")
-      val aug = f.select(col("vec_id").as("id"), col("fv"))
-        .unionByName(f.where(col("vec_id") < 50)
-          .select((col("vec_id") + VecQueries.PlantedIdOffset).as("id"),
-            concat(
-              array(element_at(col("fv"), 1) + (col("vec_id") % 5) + 1),
-              slice(col("fv"), 2, 63)).as("fv")))
-      val av = aug.withColumn("n2", vec_dot(col("fv"), col("fv")).cast("long"))
-        .repartition(s.sparkContext.defaultParallelism, col("id"))
       // pass-2 router probe: the AUGMENTED corpus scores the routers
       val probes2 = av.withColumn("jk", col("id") % 1)
         .join(broadcast(ncc2.withColumn("jk", col("cell") % 1)), "jk")
