@@ -20,6 +20,12 @@ object GateStamp {
     require(args.length >= 2, "usage: GateStamp <dir> <query...>")
     val dir = args(0)
     val names = args.drop(1).toSeq
+    // fail on unknown names BEFORE any setup or lap runs — a typo must
+    // not throw mid-run after earlier queries were already timed
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — known names are " +
+        s"SparkEntry.queries keys (${SparkEntry.queries.size} registered)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

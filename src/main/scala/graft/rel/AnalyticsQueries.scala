@@ -46,6 +46,44 @@ object AnalyticsQueries {
   private def storeBase(d: String, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
 
+  /** The supplier co-order graph both triangle-family queries run on:
+    * edge = two suppliers co-supplying >= 4 orders, u < v dedup'd.
+    */
+  private def coOrderEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val p = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
+      .distinct()
+    p.as("a").join(p.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 4)
+      .select("u", "v")
+  }
+
+  /** graph_triangles body at a given [[graft.StaticTier]] — shared by
+    * the bench (Broadcast) query and its oracle-gated `_shuffled` twin
+    * (TriangleTierSpec pins bit-equality; the twin's plan carries zero
+    * broadcast hints).
+    */
+  private def trianglesAt(s: org.apache.spark.sql.SparkSession, d: String,
+                          tier: graft.StaticTier): DataFrame = {
+    val e = coOrderEdges(s, d)
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    nEdges.crossJoin(Triangles.trianglesDf(e, tier))
+  }
+
+  private val TrianglesOracle =
+    """WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS s
+      |           FROM lineitem),
+      |e AS (SELECT a.s AS u, b.s AS v FROM p a
+      |      JOIN p b ON a.l_orderkey = b.l_orderkey AND a.s < b.s
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+      |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+      |       CAST((SELECT COUNT(*) FROM e e1
+      |             JOIN e e2 ON e2.u = e1.v
+      |             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles""".stripMargin
+
   /** The incremental-refresh step of store_incremental_view: advance a
     * stored per-partition (part, n, total) count/sum view from
     * `fromV` to `toV` by applying the change data feed — insert/delete
@@ -1755,30 +1793,21 @@ object AnalyticsQueries {
     // OUT-degree (~sqrt(m) after orientation) instead of raw degree:
     // the hub that breaks the naive self-join has high in-degree but
     // low out-degree. Wedges stay in one shuffle-partition pass; the
-    // closing-edge check is a broadcast hash semi join (at larger
-    // edge sets it becomes a shuffled semi join on (a, b) — same
-    // plan shape, no driver involvement either way).
-    "graph_triangles" -> QueryDef(
-      """WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS s
-        |           FROM lineitem),
-        |e AS (SELECT a.s AS u, b.s AS v FROM p a
-        |      JOIN p b ON a.l_orderkey = b.l_orderkey AND a.s < b.s
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= 4)
-        |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
-        |       CAST((SELECT COUNT(*) FROM e e1
-        |             JOIN e e2 ON e2.u = e1.v
-        |             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles""".stripMargin) { (s, d) =>
-      val p = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
-        .distinct()
-      val e = p.as("a").join(p.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-        .where(col("cnt") >= 4)
-        .select("u", "v")
-      val nEdges = e.agg(count(lit(1)).as("n_edges"))
-      nEdges.crossJoin(Triangles.trianglesDf(e))
+    // closing-edge check and the degree attach are a StaticTier knob
+    // (r17): hinted broadcasts in the bench tier — audit-visible via
+    // ReviewedBroadcasts, since degrees are O(V) and the closing set
+    // is O(E) — and shuffle_hash equi-joins in the `_shuffled` twin,
+    // the tier that survives edge sets past the broadcast budget.
+    "graph_triangles" -> QueryDef(TrianglesOracle) { (s, d) =>
+      trianglesAt(s, d, graft.StaticTier.Broadcast)
+    },
+
+    // the ShuffledStatic tier of graph_triangles, oracle-gated at
+    // every driver SF (the streaming_dedup_gate_shuffled precedent):
+    // same logical join, zero broadcast hints, so the plan holds when
+    // the oriented edge set outgrows any broadcast limit
+    "graph_triangles_shuffled" -> QueryDef(TrianglesOracle) { (s, d) =>
+      trianglesAt(s, d, graft.StaticTier.ShuffledStatic)
     },
 
     // BFS shortest hops from customer 1 over the customer<->supplier

@@ -19,6 +19,64 @@ import org.apache.spark.sql.functions._
   */
 object GraphExtras {
 
+  private val ClusteringOracle =
+    """WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS s
+      |           FROM lineitem),
+      |e AS (SELECT a.s AS u, b.s AS v FROM p a
+      |      JOIN p b ON a.l_orderkey = b.l_orderkey AND a.s < b.s
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+      |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+      |          (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY 1),
+      |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
+      |      JOIN e e2 ON e2.u = e1.v
+      |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |tc AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM
+      |         (SELECT a AS n FROM t UNION ALL SELECT b FROM t
+      |          UNION ALL SELECT c FROM t)
+      |       GROUP BY 1)
+      |SELECT deg.n AS node, deg.d AS deg,
+      |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS tri,
+      |  CASE WHEN deg.d < 2 THEN NULL
+      |       ELSE CAST(2 * COALESCE(tc.t, 0) * 1000000
+      |                 // (deg.d * (deg.d - 1)) AS BIGINT) END AS cc_ppm
+      |FROM deg LEFT JOIN tc ON deg.n = tc.n
+      |ORDER BY node""".stripMargin
+
+  /** graph_clustering_coeff body at a given [[graft.StaticTier]] —
+    * shared by the bench (Broadcast) query and its `_shuffled` twin.
+    */
+  private def clusteringAt(s: org.apache.spark.sql.SparkSession, d: String,
+                           tier: graft.StaticTier): DataFrame = {
+    val p = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
+      .distinct()
+    val e = p.as("a").join(p.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 4)
+      .select("u", "v")
+      // deg, the orientation, and the closing-edge probe all read
+      // the edge list — pin it once or each re-runs the wedge agg
+      .localCheckpoint()
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // ONE corner fan-out via explode (r17: the old 3-way unionAll of
+    // corner0/wa/wb tripled the triangle subtree in the logical plan)
+    val tris = Triangles.triangleCorners(e, tier)
+    val tc = tris
+      .select(explode(array(col("corner0"), col("wa"), col("wb"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.join(tc.withColumnRenamed("n", "tn"), col("n") === col("tn"), "left")
+      .select(col("n").as("node"), col("d").as("deg"),
+        coalesce(col("t"), lit(0L)).as("tri"),
+        when(col("d") < 2, lit(null))
+          .otherwise(expr("2 * coalesce(t, 0L) * 1000000 div (d * (d - 1))"))
+          .as("cc_ppm"))
+      .orderBy("node")
+  }
+
   /** Normalizer strategy for [[hitsAuthorities]] — the two-tier
     * posture the Broadcast|CoPartitioned precedent set for joins,
     * applied to the per-half-round sum normalizer:
@@ -122,32 +180,65 @@ object GraphExtras {
     * result-identical to the oracle's full unroll). Returns the
     * surviving edge list; degrees of it are the core report.
     *
-    * Per round: one partial-aggregated degree count + two semi-joins
-    * of the node-sized survivor set back onto the edges. The edge
-    * list SHRINKS monotonically, so unlike PageRank there is no
-    * stationary relation to pin — each round's semi-joins broadcast
-    * the survivor set (node-sized; for vertex sets past broadcast
-    * limits the same plan runs as shuffled semi-joins, both keyed on
-    * the survivor column).
+    * r17 (the r16 verdict's Missing #3 — the old per-round
+    * `broadcast(alive)` was the one state broadcast without a
+    * CoPartitioned fallback): the loop is now NODE-STATE over a
+    * once-pinned edge list, the GraphLoops template. Per round: one
+    * [[GraphLoops.stateJoin]] of the O(nodes) alive set onto the
+    * pinned edges (broadcast or shuffle_hash per strategy — the edge
+    * list never moves after the build-time pin), one partial-
+    * aggregated alive-neighbor degree count, one filter. The alive
+    * set is equivalent to the classic edge-filtering peel because
+    * peeling is MONOTONE: a node dropped at round s has fewer than k
+    * alive neighbors against a SUPERSET of every later alive set, so
+    * "a itself is alive" needs no second join — deg(a) >= k already
+    * implies it. The surviving edge list materializes ONCE at the
+    * end (two semi-joins), not per round, so per-round state is
+    * node-sized in both tiers. Bit-equality of the tiers and the
+    * no-per-round-edge-exchange plan are pinned in GraphExtrasSpec.
     */
-  def kcoreEdges(und: DataFrame, k: Int, maxRounds: Int): DataFrame = {
-    var e = und.localCheckpoint()
-    var prev = e.count()
+  /** One k-core peel round: deg(a) = |N(a) ∩ alive| via a state join
+    * of the alive set onto the pinned edges' b side, the count
+    * partial-aggregating map-side before its node-sized exchange on a.
+    * Exposed so GraphExtrasSpec can pin the CoPartitioned round plan
+    * (no exchange above the pinned edge scan — the GraphLoops
+    * stepPlanProbe discipline).
+    */
+  private[rel] def kcoreRound(pinnedEdges: DataFrame, alive: DataFrame,
+                              k: Int, strategy: GraphLoops.Strategy): DataFrame =
+    GraphLoops
+      .stateJoin(pinnedEdges, alive, col("node") === col("b"), strategy)
+      .groupBy("a").agg(count(lit(1)).as("d"))
+      .where(col("d") >= k)
+      .select(col("a").as("node"))
+
+  def kcoreEdges(und: DataFrame, k: Int, maxRounds: Int,
+                 strategy: GraphLoops.Strategy = GraphLoops.Broadcast): DataFrame = {
+    val e = GraphLoops.pinEdges(und, "b", strategy)
+    var alive = e.select(col("a").as("node")).distinct().localCheckpoint()
+    var prev = alive.count()
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
-      val alive = e.groupBy("a").agg(count(lit(1)).as("d"))
-        .where(col("d") >= k).select("a")
-      val next = e.join(broadcast(alive), Seq("a"), "left_semi")
-        .join(broadcast(alive.withColumnRenamed("a", "b")), Seq("b"), "left_semi")
-        .select("a", "b").localCheckpoint()
+      val next = kcoreRound(e, alive, k, strategy)
+        .localCheckpoint() // 2 consumers: the count + the next round
       val c = next.count()
+      // alive shrinks monotonically, so count-equal means set-equal
       done = c == prev
       prev = c
-      e = next
+      alive = next
       r += 1
     }
-    e
+    val aliveB = alive.withColumnRenamed("node", "b")
+    val (sa, sb) = strategy match {
+      case GraphLoops.Broadcast =>
+        (broadcast(alive), broadcast(aliveB))
+      case GraphLoops.CoPartitioned =>
+        (alive.hint("shuffle_hash"), aliveB.hint("shuffle_hash"))
+    }
+    und.join(sa, und("a") === sa("node"), "left_semi")
+      .join(sb, Seq("b"), "left_semi")
+      .select("a", "b")
   }
 
   /** Distributed CORENESS (the full k-core spectrum, not one k) by
@@ -458,78 +549,25 @@ object GraphExtras {
     // my neighborhood", the node-level refinement of graph_triangles
     // (same supplier co-order graph) and the standard small-world /
     // community-tightness feature. Triangles enumerate ONCE via the
-    // same degree-ordered orientation (wedge work ~sqrt(m)-bounded),
-    // then fan out to their three corners — an O(triangles) explode,
-    // never a per-node neighborhood self-join. cc_ppm =
-    // 2*t*1e6 div (d*(d-1)) in truncating integer ppm; deg-1 nodes
-    // get NULL (coefficient undefined), triangle-free nodes get 0
-    // via the left join's coalesce.
-    "graph_clustering_coeff" -> QueryDef(
-      """WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS s
-        |           FROM lineitem),
-        |e AS (SELECT a.s AS u, b.s AS v FROM p a
-        |      JOIN p b ON a.l_orderkey = b.l_orderkey AND a.s < b.s
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= 4),
-        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
-        |          (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
-        |        GROUP BY 1),
-        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
-        |      JOIN e e2 ON e2.u = e1.v
-        |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-        |tc AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM
-        |         (SELECT a AS n FROM t UNION ALL SELECT b FROM t
-        |          UNION ALL SELECT c FROM t)
-        |       GROUP BY 1)
-        |SELECT deg.n AS node, deg.d AS deg,
-        |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS tri,
-        |  CASE WHEN deg.d < 2 THEN NULL
-        |       ELSE CAST(2 * COALESCE(tc.t, 0) * 1000000
-        |                 // (deg.d * (deg.d - 1)) AS BIGINT) END AS cc_ppm
-        |FROM deg LEFT JOIN tc ON deg.n = tc.n
-        |ORDER BY node""".stripMargin) { (s, d) =>
-      val p = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
-        .distinct()
-      val e = p.as("a").join(p.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-        .where(col("cnt") >= 4)
-        .select("u", "v")
-        // deg, the orientation, and the closing-edge probe all read
-        // the edge list — pin it once or each re-runs the wedge agg
-        .localCheckpoint()
-      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      // degree-ordered orientation (Triangles.scala rationale): each
-      // triangle materializes exactly once, at its smallest corner,
-      // and per-node wedge fan-out is bounded by out-degree
-      def key(dc: String, nc: String) =
-        struct(col(dc).as("dg"), col(nc).as("id"))
-      val ed = e
-        .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
-        .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
-        .select(
-          when(key("du", "u") < key("dv", "v"), col("u")).otherwise(col("v")).as("src"),
-          when(key("du", "u") < key("dv", "v"), key("dv", "v"))
-            .otherwise(key("du", "u")).as("dstk"))
-      val wedges = ed.as("x").join(ed.as("y"),
-          col("x.src") === col("y.src") && col("x.dstk") < col("y.dstk"))
-        .select(col("x.src").as("corner0"),
-          col("x.dstk.id").as("wa"), col("y.dstk.id").as("wb"))
-      val closing = ed.select(col("src").as("wa"), col("dstk.id").as("wb"))
-      val tris = wedges.join(broadcast(closing), Seq("wa", "wb"))
-      val tc = tris.select(col("corner0").as("n"))
-        .unionAll(tris.select(col("wa").as("n")))
-        .unionAll(tris.select(col("wb").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("t"))
-      deg.join(tc.withColumnRenamed("n", "tn"), col("n") === col("tn"), "left")
-        .select(col("n").as("node"), col("d").as("deg"),
-          coalesce(col("t"), lit(0L)).as("tri"),
-          when(col("d") < 2, lit(null))
-            .otherwise(expr("2 * coalesce(t, 0L) * 1000000 div (d * (d - 1))"))
-            .as("cc_ppm"))
-        .orderBy("node")
+    // same degree-ordered orientation (wedge work ~sqrt(m)-bounded,
+    // Triangles.triangleCorners), then fan out to their three corners
+    // — an O(triangles) explode, never a per-node neighborhood
+    // self-join. cc_ppm = 2*t*1e6 div (d*(d-1)) in truncating integer
+    // ppm; deg-1 nodes get NULL (coefficient undefined), triangle-free
+    // nodes get 0 via the left join's coalesce. The degree attach and
+    // closing-edge probe tiers are the StaticTier knob (r17) — hinted
+    // broadcasts here (audit-visible via ReviewedBroadcasts), the
+    // zero-broadcast-hint plan in the `_shuffled` twin below.
+    "graph_clustering_coeff" -> QueryDef(ClusteringOracle) { (s, d) =>
+      clusteringAt(s, d, graft.StaticTier.Broadcast)
+    },
+
+    // the ShuffledStatic tier of graph_clustering_coeff, oracle-gated
+    // at every driver SF: identical logical plan, every degree/closing
+    // join a shuffle_hash equi-join — the path an edge set past the
+    // broadcast budget takes (bit-equality pinned in TriangleTierSpec)
+    "graph_clustering_shuffled" -> QueryDef(ClusteringOracle) { (s, d) =>
+      clusteringAt(s, d, graft.StaticTier.ShuffledStatic)
     },
 
     // MODULARITY of the nation partition on the supplier co-order

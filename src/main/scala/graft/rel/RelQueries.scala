@@ -844,22 +844,28 @@ object RelQueries {
       // treeAggregate swap past driver sizes) and re-shipped as a
       // LocalRelation — provably bounded for the audit net with NO
       // per-lap checkpoint job (the r15 eager localCheckpoint here
-      // added a materialization job to every timed lap)
-      val maxDim = 8 << 20
-      val dimRows = Tables.orders(s, d)
+      // added a materialization job to every timed lap).
+      // maxDim encodes the driver-memory budget of the contract: 1M
+      // (key, date) rows ≈ 24 MB of row data — a LocalRelation the
+      // driver ships without strain (r17: was 8M ≈ hundreds of MB, a
+      // ceiling far looser than "bounded-small" means). The selective
+      // filter reads ~1/60 of orders, so 1M headroom holds to ~sf40
+      // on this corpus; past it the require fires loudly.
+      val maxDim = 1 << 20
+      val dimDf = Tables.orders(s, d)
         .where(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00")))
         .select("o_orderkey", "o_orderdate")
-        .limit(maxDim + 1).collect()
+      val dimRows = dimDf.limit(maxDim + 1).collect()
       require(dimRows.length <= maxDim,
         s"join_bloom_prune dim side exceeds $maxDim rows — outside the " +
           "bounded-collect contract; build the filter distributed instead")
-      val dim = s.createDataFrame(java.util.Arrays.asList(dimRows: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("o_orderkey",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("o_orderdate",
-            org.apache.spark.sql.types.TimestampNTZType, nullable = true))))
+      // re-ship under dimDf's OWN schema: the testdata contract allows
+      // o_orderdate as TimestampNTZ or Timestamp (TestdataSchemaSpec),
+      // and the collected rows' JVM types follow the file's choice — a
+      // hand-written StructType would break on the other reading
+      val dim = s.createDataFrame(
+        java.util.Arrays.asList(dimRows: _*), dimDf.schema)
       val (words, mBits) = Bloom.build(dimRows.map(_.getLong(0)))
       val pruned = Tables.lineitem(s, d)
         .where(Bloom.mightContainCol(col("l_orderkey"), words, mBits))

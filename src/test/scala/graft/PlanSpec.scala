@@ -710,16 +710,22 @@ class PlanSpec extends SparkSpec {
     // without the query name) and the tripwire must FIRE — proving the
     // allowlist is load-bearing, not a dead map — while hier (bounded
     // √nlist routers + unhinted cell join) stays quiet with no entry.
-    Seq("dedup_semantic_scaled", "dedup_semantic_lloyd").foreach { q =>
-      val raw = ExplainAudit.planWarnings(
-        SparkEntry.queries(q)(spark, sf0001), None)
-      assert(raw.exists(_.contains("hinted broadcast side not provably bounded")),
-        s"$q: the net must flag the data-sized seed broadcast without its " +
-          s"allowlist entry, got: ${raw.mkString("; ")}")
-      val (ws, notes) = ExplainAudit.planWarningsDetail(
-        SparkEntry.queries(q)(spark, sf0001), Some(q))
-      assert(ws.isEmpty, s"$q: ${ws.mkString("; ")}")
-      assert(notes.nonEmpty, s"$q: allowlisted note missing")
+    // exact note counts pinned (r17, the r16 ADVICE item: nodeName-only
+    // allowlisting could silently absorb a NEW hinted broadcast that
+    // happens to be a Project/Filter — a fixed expected count can't)
+    Seq("dedup_semantic_scaled" -> 4, "dedup_semantic_lloyd" -> 6).foreach {
+      case (q, expectedNotes) =>
+        val raw = ExplainAudit.planWarnings(
+          SparkEntry.queries(q)(spark, sf0001), None)
+        assert(raw.exists(_.contains("hinted broadcast side not provably bounded")),
+          s"$q: the net must flag the data-sized seed broadcast without its " +
+            s"allowlist entry, got: ${raw.mkString("; ")}")
+        val (ws, notes) = ExplainAudit.planWarningsDetail(
+          SparkEntry.queries(q)(spark, sf0001), Some(q))
+        assert(ws.isEmpty, s"$q: ${ws.mkString("; ")}")
+        assert(notes.size == expectedNotes,
+          s"$q: expected $expectedNotes allowlisted notes, got " +
+            s"${notes.size}: ${notes.mkString("; ")}")
     }
     assert(!ExplainAudit.ReviewedBroadcasts.contains("dedup_semantic_hier"),
       "hier must need NO allowlist entry — its router broadcast is bounded")
