@@ -34,7 +34,15 @@ object GateStamp {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.benchSetups.filter { case (n, _) => names.contains(n) }
       .toSeq.sortBy(_._1).foreach { case (n, fn) =>
-        try fn(spark, dir) catch { case e: Throwable =>
+        // setups are timed and printed: for fixture-building gates
+        // (e.g. the versioned-ingest streaming drain) the setup IS the
+        // scaling evidence — a cold-cell run shows the build wall, a
+        // re-run shows the fixture cache hit
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, dir)
+          println(f"$n setup: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } catch { case e: Throwable =>
           System.err.println(s"[gatestamp] setup $n failed: ${e.getMessage}")
         }
       }
