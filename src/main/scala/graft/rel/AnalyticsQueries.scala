@@ -68,7 +68,11 @@ object AnalyticsQueries {
     */
   private def trianglesAt(s: org.apache.spark.sql.SparkSession, d: String,
                           tier: graft.StaticTier): DataFrame = {
-    val e = coOrderEdges(s, d)
+    // pin the co-order aggregation: nEdges, deg, and the 3 logical
+    // copies of the oriented edge relation all read e — unpinned, the
+    // gen3 decade cell measured the lineitem pair-agg re-running per
+    // copy (39 s vs 19 s for the clustering twin that already pinned)
+    val e = coOrderEdges(s, d).localCheckpoint()
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     nEdges.crossJoin(Triangles.trianglesDf(e, tier))
   }
