@@ -236,7 +236,9 @@ object GraphExtras {
       case GraphLoops.CoPartitioned =>
         (alive.hint("shuffle_hash"), aliveB.hint("shuffle_hash"))
     }
-    und.join(sa, und("a") === sa("node"), "left_semi")
+    // filter the PINNED edges, not `und` — the raw relation would
+    // re-run its whole upstream (fact join + distinct) here
+    e.join(sa, e("a") === sa("node"), "left_semi")
       .join(sb, Seq("b"), "left_semi")
       .select("a", "b")
   }
