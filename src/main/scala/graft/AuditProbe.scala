@@ -16,6 +16,27 @@ object AuditProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // --all: sweep the structural net over EVERY registered query
+    // (r17 — the ExplainAudit main audits a curated 73; this mode
+    // proves the whole surface clean, allowlists applied per name)
+    if (args.toSeq == Seq("--all")) {
+      var bad = 0
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val (ws, notes) = ExplainAudit.planWarningsDetail(df, Some(name))
+          if (ws.nonEmpty) { bad += 1
+            println(s"!! $name: ${ws.mkString("; ")}")
+          } else if (notes.nonEmpty)
+            println(s"-- $name: ${notes.size} allowlisted note(s)")
+        } catch { case e: Throwable =>
+          println(s"?? $name: construction failed: ${e.getMessage}")
+        }
+      }
+      println(s"sweep done: $bad queries with structural warnings")
+      spark.stop()
+      return
+    }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("dedup_semantic_scaled", "dedup_semantic_lloyd",
         "feat_quantile_bin", "q5_join", "sim_ivf_incremental")

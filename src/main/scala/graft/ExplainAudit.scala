@@ -222,7 +222,7 @@ object ExplainAudit {
   private def collapsedForWindow(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     def prunedByPartitionedWindow(f: FilterExec): Boolean = {
       val winAttrs = f.child.collect {
         case w: WindowExec if w.partitionSpec.nonEmpty =>
@@ -233,6 +233,22 @@ object ExplainAudit {
     plan match {
       case _: BaseAggregateExec => true
       case _: LocalTableScanExec | _: RangeExec => true
+      // a WindowGroupLimit whose limit is a REGISTERED code constant
+      // (r17, found by the full-surface sweep): Spark plans
+      // `filter(row_number() <= k)` as per-partition top-k + a final
+      // top-k over P·k rows — bounded single-node work for a source-
+      // constant k (text_rrf_fusion's two top-50 lists). A DATA-SIZED
+      // k (the r14 nlist shape) is not in the registry and still
+      // refuses to collapse; the known-collision class lives in
+      // PerQueryBounds, which this rule deliberately does NOT consult
+      // (no query name at this depth — global constants only).
+      case w: WindowGroupLimitExec if CodeConstantBounds(w.limit.toLong) => true
+      // same rule for the other physical spelling of a constant top-k:
+      // TakeOrderedAndProject(limit=k) is per-partition top-k + a
+      // k-row merge — its OUTPUT is k rows, so a window above it sorts
+      // a registered-constant row count, not the corpus
+      case t: TakeOrderedAndProjectExec
+          if CodeConstantBounds(t.limit.toLong) => true
       case f: FileSourceScanExec =>
         !f.relation.location.rootPaths.map(_.toString).exists(isFactScan)
       case f: FilterExec =>
@@ -289,7 +305,9 @@ object ExplainAudit {
         "unpartitioned Window over a non-collapsed relation " +
           s"(single-partition sort at scale): ${w.windowExpression.map(_.name).mkString(",").take(80)}"
       case w: WindowGroupLimitExec
-          if w.partitionSpec.isEmpty && !collapsedForWindow(w.child) =>
+          if w.partitionSpec.isEmpty &&
+            !CodeConstantBounds(w.limit.toLong) &&
+            !collapsedForWindow(w.child) =>
         "unpartitioned WindowGroupLimit over a non-collapsed relation"
     }
     val allowedNodes = queryName.flatMap(ReviewedBroadcasts.get).getOrElse(Set.empty)

@@ -552,14 +552,13 @@ object CorpusQueries {
     // resamples ∝ exp(weight) with Gumbel noise; the RNG-free variant
     // (top-k by weight) is the repo's reproducibility discipline —
     // rerun it on the same corpus anywhere and the selected set is
-    // byte-identical. Scale shape: the rank runs over the (doc,
-    // weight) AGGREGATE — never the text — and at corpus scale the
-    // global row_number swaps for a quantile threshold from the
-    // RankStats histogram pass (select WHERE w >= threshold), the
-    // same two-phase pattern feat_quantile_bin pins; the selection
-    // fraction is then exact to one histogram bucket instead of one
-    // row. Model + scoring arithmetic identical to text_dsir
-    // (CorpusQueries.dsirModel).
+    // byte-identical. Scale shape (r17 — now CODE, not prose): the
+    // rank runs over the (doc, weight) AGGREGATE — never the text —
+    // as a TWO-PHASE exact global rank (value-bucketed offsets +
+    // bucket-partitioned in-bucket rank, the feat_quantile_bin
+    // idiom), so the exact top-quarter selection needs no global
+    // sort at any corpus size. Model + scoring arithmetic identical
+    // to text_dsir (CorpusQueries.dsirModel).
     "sample_dsir_select" -> QueryDef(
       s"""WITH w AS (
          |  SELECT doc_id, lang,
@@ -597,8 +596,27 @@ object CorpusQueries {
         .groupBy("doc_id").agg(sum(col("n") * col("lr_micro")).as("w_micro"))
         .localCheckpoint()
       val cnt = dw.agg(count(lit(1)).as("n_docs"))
-      dw.withColumn("sel_rank",
-          row_number().over(Window.orderBy(col("w_micro").desc, col("doc_id"))))
+      // two-phase exact global rank (r17, found by the full-surface
+      // audit sweep — the old global row_number was the r14 seed
+      // shape: a single-partition sort of a doc-count relation, with
+      // the scale path only in prose). feat_quantile_bin's idiom on
+      // the VALUE axis: bucket so ascending bkt == descending
+      // w_micro (floor keeps the map monotone across negatives), the
+      // per-bucket counts collapse to a tiny value-range axis whose
+      // prefix sum is each bucket's rank offset, and the in-bucket
+      // rank window is bucket-partitioned. sel_rank values identical.
+      val dwb = dw.withColumn("bkt",
+        expr("CAST(floor((-w_micro) / 1048576.0) AS BIGINT)"))
+      val off = dwb.groupBy("bkt").agg(count(lit(1)).as("bc"))
+      val wOff = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = off.select(col("bkt"),
+        coalesce(sum("bc").over(wOff), lit(0L)).as("off"))
+      val wLoc = Window.partitionBy("bkt")
+        .orderBy(col("w_micro").desc, col("doc_id"))
+      dwb.join(broadcast(offs), "bkt")
+        .withColumn("sel_rank",
+          row_number().over(wLoc).cast("long") + col("off"))
         .crossJoin(broadcast(cnt))
         .where(col("sel_rank") <= expr("n_docs div 4"))
         .select("doc_id", "w_micro", "sel_rank")

@@ -1081,10 +1081,14 @@ object TextQueries {
     // and keeping each doc whose span crosses a stride boundary. ALL
     // integer arithmetic (prefix sums, scaled floor divisions), so the
     // sample is reproducible across engines/runs/cluster sizes — no
-    // RNG, no fp. The ordered prefix sum here is a single window; at
-    // 100 TB it becomes the same range-slice global-rank trick
-    // agg_percentiles uses (per-slice subtotals + offsets), which
-    // preserves the identical cumulative values.
+    // RNG, no fp. The ordered prefix sum is TWO-PHASE (r17 — was a
+    // single global window, found by the full-surface audit sweep):
+    // doc_id-range buckets collapse to per-bucket subtotals, their
+    // prefix sum over the tiny bucket axis is each bucket's offset,
+    // and the in-bucket running sum is bucket-partitioned — identical
+    // cumulative values, no single-partition pass over the docs. The
+    // 4096-doc bucket width is the axis knob (n/4096 axis rows flow
+    // through one small window task; widen at extreme corpus sizes).
     "sample_weighted" -> QueryDef(
       """WITH w AS (
         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
@@ -1100,13 +1104,21 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars").cast("long").as("wt"))
-      // total as a broadcast scalar (an OVER () window would drag every
-      // row through one partition; the oracle's OVER () is numerically
+        .withColumn("bkt", expr("doc_id div 4096"))
+      val off = w.groupBy("bkt").agg(sum("wt").as("bw"))
+      val wOff = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = off.select(col("bkt"),
+        coalesce(sum("bw").over(wOff), lit(0L)).as("off"))
+      // total from the bucket subtotals, not a second fact pass; a
+      // broadcast scalar (an OVER () window would drag every row
+      // through one partition; the oracle's OVER () is numerically
       // identical)
-      val total = w.agg(sum("wt").as("total"))
-      val cum = Window.orderBy("doc_id")
+      val total = off.agg(sum("bw").as("total"))
+      val wLoc = Window.partitionBy("bkt").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      w.withColumn("cumw", sum("wt").over(cum))
+      w.join(broadcast(offs), "bkt")
+        .withColumn("cumw", sum("wt").over(wLoc) + col("off"))
         .crossJoin(broadcast(total))
         .where(expr("(cumw * 50) div total > ((cumw - wt) * 50) div total"))
         .select("doc_id", "wt")

@@ -701,6 +701,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r17 sweep closures: two-phase ranks pass the net; unregistered top-k still trips") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the full-surface sweep's three findings, now two-phase/accepted:
+    // sample_dsir_select + sample_weighted rank via value/id-bucketed
+    // offsets, text_rrf_fusion's top-50 cuts collapse via the
+    // registered-constant TakeOrderedAndProject rule
+    Seq("sample_dsir_select", "sample_weighted", "text_rrf_fusion").foreach { q =>
+      val ws = ExplainAudit.planWarnings(
+        SparkEntry.queries(q)(spark, sf0001), Some(q))
+      assert(ws.isEmpty, s"$q: ${ws.mkString("; ")}")
+    }
+    // tripwire proof: the SAME top-k window shape with an UNREGISTERED
+    // constant (49) must still be flagged — the new rule accepts only
+    // CodeConstantBounds members, not any literal limit
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars"))
+    val w49 = docs.withColumn("rn",
+        row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      .where(col("rn") <= 49)
+    val ws49 = ExplainAudit.planWarnings(w49)
+    assert(ws49.exists(_.contains("unpartitioned Window")),
+      s"the net must flag an unregistered top-49 cut, got: ${ws49.mkString("; ")}")
+  }
+
   test("audit net: the flat tiers' data-sized seed broadcast trips WITHOUT its allowlist entry") {
     // r16 (the r15 verdict's What's-wrong #1): rank-filter boundedness
     // now requires a REGISTERED compile-time-constant literal, so the
