@@ -33,7 +33,15 @@ object AuditProbe {
           println(s"?? $name: construction failed: ${e.getMessage}")
         }
       }
-      println(s"sweep done: $bad queries with structural warnings")
+      // collision-class defense (r18): every data-derived plan
+      // constant recorded while constructing the 355 plans above must
+      // be disjoint from the bounds registries — the lattice cannot
+      // silently re-collide as SFs or generation laws change
+      val coll = DerivedConstants.collisions()
+      coll.foreach(c => println(s"!! derived-constant collision: $c"))
+      println(s"derived constants recorded: ${DerivedConstants.recorded
+        .map { case (q, l, v) => s"$q.$l=$v" }.mkString(", ")}")
+      println(s"sweep done: ${bad + coll.size} queries with structural warnings")
       spark.stop()
       return
     }

@@ -71,9 +71,6 @@ object ExplainAudit {
     0L,    // exact-id equality pins (sim_hybrid_search's vec_id === 0
            // query row — selects <= 1 row by key equality)
     1L,    // 1-row scalar/stat frames pinned by equality ranks
-    2L,    // top-2 rank cuts (the hier tiers' `rn <= 2` probed-cell
-           // selection — a code constant in source, registered so the
-           // first rank-bounded broadcast with k=2 doesn't false-trip)
     3L,    // top-3 rank cuts (sample/leaderboard shapes)
     5L,    // top-5 rank cuts (sim exact re-rank)
     10L,   // top-k = 10 (sim_* search k, vec_id < 10 query contracts)
@@ -92,7 +89,25 @@ object ExplainAudit {
     // the bench-set contract: benchmark docs are doc_id < 20 by
     // construction, so the broadcast bench side is 20 rows forever
     "decontaminate_ngram" -> Set(20L),
-    "decontaminate_embedding" -> Set(20L))
+    "decontaminate_embedding" -> Set(20L),
+    // the hier tiers' `rn <= 2` probed-cell selection (r18 — was a
+    // GLOBAL 2L, the most collision-prone literal in the registry:
+    // any `status <= 2`-style enum predicate on a hinted side would
+    // have read "provably bounded"; scoped here per the 20L precedent)
+    "dedup_semantic_hier" -> Set(2L),
+    "dedup_semantic_lloyd_hier" -> Set(2L))
+
+  /** Limits the WINDOW net's collapse rules accept as a genuine top-k
+    * cut (r18 — the rules used to accept every [[CodeConstantBounds]]
+    * constant, including 2048L/65536L which are SKETCH/BUCKET axes:
+    * a `limit(65536)` unpartitioned window would have collapsed
+    * silently into per-partition 64Ki-row heaps plus a P·64Ki
+    * single-node merge). Report-cut literals only; the sketch axes
+    * stay in the boundedness registry, where a 2048-row relation on
+    * a broadcast side is the thing being vouched for.
+    */
+  private[graft] val TopKCutBounds: Set[Long] =
+    Set(1L, 3L, 5L, 10L, 50L, 100L)
 
   /** Reviewed DATA-SIZED hinted broadcasts — the explicit allowlist the
     * boundedness net routes known-growing broadcast sides through so
@@ -122,7 +137,23 @@ object ExplainAudit {
     "dedup_semantic_scaled" -> Set("Project", "Filter"),
     "dedup_semantic_lloyd" -> Set("Project", "Filter", "Aggregate"),
     "graph_triangles" -> Set("Project", "Aggregate"),
-    "graph_clustering_coeff" -> Set("Project", "Aggregate"))
+    "graph_clustering_coeff" -> Set("Project", "Aggregate"),
+    // r18 — surfaced by the checkpoint-provenance seam (the seeds
+    // relation is nlist rows behind a localCheckpoint; with
+    // LogicalRDD no longer auto-bounded, the router build's
+    // `seeds.where(seed_id < ncoarse)` broadcast became visible):
+    // the hier routers broadcast ncoarse = √nlist rows (~3k at 10⁹
+    // vectors — the tier's own scaladoc) during coarse-cell
+    // construction. Sub-linear BY CONSTRUCTION, but data-sized, so
+    // it lives here as a visible exception, not behind a blind spot.
+    "dedup_semantic_hier" -> Set("Project"),
+    "dedup_semantic_lloyd_hier" -> Set("Project"),
+    // r18 — also surfaced by the seam: the phash Hamming-verify sides
+    // are projections of the O(docs) band table behind its decode-once
+    // pin. Bench tiers BY DESIGN; `mm_dedup_phash_shuffled` is the
+    // oracle-gated zero-hint tier (shuffle_hash verify joins).
+    "mm_dedup_phash" -> Set("Project"),
+    "mm_dedup_phash_wide" -> Set("Project"))
 
   /** True when one conjunct of `cond` pins an attribute at/under a
     * REGISTERED code-constant literal ([[CodeConstantBounds]] plus the
@@ -180,27 +211,37 @@ object ExplainAudit {
         case _ => false
       }
       // a checkpointed relation (localCheckpoint → LogicalRDD) is
-      // opaque — the tripwire cannot see through RDDs. Every
-      // checkpoint site in this repo pins a deliberate artifact
-      // (index band tables, 1-row stats frames, oriented edge
-      // relations whose broadcast is a reviewed design decision), so
-      // an opaque checkpoint counts as bounded: the net's job is the
-      // hinted broadcast of a RAW fact subtree, the shape nobody
-      // reviewed. Known blind spot: broadcast(fact.localCheckpoint())
-      // would pass — keep fact checkpoints out of build sides.
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      // opaque to plan rules — so its verdict comes from the
+      // [[Pinned]] provenance registry (r18, closing the r17
+      // verdict's top blind spot: this case used to return `true`
+      // unconditionally, which let a hinted broadcast of a
+      // checkpointed FACT subtree read "provably bounded"). A
+      // seam-routed checkpoint carries the boundedness of its
+      // PRE-checkpoint plan; a checkpoint that bypassed the seam
+      // defaults to NOT bounded — the strict default is the teeth
+      // (PlanSpec tripwire: broadcast(fact.localCheckpoint()) warns).
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        Pinned.recordedBounded(l.rdd.id).getOrElse(false)
       case f: Filter =>
         boundedLogical(f.child, bounds) ||
           hasBoundingComparison(f.condition, bounds)
       case j: Join =>
         boundedLogical(j.left, bounds) && boundedLogical(j.right, bounds)
       case u: Union => u.children.forall(boundedLogical(_, bounds))
-      case _: LeafNode => false // LogicalRDD (localCheckpoint), unknown
+      case _: LeafNode => false // unknown leaf
       case other if other.children.nonEmpty =>
         other.children.forall(boundedLogical(_, bounds))
       case _ => false
     }
   }
+
+  /** Boundedness of a plan about to be checkpointed, under the GLOBAL
+    * bounds only (a pin site has no query name; per-query contract
+    * literals cannot vouch for a checkpoint shared across queries).
+    * The [[Pinned]] seam's one dependency on the net.
+    */
+  private[graft] def boundedForPin(df: DataFrame): Boolean =
+    boundedLogical(df.queryExecution.analyzed, CodeConstantBounds)
 
   /** Collapse test for the WINDOW net — stricter than boundedness:
     * data-sized limits do NOT collapse. Spark rewrites
@@ -233,22 +274,24 @@ object ExplainAudit {
     plan match {
       case _: BaseAggregateExec => true
       case _: LocalTableScanExec | _: RangeExec => true
-      // a WindowGroupLimit whose limit is a REGISTERED code constant
-      // (r17, found by the full-surface sweep): Spark plans
-      // `filter(row_number() <= k)` as per-partition top-k + a final
-      // top-k over P·k rows — bounded single-node work for a source-
-      // constant k (text_rrf_fusion's two top-50 lists). A DATA-SIZED
-      // k (the r14 nlist shape) is not in the registry and still
-      // refuses to collapse; the known-collision class lives in
-      // PerQueryBounds, which this rule deliberately does NOT consult
-      // (no query name at this depth — global constants only).
-      case w: WindowGroupLimitExec if CodeConstantBounds(w.limit.toLong) => true
+      // a WindowGroupLimit whose limit is a REGISTERED top-k cut
+      // (r17, found by the full-surface sweep; r18: gated on
+      // TopKCutBounds, not the full boundedness registry — see its
+      // scaladoc): Spark plans `filter(row_number() <= k)` as
+      // per-partition top-k + a final top-k over P·k rows — bounded
+      // single-node work for a source-constant report cut
+      // (text_rrf_fusion's two top-50 lists). A DATA-SIZED k (the r14
+      // nlist shape) is not in the set and still refuses to collapse;
+      // the known-collision class lives in PerQueryBounds, which this
+      // rule deliberately does NOT consult (no query name at this
+      // depth — global constants only).
+      case w: WindowGroupLimitExec if TopKCutBounds(w.limit.toLong) => true
       // same rule for the other physical spelling of a constant top-k:
       // TakeOrderedAndProject(limit=k) is per-partition top-k + a
       // k-row merge — its OUTPUT is k rows, so a window above it sorts
       // a registered-constant row count, not the corpus
       case t: TakeOrderedAndProjectExec
-          if CodeConstantBounds(t.limit.toLong) => true
+          if TopKCutBounds(t.limit.toLong) => true
       case f: FileSourceScanExec =>
         !f.relation.location.rootPaths.map(_.toString).exists(isFactScan)
       case f: FilterExec =>
@@ -306,7 +349,7 @@ object ExplainAudit {
           s"(single-partition sort at scale): ${w.windowExpression.map(_.name).mkString(",").take(80)}"
       case w: WindowGroupLimitExec
           if w.partitionSpec.isEmpty &&
-            !CodeConstantBounds(w.limit.toLong) &&
+            !TopKCutBounds(w.limit.toLong) &&
             !collapsedForWindow(w.child) =>
         "unpartitioned WindowGroupLimit over a non-collapsed relation"
     }

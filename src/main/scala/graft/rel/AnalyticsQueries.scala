@@ -1,4 +1,5 @@
 package graft.rel
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -46,10 +47,14 @@ object AnalyticsQueries {
   private def storeBase(d: String, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
 
-  /** The supplier co-order graph both triangle-family queries run on:
-    * edge = two suppliers co-supplying >= 4 orders, u < v dedup'd.
+  /** The supplier co-order graph the whole triangle family runs on
+    * (graph_triangles, graph_clustering_coeff and their `_shuffled`
+    * twins): edge = two suppliers co-supplying >= 4 orders, u < v
+    * dedup'd. Shared with [[GraphExtras.clusteringAt]] (r18 — the
+    * family invariant "same graph" is held by this one definition,
+    * not by copy-paste; [[CoOrderEdgeCte]] is the oracle-side twin).
     */
-  private def coOrderEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[rel] def coOrderEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val p = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
       .distinct()
@@ -72,17 +77,22 @@ object AnalyticsQueries {
     // copies of the oriented edge relation all read e — unpinned, the
     // gen3 decade cell measured the lineitem pair-agg re-running per
     // copy (39 s vs 19 s for the clustering twin that already pinned)
-    val e = coOrderEdges(s, d).localCheckpoint()
+    val e = coOrderEdges(s, d).pinned
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     nEdges.crossJoin(Triangles.trianglesDf(e, tier))
   }
 
-  private val TrianglesOracle =
+  /** Oracle-side spelling of [[coOrderEdges]] — the `p`/`e` CTE
+    * prefix every triangle-family oracle starts with.
+    */
+  private[rel] val CoOrderEdgeCte =
     """WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS s
       |           FROM lineitem),
       |e AS (SELECT a.s AS u, b.s AS v FROM p a
       |      JOIN p b ON a.l_orderkey = b.l_orderkey AND a.s < b.s
-      |      GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 4)""".stripMargin
+
+  private val TrianglesOracle = CoOrderEdgeCte + """
       |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
       |       CAST((SELECT COUNT(*) FROM e e1
       |             JOIN e e2 ON e2.u = e1.v

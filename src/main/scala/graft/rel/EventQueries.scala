@@ -1,4 +1,5 @@
 package graft.rel
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.functions._
 
@@ -349,11 +350,11 @@ object EventQueries {
           lead(col("event_type"), 1).over(wSeq).as("to_type"))
         .where(col("to_type").isNotNull)
         .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-        .localCheckpoint() // the loop re-reads it 8 times
+        .pinned // the loop re-reads it 8 times
       val rt = c.groupBy("from_type").agg(sum("n").as("tot"))
       val edges = c.join(rt, "from_type")
         .select(col("from_type"), col("to_type"), col("n"), col("tot"))
-        .localCheckpoint()
+        .pinned
       var pi = rt.select(col("from_type").as("st"),
         lit(1000000000000L).as("p"))
       (1 to 8).foreach { _ =>
@@ -361,7 +362,7 @@ object EventQueries {
           .select(col("to_type"), expr("p * n div tot").as("contrib"))
           .groupBy(col("to_type").as("st"))
           .agg(sum("contrib").as("p"))
-          .localCheckpoint()
+          .pinned
       }
       pi.select(col("st").as("state"), col("p").as("pi_fp")).orderBy("state")
     },
@@ -667,7 +668,7 @@ object EventQueries {
       val ev = graft.Tables.events(sp, d)
       val v = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts").as("tv"))
-        .localCheckpoint() // used three times: purchase probe, join, count
+        .pinned // used three times: purchase probe, join, count
       val p = ev.where(col("event_type") === "purchase")
         .join(v, "user_id")
         .where(col("ts") > col("tv"))
@@ -735,7 +736,7 @@ object EventQueries {
       val ev = graft.Tables.events(sp, d)
       val v = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts").as("tv"))
-        .localCheckpoint() // purchase probe + duration join
+        .pinned // purchase probe + duration join
       val p = ev.where(col("event_type") === "purchase")
         .join(v, "user_id").where(col("ts") > col("tv"))
         .groupBy("user_id").agg(min("ts").as("tp"))
@@ -801,7 +802,7 @@ object EventQueries {
         |ORDER BY t1, t2""".stripMargin) { (sp, d) =>
       val a = graft.Tables.events(sp, d)
         .select("event_type", "user_id").distinct()
-        .localCheckpoint() // sizes + both sides of the pair join
+        .pinned // sizes + both sides of the pair join
       val sz = a.groupBy("event_type").agg(count(lit(1)).as("n"))
       val ix = a.as("x").join(a.as("y"),
           col("x.user_id") === col("y.user_id") &&

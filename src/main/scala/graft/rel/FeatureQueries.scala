@@ -1,4 +1,5 @@
 package graft.rel
+import graft.Pinned.PinnedOps
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
@@ -208,7 +209,7 @@ object FeatureQueries {
       val iv = aagg.select(col("bin"), col("c_a"),
         lag("hi", 1).over(wBin).as("lo_excl"),
         when(col("bin") === 10, lit(null)).otherwise(col("hi")).as("hi_incl"))
-        .localCheckpoint()
+        .pinned
       // inner BNLJ with the 10-row interval relation broadcast (a LEFT
       // join could not build its preserved side); bins the current
       // window never hits re-enter as c_b = 0 via the tiny left join
@@ -621,7 +622,7 @@ object FeatureQueries {
         .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
         .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"),
           expr("CAST(round(c_acctbal) AS BIGINT)").as("y"))
-        .localCheckpoint() // observed diff + 99 permutations read it
+        .pinned // observed diff + 99 permutations read it
       val obs = y.agg(expr(
         """CAST(SUM(CASE WHEN seg = 'BUILDING' THEN y END) * 1000000
            div COUNT(CASE WHEN seg = 'BUILDING' THEN 1 END)
@@ -723,7 +724,7 @@ object FeatureQueries {
         |FROM s""".stripMargin) { (s, d) =>
       val y = Tables.customer(s, d).select(col("c_custkey").as("ck"),
           expr("CAST(round(c_acctbal) AS BIGINT)").as("y"))
-        .localCheckpoint() // max probe, sample filter, and the two totals
+        .pinned // max probe, sample filter, and the two totals
       val mx = y.agg(max(abs(col("y"))).as("mx"))
       val p = y.crossJoin(broadcast(mx))
         .select(col("ck"), col("y"),
@@ -896,7 +897,7 @@ object FeatureQueries {
           max(when(col("event_type") === "view",
             expr("CAST(round(value*100) AS BIGINT)"))).as("y"))
         .where(col("x").isNotNull && col("y").isNotNull)
-        .localCheckpoint() // both sides of the bounded pair join
+        .pinned // both sides of the bounded pair join
       val p = day.as("a").join(day.as("b"), col("a.bucket") < col("b.bucket"))
         .select(
           when((col("a.x") - col("b.x")) * (col("a.y") - col("b.y")) > 0, 1)

@@ -1,4 +1,5 @@
 package graft.rel
+import graft.Pinned.PinnedOps
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
@@ -19,12 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object GraphExtras {
 
-  private val ClusteringOracle =
-    """WITH p AS (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS s
-      |           FROM lineitem),
-      |e AS (SELECT a.s AS u, b.s AS v FROM p a
-      |      JOIN p b ON a.l_orderkey = b.l_orderkey AND a.s < b.s
-      |      GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+  private val ClusteringOracle = AnalyticsQueries.CoOrderEdgeCte + """,
       |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
       |          (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
       |        GROUP BY 1),
@@ -48,31 +44,27 @@ object GraphExtras {
     */
   private def clusteringAt(s: org.apache.spark.sql.SparkSession, d: String,
                            tier: graft.StaticTier): DataFrame = {
-    val p = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
-      .distinct()
-    val e = p.as("a").join(p.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
-      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= 4)
-      .select("u", "v")
-      // deg, the orientation, and the closing-edge probe all read
-      // the edge list — pin it once or each re-runs the wedge agg
-      .localCheckpoint()
+    // the ONE co-order graph definition (AnalyticsQueries — shared
+    // with graph_triangles so the family invariant is held by code,
+    // not copy-paste), pinned once: deg, the orientation, and the
+    // closing-edge probe all read the edge list
+    val e = AnalyticsQueries.coOrderEdges(s, d).pinned
+    // deg built ONCE with the corner builder's (n, dg) shape: the
+    // orientation inside triangleCorners and the denominator below
+    // share this aggregate instead of each running its own O(E) pass
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
     // ONE corner fan-out via explode (r17: the old 3-way unionAll of
     // corner0/wa/wb tripled the triangle subtree in the logical plan)
-    val tris = Triangles.triangleCorners(e, tier)
+    val tris = Triangles.triangleCorners(e, tier, Some(deg))
     val tc = tris
       .select(explode(array(col("corner0"), col("wa"), col("wb"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("t"))
     deg.join(tc.withColumnRenamed("n", "tn"), col("n") === col("tn"), "left")
-      .select(col("n").as("node"), col("d").as("deg"),
+      .select(col("n").as("node"), col("dg").as("deg"),
         coalesce(col("t"), lit(0L)).as("tri"),
-        when(col("d") < 2, lit(null))
-          .otherwise(expr("2 * coalesce(t, 0L) * 1000000 div (d * (d - 1))"))
+        when(col("dg") < 2, lit(null))
+          .otherwise(expr("2 * coalesce(t, 0L) * 1000000 div (dg * (dg - 1))"))
           .as("cc_ppm"))
       .orderBy("node")
   }
@@ -154,7 +146,7 @@ object GraphExtras {
           raw.withColumn("sx", sum(col("x")).over(norm))
             .select(col(key), expr("CAST(x * 1000000 div sx AS BIGINT)").as(out))
         case TwoPhaseNorm =>
-          val pinned = raw.localCheckpoint() // 2 consumers: total + join-back
+          val pinned = raw.pinned // 2 consumers: total + join-back
           val tot = pinned.agg(sum(col("x")).as("sx")).withColumn("jk", lit(1))
           pinned.withColumn("jk", lit(1))
             .join(broadcast(tot), "jk")
@@ -215,13 +207,13 @@ object GraphExtras {
   def kcoreEdges(und: DataFrame, k: Int, maxRounds: Int,
                  strategy: GraphLoops.Strategy = GraphLoops.Broadcast): DataFrame = {
     val e = GraphLoops.pinEdges(und, "b", strategy)
-    var alive = e.select(col("a").as("node")).distinct().localCheckpoint()
+    var alive = e.select(col("a").as("node")).distinct().pinned
     var prev = alive.count()
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
       val next = kcoreRound(e, alive, k, strategy)
-        .localCheckpoint() // 2 consumers: the count + the next round
+        .pinned // 2 consumers: the count + the next round
       val c = next.count()
       // alive shrinks monotonically, so count-equal means set-equal
       done = c == prev
@@ -531,7 +523,7 @@ object GraphExtras {
       val e = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct().localCheckpoint()
+        .distinct().pinned
       val cd = e.groupBy("c").agg(count(lit(1)).as("d"))
       val ec = e.join(cd, "c").where(col("d") <= 200).select("c", "s")
       val deg = ec.groupBy("s").agg(count(lit(1)).as("d"))
@@ -619,7 +611,7 @@ object GraphExtras {
         .join(broadcast(sup.select(col("sk").as("u"), col("nk").as("cu"))), "u")
         .join(broadcast(sup.select(col("sk").as("v"), col("nk").as("cv"))), "v")
         .select("cu", "cv")
-        .localCheckpoint()
+        .pinned
       val m = en.agg(count(lit(1)).as("m"))
       val ein = en.where(col("cu") === col("cv"))
         .groupBy(col("cu").as("c")).agg(count(lit(1)).as("e_in"))
@@ -708,7 +700,7 @@ object GraphExtras {
         // three rounds re-read the sparsified adjacency — pin it once
         // (bounded at <= 6 arcs per node by the k-NN cap; 100 TB
         // substitute is persist(DISK_ONLY))
-        .localCheckpoint()
+        .pinned
       val wnd = Window.partitionBy("n").orderBy(col("c").desc, col("lab"))
       def argmax(votes: DataFrame): DataFrame =
         votes.withColumn("rn", row_number().over(wnd))
@@ -793,7 +785,7 @@ object GraphExtras {
         .select(col("o_custkey").cast("long").as("a"),
           (-col("l_suppkey")).cast("long").as("b"))
         .distinct()
-        .localCheckpoint() // shared by all three frontier loops
+        .pinned // shared by all three frontier loops
       val ed = eh.unionAll(eh.select(col("b").as("a"), col("a").as("b")))
       val perLandmark = Seq(1L, 2L, 3L).map { src =>
         GraphLoops.bfsHops(ed, source = src, rounds = 3)

@@ -1,4 +1,5 @@
 package graft.rel
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -55,7 +56,7 @@ object GraphLoops {
     */
   def pinEdges(edges: DataFrame, key: String, strategy: Strategy): DataFrame =
     strategy match {
-      case Broadcast => edges.localCheckpoint()
+      case Broadcast => edges.pinned
       case CoPartitioned =>
         val s = edges.sparkSession
         val n = s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -70,7 +71,7 @@ object GraphLoops {
         val aqe = "spark.sql.adaptive.enabled"
         val old = s.conf.get(aqe)
         s.conf.set(aqe, "false")
-        try edges.repartition(n, col(key)).localCheckpoint()
+        try edges.repartition(n, col(key)).pinned
         finally s.conf.set(aqe, old)
     }
 
@@ -121,7 +122,7 @@ object GraphLoops {
       val next = minus(
         stateJoin(ed, frontier, col("node") === col("a"), strategy)
           .select(col("b").as("node")).distinct(),
-        visited, strategy).localCheckpoint()
+        visited, strategy).pinned
       visited = visited.unionByName(next.withColumn("hop", lit(h)))
       frontier = next
     }
@@ -144,7 +145,7 @@ object GraphLoops {
           stateJoin(ed, dist, col("node") === col("a"), strategy)
             .select(col("b").as("node"), (col("dist") + col("w")).as("dist")))
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .pinned
     }
     dist
   }

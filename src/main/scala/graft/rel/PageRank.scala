@@ -1,4 +1,5 @@
 package graft.rel
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -62,7 +63,7 @@ object PageRank {
     val undDeg = GraphLoops.pinEdges(
       und.join(deg, und("u") === deg("node"))
         .select(col("u"), col("v"), col("d")), "u", strategy)
-    var pr = deg.select(col("node"), lit(Unit_).as("r")).localCheckpoint()
+    var pr = deg.select(col("node"), lit(Unit_).as("r")).pinned
     var it = 0
     var converged = false
     // lineage is cut every `checkEvery` rounds: a shallow join/agg
@@ -75,14 +76,14 @@ object PageRank {
       val next = step(undDeg, pr, strategy)
       if (it % checkEvery != 0 && it != maxIter) pr = next
       else {
-        val pinned = next.localCheckpoint()
+        val pinned = next.pinned
         if (it == maxIter) pr = pinned
         else {
           // probe one step ahead from the pinned vector: unchanged
           // means exact fixed point (stop — later iterations are
           // no-ops by induction); changed means the probe IS the
           // next iteration, computed once from pinned lineage
-          val probe = step(undDeg, pinned, strategy).localCheckpoint()
+          val probe = step(undDeg, pinned, strategy).pinned
           val changed = GraphLoops.stateJoin(probe.as("a"), pinned.as("b"),
               col("a.node") === col("b.node"), strategy)
             .where(col("a.r") =!= col("b.r"))

@@ -1,4 +1,5 @@
 package graft.rel
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -78,7 +79,7 @@ object RankStats {
     // three downstream uses don't each re-run the full scan.
     val stats = in.groupBy("g")
       .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("n"))
-      .localCheckpoint()
+      .pinned
 
     // target ranks: for each percentile, the lo/hi bracketing ranks of
     // r = (n-1)·p and the interpolation fraction — 2·|ps| rows per group
@@ -112,7 +113,7 @@ object RankStats {
       .where(col("rank") >= col("below") && col("rank") < col("below") + col("c"))
       .select(col("g"), col("pname"), col("frac"), col("kind"),
         col("b"), (col("rank") - col("below")).as("lr"))
-      .localCheckpoint()
+      .pinned
 
     // phase 3: candidate buckets only; collapse to (value, count) so
     // ties never concentrate, prefix-sum the distinct values, pick the

@@ -1,4 +1,5 @@
 package graft.rel
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -278,7 +279,7 @@ object RelQueries {
         |    AS completeness_ppm
         |FROM cnt, ap, cp, tm""".stripMargin) { (s, d) =>
       val n = partNames(s, d).select("p_name", "adj", "noun")
-        .localCheckpoint() // four pair scans read the tiny vocab list
+        .pinned // four pair scans read the tiny vocab list
       val ap = n.as("a").join(n.as("b"), col("a.p_name") < col("b.p_name"))
         .agg(count(lit(1)).as("all_pairs"))
       val cp = n.as("a").join(n.as("b"),

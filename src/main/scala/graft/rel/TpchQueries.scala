@@ -1,4 +1,5 @@
 package graft.rel
+import graft.Pinned.PinnedOps
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
@@ -219,7 +220,7 @@ object TpchQueries {
         .groupBy(col("l_suppkey").as("suppkey"))
         .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
           .as("total_rev_c"))
-        .localCheckpoint() // read twice: winner filter + max probe
+        .pinned // read twice: winner filter + max probe
       val mx = rev.agg(max("total_rev_c").as("mx"))
       rev.crossJoin(broadcast(mx)).where(col("total_rev_c") === col("mx"))
         .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("suppkey"))
@@ -526,7 +527,7 @@ object TpchQueries {
         .join(broadcast(n7), col("s_suppkey") === col("l_suppkey"))
         .groupBy(col("l_partkey").as("partkey"))
         .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("value_c"))
-        .localCheckpoint() // read twice: winner filter + grand total
+        .pinned // read twice: winner filter + grand total
       val t = pv.agg(sum("value_c").as("t"), count(lit(1)).as("np"))
       pv.crossJoin(broadcast(t)).where(col("value_c") * col("np") > col("t") * 3)
         .select("partkey", "value_c")
@@ -624,7 +625,7 @@ object TpchQueries {
           col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
         .groupBy("l_partkey", "l_suppkey")
         .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sq"))
-        .localCheckpoint() // read twice: per-part totals + dominance probe
+        .pinned // read twice: per-part totals + dominance probe
       val pt = pq.groupBy(col("l_partkey").as("pk")).agg(sum("sq").as("tq"))
       val cand = pq.join(pt, col("pk") === col("l_partkey"))
         .join(broadcast(Tables.part(s, d).where(col("p_name").like("red%"))

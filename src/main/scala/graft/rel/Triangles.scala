@@ -44,11 +44,16 @@ object Triangles {
     * corner0 the (degree, id)-smallest corner, (wa, wb) the other two
     * in orientation order. Shared by the count ([[trianglesDf]]) and
     * the per-node clustering coefficient (graph_clustering_coeff's
-    * corner fan-out).
+    * corner fan-out). A caller that already built the degree table
+    * (clustering needs it for the denominator) passes it as `degOpt`
+    * (columns `n`, `dg` — the u∪v endpoint count) so the O(E)
+    * aggregate runs once, not twice over the same pinned edges (r18).
     */
-  def triangleCorners(e: DataFrame, tier: StaticTier): DataFrame = {
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy("n").agg(cnt(lit(1)).as("dg"))
+  def triangleCorners(e: DataFrame, tier: StaticTier,
+                      degOpt: Option[DataFrame] = None): DataFrame = {
+    val deg = degOpt.getOrElse(
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(cnt(lit(1)).as("dg")))
     def key(d: String, n: String) = struct(col(d).as("dg"), col(n).as("id"))
     val ed = e
       .join(StaticTier.side(

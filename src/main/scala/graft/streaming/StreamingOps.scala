@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.Pinned.PinnedOps
 
 import java.util.concurrent.atomic.AtomicInteger
 
@@ -545,7 +546,7 @@ object StreamingOps {
       // three consumers (band index + verify side + the broadcast
       // itself); the corpus index of a production gate is prebuilt
       // and reused across micro-batches, so pin it once
-      .localCheckpoint()
+      .pinned
     val banded = Dedup.portableBandedIndex(hashedIdx, "doc_id")
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -609,7 +610,7 @@ object StreamingOps {
       .join(grown.withColumnRenamed("vec_id", "id"), "id")
       .withColumn("c2", dot(col("carr"), col("carr")))
       .select("id", "bucket", "carr", "c2")
-      .localCheckpoint()
+      .pinned
     val embSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
@@ -693,7 +694,7 @@ object StreamingOps {
       // two consumers (band-bucket index + Hamming verify side); the
       // corpus fingerprint table of a production gate is prebuilt and
       // reused across micro-batches, so pin it once
-      .localCheckpoint()
+      .pinned
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
@@ -716,7 +717,7 @@ object StreamingOps {
   private[graft] def phashGateBatchTwin(spark: SparkSession, dir: String,
       tier: graft.StaticTier = graft.StaticTier.Broadcast): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
-    val bands = phashIndexBands(spark, docs).localCheckpoint()
+    val bands = phashIndexBands(spark, docs).pinned
     val batch = graft.mm.Multimodal.withPpmMedia(docs)
       .select(col("doc_id"), col("media"))
       .unionByName(graft.mm.Multimodal

@@ -1,4 +1,5 @@
 package graft.text
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -37,9 +38,9 @@ object Cluster {
     // both orientations once, up front: each round joins label(y) → x
     val und = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint()
+      .pinned
 
-    var labels = nodes.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("cluster_id")).pinned
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -51,7 +52,7 @@ object Cluster {
         .join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+        .pinned
       // convergence probe: did ANY label strictly decrease this round?
       // limit(1) short-circuits the existence check — one tiny job,
       // no full count and no collect.
@@ -125,7 +126,7 @@ object Cluster {
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
 
-    var e = canon(edges.select(col("a"), col("b"))).localCheckpoint()
+    var e = canon(edges.select(col("a"), col("b"))).pinned
     var sig = checksum(e)
     var it = 0
     var converged = sig._1 == 0L
@@ -146,7 +147,7 @@ object Cluster {
           .select(col("v").as("a"), col("mv").as("b"))
           .union(afterLs.join(minsSs, "u")
             .select(col("u").as("a"), col("mv").as("b"))))
-        .localCheckpoint()
+        .pinned
       val nextSig = checksum(afterSs)
       converged = nextSig == sig
       sig = nextSig

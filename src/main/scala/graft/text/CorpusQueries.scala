@@ -1,4 +1,5 @@
 package graft.text
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -57,7 +58,7 @@ object CorpusQueries {
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("lang"), bucketCol.as("bucket"))
       .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("n"))
-    val dc = if (pin) dc0.localCheckpoint() else dc0
+    val dc = if (pin) dc0.pinned else dc0
     val bs = dc.groupBy("bucket").agg(
       sum("n").as("rc"),
       sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("tc"))
@@ -174,7 +175,7 @@ object CorpusQueries {
       .select(col("word"), col("freq"),
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
           .as("syms"))
-      .localCheckpoint()
+      .pinned
     val rules = (1 to rounds).map { r =>
       val rule = seg.where(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
@@ -183,7 +184,7 @@ object CorpusQueries {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .localCheckpoint() // consumed twice: output row + the merge below
+        .pinned // consumed twice: output row + the merge below
       seg = seg
         .crossJoin(broadcast(rule.select(col("a").as("ma"), col("b").as("mb"))))
         .select(col("word"), col("freq"), expr(
@@ -193,7 +194,7 @@ object CorpusQueries {
             |      THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ma, mb)))
             |      ELSE concat(acc, array(x)) END
             |    ELSE array(x) END)""".stripMargin).as("syms"))
-        .localCheckpoint() // consumed twice: next round's stats + merge
+        .pinned // consumed twice: next round's stats + merge
       rule.withColumn("round", lit(r.toLong))
     }
     (rules, seg)
@@ -363,7 +364,7 @@ object CorpusQueries {
         .where(col("tf1") + col("tf2") + col("tf3") > 0)
         .select(col("doc_id"), expr(bm25Score).as("s1"),
           expr(s"CAST($idfSum AS BIGINT)").as("s2_micro"))
-        .localCheckpoint()
+        .pinned
       val w1 = Window.orderBy(col("s1").desc, col("doc_id"))
       val w2 = Window.orderBy(col("s2_micro").desc, col("doc_id"))
       val r1 = sc.select(col("doc_id"),
@@ -594,7 +595,7 @@ object CorpusQueries {
       // harness)
       val dw = dc.join(broadcast(lr), "bucket")
         .groupBy("doc_id").agg(sum(col("n") * col("lr_micro")).as("w_micro"))
-        .localCheckpoint()
+        .pinned
       val cnt = dw.agg(count(lit(1)).as("n_docs"))
       // two-phase exact global rank (r17, found by the full-surface
       // audit sweep — the old global row_number was the r14 seed
@@ -608,10 +609,11 @@ object CorpusQueries {
       val dwb = dw.withColumn("bkt",
         expr("CAST(floor((-w_micro) / 1048576.0) AS BIGINT)"))
       val off = dwb.groupBy("bkt").agg(count(lit(1)).as("bc"))
-      val wOff = Window.orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = off.select(col("bkt"),
-        coalesce(sum("bc").over(wOff), lit(0L)).as("off"))
+      // the value axis is NOT provably bounded (occupied buckets grow
+      // with doc length × log-ratio range), so its prefix is the same
+      // two-LEVEL fold as sample_weighted's (AxisOffsets, r18): the
+      // one unpartitioned window runs over the super axis only
+      val offs = AxisOffsets.exclusivePrefix(off, "bkt", "bc")
       val wLoc = Window.partitionBy("bkt")
         .orderBy(col("w_micro").desc, col("doc_id"))
       dwb.join(broadcast(offs), "bkt")

@@ -1,4 +1,5 @@
 package graft.text
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -138,7 +139,7 @@ object Dedup {
     // instead of re-shingling the corpus per consumer (the levenshtein
     // shingle-table policy; O(shingle mass) rows, swept post-query by
     // the harness; 100 TB substitute is persist(DISK_ONLY))
-    val exP = ex.localCheckpoint()
+    val exP = ex.pinned
     val sz = exP.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val p = exP.toDF("a_id", "s").join(exP.toDF("b_id", "s"), "s")
       .where(col("a_id") < col("b_id"))
@@ -247,7 +248,7 @@ object Dedup {
       .where(size(col("shset")) > 0)
       // reused three times below (signatures + both verify sides):
       // materialize once instead of re-shingling the corpus per consumer
-      .localCheckpoint()
+      .pinned
     val sigs = shingled.select(col("id"), minhashSignature(col("shset"), k).as("sig"))
     val cands = lshCandidatePairs(sigs, "id", "sig", bands)
     val dups = verifyPairs(cands, shingled, threshold)

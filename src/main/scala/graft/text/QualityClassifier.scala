@@ -1,4 +1,5 @@
 package graft.text
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -203,7 +204,7 @@ object QualityClassifier {
     // lineage (round r would otherwise embed round r-1's whole
     // 24-term determinant tree, nesting exponentially) — size is
     // O(1), so it carries no 100 TB concern at all.
-    val fx = feats.localCheckpoint()
+    val fx = feats.pinned
     // loud BIGINT-wrap guard (see object scaladoc): Spark's non-ANSI
     // sum wraps silently at ≈1.6e7 rows worst-case while the DuckDB
     // oracle promotes to HUGEINT — fail the fit here, with the fix
@@ -224,7 +225,7 @@ object QualityClassifier {
         .selectExpr("*", wExpr(duck = false), resExpr)
       val aggs = statsExprs.map(expr)
       val stats = scored.groupBy().agg(aggs.head, aggs.tail: _*)
-      betas = stats.selectExpr(updateExprs: _*).localCheckpoint()
+      betas = stats.selectExpr(updateExprs: _*).pinned
     }
     betas
   }

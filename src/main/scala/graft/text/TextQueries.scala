@@ -1,4 +1,5 @@
 package graft.text
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.functions._
 
@@ -65,7 +66,7 @@ object TextQueries {
   private[graft] def levenshteinPairs(
       docs: org.apache.spark.sql.DataFrame,
       materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-        _.localCheckpoint()): org.apache.spark.sql.DataFrame = {
+        _.pinned): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // MATERIALIZATION POLICY: the shingled doc table feeds THREE
     // consumers (the df-rank pass and both sides of the verify join);
@@ -1087,8 +1088,8 @@ object TextQueries {
     // prefix sum over the tiny bucket axis is each bucket's offset,
     // and the in-bucket running sum is bucket-partitioned — identical
     // cumulative values, no single-partition pass over the docs. The
-    // 4096-doc bucket width is the axis knob (n/4096 axis rows flow
-    // through one small window task; widen at extreme corpus sizes).
+    // bucket-axis prefix is itself two-level (AxisOffsets, r18): the
+    // one unpartitioned window sees n/4096² rows, ceiling in code.
     "sample_weighted" -> QueryDef(
       """WITH w AS (
         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
@@ -1106,10 +1107,10 @@ object TextQueries {
         .select(col("doc_id"), col("n_chars").cast("long").as("wt"))
         .withColumn("bkt", expr("doc_id div 4096"))
       val off = w.groupBy("bkt").agg(sum("wt").as("bw"))
-      val wOff = Window.orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = off.select(col("bkt"),
-        coalesce(sum("bw").over(wOff), lit(0L)).as("off"))
+      // two-LEVEL exclusive prefix over the bucket axis (r18 — the
+      // axis knob as code: the only unpartitioned window runs over
+      // n/4096² rows, AxisOffsets' scaladoc states the next ceiling)
+      val offs = AxisOffsets.exclusivePrefix(off, "bkt", "bw")
       // total from the bucket subtotals, not a second fact pass; a
       // broadcast scalar (an OVER () window would drag every row
       // through one partition; the oracle's OVER () is numerically
@@ -1291,7 +1292,7 @@ object TextQueries {
         .select(col("doc_id").as("id"),
           array_distinct(shingles(col("text"), 3)).as("shset"))
         .where(size(col("shset")) > 0)
-        .localCheckpoint() // consumed by sigs + both verify sides
+        .pinned // consumed by sigs + both verify sides
       val sigs = shingled.select(col("id"),
         Dedup.minhashSignature(col("shset"), 64).as("sig"))
       val cands = Dedup.lshCandidatePairs(sigs, "id", "sig", 16)
@@ -1346,7 +1347,7 @@ object TextQueries {
         .select(col("doc_id").as("id"),
           array_distinct(shingles(col("text"), 3)).as("shset"))
         .where(size(col("shset")) > 0)
-        .localCheckpoint()
+        .pinned
       val sigs = shingled.select(col("id"),
         Dedup.minhashSignature(col("shset"), 64).as("sig"))
       val cands = Dedup.lshCandidatePairs(sigs, "id", "sig", 16)
@@ -1453,7 +1454,7 @@ object TextQueries {
         .select(col("doc_id").as("id"),
           array_distinct(shingles(col("text"), 3)).as("shset"))
         .where(size(col("shset")) > 0)
-        .localCheckpoint() // feeds the rank pass AND both verify sides
+        .pinned // feeds the rank pass AND both verify sides
       val ex = sh.select(col("id"), size(col("shset")).as("l"),
         explode(col("shset")).as("sh"))
       val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -1640,7 +1641,7 @@ object TextQueries {
       val mem = mk.withColumn("pid", sum("brk").over(wPid).cast("long"))
         .where(col("brk") === 0)
         .select("doc_id", "pid", "pos", "term")
-        .localCheckpoint() // read by plen, freq, deg, and the phrase agg
+        .pinned // read by plen, freq, deg, and the phrase agg
       val plen = mem.groupBy("doc_id", "pid").agg(count(lit(1)).as("plen"))
       val freq = mem.groupBy("term").agg(count(lit(1)).as("freq"))
       val deg = mem.join(plen, Seq("doc_id", "pid"))
@@ -1709,7 +1710,7 @@ object TextQueries {
         .where(col("w2").isNotNull)
         .groupBy(col("term").as("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
-        .localCheckpoint() // feeds c1, n1b, t, and the final join
+        .pinned // feeds c1, n1b, t, and the final join
       val c1 = c12.groupBy("w1")
         .agg(sum("c12").as("c1"), count(lit(1)).as("n1a"))
       val n1b = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
@@ -1765,7 +1766,7 @@ object TextQueries {
         .withColumn("nxt", lead("term", 1).over(wNext))
         .where(col("nxt").isNotNull)
         .select(col("doc_id"), concat(col("term"), lit(" "), col("nxt")).as("b"))
-        .localCheckpoint() // train vocab and the val probe both read it
+        .pinned // train vocab and the val probe both read it
       val train = bg.where(col("doc_id") % 10 =!= 0).select("b").distinct()
       val valSide = bg.where(col("doc_id") % 10 === 0)
       valSide.join(train.withColumnRenamed("b", "tb"),
@@ -1830,7 +1831,7 @@ object TextQueries {
       val j = t.join(v, Seq("term"), "full_outer")
         .select(coalesce(col("cp"), lit(0L)).as("cp"),
           coalesce(col("cq"), lit(0L)).as("cq"))
-        .localCheckpoint() // totals + term contributions
+        .pinned // totals + term contributions
       val n = j.agg(sum("cp").as("np"), sum("cq").as("nq"))
       j.crossJoin(broadcast(n))
         .select(

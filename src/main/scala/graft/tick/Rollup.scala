@@ -1,4 +1,5 @@
 package graft.tick
+import graft.Pinned.PinnedOps
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
@@ -88,13 +89,13 @@ object Rollup {
     val out = levelPath(store, db, level).toString
     if (isFine(level))
       df.withColumn("ym", ymOf(col("bucket")))
-        .localCheckpoint() // cut lineage: may read what it overwrites
+        .pinned // cut lineage: may read what it overwrites
         .repartition(col("index"))
         .write.partitionBy("index", "ym")
         .option("partitionOverwriteMode", "dynamic")
         .mode(mode).parquet(out)
     else
-      df.localCheckpoint()
+      df.pinned
         .repartition(col("index"))
         .write.partitionBy("index")
         .option("partitionOverwriteMode", "dynamic")
@@ -156,7 +157,7 @@ object Rollup {
         .join(broadcast(touchedDf), Seq("index", "day"), "left_anti")
         .select("index", "bucket", "field", "sum", "max", "min",
           "first_ts_ns", "first", "last_ts_ns", "last", "count")
-      val newContent = survivors.unionByName(recomputed).localCheckpoint()
+      val newContent = survivors.unionByName(recomputed).pinned
       // a touched ym partition with no rows in the new content would be
       // skipped by dynamic overwrite and keep stale files: compute the
       // survivor partition set BEFORE writing, drop the emptied dirs after

@@ -1,4 +1,5 @@
 package graft.tick
+import graft.Pinned.PinnedOps
 
 import graft.QueryDef
 
@@ -684,7 +685,7 @@ object TickQueries {
       val res = f.join(broadcast(seas), Seq("event_type", "dow"))
         .select(col("event_type"), col("bucket"),
           abs(col("det_x7") - col("seas_x7")).as("aresid"))
-        .localCheckpoint() // feeds both the rank pass and the flag join
+        .pinned // feeds both the rank pass and the flag join
       val rk = res.select(col("event_type"), col("aresid"),
         row_number().over(Window.partitionBy("event_type")
           .orderBy("aresid", "bucket")).as("i"),
@@ -1373,7 +1374,7 @@ object TickQueries {
         .where(col("prev").isNotNull)
         .select(col("event_type"),
           expr("CAST((close - prev) * 1000000 div prev AS BIGINT)").as("r"))
-        .localCheckpoint() // percentile pass + tail aggregate
+        .pinned // percentile pass + tail aggregate
       val v = graft.rel.RankStats.percentiles(rr, "event_type", "r",
           Seq(0.05 -> "var95"))
         .select(col("event_type").as("vet"), col("var95"))

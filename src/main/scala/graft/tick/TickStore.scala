@@ -1,4 +1,5 @@
 package graft.tick
+import graft.Pinned.PinnedOps
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
@@ -242,7 +243,7 @@ final class TickStore(val root: String) {
 
       dedup(existingTouched.unionByName(newRows))
         // break lineage: the write below overwrites partitions this plan reads
-        .localCheckpoint()
+        .pinned
         .write
         .partitionBy("index", "day")
         .option("partitionOverwriteMode", "dynamic")
@@ -282,7 +283,7 @@ final class TickStore(val root: String) {
     read(spark, db)
       .join(broadcast(targets), Seq("index", "day"), "left_semi")
       .select("index", "day", "ts_ns", "value", "ingest_seq")
-      .localCheckpoint()
+      .pinned
       .repartition(col("index"), col("day"))
       // the partitioned-write planner requires output sorted by the
       // partition columns and DISCARDS any ordering that lacks that
@@ -330,7 +331,7 @@ final class TickStore(val root: String) {
           .where(col("index") === index && col("day").isin(boundary: _*))
           .where(!(col("ts_ns") >= fromNs && col("ts_ns") < toNs))
           .select("index", "day", "ts_ns", "value", "ingest_seq")
-          .localCheckpoint()
+          .pinned
       }
 
     (interior ++ boundary).foreach { d =>

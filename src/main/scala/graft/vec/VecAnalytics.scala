@@ -1,4 +1,5 @@
 package graft.vec
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.functions._
 
@@ -141,7 +142,7 @@ object VecAnalytics {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    lazy val qv = quantized(spark, dir).localCheckpoint()
+    lazy val qv = quantized(spark, dir).pinned
     val cb = cachedIndex(spark, dir, "pqcb")(trainSubCodebooks(qv, rounds = 2))
     val codes = cachedIndex(spark, dir, "pqcodes")(encodeWithCodebooks(qv, cb))
     val coarse = cachedIndex(spark, dir, "ivfcc")(trainCoarse(qv, rounds = 2))
@@ -186,7 +187,7 @@ object VecAnalytics {
   private[graft] def pqIncrementalIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     lazy val bqv = quantized(spark, dir)
-      .where(col("vec_id") % 10 =!= 0).localCheckpoint()
+      .where(col("vec_id") % 10 =!= 0).pinned
     val cb = cachedIndex(spark, dir, "pqinc_cb")(trainSubCodebooks(bqv, rounds = 2))
     val baseCodes = cachedIndex(spark, dir, "pqinc_codes")(encodeWithCodebooks(bqv, cb))
     (cb, baseCodes)
@@ -240,7 +241,7 @@ object VecAnalytics {
   private[graft] def ivfIncrementalIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     lazy val bqv = quantized(spark, dir)
-      .where(col("vec_id") % 10 =!= 0).localCheckpoint()
+      .where(col("vec_id") % 10 =!= 0).pinned
     val coarse = cachedIndex(spark, dir, "ivfinc_cc")(trainCoarse(bqv, rounds = 2))
     val baseAssign = cachedIndex(spark, dir, "ivfinc_assign")(
       assignToLists(bqv, coarse))
@@ -269,7 +270,7 @@ object VecAnalytics {
   private[graft] def indexHealth(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qvAll = quantized(s, d).localCheckpoint()
+    val qvAll = quantized(s, d).pinned
     val (coarse, baseAssign) = ivfIncrementalIndex(s, d)
     val grown = baseAssign.unionByName(
       assignToLists(qvAll.where(col("vec_id") % 10 === 0), coarse))
@@ -330,7 +331,7 @@ object VecAnalytics {
       .select(col("recall_ppm")).collect()(0).getLong(0) >= floorPpm
     if (healthy) grownIvfIndex(s, d)
     else {
-      lazy val qv = quantized(s, d).localCheckpoint()
+      lazy val qv = quantized(s, d).pinned
       val coarse = cachedIndex(s, d, "ivfretrain_cc")(trainCoarse(qv, rounds = 2))
       (coarse, cachedIndex(s, d, "ivfretrain_assign")(assignToLists(qv, coarse)))
     }
@@ -607,7 +608,7 @@ object VecAnalytics {
       // index artifacts (trained codebooks + corpus codes) come from
       // the cached build — production pays them at index-build time;
       // the measured path is LUT + ADC scan + exact re-rank
-      val qv = quantized(s, d).localCheckpoint() // LUT + re-rank sides
+      val qv = quantized(s, d).pinned // LUT + re-rank sides
       val (cb, codes, _, _) = ivfPqIndex(s, d)
       // query-side LUT: 10 query vectors x the trained codebook
       val lut = qv.where(col("vec_id") < 10)
@@ -732,7 +733,7 @@ object VecAnalytics {
       // inverted-list assignment) come from the cached build — paid at
       // index-build time like any production ANN index; the measured
       // path is probe selection + LUT + ADC scan + exact re-rank
-      val qv = quantized(s, d).localCheckpoint() // query sides + re-rank
+      val qv = quantized(s, d).pinned // query sides + re-rank
       val (cb, codes, coarse, assign) = ivfPqIndex(s, d)
       // query-side: coarse distances pick the 6 probed lists
       val tot = qv.where(col("vec_id") < 10).select("vec_id", "dim", "qv")
@@ -804,7 +805,7 @@ object VecAnalytics {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, id) AS rank FROM ex)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val qvAll = quantized(s, d).localCheckpoint() // batch assign + query sides + re-rank
+      val qvAll = quantized(s, d).pinned // batch assign + query sides + re-rank
       // prebuilt index: trained centroids + base assignment (cached —
       // paid when the base index was built, like any production index)
       val (coarse, baseAssign) = ivfIncrementalIndex(s, d)
@@ -912,7 +913,7 @@ object VecAnalytics {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, id) AS rank FROM ex)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val qvAll = quantized(s, d).localCheckpoint() // batch fold + query sides + re-rank
+      val qvAll = quantized(s, d).pinned // batch fold + query sides + re-rank
       // prebuilt index: frozen codebooks + base code table + frozen
       // centroids + base assignment (all cached — paid at index-build
       // time like any production ANN index)
@@ -1052,7 +1053,7 @@ object VecAnalytics {
           posexplode(col("embedding")).as(Seq("dim", "v")))
         .withColumn("qv", expr("CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT)"))
         .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"), col("qv"))
-        .localCheckpoint() // reused every round: materialize the explode once
+        .pinned // reused every round: materialize the explode once
       var cent = quant
         .groupBy(col("label").cast("long").as("c_label"), col("dim"))
         .agg(expr("sum(qv) div count(1)").as("m"))

@@ -1,8 +1,9 @@
 package graft.vec
+import graft.Pinned.PinnedOps
 
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{DerivedConstants, QueryDef, Tables}
 
 /** Verify-gate entries for similarity search (SURVEY §2.C) over the
   * embeddings table (64-dim float vectors).
@@ -228,7 +229,7 @@ object VecQueries {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("vec_id"), col("p").cast("long").as("i"),
         expr("CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)").as("f"))
-      .localCheckpoint() // feeds nn, s, pp, v0 — pin the quantized frame
+      .pinned // feeds nn, s, pp, v0 — pin the quantized frame
     val nn = fx.agg(countDistinct("vec_id").as("n"))
     val sS = fx.groupBy("i").agg(sum("f").as("s"))
     val pp = fx.as("a").join(fx.as("b"), "vec_id")
@@ -239,13 +240,13 @@ object VecQueries {
       .join(broadcast(sS.select(col("i").as("j"), col("s").as("sj"))), "j")
       .select(col("i"), col("j"),
         expr("p div n - (si div n) * (sj div n)").as("c"))
-      .localCheckpoint() // 4096 rows drive all five iterations
+      .pinned // 4096 rows drive all five iterations
     var v = fx.select("i").distinct().withColumn("x", lit(1000000L))
     var lastU: org.apache.spark.sql.DataFrame = null
     for (_ <- 1 to 5) {
       val u = c.join(broadcast(v.select(col("i").as("j"), col("x"))), "j")
         .groupBy("i").agg(sum(expr("c * x")).as("u"))
-        .localCheckpoint()
+        .pinned
       val nd = u.agg(expr("CAST(max(abs(u)) div 1000000 + 1 AS BIGINT)").as("nd"),
         max(abs(col("u"))).as("mx"))
       lastU = nd
@@ -433,7 +434,7 @@ object VecQueries {
             lit(0L), (acc, v) => acc + v).as("hd"),
           aggregate(zip_with(col("qv"), col("fv"), (a, b) => a * b),
             lit(0L), (acc, v) => acc + v).as("s64"))
-        .localCheckpoint() // both rankings consume it
+        .pinned // both rankings consume it
       val rh = scored.withColumn("rank", row_number().over(
           Window.partitionBy("q_id").orderBy(col("hd"), col("id"))))
         .where(col("rank") <= 5)
@@ -499,7 +500,7 @@ object VecQueries {
         .where(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("id"),
           dotPrefix(16).as("s16"), dotPrefix(64).as("s64"))
-        .localCheckpoint() // both rankings consume it
+        .pinned // both rankings consume it
       val r16 = scored.withColumn("rank", row_number().over(
           Window.partitionBy("q_id").orderBy(col("s16").desc, col("id"))))
         .where(col("rank") <= 5)
@@ -825,7 +826,8 @@ object VecQueries {
       // the KNOB: cluster count tracks the corpus (count() reads
       // parquet row-group metadata — an index-build-time scalar)
       val n = Tables.embeddings(s, d).count()
-      val nlist = math.max(16L, (n + 99L) / 100L)
+      val nlist = DerivedConstants.note("dedup_semantic_scaled", "nlist",
+        math.max(16L, (n + 99L) / 100L))
       val f = Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"),
@@ -970,7 +972,8 @@ object VecQueries {
          |GROUP BY 1, 2 ORDER BY dropped_id""".stripMargin) { (s, d) =>
       import graft.functions.GraftExpressions.vec_dot
       val n = Tables.embeddings(s, d).count()
-      val nlist = math.max(16L, (n + 99L) / 100L)
+      val nlist = DerivedConstants.note("dedup_semantic_lloyd", "nlist",
+        math.max(16L, (n + 99L) / 100L))
       val f = Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"),
@@ -1166,8 +1169,10 @@ object VecQueries {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.GraftExpressions.vec_dot
       val n = Tables.embeddings(s, d).count()
-      val nlist = math.max(16L, (n + 99L) / 100L)
-      val ncoarse = math.max(4L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
+      val nlist = DerivedConstants.note("dedup_semantic_hier", "nlist",
+        math.max(16L, (n + 99L) / 100L))
+      val ncoarse = DerivedConstants.note("dedup_semantic_hier", "ncoarse",
+        math.max(4L, math.ceil(math.sqrt(nlist.toDouble)).toLong))
       val f = Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"),
@@ -1178,7 +1183,7 @@ object VecQueries {
       // two-phase seed scan (ProfSeeds prices one run at ~0.6 s of
       // stage overhead — ×5 was most of the tier's first-cut warm).
       // nlist rows of 64 longs: a deliberate bounded index artifact.
-      val seeds = VecQueries.exemplarSeeds(f, nlist).localCheckpoint()
+      val seeds = VecQueries.exemplarSeeds(f, nlist).pinned
       // coarse routers + seed→cell filing (hierRouters: the first
       // ncoarse exemplars, refined by one Lloyd half-step over all the
       // seeds, every seed filed under its nearest refined router)
@@ -1403,8 +1408,10 @@ object VecQueries {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.GraftExpressions.vec_dot
       val n = Tables.embeddings(s, d).count()
-      val nlist = math.max(16L, (n + 99L) / 100L)
-      val ncoarse = math.max(4L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
+      val nlist = DerivedConstants.note("dedup_semantic_lloyd_hier", "nlist",
+        math.max(16L, (n + 99L) / 100L))
+      val ncoarse = DerivedConstants.note("dedup_semantic_lloyd_hier", "ncoarse",
+        math.max(4L, math.ceil(math.sqrt(nlist.toDouble)).toLong))
       val f = Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"),
@@ -1412,7 +1419,7 @@ object VecQueries {
       // localCheckpoint: the seed table has five consumers (router
       // machinery ×3, cand1's cellSeeds, and through scell the
       // centroid filing) — see dedup_semantic_hier's comment
-      val seeds = VecQueries.exemplarSeeds(f, nlist).localCheckpoint()
+      val seeds = VecQueries.exemplarSeeds(f, nlist).pinned
       val (cc, scell) = VecQueries.hierRouters(seeds, ncoarse)
       val ncc = cc.join(scell.select("cell").distinct(), "cell")
       val aug = f.select(col("vec_id").as("id"), col("fv"))
@@ -1676,7 +1683,7 @@ object VecQueries {
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val knn = VecFunctions.bruteForceTopK(queries, corpus, k = 5)
         .select("q_id", "id", "sim")
-        .localCheckpoint() // both sides of the mutual self-join
+        .pinned // both sides of the mutual self-join
       knn.as("x").join(knn.as("y"),
           col("y.q_id") === col("x.id") && col("y.id") === col("x.q_id"))
         .where(col("x.q_id") < col("x.id"))

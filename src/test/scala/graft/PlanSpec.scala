@@ -752,11 +752,27 @@ class PlanSpec extends SparkSpec {
           s"$q: expected $expectedNotes allowlisted notes, got " +
             s"${notes.size}: ${notes.mkString("; ")}")
     }
-    assert(!ExplainAudit.ReviewedBroadcasts.contains("dedup_semantic_hier"),
-      "hier must need NO allowlist entry — its router broadcast is bounded")
-    val hierRaw = ExplainAudit.planWarnings(
-      SparkEntry.queries("dedup_semantic_hier")(spark, sf0001), None)
-    assert(hierRaw.isEmpty, s"hier should pass the raw net: ${hierRaw.mkString("; ")}")
+    // r18: the checkpoint-provenance seam exposed the hier tiers'
+    // router-build broadcast (seeds.where(seed_id < ncoarse) — ncoarse
+    // = √nlist rows behind the seeds checkpoint, which the old
+    // `LogicalRDD ⇒ bounded` rule hid). The raw net must now FIRE for
+    // hier, and the allowlisted run must be quiet with the exact note
+    // counts pinned — the same load-bearing-entry proof as the flat
+    // tiers above.
+    Seq("dedup_semantic_hier" -> 12, "dedup_semantic_lloyd_hier" -> 4).foreach {
+      case (q, expectedNotes) =>
+        val raw = ExplainAudit.planWarnings(
+          SparkEntry.queries(q)(spark, sf0001), None)
+        assert(raw.exists(_.contains("hinted broadcast side not provably bounded")),
+          s"$q: the net must flag the √nlist router broadcast without its " +
+            s"allowlist entry, got: ${raw.mkString("; ")}")
+        val (ws, notes) = ExplainAudit.planWarningsDetail(
+          SparkEntry.queries(q)(spark, sf0001), Some(q))
+        assert(ws.isEmpty, s"$q: ${ws.mkString("; ")}")
+        assert(notes.size == expectedNotes,
+          s"$q: expected $expectedNotes allowlisted notes, got " +
+            s"${notes.size}: ${notes.mkString("; ")}")
+    }
   }
 
   test("scaled SemDeDup tiers execute with ZERO WindowExec single-partition warnings") {
@@ -823,9 +839,14 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(l =>
       l.contains("Functions") && l.contains("arg_min_long")) >= 2,
       s"arg_min_long hash aggregates missing:\n$p")
-    // the probe rank window is id-PARTITIONED (never a global sort)
+    // the probe rank window is id-PARTITIONED (never a global sort);
+    // r18: the checkpoint-provenance seam made the router-build's
+    // √nlist seed slice a VISIBLE ReviewedBroadcasts exception, so the
+    // quiet run is the NAMED net (the raw-fires/notes-pinned proof
+    // lives in the allowlist test above)
     assert(ExplainAudit.planWarnings(
-      SparkEntry.queries("dedup_semantic_hier")(spark, sf0001)).isEmpty)
+      SparkEntry.queries("dedup_semantic_hier")(spark, sf0001),
+      Some("dedup_semantic_hier")).isEmpty)
   }
 
   test("dedup_semantic_lloyd_hier: both argmin passes ride the routers, no flat fan-out") {
@@ -845,13 +866,15 @@ class PlanSpec extends SparkSpec {
     val nodes = argminAggNodes(p)
     assert(nodes.nonEmpty && nodes.forall(_.contains("HashAggregate")),
       s"argmin fell back to sort-based ($nodes):\n$p")
-    // passes the RAW audit net with NO allowlist entry — like hier,
-    // its hinted broadcasts are the bounded routers, never the seeds
-    assert(!ExplainAudit.ReviewedBroadcasts.contains("dedup_semantic_lloyd_hier"),
-      "lloyd_hier must need NO allowlist entry")
+    // r18: under the checkpoint-provenance seam the router-build's
+    // √nlist seed slice reads unbounded to the raw net (correct — it
+    // is data-sized), so lloyd_hier carries a ReviewedBroadcasts
+    // entry and the quiet run is the NAMED net; the raw-fires proof
+    // with exact note counts lives in the allowlist test above
     val ws = ExplainAudit.planWarnings(
-      SparkEntry.queries("dedup_semantic_lloyd_hier")(spark, sf0001), None)
-    assert(ws.isEmpty, s"raw audit net: ${ws.mkString("; ")}")
+      SparkEntry.queries("dedup_semantic_lloyd_hier")(spark, sf0001),
+      Some("dedup_semantic_lloyd_hier"))
+    assert(ws.isEmpty, s"named audit net: ${ws.mkString("; ")}")
   }
 
   test("dedup_semantic_scaled keeps the seed fan-out broadcast and the pair join keyed") {
@@ -874,5 +897,71 @@ class PlanSpec extends SparkSpec {
     val nodes = argminAggNodes(p)
     assert(nodes.nonEmpty && nodes.forall(_.contains("HashAggregate")),
       s"argmin fell back to sort-based ($nodes):\n$p")
+  }
+
+  test("r18 checkpoint-provenance seam: a hinted broadcast of a checkpointed FACT trips the raw net") {
+    import org.apache.spark.sql.functions._
+    // the r17 verdict's top item: LogicalRDD used to read `bounded`
+    // unconditionally, so broadcast(fact.localCheckpoint()) passed the
+    // net silently — the exact class that produced every past weak.
+    def factSlice = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val probe = Tables.orders(spark, sf0001).select(col("o_orderkey"))
+    // 1. seam BYPASS: a bare localCheckpoint has no provenance record,
+    //    so the net must refuse to call it bounded
+    val bypass = probe.join(broadcast(factSlice.localCheckpoint()),
+      col("o_orderkey") === col("l_orderkey"))
+    assert(ExplainAudit.planWarnings(bypass)
+        .exists(_.contains("not provably bounded")),
+      "a hinted broadcast of an UNROUTED fact checkpoint must trip the net")
+    // 2. seam-ROUTED fact checkpoint: provenance recorded as
+    //    unbounded — the seam records, it cannot launder
+    val routed = probe.join(broadcast(Pinned.checkpoint(factSlice)),
+      col("o_orderkey") === col("l_orderkey"))
+    assert(ExplainAudit.planWarnings(routed)
+        .exists(_.contains("not provably bounded")),
+      "a hinted broadcast of a seam-routed FACT checkpoint must trip the net")
+    // 3. seam-routed BOUNDED checkpoint (aggregate-collapsed): the
+    //    provenance chain keeps legitimate pinned artifacts quiet
+    val agg = Pinned.checkpoint(
+      factSlice.groupBy("l_suppkey").agg(count(lit(1)).as("n")))
+    val ok = probe.join(broadcast(agg), col("o_orderkey") === col("l_suppkey"))
+    assert(ExplainAudit.planWarnings(ok).isEmpty,
+      "a seam-routed aggregate checkpoint must stay quiet under a hint")
+    // 4. provenance survives a second hop: a checkpoint OF a plan that
+    //    contains the unbounded checkpoint stays unbounded
+    val rehop = Pinned.checkpoint(
+      Pinned.checkpoint(factSlice).select(col("l_orderkey")))
+    val hop = probe.join(broadcast(rehop),
+      col("o_orderkey") === col("l_orderkey"))
+    assert(ExplainAudit.planWarnings(hop)
+        .exists(_.contains("not provably bounded")),
+      "re-checkpointing an unbounded pin must not wash out its provenance")
+  }
+
+  test("r18 derived-constant collision defense: the lattice assertion fires on the historical 20L") {
+    // the r17 20L fix covered the observed collision; this pins the
+    // CLASS: every data-derived plan constant recorded via
+    // DerivedConstants must be disjoint from the applicable bounds.
+    // Simulate sf0.1's nlist=20 under the PRE-r17 lattice (20L
+    // global) — the tripwire must fire; under today's lattice
+    // (20L scoped to the decontaminate queries) it must not.
+    DerivedConstants.note("collision_spec_probe", "nlist", 20L)
+    assert(DerivedConstants.collisions(extraGlobal = Set(20L))
+        .exists(_.contains("collision_spec_probe")),
+      "a 20L GLOBAL bound must collide with a data-derived nlist=20")
+    assert(!DerivedConstants.collisions()
+        .exists(_.contains("collision_spec_probe")),
+      "today's lattice (20L per-query) must NOT collide with nlist=20")
+    // the real registrations: constructing the semantic tiers records
+    // their nlist/ncoarse; the sweep-level assertion must hold here too
+    Seq("dedup_semantic_scaled", "dedup_semantic_hier").foreach { q =>
+      SparkEntry.queries(q)(spark, sf0001)
+    }
+    val real = DerivedConstants.recorded.filterNot(_._1 == "collision_spec_probe")
+    assert(real.nonEmpty, "tier construction must record nlist/ncoarse")
+    val coll = DerivedConstants.collisions()
+      .filterNot(_.contains("collision_spec_probe"))
+    assert(coll.isEmpty, s"derived-constant collisions: ${coll.mkString("; ")}")
   }
 }

@@ -140,6 +140,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("r18 phash tiers: shuffled twin bit-equal + zero broadcast hints; wide band keeps planted recall") {
+    // tier interlock (the triangle-family discipline applied to the
+    // phash verify sides the provenance seam surfaced): the
+    // ShuffledStatic twin must return byte-identical rows to the
+    // Broadcast bench tier, and its OPTIMIZED plan must carry zero
+    // broadcast hints — every side meets its partner as an equi-join
+    // free to shuffle.
+    val bench = MmQueries.defs("mm_dedup_phash").build(spark, sf0001).collect().toSeq
+    val twin = MmQueries.defs("mm_dedup_phash_shuffled").build(spark, sf0001).collect().toSeq
+    assert(bench == twin, s"tier results differ: ${bench.size} vs ${twin.size} rows")
+    val twinPlan = MmQueries.defs("mm_dedup_phash_shuffled").build(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val hinted = twinPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if Seq(j.hint.leftHint, j.hint.rightHint).flatten
+            .exists(_.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) => j
+    }
+    assert(hinted.isEmpty, s"shuffled twin carries ${hinted.size} broadcast hint(s)")
+    // wide band (3 × 19 bits): planted pairs sit at Hamming 0..2, and
+    // any pair with Hamming < nBands has a clean band by pigeonhole —
+    // so the 24×-larger bucket space must lose NO planted drop
+    val wide = MmQueries.defs("mm_dedup_phash_wide").build(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val plantedWide = wide.filter(_._1 >= graft.mm.Multimodal.PlantedIdOffset)
+    assert(plantedWide.length == 40,
+      s"wide band lost planted recall: ${plantedWide.length}/40")
+    plantedWide.foreach { case (dropped, keeper, minHam) =>
+      assert(keeper < graft.mm.Multimodal.PlantedIdOffset && minHam <= 2L,
+        s"wide: planted $dropped keeper=$keeper ham=$minHam")
+    }
+  }
+
   test("extractFeaturesSafe quarantines corrupt payloads without killing the job") {
     val good = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
     val records = Seq(
