@@ -47,24 +47,59 @@ object AnalyticsQueries {
   private def storeBase(d: String, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
 
+  /** Supplier co-order pair counts — `(u, v, cnt)`, u < v, cnt = how
+    * many orders both suppliers appear in. The shared prefix of the
+    * whole co-order family: [[coOrderEdges]] (triangles/clustering and
+    * their `_shuffled` twins, modularity) filters `cnt >= 4`; label
+    * propagation keeps the raw counts as arc weights.
+    *
+    * r18 optimization (guide §2.3/§2.4 — aggregate before you shuffle,
+    * remove shuffles outright): the r17 shape was
+    * `distinct(l_orderkey, sk)` + a self-equi-join on `l_orderkey` +
+    * `groupBy(u, v)` — one exchange for the distinct, one (reused
+    * twice) for the join legs, a sort-merge join of the incidence
+    * list against itself, and a third exchange for the pair count.
+    * The per-order supplier set is bounded by lines-per-order (<= 7
+    * on this corpus and O(lines/order) generally), so the same pair
+    * multiset falls out of ONE `groupBy(l_orderkey).collect_set` (a
+    * partial-aggregating exchange of the incidence rows, which the
+    * set dedups for free — no separate distinct pass) followed by an
+    * in-row sorted pair explode (<= k(k-1)/2 rows per order) and the
+    * (u, v) count. 2 exchanges, no join, no sort: the plan drops from
+    * [Exchange, SMJ(sort x2), Exchange, Exchange] to
+    * [Exchange, Generate, Exchange]. Equivalence is pinned row-exact
+    * against the old formulation in CoOrderPairsSpec, and the six
+    * consumer queries stay oracle-green (same CoOrderEdgeCte oracle).
+    * Scale note: the explode fan-out is quadratic only in
+    * lines-per-order (a SCHEMA constant, not a data axis) and the
+    * collect_set buffer is bounded the same way, so the 100 TB shape
+    * is unchanged — strictly fewer bytes cross the wire than the
+    * self-join moved.
+    */
+  private[rel] def coOrderPairCounts(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("sk"))).as("sks"))
+      .select(explode(expr(
+        "flatten(transform(sks, (x, i) -> " +
+          "transform(slice(sks, i + 2, size(sks)), y -> named_struct('u', x, 'v', y))))"
+      )).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("cnt"))
+
   /** The supplier co-order graph the whole triangle family runs on
     * (graph_triangles, graph_clustering_coeff and their `_shuffled`
-    * twins): edge = two suppliers co-supplying >= 4 orders, u < v
-    * dedup'd. Shared with [[GraphExtras.clusteringAt]] (r18 — the
-    * family invariant "same graph" is held by this one definition,
-    * not by copy-paste; [[CoOrderEdgeCte]] is the oracle-side twin).
+    * twins, graph_modularity): edge = two suppliers co-supplying
+    * >= 4 orders, u < v dedup'd. One definition holds the family
+    * invariant "same graph" ([[CoOrderEdgeCte]] is the oracle-side
+    * twin); the pair aggregation itself is [[coOrderPairCounts]].
     */
-  private[rel] def coOrderEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val p = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
-      .distinct()
-    p.as("a").join(p.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
-      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-      .agg(count(lit(1)).as("cnt"))
+  private[rel] def coOrderEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    coOrderPairCounts(s, d)
       .where(col("cnt") >= 4)
       .select("u", "v")
-  }
 
   /** graph_triangles body at a given [[graft.StaticTier]] — shared by
     * the bench (Broadcast) query and its oracle-gated `_shuffled` twin
@@ -788,10 +823,18 @@ object AnalyticsQueries {
       val du = e.groupBy("u").agg(count(lit(1)).as("du"))
       val dv = e.groupBy("v").agg(count(lit(1)).as("dv"))
       val ej = e.join(du, "u").join(dv, "v")
-      val ends = ej.select(col("du").as("x"), col("dv").as("y"))
-        .unionAll(ej.select(col("dv").as("x"), col("du").as("y")))
-      val m = ends.agg(count(lit(1)).as("n"), sum("x").as("sx"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      // r18 (guide §2.4): the oracle's `ends` relation is the edge-end
+      // multiset {(x,y)} ∪ {(y,x)} — its four moments are exact
+      // integer functions of ONE pass over the joined edges
+      // (n = 2|e|, Σx = Σ(du+dv), Σx² = Σ(du²+dv²), Σxy = 2Σ(du·dv)),
+      // so the unionAll that duplicated the e⋈du⋈dv subtree (two
+      // aggregations over two copies of the 3-way join) collapses to
+      // a single aggregate. BIGINT sums commute: bit-identical m.
+      val m = ej.agg(
+        (count(lit(1)) * 2).as("n"),
+        sum(col("du") + col("dv")).as("sx"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"),
+        (sum(col("du") * col("dv")) * 2).as("sxy"))
       m.select(col("n").as("n_ends"),
         when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
           .otherwise((col("n") * col("sxy") - col("sx") * col("sx")).cast("double")

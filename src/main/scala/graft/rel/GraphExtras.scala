@@ -527,9 +527,21 @@ object GraphExtras {
       val cd = e.groupBy("c").agg(count(lit(1)).as("d"))
       val ec = e.join(cd, "c").where(col("d") <= 200).select("c", "s")
       val deg = ec.groupBy("s").agg(count(lit(1)).as("d"))
-      val x = ec.select(col("c"), col("s").as("s1"))
-      val y = ec.select(col("c").as("c2"), col("s").as("s2"))
-      val p = x.join(y, col("c") === col("c2") && col("s1") < col("s2"))
+      // r18 (guide §2.3/§2.4): the wedge space through each customer
+      // is the pair set of that customer's (capped, <= 200) supplier
+      // set — the same rows the c-keyed self-join produced, built
+      // instead by ONE groupBy(c).collect_set (already partitioned on
+      // c by the degree-attach join, so no new exchange) and an
+      // in-row sorted pair explode (<= d(d-1)/2 <= 19,900 rows per
+      // customer, the same cap-bounded fan-out). Drops the self-join
+      // and its second leg; row-exact equivalence pinned in
+      // CoOrderPairsSpec.
+      val p = ec.groupBy("c").agg(sort_array(collect_set(col("s"))).as("ss"))
+        .select(explode(expr(
+          "flatten(transform(ss, (x, i) -> " +
+            "transform(slice(ss, i + 2, size(ss)), y -> named_struct('u', x, 'v', y))))"
+        )).as("p"))
+        .select(col("p.u").as("s1"), col("p.v").as("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
       p.join(broadcast(deg.select(col("s").as("s1"), col("d").as("d1"))), "s1")
         .join(broadcast(deg.select(col("s").as("s2"), col("d").as("d2"))), "s2")
@@ -596,15 +608,9 @@ object GraphExtras {
         |       AS BIGINT) AS q_contrib_4m2
         |FROM dsum LEFT JOIN ein ON dsum.c = ein.c CROSS JOIN m
         |ORDER BY nationkey""".stripMargin) { (s, d) =>
-      val p = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
-        .distinct()
-      val e = p.as("a").join(p.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-        .where(col("cnt") >= 4)
-        .select("u", "v")
+      // same graph, same one definition as the triangle family —
+      // r18: rides the collect_set pair explode (coOrderPairCounts)
+      val e = AnalyticsQueries.coOrderEdges(s, d)
       val sup = Tables.supplier(s, d)
         .select(col("s_suppkey").cast("long").as("sk"), col("s_nationkey").as("nk"))
       val en = e
@@ -683,13 +689,10 @@ object GraphExtras {
         |SELECT n AS node, lab AS label FROM l3
         |ORDER BY node""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val p = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
-        .distinct()
-      val co = p.as("a").join(p.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-        .agg(count(lit(1)).as("c"))
+      // the UNFILTERED co-order pair counts (arc weights) — r18: same
+      // collect_set pair explode as the triangle family's edges
+      val co = AnalyticsQueries.coOrderPairCounts(s, d)
+        .withColumnRenamed("cnt", "c")
       val arcs = co.select(col("u").as("n"), col("v").as("nb"), col("c"))
         .unionAll(co.select(col("v").as("n"), col("u").as("nb"), col("c")))
       val top = arcs.withColumn("rn", row_number().over(

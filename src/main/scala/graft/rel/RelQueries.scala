@@ -56,15 +56,28 @@ object RelQueries {
         |FROM pc JOIN m ma ON ma.br = pc.ba JOIN m mb ON mb.br = pc.bb
         |CROSS JOIN n
         |ORDER BY ba, bb""".stripMargin) { (s, d) =>
-      val b = Tables.lineitem(s, d)
+      // r18 (guide §2.3/§2.4): the per-order distinct brand set is
+      // bounded by lines-per-order, so ONE groupBy(o).collect_set
+      // replaces the distinct pass (sets dedup for free) and the
+      // basket pair space comes from an in-row sorted pair explode
+      // instead of the o-keyed self-join. The basket table is pinned:
+      // total/per-brand/pair counts all read it, and un-pinned each
+      // would re-run the part join + basket aggregation from the scan
+      // up. n = COUNT(DISTINCT o) == one row per basket == count(*).
+      val bs = Tables.lineitem(s, d)
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("br"))
-        .distinct()
-      val n = b.agg(countDistinct("o").as("total"))
-      val m = b.groupBy("br").agg(count(lit(1)).as("cnt"))
-      val pc = b.as("a").join(b.as("c"),
-          col("a.o") === col("c.o") && col("a.br") < col("c.br"))
-        .groupBy(col("a.br").as("ba"), col("c.br").as("bb"))
+        .groupBy(col("l_orderkey").as("o"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("brs"))
+        .pinned
+      val n = bs.agg(count(lit(1)).as("total"))
+      val m = bs.select(explode(col("brs")).as("br"))
+        .groupBy("br").agg(count(lit(1)).as("cnt"))
+      val pc = bs.select(explode(expr(
+          "flatten(transform(brs, (x, i) -> " +
+            "transform(slice(brs, i + 2, size(brs)), y -> named_struct('ba', x, 'bb', y))))"
+        )).as("p"))
+        .select(col("p.ba").as("ba"), col("p.bb").as("bb"))
+        .groupBy("ba", "bb")
         .agg(count(lit(1)).as("nab"))
       pc.join(broadcast(m.select(col("br").as("ba"), col("cnt").as("ca"))), "ba")
         .join(broadcast(m.select(col("br").as("bb"), col("cnt").as("cb"))), "bb")

@@ -387,16 +387,22 @@ object TextQueries {
          |       JOIN sz sb ON p.b_id = sb.doc_id
          |WHERE inter * 10 >= 3 * (sa.n + sb.n - inter)
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // r18 (guide §2.3 — shuffle keys and metadata, not re-derived
+      // relations): each exploded row carries its doc's set size, so
+      // the pair aggregate picks the sizes up as max() of a
+      // per-group constant — the two sz joins AND the second
+      // tokenize+shingle pass that built sz are gone. Both join legs
+      // stay the SAME projection (n on both sides), so the shingle
+      // exchange is still computed once and reused for the other leg.
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("shset"))
-      val sz = sh.select(col("doc_id"), size(col("shset")).cast("long").as("n"))
-      val ex = sh.select(col("doc_id"), explode(col("shset")).as("s"))
-      val p = ex.toDF("a_id", "s").join(ex.toDF("b_id", "s"), "s")
+      val ex = sh.select(col("doc_id"),
+        size(col("shset")).cast("long").as("n"), explode(col("shset")).as("s"))
+      val p = ex.toDF("a_id", "na", "s").join(ex.toDF("b_id", "nb", "s"), "s")
         .where(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      p.join(sz.toDF("a_id", "na"), "a_id")
-        .join(sz.toDF("b_id", "nb"), "b_id")
-        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"),
+          max("na").as("na"), max("nb").as("nb"))
+      p.withColumn("uni", col("na") + col("nb") - col("inter"))
         // integer-compare the 0.3 threshold: no fp boundary ambiguity;
         // inter >= 1 by construction, so uni >= 1 (no 0/0)
         .where(col("inter") * 10 >= col("uni") * 3)
@@ -470,16 +476,17 @@ object TextQueries {
          |  CAST(SUM(inter) AS BIGINT) AS inter_sum,
          |  CAST(SUM(uni) AS BIGINT) AS uni_sum
          |FROM j GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+      // r18: sizes ride the exploded rows (see text_containment /
+      // dedup_ngram_jaccard) — no sz joins, no second shingle pass
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("shset"))
-      val sz = sh.select(col("doc_id"), size(col("shset")).cast("long").as("n"))
-      val ex = sh.select(col("doc_id"), explode(col("shset")).as("s"))
-      val p = ex.toDF("a_id", "s").join(ex.toDF("b_id", "s"), "s")
+      val ex = sh.select(col("doc_id"),
+        size(col("shset")).cast("long").as("n"), explode(col("shset")).as("s"))
+      val p = ex.toDF("a_id", "na", "s").join(ex.toDF("b_id", "nb", "s"), "s")
         .where(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      p.join(sz.toDF("a_id", "na"), "a_id")
-        .join(sz.toDF("b_id", "nb"), "b_id")
-        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"),
+          max("na").as("na"), max("nb").as("nb"))
+      p.withColumn("uni", col("na") + col("nb") - col("inter"))
         .groupBy(least(expr("(inter * 10) div uni"), lit(9L)).cast("long").as("bin"))
         .agg(count(lit(1)).as("n_pairs"),
           sum("inter").as("inter_sum"), sum("uni").as("uni_sum"))
@@ -562,17 +569,33 @@ object TextQueries {
          |FROM p JOIN sz sa ON p.sub_id = sa.doc_id
          |WHERE inter * 10 >= 8 * sa.n
          |ORDER BY sub_id, super_id""".stripMargin) { (s, d) =>
+      // r18 (guide §2.3): sizes ride the exploded rows (see
+      // dedup_ngram_jaccard) — the sub-side size join and the second
+      // shingle pass are gone — and the <>-join collapses to the
+      // ORDERED (a < b) join + a 2-way orientation explode after the
+      // aggregate (the shape text_containment_capped already ships):
+      // the <> join pushed every unordered pair through the pair
+      // aggregate TWICE; this halves the aggregate's input. Both
+      // legs keep the identical projection and both size columns are
+      // consumed by the fan-out, so the one shingle exchange serves
+      // both sides via reuse.
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("shset"))
-      val sz = sh.select(col("doc_id"), size(col("shset")).cast("long").as("n"))
-      val ex = sh.select(col("doc_id"), explode(col("shset")).as("s"))
-      val p = ex.toDF("sub_id", "s").join(ex.toDF("super_id", "s"), "s")
-        .where(col("sub_id") =!= col("super_id"))
-        .groupBy("sub_id", "super_id").agg(count(lit(1)).as("inter"))
-      p.join(sz.toDF("sub_id", "na"), "sub_id")
-        .where(col("inter") * 10 >= col("na") * 8)
+      val ex = sh.select(col("doc_id"),
+        size(col("shset")).cast("long").as("n"), explode(col("shset")).as("s"))
+      val p = ex.toDF("a_id", "na", "s").join(ex.toDF("b_id", "nb", "s"), "s")
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"),
+          max("na").as("na"), max("nb").as("nb"))
+      p.select(explode(array(
+          struct(col("a_id").as("sub_id"), col("b_id").as("super_id"),
+            col("inter"), col("na").as("n")),
+          struct(col("b_id").as("sub_id"), col("a_id").as("super_id"),
+            col("inter"), col("nb").as("n")))).as("r"))
+        .select("r.*")
+        .where(col("inter") * 10 >= col("n") * 8)
         .select(col("sub_id"), col("super_id"),
-          (col("inter").cast("double") / col("na")).as("containment"))
+          (col("inter").cast("double") / col("n")).as("containment"))
         .orderBy("sub_id", "super_id")
     },
 

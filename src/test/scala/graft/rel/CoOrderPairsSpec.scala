@@ -1,0 +1,76 @@
+package graft.rel
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** r18 pair-aggregation reformulation: the co-order pair counts (and
+  * the common-neighbors wedge counts) moved from
+  * distinct + self-equi-join + groupBy to ONE
+  * groupBy(key).collect_set + an in-row sorted pair explode — fewer
+  * exchanges, no sort-merge join, same pair multiset. These pins hold
+  * the reformulation row-exact against the OLD self-join spelling on
+  * real data, so the six consumer queries' oracle gates check
+  * semantics while this spec checks the rewrite step itself.
+  */
+class CoOrderPairsSpec extends SparkSpec {
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+
+  /** The r17 spelling, kept here as the reference implementation. */
+  private def selfJoinPairCounts(d: String): DataFrame = {
+    val p = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
+      .distinct()
+    p.as("a").join(p.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  test("collect_set pair explode == distinct+self-join pair counts (sf0.001)") {
+    val got = sortedRows(AnalyticsQueries.coOrderPairCounts(spark, sf0001))
+    val ref = sortedRows(selfJoinPairCounts(sf0001))
+    assert(got.nonEmpty, "empty pair set would make the pin vacuous")
+    assert(got == ref, s"pair multisets diverged: ${got.size} vs ${ref.size} rows")
+  }
+
+  test("collect_set pair explode == distinct+self-join pair counts (sf0.01)") {
+    val got = sortedRows(AnalyticsQueries.coOrderPairCounts(spark, sf001))
+    val ref = sortedRows(selfJoinPairCounts(sf001))
+    assert(got.size > 100, s"suspiciously small pair set: ${got.size}")
+    assert(got == ref, s"pair multisets diverged: ${got.size} vs ${ref.size} rows")
+  }
+
+  test("pair explode emits nothing for singleton or empty supplier sets") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(3L, 5L, 9L)), (2L, Seq(7L)), (3L, Seq.empty[Long])
+    ).toDF("k", "sks")
+    val pairs = df.select(explode(expr(
+        "flatten(transform(sks, (x, i) -> " +
+          "transform(slice(sks, i + 2, size(sks)), y -> named_struct('u', x, 'v', y))))"
+      )).as("p"))
+      .select(col("p.u"), col("p.v"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs == Seq((3L, 5L), (3L, 9L), (5L, 9L)),
+      s"unexpected pair fan-out: $pairs")
+  }
+
+  test("plan carries no join below the pair count — one Generate, two exchanges") {
+    val df = AnalyticsQueries.coOrderPairCounts(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"pair aggregation must not join the incidence list against itself:\n$p")
+    assert(p.contains("Generate"), s"expected the pair explode:\n$p")
+    // count in the TREE block only (operators repeat as details
+    // headers below it — the FormattedMode pin gotcha)
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    val exchanges = tree.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 2, s"expected exactly 2 exchanges, got $exchanges:\n$p")
+  }
+}
