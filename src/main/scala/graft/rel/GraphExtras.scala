@@ -527,21 +527,18 @@ object GraphExtras {
       val cd = e.groupBy("c").agg(count(lit(1)).as("d"))
       val ec = e.join(cd, "c").where(col("d") <= 200).select("c", "s")
       val deg = ec.groupBy("s").agg(count(lit(1)).as("d"))
-      // r18 (guide §2.3/§2.4): the wedge space through each customer
-      // is the pair set of that customer's (capped, <= 200) supplier
-      // set — the same rows the c-keyed self-join produced, built
-      // instead by ONE groupBy(c).collect_set (already partitioned on
-      // c by the degree-attach join, so no new exchange) and an
-      // in-row sorted pair explode (<= d(d-1)/2 <= 19,900 rows per
-      // customer, the same cap-bounded fan-out). Drops the self-join
-      // and its second leg; row-exact equivalence pinned in
-      // CoOrderPairsSpec.
-      val p = ec.groupBy("c").agg(sort_array(collect_set(col("s"))).as("ss"))
-        .select(explode(expr(
-          "flatten(transform(ss, (x, i) -> " +
-            "transform(slice(ss, i + 2, size(ss)), y -> named_struct('u', x, 'v', y))))"
-        )).as("p"))
-        .select(col("p.u").as("s1"), col("p.v").as("s2"))
+      // r18 NOTE — collect_set pair explode measured and REJECTED
+      // here: unlike the triangle family's <= lines-per-order sets,
+      // this wedge space fans out of <= 200-element supplier sets,
+      // and the interpreted transform/slice pair explode loses to the
+      // whole-stage-codegen'd self-join at that width (healthy-window
+      // warm pair 2.81 -> 4.51 s, official 3.15 -> 4.66 — reverted;
+      // the boundary is recorded in OPTIMIZATION_r18.md). The c-keyed
+      // self-join stays: both legs reuse the one exchange, the wedge
+      // join emits pairs inside codegen.
+      val x = ec.select(col("c"), col("s").as("s1"))
+      val y = ec.select(col("c").as("c2"), col("s").as("s2"))
+      val p = x.join(y, col("c") === col("c2") && col("s1") < col("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
       p.join(broadcast(deg.select(col("s").as("s1"), col("d").as("d1"))), "s1")
         .join(broadcast(deg.select(col("s").as("s2"), col("d").as("d2"))), "s2")
