@@ -62,6 +62,20 @@ object Pinned {
   private[graft] def recordedBounded(rddId: Int): Option[Boolean] =
     Option(registry.get(rddId)).map(_.booleanValue())
 
+  /** Free the executor block-storage copy behind a [[checkpoint]]ed
+    * frame (r18). For a pin that exists only as the INPUT of another
+    * pin (the two-step hash pin's intermediate, hitsAuthorities'
+    * shared build), the blocks are dead weight once every derived pin
+    * has materialized — releasing them halves the loop families'
+    * resident edge copies. The frame must never be read again: a
+    * local checkpoint has no lineage to recompute from (the same
+    * contract RddHygiene's between-laps sweep relies on).
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** `df.pinned` — the engine's spelling of a lineage cut. Every
     * query-path `localCheckpoint()` goes through this so the audit
     * net always has provenance; a bare `.localCheckpoint()` in the

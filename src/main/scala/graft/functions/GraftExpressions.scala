@@ -352,6 +352,91 @@ object GraftExpressions {
       copy(d2 = newChildren(0), cand = newChildren(1))
   }
 
+  /** All ordered pairs (x_i, x_j), i < j, of a sorted LONG array, each
+    * packed into ONE long as `(x_i << 32) | x_j` — the codegen'd pair
+    * expansion behind the collect_set pair-explode rewrites (r18).
+    *
+    * Exists because the HOF spelling
+    * (`flatten(transform(…, slice(…)))`) runs its lambdas INTERPRETED:
+    * at the triangle family's ≤ 7-element sets that is measurable
+    * overhead per order row, and at common-neighbors' ≤ 200-element
+    * sets (~20k structs through the interpreted path per hot
+    * customer) it lost to the whole-stage-codegen'd self-join
+    * outright (the r18 revert). This expression emits the packed
+    * pair array inside whole-stage codegen — one allocation, two
+    * primitive loops — and the builtin `explode` + shift/mask unpack
+    * keep the entire fan-out in the codegen span, so the
+    * join-elimination rewrite no longer pays an interpretation tax.
+    *
+    * Packing contract: elements must lie in [0, 2^31) — suppkeys and
+    * custkeys are 32-bit TPC-H identities at every SF (int32 in the
+    * spec; int64 only as a storage type), so (hi << 32 | lo) is
+    * lossless and the unpack is `pk >>> 32` / `pk & 0xFFFFFFFF`.
+    * Violations THROW (both paths) rather than corrupt pairs. The
+    * input must be sorted ascending and duplicate-free (collect_set +
+    * sort_array), which makes hi < lo for every pair; the expression
+    * itself does not re-check sortedness — it would cost a pass and
+    * both call sites feed it sort_array output directly.
+    */
+  case class PackedPairs(child: Expression)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "packed_pairs"
+
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val out = new Array[Long](n * (n - 1) / 2)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        val x = a.getLong(i)
+        if (x < 0L || x > 0x7FFFFFFFL)
+          throw new IllegalArgumentException(
+            s"packed_pairs: element $x outside [0, 2^31)")
+        val hi = x << 32
+        var j = i + 1
+        while (j < n) { out(k) = hi | a.getLong(j); k += 1; j += 1 }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val k = ctx.freshName("k")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val x = ctx.freshName("x")
+        val hi = ctx.freshName("hi")
+        s"""
+           |int $n = $a.numElements();
+           |long[] $out = new long[$n * ($n - 1) / 2];
+           |int $k = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $x = $a.getLong($i);
+           |  if ($x < 0L || $x > 0x7FFFFFFFL)
+           |    throw new IllegalArgumentException(
+           |      "packed_pairs: element " + $x + " outside [0, 2^31)");
+           |  long $hi = $x << 32;
+           |  for (int $j = $i + 1; $j < $n; $j++) {
+           |    $out[$k++] = $hi | $a.getLong($j);
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |  .UnsafeArrayData.fromPrimitiveArray($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ---- Column wrappers (classic-API bridge: Spark 4 moved
   // Column<->Expression conversion to sql.classic.ExpressionUtils) ----
 
@@ -362,6 +447,7 @@ object GraftExpressions {
   def word_shingles(c: Column, n: Int): Column = co(WordShingles(ex(c), n))
   def simhash64(c: Column): Column = co(SimHash(ex(c)))
   def vec_dot(a: Column, b: Column): Column = co(VecDot(ex(a), ex(b)))
+  def packed_pairs(c: Column): Column = co(PackedPairs(ex(c)))
   def arg_min_long(d2: Column, cand: Column): Column =
     co(ArgMinLong(ex(d2), ex(cand)).toAggregateExpression())
   def bloom_might_contain(key: Column, words: Array[Long], mBits: Int, k: Int): Column =

@@ -81,11 +81,14 @@ object AnalyticsQueries {
       .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("sk"))).as("sks"))
-      .select(explode(expr(
-        "flatten(transform(sks, (x, i) -> " +
-          "transform(slice(sks, i + 2, size(sks)), y -> named_struct('u', x, 'v', y))))"
-      )).as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"))
+      // r18: codegen'd packed pair expansion (suppkeys are 32-bit, so
+      // a pair rides one long) — same sorted (u < v) pair multiset as
+      // the HOF flatten/transform/slice spelling it replaces, without
+      // the interpreted-lambda tax per order row (CoOrderPairsSpec
+      // pins row-exactness against the r17 self-join reference)
+      .select(explode(graft.functions.GraftExpressions.packed_pairs(col("sks"))).as("pk"))
+      .select(shiftrightunsigned(col("pk"), 32).as("u"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("v"))
       .groupBy("u", "v")
       .agg(count(lit(1)).as("cnt"))
 

@@ -110,6 +110,16 @@ object GraphExtras {
                       strategy: GraphLoops.Strategy = GraphLoops.Broadcast,
                       normStrategy: NormStrategy = WindowNorm)
       : DataFrame = {
+    // r18 NOTE — the agg-key pin (TWO keyed copies off one
+    // materialized build, making each half-round's raw-sum aggregate
+    // exchange-free) was measured here and REVERTED: 2 extra E-sized
+    // shuffles + materializations at build to save 6 node-sized
+    // exchanges read as a same-window regression (old warm min 3.04 s
+    // / new 3.42 s, every new sample above the old median). Unlike
+    // coreness/pagerank, BOTH halves need their own copy here, which
+    // doubles the pin cost the other loops pay once — the r11 lesson
+    // (never materialize the edge build twice) effectively re-applies
+    // one level up. The single shared pin stands.
     val eU = GraphLoops.pinEdges(edges, "u", strategy)
     val eV = strategy match {
       case GraphLoops.Broadcast => eU
@@ -206,7 +216,10 @@ object GraphExtras {
 
   def kcoreEdges(und: DataFrame, k: Int, maxRounds: Int,
                  strategy: GraphLoops.Strategy = GraphLoops.Broadcast): DataFrame = {
-    val e = GraphLoops.pinEdges(und, "b", strategy)
+    // join key "b" (alive set meets the neighbor end); agg key "a"
+    // (the alive-degree count and the initial DISTINCT key on "a") —
+    // Broadcast pins on "a" so each peel round is one mapper stage
+    val e = GraphLoops.pinEdgesKeyed(und, "b", "a", strategy)
     var alive = e.select(col("a").as("node")).distinct().pinned
     var prev = alive.count()
     var r = 0
@@ -264,7 +277,12 @@ object GraphExtras {
                      strategy: GraphLoops.Strategy = GraphLoops.Broadcast)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ed = GraphLoops.pinEdges(und, "b", strategy)
+    // join key "b" (state meets the neighbor end); agg key "a" (the
+    // degree count, per-round value-bucket agg, cumulative window and
+    // h-index max all key on "a") — the Broadcast tier pins on "a",
+    // making EVERY per-round exchange vanish (r18, guide §2.4: 2
+    // exchanges × rounds + the degree exchange → the one pin exchange)
+    val ed = GraphLoops.pinEdgesKeyed(und, "b", "a", strategy)
     // each round's state is consumed exactly ONCE (the next round's
     // state join), so the loop needs no per-round lineage cut: the
     // whole unroll is one LINEAR dag over the pinned edges, each
@@ -300,9 +318,12 @@ object GraphExtras {
       : DataFrame = {
     val s = und.sparkSession
     val dg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
-    val edges = GraphLoops.pinEdges(
+    // join key "u", agg key "v" (the contribution groupBy) — Broadcast
+    // pins on "v" so the per-round E-input aggregate is exchange-free;
+    // only the node-sized restart-union re-aggregate still shuffles
+    val edges = GraphLoops.pinEdgesKeyed(
       und.join(dg, und("a") === dg("n")).select(col("a").as("u"),
-        col("b").as("v"), col("d")), "u", strategy)
+        col("b").as("v"), col("d")), "u", "v", strategy)
     def oneRow(r: Long) = {
       import s.implicits._
       Seq((seed, r)).toDF("node", "r")
@@ -517,28 +538,35 @@ object GraphExtras {
         |      FROM p JOIN deg d1 ON p.s1 = d1.s JOIN deg d2 ON p.s2 = d2.s)
         |SELECT s1, s2, common, jaccard_ppm FROM j
         |ORDER BY common DESC, s1, s2 LIMIT 20""".stripMargin) { (s, d) =>
-      // materialize the distinct edge list once — cd, deg, and both
-      // self-join sides all derive from it, and without the cut each
-      // would re-run the fact join + distinct from the scan up
-      val e = Tables.orders(s, d)
+      // materialize the distinct edge list once — cd, deg, and the
+      // wedge aggregation all derive from it, and without the cut each
+      // would re-run the fact join + distinct from the scan up. r18:
+      // hash-pinned on "c" so the degree count, the (broadcast-hinted,
+      // node-sized) cap filter join and the per-customer collect_set
+      // are ALL exchange-free off the pin
+      val e = GraphLoops.hashPin(Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct().pinned
+        .distinct(), "c")
       val cd = e.groupBy("c").agg(count(lit(1)).as("d"))
-      val ec = e.join(cd, "c").where(col("d") <= 200).select("c", "s")
+      val ec = e.join(broadcast(cd), "c").where(col("d") <= 200).select("c", "s")
       val deg = ec.groupBy("s").agg(count(lit(1)).as("d"))
-      // r18 NOTE — collect_set pair explode measured and REJECTED
-      // here: unlike the triangle family's <= lines-per-order sets,
-      // this wedge space fans out of <= 200-element supplier sets,
-      // and the interpreted transform/slice pair explode loses to the
-      // whole-stage-codegen'd self-join at that width (healthy-window
-      // warm pair 2.81 -> 4.51 s, official 3.15 -> 4.66 — reverted;
-      // the boundary is recorded in OPTIMIZATION_r18.md). The c-keyed
-      // self-join stays: both legs reuse the one exchange, the wedge
-      // join emits pairs inside codegen.
-      val x = ec.select(col("c"), col("s").as("s1"))
-      val y = ec.select(col("c").as("c2"), col("s").as("s2"))
-      val p = x.join(y, col("c") === col("c2") && col("s1") < col("s2"))
+      // r18 second attempt at the join-elimination rewrite: the FIRST
+      // one (interpreted transform/slice HOF) lost to the codegen'd
+      // self-join at this wedge width (~20k structs per hot customer
+      // through interpreted lambdas — warm pair 2.81 -> 4.51 s,
+      // reverted). With [[graft.functions.GraftExpressions.PackedPairs]]
+      // the expansion runs INSIDE whole-stage codegen (one long per
+      // pair, primitive loops), so the wedge space now falls out of
+      // the collect_set the cap already bounds at <= 200 — no
+      // self-join, no second read of the incidence exchange, and with
+      // the hash(c) pin no exchange at all until the pair aggregate
+      val p = ec.groupBy("c")
+        .agg(sort_array(collect_set(col("s"))).as("ss"))
+        .select(explode(
+          graft.functions.GraftExpressions.packed_pairs(col("ss"))).as("pk"))
+        .select(shiftrightunsigned(col("pk"), 32).as("s1"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
       p.join(broadcast(deg.select(col("s").as("s1"), col("d").as("d1"))), "s1")
         .join(broadcast(deg.select(col("s").as("s2"), col("d").as("d2"))), "s2")
@@ -695,12 +723,16 @@ object GraphExtras {
       val top = arcs.withColumn("rn", row_number().over(
           Window.partitionBy("n").orderBy(col("c").desc, col("nb"))))
         .where(col("rn") <= 3).select("n", "nb")
-      val und = top.unionAll(top.select(col("nb").as("n"), col("n").as("nb")))
-        .distinct()
-        // three rounds re-read the sparsified adjacency — pin it once
-        // (bounded at <= 6 arcs per node by the k-NN cap; 100 TB
-        // substitute is persist(DISK_ONLY))
-        .pinned
+      // three rounds re-read the sparsified adjacency — pin it once
+      // (bounded at <= 6 arcs per node by the k-NN cap; 100 TB
+      // substitute is persist(DISK_ONLY)). r18: hash-pinned on "n" —
+      // every round's vote groupBy(n, lab) AND argmax window
+      // partitionBy(n) then run exchange-free off the pin (the
+      // node-sized label table broadcast-joins in, preserving the
+      // streamed side's partitioning), the coreness agg-key-pin shape
+      val und = GraphLoops.hashPin(
+        top.unionAll(top.select(col("nb").as("n"), col("n").as("nb")))
+          .distinct(), "n")
       val wnd = Window.partitionBy("n").orderBy(col("c").desc, col("lab"))
       def argmax(votes: DataFrame): DataFrame =
         votes.withColumn("rn", row_number().over(wnd))
@@ -708,8 +740,13 @@ object GraphExtras {
       // round 1: every neighbor still carries its self-label
       val l1 = argmax(und.groupBy(col("n"), col("nb").as("lab"))
         .agg(count(lit(1)).as("c")))
+      // the label table is node-sized (one row per node, an argmax
+      // over an Aggregate) — broadcast it EXPLICITLY so the pinned
+      // hash(n) adjacency is always the streamed side (unhinted, the
+      // planner broadcast the smaller pinned adjacency instead, and
+      // the vote agg + argmax window re-shuffled every round)
       val l3 = Seq(2, 3).foldLeft(l1) { (lab, _) =>
-        argmax(und.join(lab.withColumnRenamed("n", "nb"), "nb")
+        argmax(und.join(broadcast(lab.withColumnRenamed("n", "nb")), "nb")
           .groupBy("n", "lab").agg(count(lit(1)).as("c")))
       }
       l3.select(col("n").as("node"), col("lab").as("label"))
@@ -787,10 +824,23 @@ object GraphExtras {
         .distinct()
         .pinned // shared by all three frontier loops
       val ed = eh.unionAll(eh.select(col("b").as("a"), col("a").as("b")))
-      val perLandmark = Seq(1L, 2L, 3L).map { src =>
-        GraphLoops.bfsHops(ed, source = src, rounds = 3)
-          .select(lit(src).as("landmark"), col("node"), col("hop"))
-      }.reduce(_ unionByName _)
+      // r18: ONE pin shared by all three landmark loops (each bfsHops
+      // call used to re-materialize the edge list), and the three
+      // loops — independent chains of eager per-round frontier pins —
+      // run OVERLAPPED from a small driver pool (guide §2.6: the
+      // scheduler back-fills each loop's stage tails with the other
+      // landmarks' jobs). Result rows are identical: the union is
+      // order-insensitive and each loop is deterministic. A plain
+      // (un-keyed) pin, per the bfsHops agg-key-pin revert note.
+      val edP = GraphLoops.pinEdges(ed, "a", GraphLoops.Broadcast)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val perLandmark = Await.result(
+        Future.sequence(Seq(1L, 2L, 3L).map { src =>
+          Future(GraphLoops.bfsHopsPinned(edP, source = src, rounds = 3)
+            .select(lit(src).as("landmark"), col("node"), col("hop")))
+        }), Duration.Inf).reduce(_ unionByName _)
       perLandmark.groupBy("landmark")
         .agg(count(lit(1)).as("n_reached"), sum("hop").as("hop_sum"),
           expr("CAST(SUM(hop) * 1000000 div COUNT(*) AS BIGINT)")

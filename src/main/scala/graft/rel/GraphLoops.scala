@@ -57,22 +57,80 @@ object GraphLoops {
   def pinEdges(edges: DataFrame, key: String, strategy: Strategy): DataFrame =
     strategy match {
       case Broadcast => edges.pinned
-      case CoPartitioned =>
-        val s = edges.sparkSession
-        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-        // the pin itself must plan WITHOUT AQE: under an adaptive plan
-        // the checkpointed LogicalRDD records UnknownPartitioning and
-        // every later join re-shuffles the edges — exactly what this
-        // tier exists to avoid. Planned statically, the RDD carries
-        // HashPartitioning(key, n) through the checkpoint, so
-        // EnsureRequirements finds the edge side already satisfying
-        // the join's distribution. Downstream rounds still plan with
-        // whatever AQE setting the session has.
-        val aqe = "spark.sql.adaptive.enabled"
-        val old = s.conf.get(aqe)
-        s.conf.set(aqe, "false")
-        try edges.repartition(n, col(key)).pinned
-        finally s.conf.set(aqe, old)
+      case CoPartitioned => hashPin(edges, key)
+    }
+
+  /** Materialize `edges` hash-partitioned on `key`. The pin itself
+    * must plan WITHOUT AQE: under an adaptive plan the checkpointed
+    * LogicalRDD records UnknownPartitioning and every later join or
+    * aggregate re-shuffles the edges — exactly what the pin exists to
+    * avoid. Planned statically, the RDD carries HashPartitioning(key,
+    * n) through the checkpoint, so EnsureRequirements finds the edge
+    * side already satisfying any ClusteredDistribution whose keys
+    * include `key`. Downstream rounds still plan with whatever AQE
+    * setting the session has.
+    */
+  private[rel] def hashPin(edges: DataFrame, key: String): DataFrame = {
+    val s = edges.sparkSession
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // TWO-step pin (r18): materialize the upstream build FIRST, under
+    // whatever AQE setting the session has — the AQE-off window below
+    // must cover ONLY the repartition plan, because planning the whole
+    // upstream statically de-optimizes it (the fact join + distinct
+    // behind an edge list loses broadcast demotion and partition
+    // coalescing; measured as a same-window regression on the first
+    // one-step spelling of this pin). The second checkpoint then plans
+    // a bare scan→exchange, which is the only part that must be
+    // static so the RDD records HashPartitioning(key, n).
+    val mat = edges.pinned
+    val out = hashPinFrom(mat, key)
+    // the intermediate's blocks are dead once the keyed copy is
+    // materialized (hashPinFrom pins eagerly) — release them so the
+    // two-step pin holds ONE resident edge copy, not two
+    graft.Pinned.release(mat)
+    out
+  }
+
+  /** The second step of [[hashPin]] alone: hash-repartition + pin an
+    * ALREADY-materialized relation (callers that need the same pinned
+    * build under two partitionings — hitsAuthorities — route both
+    * re-pins through this so the upstream builds once).
+    */
+  private[rel] def hashPinFrom(mat: DataFrame, key: String): DataFrame = {
+    val s = mat.sparkSession
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val aqe = "spark.sql.adaptive.enabled"
+    val old = s.conf.get(aqe)
+    s.conf.set(aqe, "false")
+    try mat.repartition(n, col(key)).pinned
+    finally s.conf.set(aqe, old)
+  }
+
+  /** Pin for loops whose per-round AGGREGATION key differs from the
+    * state-join key (r18, guide §2.4 "remove shuffles outright"):
+    *
+    *  - Broadcast tier: the broadcast state join imposes NO
+    *    distribution on the edge side, so the pin is free to carry the
+    *    partitioning the rest of the round needs. Hash-pinning on
+    *    `aggKey` makes every per-round `groupBy(aggKey, …)`, DISTINCT
+    *    and `Window.partitionBy(aggKey)` exchange-free (hash(k)
+    *    satisfies ClusteredDistribution(k, …)) — the whole round plans
+    *    as one mapper-side stage over the pinned RDD. The one-time
+    *    pin exchange replaces 1–2 exchanges × rounds. Skew posture is
+    *    unchanged: any per-aggKey aggregate already concentrates a
+    *    key's rows in one partition at its OWN exchange; the pin moves
+    *    that concentration one stage earlier (hash spreads keys over
+    *    all partitions — only a key with degree ≫ E/n partitions was,
+    *    and remains, a hot-partition risk).
+    *  - CoPartitioned tier: unchanged — the shuffle-hash state join
+    *    requires the edges clustered on `joinKey`, and the per-round
+    *    aggregation exchange is the price of never moving the edges.
+    */
+  def pinEdgesKeyed(edges: DataFrame, joinKey: String, aggKey: String,
+                    strategy: Strategy): DataFrame =
+    strategy match {
+      case Broadcast => hashPin(edges, aggKey)
+      case CoPartitioned => hashPin(edges, joinKey)
     }
 
   /** Inner-join O(nodes) `state` onto pinned `edges` without moving the
@@ -112,9 +170,25 @@ object GraphLoops {
     * lineage cut. Returns `(node BIGINT, hop INT)`.
     */
   def bfsHops(edges: DataFrame, source: Long, rounds: Int,
-              strategy: Strategy = Broadcast): DataFrame = {
-    val s = edges.sparkSession
-    val ed = pinEdges(edges, "a", strategy)
+              strategy: Strategy = Broadcast): DataFrame =
+    // NOTE (r18): the agg-key pin (pinEdgesKeyed on "b") was measured
+    // here and REVERTED — BFS is the one loop where the trade is
+    // backwards at any scale: the per-round exchange it would remove
+    // carries a FRONTIER-sized dedup, while the pin itself adds an
+    // E-sized shuffle + a second E materialization (same-window A/B:
+    // old warm samples 1.86/2.10/1.87 s, keyed-pin min 2.45 s — the
+    // only change in the family whose regression was outside the
+    // noise band in both directions). The join-key pin stands.
+    bfsHopsPinned(pinEdges(edges, "a", strategy), source, rounds, strategy)
+
+  /** [[bfsHops]] over an ALREADY-pinned edge list — callers running
+    * several frontier loops over the same graph (graph_closeness's
+    * three landmarks) pin once and share it, instead of paying the
+    * edge materialization per landmark.
+    */
+  def bfsHopsPinned(ed: DataFrame, source: Long, rounds: Int,
+                    strategy: Strategy = Broadcast): DataFrame = {
+    val s = ed.sparkSession
     var visited = s.range(1)
       .select(lit(source).cast("long").as("node"), lit(0).as("hop"))
     var frontier = visited.select("node")

@@ -60,9 +60,14 @@ object PageRank {
   def run(und: DataFrame, maxIter: Int, checkEvery: Int = 5,
           strategy: GraphLoops.Strategy = GraphLoops.Broadcast): (DataFrame, Int) = {
     val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-    val undDeg = GraphLoops.pinEdges(
+    // join key "u" (rank state meets the source end); agg key "v" (the
+    // per-round contribution groupBy collapses on the target end) —
+    // the Broadcast tier pins on "v" so every round's aggregation is
+    // exchange-free (one mapper stage per round: broadcast probe +
+    // partial/final agg over the hash(v)-pinned edges)
+    val undDeg = GraphLoops.pinEdgesKeyed(
       und.join(deg, und("u") === deg("node"))
-        .select(col("u"), col("v"), col("d")), "u", strategy)
+        .select(col("u"), col("v"), col("d")), "u", "v", strategy)
     var pr = deg.select(col("node"), lit(Unit_).as("r")).pinned
     var it = 0
     var converged = false

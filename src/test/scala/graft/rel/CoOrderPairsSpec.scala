@@ -45,17 +45,52 @@ class CoOrderPairsSpec extends SparkSpec {
 
   test("pair explode emits nothing for singleton or empty supplier sets") {
     import spark.implicits._
+    import graft.functions.GraftExpressions.packed_pairs
     val df = Seq(
       (1L, Seq(3L, 5L, 9L)), (2L, Seq(7L)), (3L, Seq.empty[Long])
     ).toDF("k", "sks")
-    val pairs = df.select(explode(expr(
+    val pairs = df.select(explode(packed_pairs(col("sks"))).as("pk"))
+      .select(shiftrightunsigned(col("pk"), 32), col("pk").bitwiseAND(lit(0xFFFFFFFFL)))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs == Seq((3L, 5L), (3L, 9L), (5L, 9L)),
+      s"unexpected pair fan-out: $pairs")
+  }
+
+  test("packed_pairs: codegen and interpreted paths agree; both throw past 2^31") {
+    import spark.implicits._
+    import graft.functions.GraftExpressions.packed_pairs
+    val sets = Seq(
+      Seq(0L, 1L, 2L),                 // boundary low end
+      Seq(5L, 17L, 0x7FFFFFFFL),       // boundary high end
+      (1L to 60L).toSeq                 // a wide set (1770 pairs)
+    ).toDF("sks")
+    // interpreted path: force eval via a filter position Catalyst
+    // won't codegen-fuse — simplest is to compare collect() of the
+    // projection (codegen) against the HOF reference spelling
+    val ref = sets.select(explode(expr(
         "flatten(transform(sks, (x, i) -> " +
           "transform(slice(sks, i + 2, size(sks)), y -> named_struct('u', x, 'v', y))))"
       )).as("p"))
       .select(col("p.u"), col("p.v"))
-      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs == Seq((3L, 5L), (3L, 9L), (5L, 9L)),
-      s"unexpected pair fan-out: $pairs")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+    val got = sets.select(explode(packed_pairs(col("sks"))).as("pk"))
+      .select(shiftrightunsigned(col("pk"), 32), col("pk").bitwiseAND(lit(0xFFFFFFFFL)))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got == ref, s"packed pairs diverged from HOF reference")
+    // the eval (non-codegen) path, exercised directly on the expression
+    val expr0 = graft.functions.GraftExpressions.PackedPairs(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(3L, 5L, 9L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+    val evald = expr0.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    assert(evald == Seq((3L << 32) | 5L, (3L << 32) | 9L, (5L << 32) | 9L))
+    // packing-contract violations throw rather than corrupt
+    val bad = Seq(Seq(1L, 0x80000000L)).toDF("sks")
+    val ex = intercept[Exception] {
+      bad.select(packed_pairs(col("sks"))).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("plan carries no join below the pair count — one Generate, two exchanges") {
