@@ -138,8 +138,31 @@ object StreamingOps {
     */
   private def withStateSizedPartitions[A](spark: SparkSession)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // r18 (the round's "not yet optimized" item 5, A/B'd): RocksDB
+    // state store for every stateful gate — measured faster than the
+    // default HDFS-backed store on all five stateful gates in the
+    // same window (min-across-JVMs ratios 0.83-0.92: the HDFS store's
+    // per-batch snapshot/maintenance work exceeds RocksDB's JNI cost
+    // even at bench-scale state), and it is the production choice at
+    // 100 TB state (off-heap, incremental snapshots — state no longer
+    // competes with execution memory). Scoped HERE because the conf
+    // is captured at start(): only the gates' fresh-temp-checkpoint
+    // queries flip; the persistent-checkpoint foreachBatch streams
+    // (stateless appends — no state store) keep their existing
+    // checkpoints untouched, so no provider-vs-checkpoint
+    // incompatibility can arise.
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
   }
 
   /** Streaming ingest into a [[TickStore]]: each micro-batch runs the
