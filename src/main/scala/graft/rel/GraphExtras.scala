@@ -538,35 +538,35 @@ object GraphExtras {
         |      FROM p JOIN deg d1 ON p.s1 = d1.s JOIN deg d2 ON p.s2 = d2.s)
         |SELECT s1, s2, common, jaccard_ppm FROM j
         |ORDER BY common DESC, s1, s2 LIMIT 20""".stripMargin) { (s, d) =>
-      // materialize the distinct edge list once — cd, deg, and the
-      // wedge aggregation all derive from it, and without the cut each
-      // would re-run the fact join + distinct from the scan up. r18:
-      // hash-pinned on "c" so the degree count, the (broadcast-hinted,
-      // node-sized) cap filter join and the per-customer collect_set
-      // are ALL exchange-free off the pin
-      val e = GraphLoops.hashPin(Tables.orders(s, d)
+      // materialize the distinct edge list once — cd, deg, and both
+      // self-join sides all derive from it, and without the cut each
+      // would re-run the fact join + distinct from the scan up
+      val e = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct(), "c")
+        .distinct().pinned
       val cd = e.groupBy("c").agg(count(lit(1)).as("d"))
-      val ec = e.join(broadcast(cd), "c").where(col("d") <= 200).select("c", "s")
+      val ec = e.join(cd, "c").where(col("d") <= 200).select("c", "s")
       val deg = ec.groupBy("s").agg(count(lit(1)).as("d"))
-      // r18 second attempt at the join-elimination rewrite: the FIRST
-      // one (interpreted transform/slice HOF) lost to the codegen'd
-      // self-join at this wedge width (~20k structs per hot customer
-      // through interpreted lambdas — warm pair 2.81 -> 4.51 s,
-      // reverted). With [[graft.functions.GraftExpressions.PackedPairs]]
-      // the expansion runs INSIDE whole-stage codegen (one long per
-      // pair, primitive loops), so the wedge space now falls out of
-      // the collect_set the cap already bounds at <= 200 — no
-      // self-join, no second read of the incidence exchange, and with
-      // the hash(c) pin no exchange at all until the pair aggregate
-      val p = ec.groupBy("c")
-        .agg(sort_array(collect_set(col("s"))).as("ss"))
-        .select(explode(
-          graft.functions.GraftExpressions.packed_pairs(col("ss"))).as("pk"))
-        .select(shiftrightunsigned(col("pk"), 32).as("s1"),
-          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("s2"))
+      // r18 — THIS query is the recorded boundary of BOTH pair-space
+      // rewrites and of the agg-key pin, all measured here and
+      // reverted to this r17 shape: (1) the interpreted
+      // transform/slice HOF explode lost outright (2.81 -> 4.51 warm);
+      // (2) the codegen'd packed_pairs explode (OPTIMIZATION_r18.md
+      // §6) ALSO lost at this wedge width (12-13 s floor vs 3.2 s
+      // against a same-window old-binary control) — a ~20k-element
+      // array materialized per hot customer defeats the streaming
+      // pair production the codegen'd self-join gets for free; the
+      // explode rewrite wins only where per-key sets are
+      // schema-constant-small (<= 7: the triangle family); (3) the
+      // hash(c) pin + hinted cap-broadcast variant kept the self-join
+      // but read 4.6-9.9 warm vs this shape's stable 2.9-3.9 in the
+      // same alternating window (32 fixed AQE-less partitions under
+      // the widest fan-out join in the graph family trade away the
+      // post-shuffle coalescing that keeps its task sizes sane).
+      val x = ec.select(col("c"), col("s").as("s1"))
+      val y = ec.select(col("c").as("c2"), col("s").as("s2"))
+      val p = x.join(y, col("c") === col("c2") && col("s1") < col("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
       p.join(broadcast(deg.select(col("s").as("s1"), col("d").as("d1"))), "s1")
         .join(broadcast(deg.select(col("s").as("s2"), col("d").as("d2"))), "s2")
