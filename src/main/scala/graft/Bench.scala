@@ -106,7 +106,17 @@ object Bench {
     val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"failed":$failedJson,"sf":"$sfDir","lap1_total":$coldTotal,"lap1_queries":${json(cold)},"min_total":$minTotal,"min_queries":${json(minLap)},"setup_total":$setupTotal,"setup_sec":${json(setups)},"partial":$partial,"laps":${if (singleLap) 1 else 2},"cpus":"$cpus","heap_max_mb":$heapMb}"""
-    // stop FIRST so the JSON is this process's final stdout line (a
+    // r19 measurement-contract fix (OPTIMIZATION_r19.md §bench-line):
+    // at 357 queries the full line above is ~25 KB — four per-query
+    // maps — and a launcher that keeps only a bounded tail of stdout
+    // truncates it mid-line and parses nothing (BENCH_r17/r18:
+    // rc=0 but parsed:null). The FINAL stdout line is therefore a
+    // short summary (same metric/value/unit/sf/failed provenance,
+    // well under any sane tail window); the complete per-query line
+    // is still printed (first) and persisted in BENCH_LAST.json.
+    val shortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"sf":"$sfDir","lap1_total":$coldTotal,"min_total":$minTotal,"setup_total":$setupTotal,"partial":$partial,"laps":${if (singleLap) 1 else 2},"cpus":"$cpus","heap_max_mb":$heapMb,"n_queries":${results.size},"queries_file":"BENCH_LAST.json"}"""
+    // stop FIRST so the JSON is this process's final stdout output (a
     // launcher that reads the tail shouldn't trip over shutdown noise),
     // and drop a file copy as a parse-proof fallback
     spark.stop()
@@ -115,5 +125,6 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
+    println(shortLine)
   }
 }
