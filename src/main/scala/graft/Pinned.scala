@@ -55,6 +55,24 @@ object Pinned {
     cp
   }
 
+  /** Single-shot KEYED checkpoint (r19): one hash(key, n) shuffle +
+    * one block write, with the partitioning DECLARED on the rebuilt
+    * LogicalRDD (see graftbridge.KeyedCheckpoint for why declaring is
+    * sound). Replaces the r18 two-step pin, which wrote the relation
+    * twice and toggled the session-global AQE conf around the second
+    * plan. Provenance is recorded exactly like [[checkpoint]], from
+    * the PRE-checkpoint plan.
+    */
+  def checkpointKeyed(df: DataFrame, key: String): DataFrame = {
+    val wasBounded = ExplainAudit.boundedForPin(df)
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val cp = org.apache.spark.sql.graftbridge.KeyedCheckpoint(df, key, n)
+    cp.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.foreach(id => registry.put(id, java.lang.Boolean.valueOf(wasBounded)))
+    cp
+  }
+
   /** The net's lookup: Some(verdict) for seam-routed checkpoints,
     * None for a checkpoint that bypassed the seam (treated as
     * unbounded by the caller).
@@ -69,12 +87,19 @@ object Pinned {
     * has materialized — releasing them halves the loop families'
     * resident edge copies. The frame must never be read again: a
     * local checkpoint has no lineage to recompute from (the same
-    * contract RddHygiene's between-laps sweep relies on).
+    * contract RddHygiene's between-laps sweep relies on). The frame
+    * must be a BARE checkpoint scan: releasing is destructive and a
+    * silent no-op on anything else would hide a wiring bug, so a
+    * non-LogicalRDD plan throws (r19, ADVICE item).
     */
   def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case other => throw new IllegalStateException(
+        "Pinned.release: expected a bare checkpointed LogicalRDD, got " +
+          other.nodeName + " — only a materialized pin may be released")
+    }
 
   /** `df.pinned` — the engine's spelling of a lineage cut. Every
     * query-path `localCheckpoint()` goes through this so the audit

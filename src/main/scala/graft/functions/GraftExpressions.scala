@@ -386,13 +386,29 @@ object GraftExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "packed_pairs"
 
+    // r19 contract hardening (ADVICE): the pair count is computed in
+    // LONG and guarded — at n >= ~46341 the old int expression
+    // n*(n-1)/2 overflowed into a NegativeArraySizeException or a
+    // wrong-sized allocation — and a null array slot throws the
+    // contract error instead of reading garbage through getLong.
+    private def pairCount(n: Int): Int = {
+      val sz = n.toLong * (n - 1) / 2
+      if (sz > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"packed_pairs: $n elements imply $sz pairs, past Int.MaxValue")
+      sz.toInt
+    }
+
     override def nullSafeEval(input: Any): Any = {
       val a = input.asInstanceOf[ArrayData]
       val n = a.numElements()
-      val out = new Array[Long](n * (n - 1) / 2)
+      val out = new Array[Long](pairCount(n))
       var k = 0
       var i = 0
       while (i < n) {
+        if (a.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"packed_pairs: null element at index $i")
         val x = a.getLong(i)
         if (x < 0L || x > 0x7FFFFFFFL)
           throw new IllegalArgumentException(
@@ -414,11 +430,20 @@ object GraftExpressions {
         val j = ctx.freshName("j")
         val x = ctx.freshName("x")
         val hi = ctx.freshName("hi")
+        val szL = ctx.freshName("szL")
         s"""
            |int $n = $a.numElements();
-           |long[] $out = new long[$n * ($n - 1) / 2];
+           |long $szL = (long) $n * ($n - 1) / 2;
+           |if ($szL > Integer.MAX_VALUE)
+           |  throw new IllegalArgumentException(
+           |    "packed_pairs: " + $n + " elements imply " + $szL +
+           |    " pairs, past Int.MaxValue");
+           |long[] $out = new long[(int) $szL];
            |int $k = 0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i))
+           |    throw new IllegalArgumentException(
+           |      "packed_pairs: null element at index " + $i);
            |  long $x = $a.getLong($i);
            |  if ($x < 0L || $x > 0x7FFFFFFFL)
            |    throw new IllegalArgumentException(

@@ -110,20 +110,31 @@ object GraphExtras {
                       strategy: GraphLoops.Strategy = GraphLoops.Broadcast,
                       normStrategy: NormStrategy = WindowNorm)
       : DataFrame = {
-    // r18 NOTE — the agg-key pin (TWO keyed copies off one
-    // materialized build, making each half-round's raw-sum aggregate
-    // exchange-free) was measured here and REVERTED: 2 extra E-sized
-    // shuffles + materializations at build to save 6 node-sized
-    // exchanges read as a same-window regression (old warm min 3.04 s
-    // / new 3.42 s, every new sample above the old median). Unlike
-    // coreness/pagerank, BOTH halves need their own copy here, which
-    // doubles the pin cost the other loops pay once — the r11 lesson
-    // (never materialize the edge build twice) effectively re-applies
-    // one level up. The single shared pin stands.
-    val eU = GraphLoops.pinEdges(edges, "u", strategy)
-    val eV = strategy match {
-      case GraphLoops.Broadcast => eU
-      case GraphLoops.CoPartitioned => GraphLoops.pinEdges(edges, "v", strategy)
+    // r18 NOTE — the Broadcast-tier agg-key pin (TWO keyed copies,
+    // making each half-round's raw-sum aggregate exchange-free) was
+    // measured here and REVERTED: 2 extra E-sized shuffles +
+    // materializations at build to save 6 node-sized exchanges read
+    // as a same-window regression (old warm min 3.04 s / new 3.42 s,
+    // every new sample above the old median). Unlike coreness/
+    // pagerank, BOTH halves need their own copy here, which doubles
+    // the pin cost the other loops pay once — the r11 lesson (never
+    // materialize the edge build twice) effectively re-applies one
+    // level up. The single shared pin stands on the Broadcast tier.
+    // r19 — CoPartitioned tier (needs both keyed copies by its join
+    // contract): the upstream edge build now materializes ONCE and
+    // both keyed copies derive from that scan (hashPinFrom), instead
+    // of each pin re-running the join+distinct build; the shared
+    // intermediate is released once both copies land.
+    val (eU, eV) = strategy match {
+      case GraphLoops.Broadcast =>
+        val e = GraphLoops.pinEdges(edges, "u", strategy)
+        (e, e)
+      case GraphLoops.CoPartitioned =>
+        val mat = edges.pinned
+        val u = GraphLoops.hashPinFrom(mat, "u")
+        val v = GraphLoops.hashPinFrom(mat, "v")
+        graft.Pinned.release(mat)
+        (u, v)
     }
     var h = eU.select("u").distinct().withColumn("h", lit(1000000L))
     var a: DataFrame = null
@@ -317,28 +328,48 @@ object GraphExtras {
                 strategy: GraphLoops.Strategy = GraphLoops.Broadcast)
       : DataFrame = {
     val s = und.sparkSession
+    import s.implicits._
     val dg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
     // join key "u", agg key "v" (the contribution groupBy) — Broadcast
-    // pins on "v" so the per-round E-input aggregate is exchange-free;
-    // only the node-sized restart-union re-aggregate still shuffles
+    // pins on "v" so the per-round E-input aggregate is exchange-free.
+    //
+    // r19 — the restart union + node-sized re-aggregate (the one
+    // exchange the r18 pin left per round) is FOLDED INTO the
+    // contribution aggregate via a SENTINEL edge (guide §2.4):
+    //  - one extra pinned edge (u = -1 → v = seed, d = 1) plus one
+    //    zero-mass state row (node = -1, r = 0) appended to the
+    //    broadcast side each round guarantee the seed's group exists
+    //    in every round's aggregate (contribution r div d = 0 div 1 =
+    //    0 adds nothing to the sum), riding the same hash(v) pinned
+    //    path — no union below the aggregate, so its exchange-free
+    //    plan is untouched;
+    //  - the restart mass lands in the aggregate's RESULT projection
+    //    (+150000000000 on the seed's row), exactly the value the old
+    //    union+re-agg summed in: old seed row = (85·Σc) div 100 +
+    //    150000000000 (or restart alone when no contribution arrived —
+    //    the sentinel makes that the Σc = 0 case of the same formula).
+    // Node ids are nonnegative (2·custkey / 2·suppkey+1), so -1 never
+    // collides, never reaches the output (it appears only as u), and
+    // unreached nodes stay absent as before. Row-exact equivalence vs
+    // the union spelling is pinned in R8bWaveSpec.
+    val sentinelEdge = Seq((-1L, seed, 1L)).toDF("u", "v", "d")
     val edges = GraphLoops.pinEdgesKeyed(
       und.join(dg, und("a") === dg("n")).select(col("a").as("u"),
-        col("b").as("v"), col("d")), "u", "v", strategy)
-    def oneRow(r: Long) = {
-      import s.implicits._
-      Seq((seed, r)).toDF("node", "r")
-    }
-    var pr = oneRow(1000000000000L) // all walk mass starts at the seed
+        col("b").as("v"), col("d")).unionByName(sentinelEdge),
+      "u", "v", strategy)
+    def oneRow(node: Long, r: Long) = Seq((node, r)).toDF("node", "r")
+    var pr = oneRow(seed, 1000000000000L) // all walk mass starts at the seed
     // linear unroll, no per-round lineage cut: each round's mass
     // vector has exactly one consumer (see corenessHIndex)
     for (_ <- 1 to rounds) {
-      val contrib = GraphLoops.stateJoin(edges, pr, edges("u") === pr("node"),
+      val state = pr.unionByName(oneRow(-1L, 0L))
+      pr = GraphLoops.stateJoin(edges, state, edges("u") === state("node"),
           strategy)
         .select(edges("v").as("node"), expr("r div d").as("c"))
         .groupBy("node")
-        .agg(expr("(85 * sum(c)) div 100").as("r"))
-      pr = contrib.unionByName(oneRow(150000000000L)).groupBy("node")
-        .agg(sum("r").as("r"))
+        .agg((expr("(85 * sum(c)) div 100") +
+          when(col("node") === lit(seed), lit(150000000000L))
+            .otherwise(lit(0L))).as("r"))
     }
     pr
   }

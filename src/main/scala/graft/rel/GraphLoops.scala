@@ -60,51 +60,30 @@ object GraphLoops {
       case CoPartitioned => hashPin(edges, key)
     }
 
-  /** Materialize `edges` hash-partitioned on `key`. The pin itself
-    * must plan WITHOUT AQE: under an adaptive plan the checkpointed
-    * LogicalRDD records UnknownPartitioning and every later join or
-    * aggregate re-shuffles the edges — exactly what the pin exists to
-    * avoid. Planned statically, the RDD carries HashPartitioning(key,
-    * n) through the checkpoint, so EnsureRequirements finds the edge
+  /** Materialize `edges` hash-partitioned on `key`, SINGLE-SHOT (r19):
+    * one shuffle, one block write. The upstream build plans under
+    * whatever AQE setting the session has (broadcast demotion and
+    * interior coalescing intact), and the checkpointed RDD still
+    * carries HashPartitioning(key, n) — declared on the LogicalRDD by
+    * graft.Pinned.checkpointKeyed, which is sound because a
+    * repartition(n, key) exchange has the REPARTITION_BY_NUM origin
+    * that AQE never coalesces. EnsureRequirements then finds the edge
     * side already satisfying any ClusteredDistribution whose keys
-    * include `key`. Downstream rounds still plan with whatever AQE
-    * setting the session has.
+    * include `key`. Replaces the r18 two-step pin (materialize, then
+    * AQE-off re-repartition + second checkpoint + release): the
+    * second E-sized write and the session-global AQE toggle are gone.
     */
-  private[rel] def hashPin(edges: DataFrame, key: String): DataFrame = {
-    val s = edges.sparkSession
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-    // TWO-step pin (r18): materialize the upstream build FIRST, under
-    // whatever AQE setting the session has — the AQE-off window below
-    // must cover ONLY the repartition plan, because planning the whole
-    // upstream statically de-optimizes it (the fact join + distinct
-    // behind an edge list loses broadcast demotion and partition
-    // coalescing; measured as a same-window regression on the first
-    // one-step spelling of this pin). The second checkpoint then plans
-    // a bare scan→exchange, which is the only part that must be
-    // static so the RDD records HashPartitioning(key, n).
-    val mat = edges.pinned
-    val out = hashPinFrom(mat, key)
-    // the intermediate's blocks are dead once the keyed copy is
-    // materialized (hashPinFrom pins eagerly) — release them so the
-    // two-step pin holds ONE resident edge copy, not two
-    graft.Pinned.release(mat)
-    out
-  }
+  private[rel] def hashPin(edges: DataFrame, key: String): DataFrame =
+    graft.Pinned.checkpointKeyed(edges, key)
 
-  /** The second step of [[hashPin]] alone: hash-repartition + pin an
-    * ALREADY-materialized relation (callers that need the same pinned
-    * build under two partitionings — hitsAuthorities — route both
-    * re-pins through this so the upstream builds once).
+  /** [[hashPin]] over an ALREADY-materialized relation — callers that
+    * need the same pinned build under two partitionings
+    * (hitsAuthorities' CoPartitioned tier) materialize the upstream
+    * once and derive both keyed copies from it, so the edge build
+    * (join + distinct) is computed once rather than per copy.
     */
-  private[rel] def hashPinFrom(mat: DataFrame, key: String): DataFrame = {
-    val s = mat.sparkSession
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val aqe = "spark.sql.adaptive.enabled"
-    val old = s.conf.get(aqe)
-    s.conf.set(aqe, "false")
-    try mat.repartition(n, col(key)).pinned
-    finally s.conf.set(aqe, old)
-  }
+  private[rel] def hashPinFrom(mat: DataFrame, key: String): DataFrame =
+    graft.Pinned.checkpointKeyed(mat, key)
 
   /** Pin for loops whose per-round AGGREGATION key differs from the
     * state-join key (r18, guide §2.4 "remove shuffles outright"):

@@ -87,14 +87,23 @@ object PageRank {
           // probe one step ahead from the pinned vector: unchanged
           // means exact fixed point (stop — later iterations are
           // no-ops by induction); changed means the probe IS the
-          // next iteration, computed once from pinned lineage
-          val probe = step(undDeg, pinned, strategy).pinned
-          val changed = GraphLoops.stateJoin(probe.as("a"), pinned.as("b"),
-              col("a.node") === col("b.node"), strategy)
-            .where(col("a.r") =!= col("b.r"))
+          // next iteration, computed once from pinned lineage.
+          // r19 fold (guide §2.4/§2.6): the previous rank rides the
+          // probe's own materialization (one node-sized broadcast
+          // join inside the same pin job), so the changed-check is a
+          // bare scan of the already-materialized blocks — the
+          // separate probe-vs-pinned join job is gone. Comparison
+          // semantics are unchanged: the old check inner-joined the
+          // same two vectors; r0 is node-matched old rank.
+          val old = pinned.select(col("node").as("node0"), col("r").as("r0"))
+          val probe = GraphLoops.stateJoin(step(undDeg, pinned, strategy),
+              old, col("node") === col("node0"), strategy)
+            .select(col("node"), col("r"), col("r0"))
+            .pinned
+          val changed = probe.where(col("r") =!= col("r0"))
             .limit(1).count() > 0
           if (!changed) { converged = true; pr = pinned }
-          else { it += 1; pr = probe }
+          else { it += 1; pr = probe.select("node", "r") }
         }
       }
     }

@@ -64,6 +64,18 @@ object RelQueries {
       // total/per-brand/pair counts all read it, and un-pinned each
       // would re-run the part join + basket aggregation from the scan
       // up. n = COUNT(DISTINCT o) == one row per basket == count(*).
+      //
+      // r19 (guide §4.1): the pair fan-out leaves the interpreted HOF
+      // lambdas for the whole-stage-codegen'd packed_pairs expression
+      // by packing INDEX pairs over the sorted set (sequence(0, k-1)
+      // is a codegen'd builtin; an int-coding of the brand VALUES was
+      // measured first and rejected — this testdata's brands are
+      // 'Brand#1'..'Brand#25', where numeric order != the string
+      // order the pair orientation and ORDER BY are defined on). The
+      // subscripts resolve each packed (i, j) back to the set's
+      // elements in the same codegen span; every group has >= 1
+      // element (collect_set over a non-empty group), so sequence()
+      // never sees a negative bound.
       val bs = Tables.lineitem(s, d)
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_orderkey").as("o"))
@@ -72,11 +84,12 @@ object RelQueries {
       val n = bs.agg(count(lit(1)).as("total"))
       val m = bs.select(explode(col("brs")).as("br"))
         .groupBy("br").agg(count(lit(1)).as("cnt"))
-      val pc = bs.select(explode(expr(
-          "flatten(transform(brs, (x, i) -> " +
-            "transform(slice(brs, i + 2, size(brs)), y -> named_struct('ba', x, 'bb', y))))"
-        )).as("p"))
-        .select(col("p.ba").as("ba"), col("p.bb").as("bb"))
+      val pc = bs.select(col("brs"), explode(
+          graft.functions.GraftExpressions.packed_pairs(
+            expr("sequence(0L, CAST(size(brs) AS BIGINT) - 1)"))).as("pk"))
+        .select(
+          expr("brs[CAST(shiftrightunsigned(pk, 32) AS INT)]").as("ba"),
+          expr("brs[CAST(pk & 4294967295 AS INT)]").as("bb"))
         .groupBy("ba", "bb")
         .agg(count(lit(1)).as("nab"))
       pc.join(broadcast(m.select(col("br").as("ba"), col("cnt").as("ca"))), "ba")

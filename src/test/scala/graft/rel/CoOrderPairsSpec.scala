@@ -85,12 +85,69 @@ class CoOrderPairsSpec extends SparkSpec {
     val evald = expr0.eval(null)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
     assert(evald == Seq((3L << 32) | 5L, (3L << 32) | 9L, (5L << 32) | 9L))
-    // packing-contract violations throw rather than corrupt
+    // packing-contract violations throw rather than corrupt — assert
+    // the CONTRACT error fired (not just any wrapper/codegen failure):
+    // walk the cause chain for the packed_pairs range message (r19,
+    // ADVICE tightening)
+    def rootMessages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
     val bad = Seq(Seq(1L, 0x80000000L)).toDF("sks")
     val ex = intercept[Exception] {
       bad.select(packed_pairs(col("sks"))).collect()
     }
-    assert(ex.getMessage != null)
+    assert(rootMessages(ex).exists(m =>
+      m.contains("packed_pairs") && m.contains("outside [0, 2^31)")),
+      s"expected the packed_pairs range-contract error, got: ${rootMessages(ex)}")
+    // the eval path rejects the same violation with the same message
+    val badEval = intercept[Exception] {
+      graft.functions.GraftExpressions.PackedPairs(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq(1L, 0x80000000L),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+        .eval(null)
+    }
+    assert(rootMessages(badEval).exists(m =>
+      m.contains("packed_pairs") && m.contains("outside [0, 2^31)")),
+      s"eval path: expected the packed_pairs range-contract error, got: ${rootMessages(badEval)}")
+  }
+
+  test("basket_lift int-coded packed pairs == the string-HOF spelling (sf0.001)") {
+    // r19: brands int-coded at the part scan so the pair fan-out rides
+    // the codegen'd packed_pairs path — pinned row-exact against the
+    // r18 string/HOF formulation (which this reference reproduces)
+    val d = sf0001
+    val bs = Tables.lineitem(spark, d)
+      .join(Tables.part(spark, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("brs"))
+      .localCheckpoint()
+    val n = bs.agg(count(lit(1)).as("total"))
+    val m = bs.select(explode(col("brs")).as("br"))
+      .groupBy("br").agg(count(lit(1)).as("cnt"))
+    val pc = bs.select(explode(expr(
+        "flatten(transform(brs, (x, i) -> " +
+          "transform(slice(brs, i + 2, size(brs)), y -> named_struct('ba', x, 'bb', y))))"
+      )).as("p"))
+      .select(col("p.ba").as("ba"), col("p.bb").as("bb"))
+      .groupBy("ba", "bb")
+      .agg(count(lit(1)).as("nab"))
+    val ref = pc
+      .join(broadcast(m.select(col("br").as("ba"), col("cnt").as("ca"))), "ba")
+      .join(broadcast(m.select(col("br").as("bb"), col("cnt").as("cb"))), "bb")
+      .crossJoin(broadcast(n))
+      .select(col("ba"), col("bb"), col("nab"),
+        expr("nab * total * 1000000 div (ca * cb)").as("lift_ppm"))
+      .orderBy("ba", "bb")
+    val want = sortedRows(ref)
+    val got = sortedRows(graft.SparkEntry.queries("basket_lift")(spark, d))
+    assert(want.nonEmpty, "vacuous pin: empty basket pair space")
+    assert(got == want, s"basket_lift diverged: ${got.size} vs ${want.size} rows")
+    // and the plan must carry the codegen'd explode, not HOF lambdas
+    val p = graft.SparkEntry.queries("basket_lift")(spark, d).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("packed_pairs"), s"expected packed_pairs in the plan:\n$p")
+    assert(!p.contains("lambdafunction"), s"interpreted HOF lambda survives:\n$p")
   }
 
   test("plan carries no join below the pair count — one Generate, two exchanges") {

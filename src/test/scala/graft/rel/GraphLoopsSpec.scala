@@ -90,6 +90,33 @@ class GraphLoopsSpec extends SparkSpec {
       s"exchange on the pinned edge branch:\n$p")
   }
 
+  test("single-shot keyed pin: rows survive and the declared hash placement is physical") {
+    // r19: hashPin declares HashPartitioning(key, n) on the rebuilt
+    // LogicalRDD instead of planning the exchange AQE-off. The
+    // declaration is only sound if the rows PHYSICALLY sit at
+    // pmod(hash(key), n) — assert that per row, plus content equality
+    // and the exchange-free downstream aggregate the pin exists for.
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ed = GraphLoops.pinEdges(bipartite, "a", GraphLoops.CoPartitioned)
+    // content: nothing lost or duplicated by the checkpoint rebuild
+    val got = ed.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = bipartite.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.length > 1 && got.sameElements(want), "pin changed the rows")
+    // physical placement matches the declared partitioning per row
+    // (spark `hash` == murmur3 seed 42 == HashPartitioning's expression)
+    val misplaced = ed
+      .select(col("a"), org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .where(expr(s"pid != pmod(hash(a), $n)"))
+      .count()
+    assert(misplaced == 0, s"$misplaced rows off their declared hash partition")
+    // and the pin's purpose: a groupBy on the pin key plans exchange-free
+    val agg = ed.groupBy("a").agg(count(lit(1)).as("c"))
+    val p = agg.queryExecution.explainString(FormattedMode)
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    assert(!tree.exists(_.contains("Exchange")),
+      s"keyed pin lost its partitioning — aggregate re-shuffles:\n$p")
+  }
+
   test("Broadcast per-round step broadcasts state and keeps edges in place") {
     val ed = GraphLoops.pinEdges(bipartite, "a", GraphLoops.Broadcast)
     val state = spark.range(5).select(col("id").as("node"))

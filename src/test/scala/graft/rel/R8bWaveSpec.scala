@@ -483,6 +483,40 @@ class R8bWaveSpec extends SparkSpec {
       "the two tiers must agree bit-for-bit")
   }
 
+  test("ppr sentinel-edge restart fold == the r18 union + re-aggregate spelling") {
+    // reference: the pre-r19 formulation (restart mass re-enters via a
+    // UNION of one constant row + a node-sized re-aggregate per round)
+    // — kept inline so the fold stays row-exact against it on real data
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val eh = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("a"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+      .distinct()
+    val und = eh.unionAll(eh.select(col("b").as("a"), col("a").as("b")))
+    val seed = 2L
+    val dg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val edges = und.join(dg, und("a") === dg("n"))
+      .select(col("a").as("u"), col("b").as("v"), col("d")).localCheckpoint()
+    def oneRow(r: Long) = Seq((seed, r)).toDF("node", "r")
+    var ref = oneRow(1000000000000L)
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(broadcast(ref), edges("u") === ref("node"))
+        .select(edges("v").as("node"), expr("r div d").as("c"))
+        .groupBy("node").agg(expr("(85 * sum(c)) div 100").as("r"))
+      ref = contrib.unionByName(oneRow(150000000000L)).groupBy("node")
+        .agg(sum("r").as("r"))
+    }
+    val want = ref.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = GraphExtras.pprRounds(und, seed, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "vacuous pin: reference rank vector is empty")
+    assert(got == want,
+      s"sentinel fold diverged from the union spelling: ${got.size} vs ${want.size} rows")
+  }
+
   test("streamed DV deletes: four sidecar versions, rows shrink monotonically") {
     val (base, nv) = graft.streaming.StreamingOps.dvDeleteStreamOnce(spark, sf0001)
     assert(nv == 5, s"v1 data + 4 delete micro-batches, got $nv")
